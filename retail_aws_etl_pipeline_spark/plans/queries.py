@@ -1,0 +1,368 @@
+"""The engine's query surface, oracle-checked.
+
+Every operator family from SURVEY.md §2 (plus the LLM-data extension
+operators) is exposed here as a named query: a PySpark DataFrame builder and
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. The driver compares row-count + schema + order-insensitive value
+hash, with columns sorted by name — so every computed column is aliased
+IDENTICALLY on both sides.
+
+Determinism rules (SURVEY.md §7.4.4):
+- double SUMs go through an exact-decimal accumulator on BOTH sides
+  (``dec_sum``): each per-row double is cast to ``DECIMAL(28,6)`` — a
+  deterministic function of the double, identical in Spark and DuckDB since
+  the source data is ≤6 decimal places — then summed exactly and cast back
+  to double. This removes summation-order noise completely (plain
+  ``round(sum(double), 2)`` was observed to flip on 0.005 boundaries);
+- averages are expressed as exact-decimal sum ÷ count in identical double
+  arithmetic on both sides;
+- every top-K has a total tiebreak order;
+- window orderings always include a unique key as final tiebreaker.
+
+Reference query surface covered here: daily revenue (docs/athena_queries.md:24-28),
+top-10 items (docs/athena_queries.md:31-38), keep-latest dedup
+(incremental_auto_compaction.py:220-221), plus the full generic surface the
+Athena/BI layer implies (joins, windows, set ops, scalar fns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Exact-decimal accumulator type for deterministic double aggregation.
+DEC = "decimal(28,6)"
+
+
+def dec_sum(expr, scale: int | None = None):
+    """Deterministic SUM over a double expression (see module docstring).
+
+    No final ROUND: Spark rounds doubles via their shortest decimal repr
+    while DuckDB rounds the exact binary value, so ROUND on a double is
+    itself engine-divergent (observed: 1084237.255 → .26 vs .25). The exact
+    decimal sum cast to double is binary-identical on both sides.
+    """
+    return F.sum(expr.cast(DEC)).cast("double")
+
+
+def dec_avg(expr, scale: int | None = None):
+    """Deterministic AVG: exact-decimal sum ÷ count, identical double ops."""
+    return F.sum(expr.cast(DEC)).cast("double") / F.count(F.lit(1))
+
+
+def sql_dec_sum(expr: str, scale: int | None = None) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def sql_dec_avg(expr: str, scale: int | None = None) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Reference Athena surface (docs/athena_queries.md)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue",
+    f"""
+    SELECT CAST(l_shipdate AS DATE) AS date,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+    FROM lineitem
+    GROUP BY CAST(l_shipdate AS DATE)
+    ORDER BY date DESC
+    """,
+    description="A5: daily revenue GROUP BY date (docs/athena_queries.md:24-28)",
+    tags=("agg", "reference"),
+)
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy(F.to_date("l_shipdate").alias("date"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .orderBy(F.desc("date"))
+    )
+
+
+@register(
+    "top_items",
+    f"""
+    SELECT l_partkey AS item_id,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY revenue DESC, item_id ASC
+    LIMIT 10
+    """,
+    description="A6: top-10 items by revenue (docs/athena_queries.md:31-38); "
+    "deterministic tiebreak on item_id",
+    tags=("agg", "topk", "reference"),
+)
+def top_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("item_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec_sum("l_quantity")} AS sum_qty,
+           {sql_dec_sum("l_extendedprice")} AS sum_base_price,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_dec_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_dec_avg("l_quantity", 4)} AS avg_qty,
+           {sql_dec_avg("l_extendedprice", 4)} AS avg_price,
+           {sql_dec_avg("l_discount", 6)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H-Q1-style pricing summary: multi-agg over two group keys",
+    tags=("agg",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dec_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1 keep-latest dedup and the general analytic surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    description="W1/A4: keep-latest-per-key window dedup "
+    "(incremental_auto_compaction.py:220-221) with deterministic tiebreak",
+    tags=("window", "dedup", "reference"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    f"""
+    SELECT n_name, c_custkey, total_spent, rnk
+    FROM (
+        SELECT n.n_name, c.c_custkey,
+               {sql_dec_sum("o.o_totalprice")} AS total_spent,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY {sql_dec_sum("o.o_totalprice")} DESC, c.c_custkey ASC
+               ) AS rnk
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+    description="Top-K per group: window rank over join+agg",
+    tags=("window", "join", "topk"),
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(dec_sum(F.col("o_totalprice")).alias("total_spent"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "total_spent", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J2 dimension-join surface; semi/anti)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_revenue",
+    f"""
+    SELECT r.r_name AS region,
+           {sql_dec_sum("o.o_totalprice")} AS total_revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    description="J2: star-schema dimension joins (broadcast dims) + agg",
+    tags=("join", "agg"),
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            dec_sum(F.col("o_totalprice")).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "returned_order_priorities",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="Left-semi join (EXISTS): orders with at least one returned line",
+    tags=("join", "semi"),
+)
+def returned_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+    description="Left-anti join (NOT EXISTS): customers with no orders "
+    "(J1 partition anti-join semantics at row granularity)",
+    tags=("join", "anti", "reference"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / scalar function surface (events.props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_props_stats",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    description="JSON extraction (get_json_object) + agg over events.props",
+    tags=("json", "agg"),
+)
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

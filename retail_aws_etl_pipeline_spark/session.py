@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile: ``local[N]`` single JVM. The same configs are the ones
+we'd set cluster-side at scale: AQE on (runtime coalesce/skew handling),
+dynamic partition overwrite (idempotent per-partition gold rewrites —
+reference intent at scripts/incremental_auto_compaction.py:253-257), UTC
+session timezone (oracle comparability), Arrow for any Pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def get_spark(
+    app_name: str = "retail_aws_etl_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard configs.
+
+    On a real cluster ``master`` is supplied by the submitter; locally we
+    default to ``local[$SPARK_GRAFT_CPUS or *]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the testdata star-schema parquet tables as temp views.
+
+    Returns a dict name -> DataFrame. Names default to the full driver set.
+    """
+    if names is None:
+        names = [
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        ]
+    # The caller may hand us a session built elsewhere (the verify driver
+    # does) — (re)apply the runtime-settable configs correctness depends on:
+    # UTC so timestamp values are engine-comparable, and nanos-as-long since
+    # events.ts is nanosecond parquet the vectorized reader rejects. The ns
+    # column is truncated to microseconds — the same truncation DuckDB's
+    # client applies — so both engines see identical values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for f in df.schema.fields:
+            if n == "events" and f.name == "ts" and f.dataType.typeName() == "long":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,38 @@
+"""Oracle-differential tests: every registry query with an oracle must
+hash-match DuckDB at sf0.01 — the same gate the driver applies."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle import compare
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, name):
+    spec = REGISTRY[name]
+    df = spec.spark_fn(spark, SF_ORACLE)
+    result = compare(df, spec.oracle, SF_ORACLE)
+    assert result["ok"], f"{name}: {result}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.spark_fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    # contract: every oracle key exists in queries()
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)

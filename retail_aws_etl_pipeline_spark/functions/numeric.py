@@ -28,9 +28,12 @@ def clean_currency(source: Column | str) -> Column:
     c = F.regexp_replace(c.cast("string"), r"[^0-9()\.-]", "")
     c = F.regexp_replace(c, r"[(]", "-")
     c = F.regexp_replace(c, r"[)]", "")
-    return c.cast("double")
+    # try_cast: malformed ('' / '-' / '--') → NULL. Spark 4 ANSI mode makes
+    # plain cast THROW on these; the reference ran non-ANSI Spark where cast
+    # nulled silently — try_cast restores that semantic explicitly.
+    return c.try_cast("double")
 
 
 def clean_quantity(source: Column | str, target_type: str = "int") -> Column:
     c = _as_col(source)
-    return F.regexp_replace(c.cast("string"), "[^0-9-]", "").cast(target_type)
+    return F.regexp_replace(c.cast("string"), "[^0-9-]", "").try_cast(target_type)

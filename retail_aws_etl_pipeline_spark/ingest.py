@@ -1,0 +1,131 @@
+"""One-file ingestion: raw CSV → silver Parquet + quarantined rejects.
+
+Collapses the reference's Lambda→Glue two-process flow
+(lambda_validator.py:117-177 + glue_job_raw_to_processed.py) into one
+library entry point with the same zones and semantics:
+
+1. file-level validation on a 64 KB head sample: empty file → system
+   reject; undetectable delimiter or header missing required columns →
+   structural reject with a ``_reason.json`` (lambda_validator.py:140-161).
+   Unlike the reference Lambda (SURVEY.md §1.4 inconsistency), the header
+   check uses the SAME normalization + synonym pass as row-level parsing.
+2. row-level quality routing via ``operators.validate.split_quality``.
+3. sinks: silver parquet partitioned by ``date`` (append, K1); rejects as
+   JSON-lines (machine, K3) + single coalesced CSV (analyst, K4); summary
+   metrics JSON (K5, replaces SNS publish with a returned/logged dict).
+4. archive the input under a lineage name (K6).
+
+Scale notes: the only driver round-trips are the O(1) head sample; all row
+work is one cached Spark plan; class counts are single-pass aggregations
+(the reference recomputed the full lineage 5×, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from retail_aws_etl_pipeline_spark.lake import LakeLayout, lineage_name, move_file, new_run_id
+from retail_aws_etl_pipeline_spark.operators.validate import QualitySplit, split_quality
+from retail_aws_etl_pipeline_spark.schema import build_index_map, missing_required
+from retail_aws_etl_pipeline_spark.sources.reader import read_flexible_csv
+from retail_aws_etl_pipeline_spark.sources.sniff import sniff_delimiter, sniff_text
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class IngestResult:
+    status: str  # "ok" | "file_rejected"
+    source_file: str
+    ingest_run_id: str
+    counts: dict = field(default_factory=dict)
+    file_errors: list[str] = field(default_factory=list)
+    silver_path: str | None = None
+
+
+def validate_file_head(path: str, max_bytes: int = 65536) -> list[str]:
+    """File-level structural checks on a head sample; [] means pass."""
+    sample = sniff_text(path, max_bytes)
+    if not sample.strip():
+        return ["empty_file"]
+    delimiter = sniff_delimiter(sample)
+    header_line = next(
+        (ln for ln in sample.splitlines() if ln.strip()), ""
+    ).lstrip("﻿")
+    index_map = build_index_map(header_line.split(delimiter))
+    missing = missing_required(index_map)
+    errors: list[str] = []
+    if missing:
+        errors.append(f"missing_columns:{missing}")
+    return errors
+
+
+def ingest_file(
+    spark: SparkSession,
+    path: str,
+    lake: LakeLayout,
+    ingest_run_id: str | None = None,
+    timestamp_patterns: list[tuple[str, str]] | None = None,
+    ingest_ts=None,
+    archive: bool = True,
+    write_reject_csv: bool = True,
+) -> IngestResult:
+    """Ingest one raw delimited file into the lake's silver zone."""
+    run_id = ingest_run_id or new_run_id()
+    source_file = os.path.basename(path)
+
+    # -- 1. file-level gate -------------------------------------------------
+    file_errors = validate_file_head(path)
+    if file_errors:
+        reject_dir = lake.rejected("structural" if "empty_file" not in file_errors else "system")
+        os.makedirs(reject_dir, exist_ok=True)
+        dst = (
+            move_file(path, reject_dir, lineage_name(source_file, run_id))
+            if archive
+            else path
+        )
+        with open(os.path.join(reject_dir, f"{os.path.basename(dst)}_reason.json"), "w") as f:
+            json.dump({"file": source_file, "errors": file_errors}, f)
+        log.warning("file rejected %s: %s", source_file, file_errors)
+        return IngestResult("file_rejected", source_file, run_id, file_errors=file_errors)
+
+    # -- 2. parse + route ---------------------------------------------------
+    extracted, meta = read_flexible_csv(spark, path)
+    split: QualitySplit = split_quality(
+        extracted,
+        ingest_run_id=run_id,
+        source_file=source_file,
+        timestamp_patterns=timestamp_patterns,
+        ingest_ts=ingest_ts,
+    )
+
+    try:
+        # -- 3. sinks -------------------------------------------------------
+        if split.counts["reject_rows"] > 0:
+            split.rejects.write.mode("append").json(lake.rejected("data_quality/json"))
+            if write_reject_csv:
+                (
+                    split.rejects.coalesce(1)
+                    .write.mode("append")
+                    .option("header", True)
+                    .csv(lake.rejected("data_quality/csv"))
+                )
+        split.good.write.mode("append").partitionBy("date").parquet(lake.processed)
+    finally:
+        if split.cached is not None:
+            split.cached.unpersist()
+
+    # -- 4. archive + summary ----------------------------------------------
+    if archive:
+        move_file(path, lake.archive("validated"), lineage_name(source_file, run_id))
+
+    summary = dict(split.counts)
+    log.info("DATA QUALITY REPORT %s: %s", source_file, summary)
+    return IngestResult(
+        "ok", source_file, run_id, counts=summary, silver_path=lake.processed
+    )

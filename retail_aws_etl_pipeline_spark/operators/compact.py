@@ -1,0 +1,238 @@
+"""Incremental gold compaction: silver partitions → deduped fact_sales.
+
+Re-expresses scripts/incremental_auto_compaction.py Spark-first:
+
+- Partition discovery via filesystem listing with a CORRECT date regex —
+  the reference's ``r"date=(\\d{4}-...)"`` double-escapes ``\\d`` inside a
+  raw string and never matches, so its discovery always returned [] and the
+  job no-opped (SURVEY.md §2.1 S6). The documented intent
+  (docs/gold_job.md:18-19) is implemented.
+- Incremental work selection = processed − gold partition set difference
+  (J1), ascending, capped by ``max_partitions``.
+- ONE Spark plan over ALL pending dates instead of the reference's
+  sequential per-date driver loop (incremental_auto_compaction.py:282-284):
+  read with ``basePath`` so ``date`` stays a real partition column (fixing
+  the reference's all-null gold date quirk, SURVEY.md §1.5), filter
+  ``date IN pending`` (partition-pruned scan), and write with dynamic
+  partition overwrite — idempotent per-partition replacement (K2) without
+  hand-built paths.
+- Keep-latest dedup (W1): ``row_number`` over ``(date, transaction_id)``
+  ordered by ``ingest_ts`` DESC with ``row_hash`` DESC as a deterministic
+  tiebreaker (the reference's tie order was arbitrary — SURVEY.md §2.5).
+- Audit metrics (A3/K5) computed in ONE groupBy("date") pass each side of
+  the dedup, not per-partition filter().count() chains.
+
+At 100 TB: the scan is partition-pruned to pending dates; the only shuffle
+is the window over (date, transaction_id) — repartitioning by the same keys
+feeds both the window and the per-date file compaction; no global sort
+(the reference's orderBy(transaction_id) global sort is replaced by
+sortWithinPartitions for scan locality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.functions.hashing import business_row_hash
+from retail_aws_etl_pipeline_spark.functions.numeric import clean_currency, clean_quantity
+from retail_aws_etl_pipeline_spark.lake import LakeLayout
+
+DATE_PARTITION_RE = re.compile(r"date=(\d{4}-\d{2}-\d{2})$")
+
+#: Columns the gold job defensively expects from silver
+#: (incremental_auto_compaction.py:188-202).
+EXPECTED_SILVER_COLUMNS = [
+    "transaction_id",
+    "store_id",
+    "timestamp_raw",
+    "item_id",
+    "item_category",
+    "quantity",
+    "unit_price",
+    "revenue",
+    "payment_method",
+    "customer_id",
+    "raw_row",
+    "timestamp_parsed",
+    "timestamp",
+    "ingest_run_id",
+    "source_file",
+    "ingest_ts",
+]
+
+
+def list_date_partitions(path: str) -> list[str]:
+    """Sorted date partition values under a hive-layout directory (S6, fixed)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = DATE_PARTITION_RE.search(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(m.group(1))
+    return sorted(out)
+
+
+def select_work(
+    processed_dates: list[str],
+    gold_dates: list[str],
+    force_dates: list[str] | None = None,
+    process_all: bool = False,
+    max_partitions: int = 10,
+) -> list[str]:
+    """Incremental work list (incremental_auto_compaction.py:137-154)."""
+    if force_dates:
+        work = [d for d in force_dates if d in processed_dates]
+    elif process_all:
+        work = list(processed_dates)
+    else:
+        gold = set(gold_dates)
+        work = [d for d in processed_dates if d not in gold]
+    return sorted(work)[:max_partitions]
+
+
+def compact_pending(
+    spark: SparkSession,
+    lake: LakeLayout,
+    force_dates: list[str] | None = None,
+    process_all: bool = False,
+    max_partitions: int = 10,
+    write_audit: bool = True,
+) -> dict:
+    """Compact all pending silver partitions into gold in one Spark plan."""
+    # Runtime-settable; (re)apply in case the session was built elsewhere —
+    # without it, overwrite would drop ALL existing gold partitions.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    processed_dates = list_date_partitions(lake.processed)
+    gold_dates = list_date_partitions(lake.gold)
+    work = select_work(processed_dates, gold_dates, force_dates, process_all, max_partitions)
+    run_ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    if not work:
+        summary = {
+            "job_name": "gold_compaction",
+            "run_ts_utc": run_ts,
+            "processed_partitions_count": 0,
+            "results": [],
+        }
+        if write_audit:
+            _write_summary(lake, summary)
+        return summary
+
+    silver = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", lake.processed)
+        .parquet(*[os.path.join(lake.processed, f"date={d}") for d in work])
+    )
+
+    # Defensive padding for schema drift across ingest runs (P15).
+    for c in EXPECTED_SILVER_COLUMNS:
+        if c not in silver.columns:
+            silver = silver.withColumn(c, F.lit(None).cast("string"))
+
+    prepared = (
+        silver.withColumn("quantity", clean_quantity("quantity", "long"))
+        .withColumn("unit_price", clean_currency("unit_price"))
+        .withColumn("revenue", clean_currency("revenue"))
+        .withColumn("row_hash", business_row_hash())
+        .withColumn(
+            "ingest_ts_f",
+            F.coalesce(F.col("ingest_ts").try_cast("timestamp"), F.current_timestamp()),
+        )
+    )
+
+    # One shuffle serves both the dedup window and per-date file compaction.
+    prepared = prepared.repartition(F.col("date"), F.col("transaction_id")).persist()
+
+    pre_stats = (
+        prepared.groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("total_rows_in_source_partition"),
+            F.sum(F.when(F.col("timestamp").isNull(), 1).otherwise(0)).alias("null_timestamp"),
+            F.sum(F.when(F.col("store_id").isNull(), 1).otherwise(0)).alias("null_store"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("revenue") - (F.col("quantity") * F.col("unit_price"))
+                    )
+                    > 0.01,
+                    1,
+                ).otherwise(0)
+            ).alias("dq_balance_issues"),
+        )
+        .collect()
+    )
+
+    w = W.partitionBy("date", "transaction_id").orderBy(
+        F.desc("ingest_ts_f"), F.desc("row_hash")
+    )
+    deduped = (
+        prepared.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ingest_ts_f")
+    )
+
+    post_stats = {r["date"]: r["rows_after_dedup"] for r in deduped.groupBy("date").agg(F.count(F.lit(1)).alias("rows_after_dedup")).collect()}
+
+    (
+        deduped.sortWithinPartitions("transaction_id")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(lake.gold)
+    )
+    prepared.unpersist()
+
+    results = []
+    for row in sorted(pre_stats, key=lambda r: str(r["date"])):
+        d = str(row["date"])
+        after = post_stats.get(row["date"], 0)
+        metrics = {
+            "target_date": d,
+            "input_partition": os.path.join(lake.processed, f"date={d}"),
+            "output_partition": os.path.join(lake.gold, f"date={d}"),
+            "total_rows_in_source_partition": row["total_rows_in_source_partition"],
+            "rows_after_dedup": after,
+            "duplicate_rows_removed": row["total_rows_in_source_partition"] - after,
+            "null_timestamp": row["null_timestamp"],
+            "null_store": row["null_store"],
+            "dq_balance_issues": row["dq_balance_issues"],
+            "processed_at_utc": run_ts,
+            "status": "SUCCESS",
+        }
+        results.append(metrics)
+        if write_audit:
+            os.makedirs(lake.audit, exist_ok=True)
+            with open(os.path.join(lake.audit, f"metrics_{d}.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
+
+    summary = {
+        "job_name": "gold_compaction",
+        "run_ts_utc": run_ts,
+        "processed_partitions_count": len(results),
+        "results": results,
+    }
+    if write_audit:
+        _write_summary(lake, summary)
+    return summary
+
+
+def _write_summary(lake: LakeLayout, summary: dict) -> None:
+    os.makedirs(lake.audit, exist_ok=True)
+    with open(os.path.join(lake.audit, "last_run_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def register_gold_view(spark: SparkSession, lake: LakeLayout, name: str = "fact_sales") -> DataFrame:
+    """The Athena/Glue-catalog analog: gold as a Spark SQL view
+    (docs/athena_queries.md:4-19 → spark.sql surface)."""
+    df = spark.read.parquet(lake.gold)
+    df.createOrReplaceTempView(name)
+    return df

@@ -4,3 +4,6 @@ from retail_aws_etl_pipeline_spark.plans.queries import (  # noqa: F401
     queries,
     oracle_sql,
 )
+
+# Importing these modules populates REGISTRY via their @register decorators.
+from retail_aws_etl_pipeline_spark.plans import analytics  # noqa: E402,F401

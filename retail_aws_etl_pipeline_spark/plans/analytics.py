@@ -1,0 +1,419 @@
+"""Extended analytic query surface (oracle-checked).
+
+The generic BI/ETL operator families the reference's Athena layer implies
+(SURVEY.md §2.3-2.8: joins incl. as-of, windows incl. frames/lag,
+set ops, rollup, pivot, sessionization, tumbling time windows, scalar
+roundtrips) — each as a registry entry with a DuckDB oracle.
+
+Determinism: see plans/queries.py module docstring. Timestamps are always
+compared at microsecond precision (``CAST(ts AS TIMESTAMP)`` on the DuckDB
+side matches Spark's µs truncation of the ns source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.functions.numeric import clean_currency
+from retail_aws_etl_pipeline_spark.functions.timestamps import parse_timestamp
+from retail_aws_etl_pipeline_spark.plans.queries import (
+    DEC,
+    dec_sum,
+    register,
+    sql_dec_sum,
+)
+from retail_aws_etl_pipeline_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Set operations (U1/U2 surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_buyers_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    description="INTERSECT: BUILDING-segment customers who actually ordered",
+    tags=("setop",),
+)
+def segment_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(buyers).orderBy("c_custkey")
+
+
+@register(
+    "unordered_parts_except",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    ORDER BY p_partkey
+    """,
+    description="EXCEPT: parts never appearing in any lineitem",
+    tags=("setop",),
+)
+def unordered_parts_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    return (
+        t["part"]
+        .select("p_partkey")
+        .exceptAll(t["lineitem"].select(F.col("l_partkey").alias("p_partkey")).distinct())
+        .distinct()
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "union_account_balances",
+    f"""
+    SELECT kind, COUNT(*) AS n, {sql_dec_sum("acctbal")} AS total_bal
+    FROM (
+        SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY kind ORDER BY kind
+    """,
+    description="UNION ALL across heterogeneous sources + agg (U1 unionByName)",
+    tags=("setop", "agg"),
+)
+def union_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    c = t["customer"].select(F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal"))
+    s = t["supplier"].select(F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("acctbal")).alias("total_bal"))
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (free via Spark, SURVEY.md §2.4 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    f"""
+    SELECT r_name, n_name, GROUPING(r_name) + 2 * GROUPING(n_name) AS grp,
+           COUNT(*) AS n_customers, {sql_dec_sum("c_acctbal")} AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY grp, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    description="ROLLUP with GROUPING ids over a dimension hierarchy",
+    tags=("agg", "rollup"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + 2 * F.grouping("n_name")).alias("grp"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .select("r_name", "n_name", "grp", "n_customers", "total_bal")
+        .orderBy("grp", F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag/lead, frames, discrete median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_history",
+    f"""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           ROW_NUMBER() OVER w AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="lag/lead + running-frame sum + sequence per customer",
+    tags=("window",),
+)
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wf).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "median_order_by_priority",
+    """
+    SELECT o_orderpriority, o_totalprice AS median_price
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ) WHERE rn = (n + 1) // 2
+    ORDER BY o_orderpriority
+    """,
+    description="Discrete median via rank (deterministic percentile surface)",
+    tags=("window", "percentile"),
+)
+def median_order_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = W.partitionBy("o_orderpriority")
+    return (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("o_orderpriority", F.col("o_totalprice").alias("median_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "user_event_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    description="Pivot event counts per user (explicit value list)",
+    tags=("pivot", "agg"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: tumbling window, sessionization, as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_rollup",
+    f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n, {sql_dec_sum("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    description="Tumbling 1-hour window aggregation (streaming-equivalent batch)",
+    tags=("window", "timeseries", "streaming"),
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    description="Sessionization: 30-min-gap lag + cumulative-flag windows "
+    "(guide 'Common OLAP patterns')",
+    tags=("window", "timeseries", "sessionization"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    marked = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.withColumn("session_idx", F.sum("new_session").over(wf))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "purchase_asof_last_click",
+    """
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, c.click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND CAST(p.ts AS TIMESTAMP) >= c.click_ts
+    ORDER BY p.event_id
+    """,
+    description="As-of join (Spark lacks a native one): composed as tagged "
+    "union + last_value window — one shuffle by user, no range explosion",
+    tags=("join", "asof", "timeseries"),
+)
+def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_probe"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), "event_id", F.lit(1).alias("is_probe")
+    )
+    # Union-sort-carry: within (user) ordered by (ts, probe-after-click),
+    # carry the last click ts forward; keep probe rows.
+    unioned = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "click_ts",
+        F.last(F.when(F.col("is_probe") == 0, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", F.col("ev_ts").alias("ts"), "click_ts")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function roundtrips (ingest operators as an oracle-checked surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "currency_clean_roundtrip",
+    """
+    SELECT event_id,
+           CAST(regexp_replace(regexp_replace(regexp_replace(
+                    '$' || format('{:,}', event_id * 13) || '.25',
+                '[^0-9()\\.-]', '', 'g'), '[(]', '-', 'g'), '[)]', '', 'g')
+           AS DOUBLE) AS cleaned
+    FROM events
+    ORDER BY event_id
+    """,
+    description="P9 currency cleaner over engine-built dirty strings "
+    "('$1,234.25' with thousands separators)",
+    tags=("scalar", "reference"),
+)
+def currency_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    dirty = F.concat(F.lit("$"), F.format_number(F.col("event_id") * 13, 0), F.lit(".25"))
+    return (
+        t["events"]
+        .select("event_id", clean_currency(dirty).alias("cleaned"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "timestamp_parse_roundtrip",
+    """
+    SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%m/%d/%Y %H:%M') AS raw,
+           CASE WHEN event_id % 3 = 0
+                THEN try_strptime(strftime(CAST(ts AS TIMESTAMP), '%m/%d/%Y %H:%M'),
+                                  '%m/%d/%Y %H:%M')
+                ELSE date_trunc('day', CAST(ts AS TIMESTAMP)) END AS parsed
+    FROM events
+    WHERE event_id % 3 = 0 OR event_id % 3 = 1
+    ORDER BY event_id
+    """,
+    description="P8 cascade over engine-formatted strings: MM/dd/yyyy H:mm "
+    "rows parse to the minute; bare-date rows parse to midnight",
+    tags=("scalar", "reference"),
+)
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter((F.col("event_id") % 3 == 0) | (F.col("event_id") % 3 == 1))
+    raw = F.when(
+        F.col("event_id") % 3 == 0, F.date_format("ts", "MM/dd/yyyy HH:mm")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    out = ev.select(
+        "event_id",
+        F.date_format("ts", "MM/dd/yyyy HH:mm").alias("raw"),
+        parse_timestamp(raw).alias("parsed"),
+    )
+    return out.orderBy("event_id")

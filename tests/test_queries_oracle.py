@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY
+from retail_aws_etl_pipeline_spark.plans import REGISTRY
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import compare
 

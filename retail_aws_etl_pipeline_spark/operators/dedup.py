@@ -1,0 +1,206 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all as DataFrame compositions (no UDFs), each with an
+ANSI-SQL-expressible formulation so correctness is oracle-checkable:
+
+- **exact**: hash-groupBy on a canonical text hash;
+- **MinHash + LSH**: word-shingles → k lexicographic-min md5 signatures →
+  banded keys → bucket join for candidate pairs → exact-Jaccard verify.
+  The band join is the scale path: candidates only, never all-pairs;
+- **SimHash**: 64-bit majority-vote fingerprint from per-token md5 bits;
+  near-dups = pairs within a Hamming radius (bit_count(xor));
+- **n-gram Jaccard**: inverted-index join on shingles (exact, for modest
+  corpora or as the verify stage after LSH).
+
+Integer-only similarity outputs (common/union counts, cross-multiplied
+thresholds) keep every result engine-exact.
+
+At 100 TB: shingling is scan-side; the only shuffles are groupBy(gram) /
+groupBy(band_key) — both key-partitioned and combiner-friendly. Hot grams
+(stop-shingles) are the skew risk: ``max_gram_freq`` drops grams appearing
+in more than a fraction of docs (standard LSH practice, and it bounds the
+inverted-index blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash parameters: k = NUM_HASHES signatures, banded r=ROWS_PER_BAND.
+NUM_HASHES = 6
+ROWS_PER_BAND = 2
+NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
+SHINGLE_N = 3
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, gram)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {SHINGLE_N - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {SHINGLE_N})))"
+        )
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, keep_id)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signatures(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k lexicographic-min md5 signatures per doc: (id, s, mh).
+
+    ``min(md5(seed || '|' || gram))`` is a valid MinHash family: each seed
+    defines an independent uniform permutation of the gram universe via the
+    hash, and the lexicographic min over hex strings picks its minimum.
+    """
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(NUM_HASHES)])).alias("s")
+    return (
+        gram_df.select(id_col, "gram", seeds)
+        .groupBy(id_col, "s")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("s"), F.col("gram")))).alias("mh"))
+    )
+
+
+def lsh_band_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded signature keys: (id, band, band_key); r signatures per band."""
+    parts = [
+        F.min(F.when(F.col("s") % ROWS_PER_BAND == r, F.col("mh"))).alias(f"p{r}")
+        for r in range(ROWS_PER_BAND)
+    ]
+    return (
+        sig_df.withColumn("band", (F.col("s") / ROWS_PER_BAND).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(*parts)
+        .select(
+            F.col(id_col),
+            "band",
+            F.concat_ws("", *[F.col(f"p{r}") for r in range(ROWS_PER_BAND)]).alias("band_key"),
+        )
+    )
+
+
+def candidate_pairs(band_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band."""
+    a = band_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = band_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_counts(
+    gram_df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, common) for pairs sharing ≥1 shingle.
+
+    With ``pairs`` given, restrict to those candidates (LSH verify stage);
+    otherwise all sharing pairs via the inverted index (exact mode).
+    ``max_gram_freq`` drops grams hotter than the cap before the self-join
+    — the skew/blowup guard at scale.
+    """
+    grams = gram_df
+    if max_gram_freq is not None:
+        hot = (
+            gram_df.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_freq)
+            .select("gram")
+        )
+        grams = gram_df.join(hot, "gram", "left_anti")
+
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select("id_a", "id_b", "n_a", "n_b", "common")
+    )
+
+
+SIMHASH_BITS = 60  # 15 md5 nibbles x 4 bits; bit 63 would overflow int64
+
+
+def simhash64(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per doc from the first 15 md5 hex nibbles per shingle.
+
+    For each bit position, the bit is 1 iff more shingles set it than clear
+    it. Majority vote expressed as SUM(±1) > 0 — integer-exact. The nibble
+    value comes from ``instr('0123456789abcdef', hex_char) - 1`` — a hex
+    decode that any SQL engine can replicate exactly.
+    """
+    nibble_val = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("gram"), p + 1, 1)) - 1)
+        for p in range(SIMHASH_BITS // 4)
+    ]
+    bit_sums = []
+    for p in range(SIMHASH_BITS // 4):
+        for b in range(4):
+            bit = F.shiftright(nibble_val[p], b).bitwiseAND(F.lit(1))
+            bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{p * 4 + b}"))
+    agg = gram_df.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        contrib = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = contrib if sim is None else sim + contrib
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Pairs within a Hamming radius: (id_a, id_b, hamming).
+
+    Scale path, no cross join: the 60-bit simhash splits into 4 15-bit
+    bands; two hashes within Hamming distance ≤ 3 must agree exactly on at
+    least one band (pigeonhole), so an equi-join on (band, band_bits)
+    produces a complete candidate set, verified by ``bit_count(xor)``.
+    Requires ``max_hamming < 4``.
+    """
+    if max_hamming >= 4:
+        raise ValueError("banded simhash join guarantees completeness only for max_hamming <= 3")
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("band"),
+                    F.shiftright(F.col("simhash"), 15 * p).bitwiseAND(F.lit(32767)).alias("bits"),
+                )
+                for p in range(4)
+            ]
+        )
+    ).alias("bp")
+    banded = sim_df.select(F.col(id_col), F.col("simhash"), bands).select(
+        id_col, "simhash", F.col("bp.band").alias("band"), F.col("bp.bits").alias("bits")
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "bits")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "bits")
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

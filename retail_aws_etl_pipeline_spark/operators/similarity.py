@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three implementations of cosine top-k, sharing one QUANTIZED contract so
+results are integer-exact and engine-reproducible:
+
+    q_i = floor(x_i * 1024)          (int64, exact from the float)
+    dot_q(a,b) = Σ q_a[i]·q_b[i]     (int64, exact, order-free)
+    cos_q = dot_q / sqrt(norm_a · norm_b)   (identical doubles everywhere)
+
+- ``brute_force_topk``: exact scan — the correctness baseline. O(Q·N·d)
+  but embarrassingly parallel; broadcast the probe set, no shuffle.
+- ``lsh_bucketed_topk``: random-hyperplane LSH — each vector gets a B-bit
+  sign code against B fixed pseudo-random planes (derived from md5, shared
+  constant, no RNG); candidates = same-bucket vectors only. The 100 TB
+  path: bucket is computed scan-side, the join is an equi-join on the
+  bucket id, and recall is tunable via B / multi-probe.
+- ``brute_force_topk_pandas``: the same contract through an Arrow-batched
+  ``mapInPandas`` + numpy kernel — the vectorized-UDF pattern for when the
+  expression form gets too wide (e.g. d in the thousands). Integer math in
+  numpy matches the SQL form bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1024
+NUM_PLANES = 8
+PLANE_DIM = 64
+
+
+def _plane_weight(p: int, i: int) -> int:
+    """Deterministic pseudo-random weight in [-1000, 1000] from md5(p:i)."""
+    h = hashlib.md5(f"{p}:{i}".encode()).hexdigest()
+    return int(h[:8], 16) % 2001 - 1000
+
+
+#: NUM_PLANES × PLANE_DIM fixed hyperplane matrix (shared with oracles).
+PLANES: list[list[int]] = [
+    [_plane_weight(p, i) for i in range(PLANE_DIM)] for p in range(NUM_PLANES)
+]
+
+
+def quantized(col: str = "embedding"):
+    return F.expr(f"transform({col}, x -> CAST(floor(x * {QUANT_SCALE}) AS BIGINT))")
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def with_quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Add ``qvec`` (int64 array) and ``qnorm`` (int64 self-dot)."""
+    out = df.withColumn("qvec", quantized(col))
+    return out.withColumn("qnorm", _dot("qvec", "qvec"))
+
+
+def cosine_pairs(probes: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Quantized cosine for every (probe, candidate) row pair.
+
+    Inputs must carry ``qvec``/``qnorm`` (see ``with_quantized``) and ids
+    aliased ``probe_id`` / ``vec_id``.
+    """
+    joined = probes.crossJoin(candidates).filter(F.col("probe_id") != F.col("vec_id"))
+    dot = _dot("p_qvec", "qvec")
+    return joined.withColumn("dot_q", dot).withColumn(
+        "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, probe_ids: list[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k nearest by quantized cosine for each probe id."""
+    from pyspark.sql import Window as W
+
+    base = with_quantized(df).select(id_col, "qvec", "qnorm")
+    probes = (
+        base.filter(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+        )
+    )
+    scored = cosine_pairs(F.broadcast(probes), base)
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+    )
+
+
+def with_lsh_bucket(df: DataFrame, qvec_col: str = "qvec") -> DataFrame:
+    """Add the B-bit random-hyperplane bucket id (computed scan-side)."""
+    bucket = None
+    for p, weights in enumerate(PLANES):
+        arr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with({qvec_col}, {arr}, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
+        )
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_bucketed_topk(
+    df: DataFrame, probe_ids: list[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket."""
+    from pyspark.sql import Window as W
+
+    base = with_lsh_bucket(with_quantized(df)).select(id_col, "qvec", "qnorm", "bucket")
+    probes = (
+        base.filter(F.col(id_col).isin(probe_ids))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+            F.col("bucket").alias("p_bucket"),
+        )
+    )
+    joined = F.broadcast(probes).join(
+        base, (F.col("p_bucket") == F.col("bucket")) & (F.col("probe_id") != F.col(id_col))
+    )
+    scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
+        "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    df: DataFrame, probe_ids: list[int], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Same contract as ``brute_force_topk`` via mapInPandas + numpy.
+
+    The probe matrix is tiny → shipped in the closure (broadcast-variable
+    semantics); each Arrow batch computes an int64 GEMM against it. Output
+    is the per-partition candidate pool; the exact global top-k window runs
+    after (cheap: ≤ k rows per partition per probe would be a further
+    optimization; at d=64 the full scored set is fine).
+    """
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    base = with_quantized(df).select(id_col, "qvec", "qnorm")
+    probe_rows = base.filter(F.col(id_col).isin(probe_ids)).collect()
+    import numpy as np
+
+    p_ids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
+    p_mat = np.array([r["qvec"] for r in probe_rows], dtype=np.int64)
+    p_norm = np.array([r["qnorm"] for r in probe_rows], dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.stack(pdf["qvec"].to_numpy())  # (n, d) int64
+            norms = pdf["qnorm"].to_numpy(dtype="int64")
+            dots = mat @ p_mat.T  # (n, P) int64 exact
+            for j in range(len(p_ids)):
+                mask = ids != p_ids[j]
+                cos = dots[mask, j] / np.sqrt(
+                    (norms[mask] * p_norm[j]).astype("float64")
+                )
+                out = {
+                    "probe_id": np.full(mask.sum(), p_ids[j], dtype="int64"),
+                    id_col: ids[mask],
+                    "dot_q": dots[mask, j],
+                    "cosine": cos,
+                }
+                import pandas as _pd
+
+                yield _pd.DataFrame(out)
+
+    schema = f"probe_id long, {id_col} long, dot_q long, cosine double"
+    scored = base.mapInPandas(score, schema=schema)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+    )

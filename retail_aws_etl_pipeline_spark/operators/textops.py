@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure native Column expressions (no UDFs): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. Each is designed
+so an identical ANSI-SQL formulation exists (DuckDB oracle) — integer
+counts and fixed-order double arithmetic only.
+
+At 100 TB these are embarrassingly parallel scan-side expressions — no
+shuffle, whole-stage codegen, column-pruned to ``text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "una", "es", "y"],
+}
+
+#: CJK unicode range as literal characters (portable across regex engines).
+CJK_RANGE = "一-鿿"
+
+#: BPE-ish word tokenizer: letter runs, digit runs, single other non-space.
+WORD_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def whitespace_tokens(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str = "text") -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def word_token_count(text: Column | str = "text") -> Column:
+    """Regex token count (the BPE-ish approximation)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.expr(f"regexp_extract_all({_name(c)}, '{WORD_TOKEN_PATTERN}', 0)"))
+
+
+def _name(c: Column) -> str:
+    # Column expressions built via F.expr need the raw column name; all
+    # callers pass simple column refs.
+    return c._jc.toString() if hasattr(c, "_jc") else str(c)
+
+
+def marker_score(lang: str, toks: Column) -> Column:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(f"size(filter(tokens, t -> t IN ({markers})))")
+
+
+def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add per-language marker scores + cjk char count + predicted language.
+
+    Precedence on ties: zh (any CJK) > en > de > fr > es > 'und' (unknown).
+    """
+    out = df.withColumn("tokens", whitespace_tokens(text_col))
+    for lang in LANG_MARKERS:
+        out = out.withColumn(f"score_{lang}", marker_score(lang, F.col("tokens")))
+    out = out.withColumn(
+        "cjk_chars",
+        F.length(F.regexp_replace(F.col(text_col), f"[^{CJK_RANGE}]", "")),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = (
+        F.when(F.col("cjk_chars") > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(F.col("score_en") == best, F.lit("en"))
+        .when(F.col("score_de") == best, F.lit("de"))
+        .when(F.col("score_fr") == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return out.withColumn("lang_pred", pred).drop("tokens")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a composite quality score.
+
+    The score formula uses only integer counts and a fixed-order double
+    expression, so it is bit-reproducible across engines.
+    """
+    toks = whitespace_tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    stop = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop})))")
+    mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (
+        F.when(n_tokens < 5, 0.0)
+        .otherwise(
+            (1.0 - punct_ratio) * 0.5
+            + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+            + F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.2
+        )
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two deterministic document fingerprints:
+
+    - ``fp_exact``: md5 of the lowercased, whitespace-normalized text
+      (order-sensitive — exact-dup detection after trivial reformatting);
+    - ``fp_content``: md5 of the sorted distinct token set (order-
+      INsensitive — catches shuffled/re-ordered near-copies).
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), " +", " "))
+    sorted_toks = F.array_sort(F.array_distinct(F.split(normalized, " ")))
+    return df.withColumn("fp_exact", F.md5(normalized)).withColumn(
+        "fp_content", F.md5(F.concat_ws(" ", sorted_toks))
+    )

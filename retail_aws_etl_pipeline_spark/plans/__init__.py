@@ -7,3 +7,4 @@ from retail_aws_etl_pipeline_spark.plans.queries import (  # noqa: F401
 
 # Importing these modules populates REGISTRY via their @register decorators.
 from retail_aws_etl_pipeline_spark.plans import analytics  # noqa: E402,F401
+from retail_aws_etl_pipeline_spark.plans import extensions  # noqa: E402,F401

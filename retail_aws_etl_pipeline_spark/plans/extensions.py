@@ -1,0 +1,482 @@
+"""LLM-training-data-pipeline query surface (oracle-checked).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + LSH-bucketed + Pandas-UDF variants), and text analysis
+(tokens, language-ID, quality, fingerprints) — each as a registry entry
+whose DuckDB oracle is built from the SAME constants (seeds, planes, band
+layout) as the Spark implementation, so both engines compute the identical
+integer-exact result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.operators import dedup as D
+from retail_aws_etl_pipeline_spark.operators import similarity as S
+from retail_aws_etl_pipeline_spark.operators import textops as TX
+from retail_aws_etl_pipeline_spark.plans.queries import register
+from retail_aws_etl_pipeline_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (DuckDB), parameterized by the operator constants
+# ---------------------------------------------------------------------------
+
+#: word 3-gram distinct shingles per doc (matches operators.dedup.shingles)
+GRAMS_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i.i:i.i + {D.SHINGLE_N - 1}], ' ') AS gram
+    FROM toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
+    WHERE i.i <= len(toks) - {D.SHINGLE_N - 1}
+)
+"""
+
+SIGS_CTE = f"""
+sigs AS (
+    SELECT doc_id, s.s AS s,
+           MIN(md5(CAST(s.s AS VARCHAR) || '|' || gram)) AS mh
+    FROM grams, (SELECT UNNEST(generate_series(0, {D.NUM_HASHES - 1})) AS s) s
+    GROUP BY doc_id, s.s
+),
+bands AS (
+    SELECT doc_id, s // {D.ROWS_PER_BAND} AS band,
+           {" || ".join(f"MIN(CASE WHEN s % {D.ROWS_PER_BAND} = {r} THEN mh END)" for r in range(D.ROWS_PER_BAND))} AS band_key
+    FROM sigs GROUP BY doc_id, s // {D.ROWS_PER_BAND}
+)
+"""
+
+
+def _quant_cte(probe_filter: str = "") -> str:
+    return f"""
+q AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(x * {S.QUANT_SCALE}) AS BIGINT)) AS qvec
+    FROM embeddings {probe_filter}
+),
+n AS (
+    SELECT vec_id, qvec,
+           CAST(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i])) AS BIGINT) AS qnorm
+    FROM q
+)
+"""
+
+
+ANN_PROBE_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+ANN_TOPK_ORACLE = f"""
+WITH {_quant_cte()},
+pairs AS (
+    SELECT p.vec_id AS probe_id, c.vec_id,
+           CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+           p.qnorm AS pn, c.qnorm AS cn
+    FROM n p, n c
+    WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))}) AND c.vec_id != p.vec_id
+),
+ranked AS (
+    SELECT probe_id, vec_id, dot_q,
+           dot_q / sqrt(CAST(pn * cn AS DOUBLE)) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY dot_q / sqrt(CAST(pn * cn AS DOUBLE)) DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT probe_id, vec_id, dot_q, cosine, rank
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY probe_id, rank
+"""
+
+
+def _planes_values() -> str:
+    rows = ", ".join(
+        f"({p}, [{', '.join(str(w) for w in weights)}])" for p, weights in enumerate(S.PLANES)
+    )
+    return f"(VALUES {rows}) planes(p, w)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dup_docs",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """,
+    description="Exact dedup: hash-groupBy with representative selection",
+    tags=("dedup",),
+)
+def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return D.exact_dup_groups(t["documents"]).orderBy("text_hash")
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {GRAMS_CTE}, {SIGS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b, sa.n AS n_a, sb.n AS n_b, cm.common
+    FROM cand c
+    JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    ORDER BY c.id_a, c.id_b
+    """,
+    description="MinHash+LSH near-dup: shingle → k min-hash sigs → banded "
+    "bucket join → exact-Jaccard verify counts (integer-exact)",
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"])
+    cand = D.candidate_pairs(D.lsh_band_keys(D.minhash_signatures(grams)))
+    return D.jaccard_counts(grams, pairs=cand).orderBy("id_a", "id_b")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT cm.id_a, cm.id_b, sa.n AS n_a, sb.n AS n_b, cm.common
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.id_a
+    JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    ORDER BY cm.id_a, cm.id_b
+    """,
+    description="Exact n-gram Jaccard pairs ≥ 0.2 via inverted-index join; "
+    "integer cross-multiplied threshold (no fp)",
+    tags=("dedup",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"])
+    counts = D.jaccard_counts(grams)
+    return counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    nib = lambda p: f"(strpos('0123456789abcdef', substr(md5(gram), {p + 1}, 1)) - 1)"  # noqa: E731
+    sums = ", ".join(
+        f"SUM((({nib(p)} >> {b}) & 1) * 2 - 1) AS s_{p * 4 + b}"
+        for p in range(D.SIMHASH_BITS // 4)
+        for b in range(4)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH {GRAMS_CTE},
+    bitsums AS (SELECT doc_id, {sums} FROM grams GROUP BY doc_id),
+    sim AS (SELECT doc_id, {sim} AS simhash FROM bitsums),
+    banded AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash >> (15 * b.b)) & 32767 AS bits
+        FROM sim, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "simhash_near_pairs",
+    _simhash_oracle(),
+    description="SimHash near-dup: 60-bit majority fingerprint, banded "
+    "15-bit equi-join (pigeonhole-complete for hamming ≤ 3)",
+    tags=("dedup", "simhash"),
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    sim = D.simhash64(D.shingles(t["documents"]))
+    return D.simhash_near_pairs(sim, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    ANN_TOPK_ORACLE,
+    description="Exact cosine top-10 for 5 probes (quantized int contract); "
+    "broadcast probes, scan-side scoring",
+    tags=("similarity",),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
+
+
+@register(
+    "ann_topk_pandas",
+    ANN_TOPK_ORACLE,
+    description="Same contract via Arrow-batched mapInPandas + numpy int64 "
+    "GEMM — the vectorized-UDF scale path, bit-identical to the SQL form",
+    tags=("similarity", "pandas_udf"),
+)
+def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.brute_force_topk_pandas(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
+
+
+@register(
+    "ann_topk_lsh",
+    f"""
+    WITH {_quant_cte()},
+    buckets AS (
+        SELECT n.vec_id, n.qvec, n.qnorm,
+               CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.qvec) + 1),
+                        i -> n.qvec[i] * w[i])) AS BIGINT) >= 0
+                        THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, {_planes_values()}
+        GROUP BY n.vec_id, n.qvec, n.qnorm
+    ),
+    pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+               p.qnorm AS pn, c.qnorm AS cn
+        FROM buckets p
+        JOIN buckets c ON p.bucket = c.bucket AND c.vec_id != p.vec_id
+        WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id, dot_q,
+               dot_q / sqrt(CAST(pn * cn AS DOUBLE)) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY dot_q / sqrt(CAST(pn * cn AS DOUBLE)) DESC, vec_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT probe_id, vec_id, dot_q, cosine, rank
+    FROM ranked WHERE rank <= {ANN_K}
+    ORDER BY probe_id, rank
+    """,
+    description="LSH-bucketed ANN: 8 fixed random-hyperplane sign bits → "
+    "equi-join on bucket — the 100 TB path (bucket computed scan-side)",
+    tags=("similarity", "lsh"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.lsh_bucketed_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH {_quant_cte()},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(range(1, len(a.qvec) + 1), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot_q,
+               a.qnorm AS na, b.qnorm AS nb
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot_q / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+    FROM pairs
+    WHERE dot_q > 0 AND CAST(dot_q AS DOUBLE) * CAST(dot_q AS DOUBLE) >= 0.1225 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+    ORDER BY id_a, id_b
+    """,
+    description="Embedding near-dup pairs: cosine ≥ 0.35 via squared "
+    "cross-multiplication (sign-guarded, no sqrt in the predicate)",
+    tags=("dedup", "similarity"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    base = S.with_quantized(t["embeddings"]).select("vec_id", "qvec", "qnorm")
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("qvec").alias("a_qvec"), F.col("qnorm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("qvec").alias("b_qvec"), F.col("qnorm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "dot_q",
+        F.expr("aggregate(zip_with(a_qvec, b_qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"),
+    )
+    return (
+        pairs.filter(
+            (F.col("dot_q") > 0)
+            & (
+                F.col("dot_q").cast("double") * F.col("dot_q").cast("double")
+                >= 0.1225 * F.col("na").cast("double") * F.col("nb").cast("double")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot_q") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TX.WORD_TOKEN_PATTERN}')) AS n_word_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Token counting: whitespace + BPE-ish regex tokenizer",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            TX.token_count("text").alias("n_ws_tokens"),
+            F.expr(f"size(regexp_extract_all(text, '{TX.WORD_TOKEN_PATTERN}', 0))").alias(
+                "n_word_tokens"
+            ),
+            F.length("text").alias("n_chars_m"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in TX.LANG_MARKERS.items()
+    }
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {score['en']} AS score_en, {score['de']} AS score_de,
+               {score['fr']} AS score_fr, {score['es']} AS score_es,
+               length(regexp_replace(text, '[^{TX.CJK_RANGE}]', '', 'g')) AS cjk_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es, cjk_chars,
+           CASE WHEN cjk_chars > 0 THEN 'zh'
+                WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "doc_lang_id",
+    _lang_oracle(),
+    description="Language-ID heuristic: marker-token scores + CJK char "
+    "detection, fixed precedence",
+    tags=("text",),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        TX.with_lang_scores(t["documents"])
+        .select(
+            "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "cjk_chars", "lang_pred"
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({", ".join(repr(m) for m in TX.EN_STOPWORDS)}))) AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, n_punct, n_stopwords,
+           CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+           CASE WHEN n_tokens < 5 THEN 0.0
+                ELSE (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.5
+                     + least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.3
+                     + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+           END AS quality_score
+    FROM feats
+    ORDER BY doc_id
+    """,
+    description="Quality scoring: length/punctuation/stopword features + "
+    "fixed-order composite (bit-reproducible)",
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        TX.quality_features(t["documents"])
+        .select(
+            "doc_id",
+            "n_chars_m",
+            "n_tokens",
+            "n_punct",
+            "n_stopwords",
+            "mean_token_len",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(regexp_replace(trim(text), ' +', ' ', 'g')), ' '))), ' ')) AS fp_content
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Document fingerprints: normalized-text md5 + order-"
+    "insensitive sorted-token-set md5",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.fingerprints(t["documents"]).select("doc_id", "fp_exact", "fp_content").orderBy("doc_id")

@@ -480,3 +480,37 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return TX.fingerprints(t["documents"]).select("doc_id", "fp_exact", "fp_content").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing query (binary payload → Arrow-batched numpy kernel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_byte_histogram",
+    """
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents WHERE regexp_matches(text, '^[ -~]*$')
+    ),
+    chars AS (
+        SELECT doc_id, unicode(substr(text, i.i, 1)) AS byte
+        FROM ascii_docs, (SELECT UNNEST(generate_series(1, 1024)) AS i) i
+        WHERE i.i <= length(text)
+    )
+    SELECT doc_id AS media_id, byte, COUNT(*) AS n
+    FROM chars GROUP BY doc_id, byte
+    ORDER BY media_id, byte
+    """,
+    description="Multimodal binary plumbing: utf-8 payloads through the "
+    "mapInPandas byte-histogram kernel (ASCII docs => oracle = codepoint "
+    "histogram)",
+    tags=("multimodal", "pandas_udf"),
+)
+def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    ascii_docs = t["documents"].filter(F.col("text").rlike("^[ -~]*$"))
+    media = MM.media_from_documents(ascii_docs)
+    return MM.byte_histogram(media).orderBy("media_id", "byte")

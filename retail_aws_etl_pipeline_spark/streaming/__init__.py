@@ -1,0 +1,7 @@
+from retail_aws_etl_pipeline_spark.streaming.streams import (  # noqa: F401
+    events_stream,
+    hourly_rollup_stream,
+    dedup_stream,
+    session_stream,
+    run_stream_to_memory,
+)

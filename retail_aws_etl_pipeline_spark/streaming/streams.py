@@ -1,0 +1,103 @@
+"""Structured Streaming operators.
+
+The reference's "streaming" is event-driven batch (S3 PUT → Lambda → one
+Glue run per file; SURVEY.md §2.9). Its deferred roadmap items —
+watermarking for late data, cross-batch dedup (docs/gold_job.md:39-40) —
+map directly onto Structured Streaming:
+
+| reference behavior                   | here                               |
+|--------------------------------------|------------------------------------|
+| one new file per trigger             | file source + Trigger.AvailableNow |
+| idempotent per-partition overwrite   | foreachBatch + dynamic overwrite   |
+| late data (future work)              | withWatermark + windowed agg       |
+| dedup-by-key across batches          | watermarked dropDuplicates         |
+| sessionization                       | session_window(ts, gap)            |
+
+Each streaming aggregation has a batch twin in the query registry
+(hourly_event_rollup, dedup_keep_latest, user_sessions) — tests assert the
+streaming result converges to the batch result, which is the strongest
+correctness statement available for non-SQL-expressible stateful ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark reads
+#: as long under nanosAsLong — declared explicitly for the streaming source.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming scan of an events parquet directory (µs-truncated ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the ``hourly_event_rollup`` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Cross-batch exactly-once by key: watermarked dropDuplicates
+    (the streaming form of W1 keep-latest; state expires with the
+    watermark, bounding memory at scale).
+
+    With a watermark, rows arriving later than it are dropped as late —
+    correct for time-ordered sources. Pass ``watermark=None`` for unordered
+    replays (unbounded state; fine for bounded backfills)."""
+    if watermark is None:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions via session_window — streaming twin of the
+    ``user_sessions`` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming frame to completion over the available input and
+    return the materialized result (memory sink; local testing harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -40,6 +40,10 @@ def main() -> None:
     if unknown:
         sys.exit(f"bench: unknown queries {unknown}; available: {sorted(REGISTRY)}")
 
+    # Warm the JVM / codegen / parquet footer cache so query timings measure
+    # the queries, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name in selected:
         spec = REGISTRY[name]

@@ -70,6 +70,38 @@ def minhash_signatures(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_bands(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused wide-form banding: (id, band, band_key) straight from grams.
+
+    One groupBy(doc) computes all k min-hashes as k aggregate columns (no
+    k× row explosion like the narrow form), then bands explode into a
+    NUM_BANDS-row-per-doc frame. Same values as
+    ``lsh_band_keys(minhash_signatures(...))`` with one shuffle less and
+    k× less pre-shuffle data — the form to use at scale.
+    """
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("gram")))).alias(f"mh{s}")
+        for s in range(NUM_HASHES)
+    ]
+    wide = gram_df.groupBy(id_col).agg(*mins)
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                    ).alias("band_key"),
+                )
+                for b in range(NUM_BANDS)
+            ]
+        )
+    ).alias("bp")
+    return wide.select(F.col(id_col), bands).select(
+        id_col, F.col("bp.band").alias("band"), F.col("bp.band_key").alias("band_key")
+    )
+
+
 def lsh_band_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Banded signature keys: (id, band, band_key); r signatures per band."""
     parts = [
@@ -114,9 +146,18 @@ def jaccard_counts(
     — the skew/blowup guard at scale.
     """
     grams = gram_df
+    if pairs is not None:
+        # Verify stage: only docs that appear in some candidate pair matter —
+        # shrink the inverted index BEFORE the self-join, not after.
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        grams = grams.join(F.broadcast(cand_ids), id_col, "left_semi")
     if max_gram_freq is not None:
         hot = (
-            gram_df.groupBy("gram")
+            grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_gram_freq)
             .select("gram")
@@ -152,8 +193,11 @@ def simhash64(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     value comes from ``instr('0123456789abcdef', hex_char) - 1`` — a hex
     decode that any SQL engine can replicate exactly.
     """
+    # Materialize the md5 ONCE per gram row: the 60 bit expressions below
+    # would otherwise each re-evaluate it (60x the hash cost).
+    hashed = gram_df.withColumn("gh", F.md5("gram"))
     nibble_val = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("gram"), p + 1, 1)) - 1)
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.col("gh"), p + 1, 1)) - 1)
         for p in range(SIMHASH_BITS // 4)
     ]
     bit_sums = []
@@ -161,7 +205,7 @@ def simhash64(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for b in range(4):
             bit = F.shiftright(nibble_val[p], b).bitwiseAND(F.lit(1))
             bit_sums.append(F.sum(bit * 2 - 1).alias(f"s_{p * 4 + b}"))
-    agg = gram_df.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     sim = None
     for i in range(SIMHASH_BITS):
         contrib = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))

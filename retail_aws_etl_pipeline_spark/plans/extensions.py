@@ -148,7 +148,7 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     grams = D.shingles(t["documents"])
-    cand = D.candidate_pairs(D.lsh_band_keys(D.minhash_signatures(grams)))
+    cand = D.candidate_pairs(D.lsh_bands(grams))
     return D.jaccard_counts(grams, pairs=cand).orderBy("id_a", "id_b")
 
 
@@ -315,32 +315,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    base = S.with_quantized(t["embeddings"]).select("vec_id", "qvec", "qnorm")
-    a = base.select(
-        F.col("vec_id").alias("id_a"), F.col("qvec").alias("a_qvec"), F.col("qnorm").alias("na")
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"), F.col("qvec").alias("b_qvec"), F.col("qnorm").alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "dot_q",
-        F.expr("aggregate(zip_with(a_qvec, b_qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"),
-    )
-    return (
-        pairs.filter(
-            (F.col("dot_q") > 0)
-            & (
-                F.col("dot_q").cast("double") * F.col("dot_q").cast("double")
-                >= 0.1225 * F.col("na").cast("double") * F.col("nb").cast("double")
-            )
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("dot_q") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))).alias("cosine"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return S.near_dup_pairs_pandas(t["embeddings"], min_cosine=0.35).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

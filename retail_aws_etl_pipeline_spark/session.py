@@ -53,10 +53,15 @@ def get_spark(
     return spark
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], "object"] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the testdata star-schema parquet tables as temp views.
 
     Returns a dict name -> DataFrame. Names default to the full driver set.
+    DataFrames are memoized per (session, dir, table): the parquet footer/
+    schema read happens once per session however many registry queries run.
     """
     if names is None:
         names = [
@@ -81,10 +86,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-        for f in df.schema.fields:
-            if n == "events" and f.name == "ts" and f.dataType.typeName() == "long":
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        key = (id(spark), sf_dir, n)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+            for f in df.schema.fields:
+                if n == "events" and f.name == "ts" and f.dataType.typeName() == "long":
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            _TABLE_CACHE[key] = df
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -129,3 +129,40 @@ def ingest_file(
     return IngestResult(
         "ok", source_file, run_id, counts=summary, silver_path=lake.processed
     )
+
+
+def ingest_pending(
+    spark: SparkSession,
+    incoming_dir: str,
+    lake: LakeLayout,
+    ledger_path: str | None = None,
+    **ingest_kwargs,
+) -> list[IngestResult]:
+    """Incremental directory ingest: process files not yet in the ledger.
+
+    The batch analog of the reference's S3-PUT→Lambda→Glue event trigger
+    (lambda_validator.py:117-177) and of a Structured Streaming file source
+    with ``Trigger.AvailableNow``: each run picks up exactly the files that
+    have not been processed before, in name order, one self-contained
+    ingest per file. The ledger (JSON lines of processed file names) is the
+    checkpoint; a file is ledgered only after its ingest fully succeeds, so
+    a crashed run simply reprocesses the unfinished file (idempotent:
+    silver appends are per-run-id, gold compaction dedups by key).
+    """
+    ledger_path = ledger_path or os.path.join(lake.root, "ingest_ledger.jsonl")
+    seen: set[str] = set()
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            seen = {json.loads(line)["file"] for line in f if line.strip()}
+
+    results: list[IngestResult] = []
+    for name in sorted(os.listdir(incoming_dir)):
+        path = os.path.join(incoming_dir, name)
+        if name in seen or not os.path.isfile(path):
+            continue
+        result = ingest_file(spark, path, lake, **ingest_kwargs)
+        results.append(result)
+        os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
+        with open(ledger_path, "a") as f:
+            f.write(json.dumps({"file": name, "run_id": result.ingest_run_id, "status": result.status}) + "\n")
+    return results

@@ -417,3 +417,126 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_timestamp(raw).alias("parsed"),
     )
     return out.orderBy("event_id")
+
+
+@register(
+    "cube_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp,
+           COUNT(*) AS n_orders, {sql_dec_sum("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="CUBE over two dimensions with grouping ids",
+    tags=("agg", "cube"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("grp"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grp", "n_orders", "total_price")
+        .orderBy("grp", F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@register(
+    "distinct_buyer_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_buyers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    description="Exact COUNT(DISTINCT) per group (approx_count_distinct is "
+    "the scale knob; exact form is the oracle-checkable surface)",
+    tags=("agg", "distinct"),
+)
+def distinct_buyer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H-Q3-style shipping priority: selective dim filter + "
+    "two joins + agg + top-K",
+    tags=("join", "agg", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "supplier_nation_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           {sql_dec_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation ASC
+    """,
+    description="TPC-H-Q5-flavor supplier-nation volume: fact joined to "
+    "broadcast dims + agg",
+    tags=("join", "agg"),
+)
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )

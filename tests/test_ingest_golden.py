@@ -118,3 +118,27 @@ def test_compaction_end_to_end(spark, ingested):
     summary3 = compact_pending(spark, lake, force_dates=[d])
     assert summary3["processed_partitions_count"] == 1
     assert spark.read.parquet(lake.gold).count() == total
+
+
+def test_ingest_pending_ledger(spark, tmp_path):
+    import json
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_pending
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    lake = LakeLayout(str(tmp_path / "lake"))
+    for f in sorted(glob.glob(f"{SAMPLES}/*.csv"))[:2]:
+        shutil.copy(f, incoming / os.path.basename(f))
+
+    r1 = ingest_pending(spark, str(incoming), lake, archive=False)
+    assert len(r1) == 2 and all(r.status == "ok" for r in r1)
+    # second run: nothing new
+    assert ingest_pending(spark, str(incoming), lake, archive=False) == []
+    # a new file arrives -> only it is processed
+    src = sorted(glob.glob(f"{SAMPLES}/*.csv"))[2]
+    shutil.copy(src, incoming / os.path.basename(src))
+    r3 = ingest_pending(spark, str(incoming), lake, archive=False)
+    assert [r.source_file for r in r3] == [os.path.basename(src)]
+    ledger = [json.loads(l) for l in open(str(tmp_path / "lake" / "ingest_ledger.jsonl"))]
+    assert len(ledger) == 3

@@ -52,17 +52,78 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+    pipeline_info = {}
+    if os.environ.get("BENCH_PIPELINE", "1") != "0":
+        pipeline_info = bench_pipeline(spark, sf_dir, timings)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if pipeline_info:
+        out["pipeline"] = pipeline_info
+    print(json.dumps(out))
+
+
+def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
+    """Ingest (raw CSV → silver) + compaction (silver → gold) throughput —
+    the reference's actual workload (BASELINE.md: 'plus ingest and
+    compaction throughput in rows/sec'). A deterministic retail CSV is
+    synthesized from lineitem (capped at 200k rows), ingested into a temp
+    lake, then compacted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_file
+    from retail_aws_etl_pipeline_spark.lake import LakeLayout
+    from retail_aws_etl_pipeline_spark.operators.compact import compact_pending
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(200_000)
+        qty = F.greatest(F.col("l_quantity").cast("int"), F.lit(1))
+        up = F.round(F.col("l_extendedprice") / qty, 2)
+        csv_df = li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string").alias("transaction_id"),
+            F.concat(F.lit("S0"), (F.col("l_suppkey") % 10).cast("string")).alias("store_id"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.concat(F.lit("ITEM"), F.col("l_partkey").cast("string")).alias("item_id"),
+            F.lit("General").alias("item_category"),
+            qty.cast("string").alias("quantity"),
+            up.cast("string").alias("unit_price"),
+            F.round(qty * up, 2).cast("string").alias("revenue"),
+            F.lit("Card").alias("payment_method"),
+            F.lit("cust0001").alias("customer_id"),
         )
-    )
+        csv_dir = os.path.join(tmp, "csv")
+        csv_df.coalesce(1).write.option("header", True).csv(csv_dir)
+        part = next(p for p in os.listdir(csv_dir) if p.startswith("part-"))
+        raw = os.path.join(tmp, "sales_bench.csv")
+        shutil.move(os.path.join(csv_dir, part), raw)
+        n_rows = li.count()
+
+        lake = LakeLayout(os.path.join(tmp, "lake"))
+        t0 = time.perf_counter()
+        result = ingest_file(spark, raw, lake, archive=False, write_reject_csv=False)
+        t_ingest = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compact_pending(spark, lake, max_partitions=100_000, write_audit=False)
+        t_compact = time.perf_counter() - t0
+
+        timings["ingest_raw_to_silver"] = round(t_ingest, 4)
+        timings["compact_silver_to_gold"] = round(t_compact, 4)
+        return {
+            "rows": n_rows,
+            "ingest_rows_per_sec": round(n_rows / t_ingest),
+            "compact_rows_per_sec": round(result.counts["good_rows"] / t_compact),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -115,7 +115,13 @@ def ingest_file(
                     .option("header", True)
                     .csv(lake.rejected("data_quality/csv"))
                 )
-        split.good.write.mode("append").partitionBy("date").parquet(lake.processed)
+        # repartition by the partition key first: otherwise every task holds
+        # rows of every date and a D-date file writes T×D small files
+        # (observed 32×550 on the bench); this way each date is one task →
+        # one file, and AQE coalesces tiny dates.
+        split.good.repartition("date").write.mode("append").partitionBy("date").parquet(
+            lake.processed
+        )
     finally:
         if split.cached is not None:
             split.cached.unpersist()

@@ -105,6 +105,7 @@ def compact_pending(
     process_all: bool = False,
     max_partitions: int = 10,
     write_audit: bool = True,
+    merge_schema: bool = False,
 ) -> dict:
     """Compact all pending silver partitions into gold in one Spark plan."""
     # Runtime-settable; (re)apply in case the session was built elsewhere —
@@ -127,11 +128,14 @@ def compact_pending(
             _write_summary(lake, summary)
         return summary
 
-    silver = (
-        spark.read.option("mergeSchema", "true")
-        .option("basePath", lake.processed)
-        .parquet(*[os.path.join(lake.processed, f"date={d}") for d in work])
-    )
+    # One listing of the table root + partition-pruned filter — NOT one read
+    # per date directory (500 explicit paths = 500 listings + plan bloat).
+    # mergeSchema stays opt-in: the padding loop below covers drift, and
+    # merging footers across every partition is a driver-side tax.
+    reader = spark.read.option("basePath", lake.processed)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    silver = reader.parquet(lake.processed).filter(F.col("date").isin(work))
 
     # Defensive padding for schema drift across ingest runs (P15).
     for c in EXPECTED_SILVER_COLUMNS:
@@ -183,7 +187,10 @@ def compact_pending(
     post_stats = {r["date"]: r["rows_after_dedup"] for r in deduped.groupBy("date").agg(F.count(F.lit(1)).alias("rows_after_dedup")).collect()}
 
     (
-        deduped.sortWithinPartitions("transaction_id")
+        # second small shuffle post-dedup: one task (→ file) per date, with
+        # transaction_id clustering inside each file for scan locality
+        deduped.repartition(F.col("date"))
+        .sortWithinPartitions("transaction_id")
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(lake.gold)

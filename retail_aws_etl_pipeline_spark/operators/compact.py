@@ -153,13 +153,25 @@ def compact_pending(
         )
     )
 
-    # One shuffle serves both the dedup window and per-date file compaction.
-    prepared = prepared.repartition(F.col("date"), F.col("transaction_id")).persist()
+    # One shuffle serves both the dedup window and the stats; the windowed
+    # frame is cached so the audit aggregation and the gold write each run
+    # the read+clean+window lineage exactly once (the reference re-ran
+    # filter().count() chains per partition).
+    w = W.partitionBy("date", "transaction_id").orderBy(
+        F.desc("ingest_ts_f"), F.desc("row_hash")
+    )
+    windowed = (
+        prepared.repartition(F.col("date"), F.col("transaction_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .persist()
+    )
 
-    pre_stats = (
-        prepared.groupBy("date")
+    # Pre- AND post-dedup audit stats in ONE pass: rn==1 marks survivors.
+    stats_rows = (
+        windowed.groupBy("date")
         .agg(
             F.count(F.lit(1)).alias("total_rows_in_source_partition"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("rows_after_dedup"),
             F.sum(F.when(F.col("timestamp").isNull(), 1).otherwise(0)).alias("null_timestamp"),
             F.sum(F.when(F.col("store_id").isNull(), 1).otherwise(0)).alias("null_store"),
             F.sum(
@@ -174,17 +186,10 @@ def compact_pending(
         )
         .collect()
     )
+    pre_stats = stats_rows
+    post_stats = {r["date"]: r["rows_after_dedup"] for r in stats_rows}
 
-    w = W.partitionBy("date", "transaction_id").orderBy(
-        F.desc("ingest_ts_f"), F.desc("row_hash")
-    )
-    deduped = (
-        prepared.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "ingest_ts_f")
-    )
-
-    post_stats = {r["date"]: r["rows_after_dedup"] for r in deduped.groupBy("date").agg(F.count(F.lit(1)).alias("rows_after_dedup")).collect()}
+    deduped = windowed.filter(F.col("rn") == 1).drop("rn", "ingest_ts_f")
 
     (
         # second small shuffle post-dedup: one task (→ file) per date, with
@@ -195,7 +200,7 @@ def compact_pending(
         .partitionBy("date")
         .parquet(lake.gold)
     )
-    prepared.unpersist()
+    windowed.unpersist()
 
     results = []
     for row in sorted(pre_stats, key=lambda r: str(r["date"])):

@@ -109,9 +109,21 @@ def with_lsh_bucket(df: DataFrame, qvec_col: str = "qvec") -> DataFrame:
 
 
 def lsh_bucketed_topk(
-    df: DataFrame, probe_ids: list[int], k: int = 10, id_col: str = "vec_id"
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    multiprobe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's LSH bucket."""
+    """Approximate top-k: candidates restricted to buckets within Hamming
+    distance ``multiprobe_radius`` of the probe's bucket (multi-probe LSH —
+    the standard recall lever; radius 0 = single bucket).
+
+    Here the probe set is tiny and broadcast, so the radius condition is a
+    cheap nested-loop against ≤|probes| rows per scan row. At scale with
+    many probes, expand each probe's bucket to its radius-ball (B·radius
+    ids) and equi-join on bucket instead.
+    """
     from pyspark.sql import Window as W
 
     base = with_lsh_bucket(with_quantized(df)).select(id_col, "qvec", "qnorm", "bucket")
@@ -125,7 +137,12 @@ def lsh_bucketed_topk(
         )
     )
     joined = F.broadcast(probes).join(
-        base, (F.col("p_bucket") == F.col("bucket")) & (F.col("probe_id") != F.col(id_col))
+        base,
+        (
+            F.bit_count(F.col("p_bucket").bitwiseXOR(F.col("bucket")))
+            <= F.lit(multiprobe_radius)
+        )
+        & (F.col("probe_id") != F.col(id_col)),
     )
     scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
         "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))

@@ -270,7 +270,7 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
                p.qnorm AS pn, c.qnorm AS cn
         FROM buckets p
-        JOIN buckets c ON p.bucket = c.bucket AND c.vec_id != p.vec_id
+        JOIN buckets c ON bit_count(xor(p.bucket, c.bucket)) <= 1 AND c.vec_id != p.vec_id
         WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
     ),
     ranked AS (
@@ -285,8 +285,8 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank <= {ANN_K}
     ORDER BY probe_id, rank
     """,
-    description="LSH-bucketed ANN: 8 fixed random-hyperplane sign bits → "
-    "equi-join on bucket — the 100 TB path (bucket computed scan-side)",
+    description="LSH-bucketed ANN: 8 fixed random-hyperplane sign bits, "
+    "multi-probe radius 1 — the 100 TB path (bucket computed scan-side)",
     tags=("similarity", "lsh"),
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,3 +489,75 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascii_docs = t["documents"].filter(F.col("text").rlike("^[ -~]*$"))
     media = MM.media_from_documents(ascii_docs)
     return MM.byte_histogram(media).orderBy("media_id", "byte")
+
+
+@register(
+    "ann_lsh_recall",
+    f"""
+    WITH {_quant_cte()},
+    epairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+               p.qnorm AS pn, c.qnorm AS cn
+        FROM n p, n c
+        WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))}) AND c.vec_id != p.vec_id
+    ),
+    exact_topk AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY dot_q / sqrt(CAST(pn * cn AS DOUBLE)) DESC, vec_id ASC) AS rank
+            FROM epairs
+        ) WHERE rank <= {ANN_K}
+    ),
+    buckets AS (
+        SELECT n.vec_id, n.qvec, n.qnorm,
+               CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.qvec) + 1),
+                        i -> n.qvec[i] * w[i])) AS BIGINT) >= 0
+                        THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, {_planes_values()}
+        GROUP BY n.vec_id, n.qvec, n.qnorm
+    ),
+    lsh_topk AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
+                                / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) DESC, c.vec_id ASC) AS rank
+            FROM buckets p
+            JOIN buckets c ON bit_count(xor(p.bucket, c.bucket)) <= 1 AND c.vec_id != p.vec_id
+            WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
+        ) WHERE rank <= {ANN_K}
+    )
+    SELECT e.probe_id,
+           COUNT(l.vec_id) AS n_common,
+           COUNT(l.vec_id) / {float(ANN_K)} AS recall
+    FROM exact_topk e
+    LEFT JOIN lsh_topk l ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
+    GROUP BY e.probe_id
+    ORDER BY e.probe_id
+    """,
+    description="ANN self-evaluation: recall@10 of the LSH-bucketed index "
+    "against the exact scan — the quality/latency dial, measured in-engine",
+    tags=("similarity", "lsh", "evaluation"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    exact = S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id")
+    lsh = (
+        S.lsh_bucketed_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K)
+        .select(F.col("probe_id").alias("l_probe"), F.col("vec_id").alias("l_vec"))
+    )
+    joined = exact.join(
+        lsh, (F.col("probe_id") == F.col("l_probe")) & (F.col("vec_id") == F.col("l_vec")), "left"
+    )
+    return (
+        joined.groupBy("probe_id")
+        .agg(F.count("l_vec").alias("n_common"))
+        .select(
+            "probe_id", "n_common", (F.col("n_common") / F.lit(float(ANN_K))).alias("recall")
+        )
+        .orderBy("probe_id")
+    )

@@ -169,3 +169,30 @@ def test_currency_roundtrip(spark, value):
     df = spark.createDataFrame([(formatted,)], ["x"])
     got = df.select(clean_currency("x").alias("c")).collect()[0]["c"]
     assert got == pytest.approx(value, abs=1e-9)
+
+
+# --- determinism helpers: partition-layout invariance ----------------------
+
+
+@given(st.integers(min_value=1, max_value=12))
+@settings(max_examples=8, deadline=None)
+def test_dec_sum_partition_invariant(spark, n_parts):
+    """dec_sum must be bit-identical however the data is partitioned —
+    the property the oracle comparison relies on."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.plans.queries import dec_sum
+
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.01 + 0.005).alias("v"),
+    )
+    result = {
+        r["k"]: r["s"]
+        for r in df.repartition(n_parts).groupBy("k").agg(dec_sum(F.col("v")).alias("s")).collect()
+    }
+    baseline = {
+        r["k"]: r["s"]
+        for r in df.coalesce(1).groupBy("k").agg(dec_sum(F.col("v")).alias("s")).collect()
+    }
+    assert result == baseline  # exact ==, not approx

@@ -142,3 +142,22 @@ def test_ingest_pending_ledger(spark, tmp_path):
     assert [r.source_file for r in r3] == [os.path.basename(src)]
     ledger = [json.loads(l) for l in open(str(tmp_path / "lake" / "ingest_ledger.jsonl"))]
     assert len(ledger) == 3
+
+
+def test_athena_analog_views(spark, ingested):
+    from retail_aws_etl_pipeline_spark.plans import views as V
+
+    lake, _ = ingested
+    compact_pending(spark, lake, process_all=True, max_partitions=10_000)
+    V.register_lake_views(spark, lake)
+    daily = V.daily_revenue_gold(spark)
+    assert daily.count() > 0
+    assert daily.columns == ["date", "total_revenue"]
+    # dates descend
+    dates = [r["date"] for r in daily.collect()]
+    assert dates == sorted(dates, reverse=True)
+    top = V.top_items_gold(spark, 5)
+    assert top.count() == 5
+    revs = [r["revenue"] for r in top.collect()]
+    assert revs == sorted(revs, reverse=True)
+    assert V.sql(spark, "SELECT COUNT(*) AS n FROM fact_sales").collect()[0]["n"] > 0

@@ -94,18 +94,22 @@ def ingest_file(
         log.warning("file rejected %s: %s", source_file, file_errors)
         return IngestResult("file_rejected", source_file, run_id, file_errors=file_errors)
 
-    # -- 2. parse + route ---------------------------------------------------
-    extracted, meta = read_flexible_csv(spark, path)
-    split: QualitySplit = split_quality(
-        extracted,
-        ingest_run_id=run_id,
-        source_file=source_file,
-        timestamp_patterns=timestamp_patterns,
-        ingest_ts=ingest_ts,
-    )
-
+    # -- 2+3. parse + route + sinks; on ANY failure the input file is
+    # quarantined to rejected/system with a reason file and the error
+    # re-raised — the reference's K7 intent (glue_job_raw_to_processed.py:
+    # 421-443) without its broken partition-delete: parquet visibility is
+    # governed by Spark's output committer, so a failed write leaves no
+    # partial partitions to roll back.
+    split: QualitySplit | None = None
     try:
-        # -- 3. sinks -------------------------------------------------------
+        extracted, meta = read_flexible_csv(spark, path)
+        split = split_quality(
+            extracted,
+            ingest_run_id=run_id,
+            source_file=source_file,
+            timestamp_patterns=timestamp_patterns,
+            ingest_ts=ingest_ts,
+        )
         if split.counts["reject_rows"] > 0:
             split.rejects.write.mode("append").json(lake.rejected("data_quality/json"))
             if write_reject_csv:
@@ -122,8 +126,18 @@ def ingest_file(
         split.good.repartition("date").write.mode("append").partitionBy("date").parquet(
             lake.processed
         )
+    except Exception as exc:
+        reject_dir = lake.rejected("system")
+        os.makedirs(reject_dir, exist_ok=True)
+        dst_name = lineage_name(source_file, run_id)
+        if archive and os.path.exists(path):
+            move_file(path, reject_dir, dst_name)
+        with open(os.path.join(reject_dir, f"{dst_name}_reason.json"), "w") as f:
+            json.dump({"file": source_file, "error": str(exc)[:2000]}, f)
+        log.error("ingest failed, file quarantined to rejected/system: %s", exc)
+        raise
     finally:
-        if split.cached is not None:
+        if split is not None and split.cached is not None:
             split.cached.unpersist()
 
     # -- 4. archive + summary ----------------------------------------------

@@ -561,3 +561,83 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+WINNOW_WINDOW = 4  # k-gram window for winnowing (MOSS-style)
+
+
+@register(
+    "doc_winnowing",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, i.i AS pos,
+               md5(array_to_string(toks[i.i:i.i + 2], ' ')) AS ghash,
+               len(toks) - 2 AS n_grams
+        FROM toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
+        WHERE i.i <= len(toks) - 2
+    ),
+    winmin AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(ghash) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING
+               ) AS wfp
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, wfp
+    FROM winmin
+    WHERE pos <= n_grams - {WINNOW_WINDOW - 1}
+    ORDER BY doc_id, wfp
+    """,
+    description="Winnowing (rolling-hash) document fingerprints: min hash "
+    "per sliding window of positional 3-gram hashes (MOSS-style)",
+    tags=("text", "dedup", "fingerprint"),
+)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    from pyspark.sql import Window as W
+
+    toks = "split(text, ' ')"
+    grams_arr = (
+        f"transform(sequence(1, greatest(size({toks}) - 2, 0)),"
+        f" i -> md5(concat_ws(' ', slice({toks}, i, 3))))"
+    )
+    positional = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.expr(grams_arr)).alias("pos0", "ghash"),
+        (F.size(F.expr(toks)) - 2).alias("n_grams"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, WINNOW_WINDOW - 1)
+    winmin = positional.withColumn("wfp", F.min("ghash").over(w))
+    return (
+        winmin.filter(F.col("pos0") + 1 <= F.col("n_grams") - (WINNOW_WINDOW - 1))
+        .select("doc_id", "wfp")
+        .distinct()
+        .orderBy("doc_id", "wfp")
+    )
+
+
+@register(
+    "approx_sketch_stats",
+    None,  # sketches are engine-specific by nature -> rows-only check
+    description="Approximate aggregates (HLL distinct + GK quantiles) — the "
+    "100 TB knob for A2-style counters; no oracle: sketch internals differ "
+    "per engine, exactness is covered by distinct_buyer_counts / "
+    "median_order_by_priority",
+    tags=("agg", "approx"),
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
+                "price_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

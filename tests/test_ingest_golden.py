@@ -161,3 +161,24 @@ def test_athena_analog_views(spark, ingested):
     revs = [r["revenue"] for r in top.collect()]
     assert revs == sorted(revs, reverse=True)
     assert V.sql(spark, "SELECT COUNT(*) AS n FROM fact_sales").collect()[0]["n"] > 0
+
+
+def test_system_reject_on_failure(spark, tmp_path, monkeypatch):
+    """Any mid-ingest failure quarantines the file to rejected/system (K7
+    intent) and re-raises."""
+    import retail_aws_etl_pipeline_spark.ingest as ing
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated executor failure")
+
+    monkeypatch.setattr(ing, "split_quality", boom)
+    lake = LakeLayout(str(tmp_path / "lake"))
+    src = tmp_path / "sales_ok.csv"
+    shutil.copy(f"{SAMPLES}/sales_2024-10-16.csv", src)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ing.ingest_file(spark, str(src), lake)
+    sysdir = lake.rejected("system")
+    assert not src.exists()  # moved
+    names = os.listdir(sysdir)
+    assert any(n.endswith("_reason.json") for n in names)
+    assert any(n.startswith("sales_ok.csv_") and not n.endswith(".json") for n in names)

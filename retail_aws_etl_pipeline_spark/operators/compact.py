@@ -248,3 +248,57 @@ def register_gold_view(spark: SparkSession, lake: LakeLayout, name: str = "fact_
     df = spark.read.parquet(lake.gold)
     df.createOrReplaceTempView(name)
     return df
+
+
+def upsert_gold(spark: SparkSession, lake: LakeLayout, batch_df: DataFrame) -> None:
+    """Merge a batch of silver-shaped rows into gold, keep-latest by
+    (date, transaction_id).
+
+    The foreachBatch body for streaming gold maintenance (SURVEY.md §2.9:
+    at-least-once reprocess + idempotent overwrite → foreachBatch + dynamic
+    partition overwrite): union the batch with the existing rows of ONLY
+    the touched date partitions, re-run the keep-latest window, and
+    dynamically overwrite just those partitions. Re-delivered batches are
+    absorbed by the dedup — the sink is idempotent.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    prepared = (
+        batch_df.withColumn("quantity", clean_quantity("quantity", "long"))
+        .withColumn("unit_price", clean_currency("unit_price"))
+        .withColumn("revenue", clean_currency("revenue"))
+        .withColumn("row_hash", business_row_hash())
+        .withColumn(
+            "ingest_ts_f",
+            F.coalesce(F.col("ingest_ts").try_cast("timestamp"), F.current_timestamp()),
+        )
+    )
+    touched = [str(r["date"]) for r in prepared.select("date").distinct().collect()]
+    existing_dates = [d for d in touched if d in set(list_date_partitions(lake.gold))]
+    if existing_dates:
+        existing = (
+            spark.read.option("basePath", lake.gold)
+            .parquet(lake.gold)
+            .filter(F.col("date").isin(existing_dates))
+            .withColumn(
+                "ingest_ts_f",
+                F.coalesce(F.col("ingest_ts").try_cast("timestamp"), F.current_timestamp()),
+            )
+        )
+        prepared = prepared.unionByName(existing, allowMissingColumns=True)
+
+    w = W.partitionBy("date", "transaction_id").orderBy(
+        F.desc("ingest_ts_f"), F.desc("row_hash")
+    )
+    deduped = (
+        prepared.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ingest_ts_f")
+    )
+    (
+        deduped.repartition(F.col("date"))
+        .sortWithinPartitions("transaction_id")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(lake.gold)
+    )

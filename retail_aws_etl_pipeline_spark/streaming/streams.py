@@ -101,3 +101,24 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") 
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def gold_upsert_stream(spark: SparkSession, lake, checkpoint_dir: str):
+    """Continuous silver→gold maintenance: stream the silver directory and
+    merge each micro-batch into gold via ``operators.compact.upsert_gold``
+    (foreachBatch + dynamic partition overwrite = exactly-once-effective
+    gold, the reference's docs/gold_job.md:32-35 idempotency goal).
+
+    Returns the started StreamingQuery (Trigger.AvailableNow — drains what
+    exists, then stops; schedule repeatedly or switch the trigger for 24/7).
+    """
+    from retail_aws_etl_pipeline_spark.operators.compact import upsert_gold
+    from retail_aws_etl_pipeline_spark.schema import SILVER_SCHEMA
+
+    silver = spark.readStream.schema(SILVER_SCHEMA).parquet(lake.processed)
+    return (
+        silver.writeStream.foreachBatch(lambda df, _epoch: upsert_gold(spark, lake, df))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

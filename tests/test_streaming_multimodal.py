@@ -90,3 +90,42 @@ def test_decode_stub_raises(spark):
     media = MM.media_from_documents(t["documents"].limit(2)).withColumn("kind", F.lit("image"))
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         MM.decode_images(media).collect()
+
+
+def test_gold_upsert_stream(spark, tmp_path):
+    """Two silver waves with overlapping transaction_ids: the streamed gold
+    keeps exactly one (latest) row per key, and re-running the stream with
+    the same checkpoint is a no-op."""
+    import glob as g
+    import shutil as sh
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_file
+    from retail_aws_etl_pipeline_spark.lake import LakeLayout
+    from retail_aws_etl_pipeline_spark.streaming.streams import gold_upsert_stream
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    ck = str(tmp_path / "ck")
+    src = "/root/reference/sample_csv_files/sales_2024-10-16.csv"
+
+    # wave 1
+    f1 = tmp_path / "w1.csv"; sh.copy(src, f1)
+    ingest_file(spark, str(f1), lake, archive=False, write_reject_csv=False)
+    q = gold_upsert_stream(spark, lake, ck); q.awaitTermination()
+    gold1 = spark.read.parquet(lake.gold)
+    n1 = gold1.count()
+    assert n1 > 0
+    assert gold1.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+
+    # wave 2: same file again (same transaction_ids, later ingest_ts)
+    f2 = tmp_path / "w2.csv"; sh.copy(src, f2)
+    r2 = ingest_file(spark, str(f2), lake, archive=False, write_reject_csv=False)
+    q = gold_upsert_stream(spark, lake, ck); q.awaitTermination()
+    gold2 = spark.read.parquet(lake.gold)
+    assert gold2.count() == n1  # same keys -> still one row each
+    assert gold2.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+    # latest wave won: every surviving row carries wave-2's run id
+    assert gold2.filter(gold2.ingest_run_id == r2.ingest_run_id).count() == n1
+
+    # re-run with same checkpoint: no new input -> no change
+    q = gold_upsert_stream(spark, lake, ck); q.awaitTermination()
+    assert spark.read.parquet(lake.gold).count() == n1

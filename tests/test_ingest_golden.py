@@ -182,3 +182,24 @@ def test_system_reject_on_failure(spark, tmp_path, monkeypatch):
     names = os.listdir(sysdir)
     assert any(n.endswith("_reason.json") for n in names)
     assert any(n.startswith("sales_ok.csv_") and not n.endswith(".json") for n in names)
+
+
+def test_extended_cascade_recovers_rows(spark, tmp_path):
+    """With the EXTENDED_PATTERNS registry the doc-promised + sample-observed
+    formats (ISO-T, dd-MM-yy, AM/PM) parse, recovering most of the
+    reference's timestamp rejects."""
+    from retail_aws_etl_pipeline_spark.functions.timestamps import EXTENDED_PATTERNS
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    src = tmp_path / "f.csv"
+    shutil.copy(f"{SAMPLES}/sales_2024-10-16.csv", src)
+    r = ingest_file(
+        spark, str(src), lake, timestamp_patterns=EXTENDED_PATTERNS, archive=False
+    )
+    base_good, base_ts_rejects = GOLDEN["sales_2024-10-16.csv"][4], GOLDEN["sales_2024-10-16.csv"][2]
+    # 67 ISO-T + 124 dd-MM-yy + 176 AM/PM recovered; empty + impossible stay rejected
+    assert r.counts["timestamp_rejects"] < base_ts_rejects - 300
+    assert r.counts["good_rows"] > base_good + 300
+    assert r.counts["data_rows"] == (
+        r.counts["good_rows"] + r.counts["reject_rows"] + r.counts["duplicates_removed"]
+    )

@@ -147,6 +147,9 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
+    # NOTE: deliberately NOT cached — persisting the exploded gram frame
+    # breaks whole-stage fusion of shingle-gen into the signature partial
+    # aggregation and measured 2x slower than recomputing the branches
     grams = D.shingles(t["documents"])
     cand = D.candidate_pairs(D.lsh_bands(grams))
     return D.jaccard_counts(grams, pairs=cand).orderBy("id_a", "id_b")
@@ -175,7 +178,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    grams = D.shingles(t["documents"])
+    grams = D.shingles(t["documents"]).persist()
     counts = D.jaccard_counts(grams)
     return counts.filter(
         F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))

@@ -243,7 +243,7 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "d
     return (
         a.join(b, ["band", "bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -91,7 +91,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+        .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -151,7 +151,7 @@ def lsh_bucketed_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+        .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -208,7 +208,7 @@ def brute_force_topk_pandas(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, "dot_q", "cosine", "rank")
+        .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 

@@ -37,7 +37,7 @@ def whitespace_tokens(text: Column | str = "text") -> Column:
 
 
 def token_count(text: Column | str = "text") -> Column:
-    return F.size(whitespace_tokens(text))
+    return F.size(whitespace_tokens(text)).cast("long")
 
 
 def word_token_count(text: Column | str = "text") -> Column:
@@ -54,7 +54,7 @@ def _name(c: Column) -> str:
 
 def marker_score(lang: str, toks: Column) -> Column:
     markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-    return F.expr(f"size(filter(tokens, t -> t IN ({markers})))")
+    return F.expr(f"size(filter(tokens, t -> t IN ({markers})))").cast("long")
 
 
 def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,7 +67,7 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"score_{lang}", marker_score(lang, F.col("tokens")))
     out = out.withColumn(
         "cjk_chars",
-        F.length(F.regexp_replace(F.col(text_col), f"[^{CJK_RANGE}]", "")),
+        F.length(F.regexp_replace(F.col(text_col), f"[^{CJK_RANGE}]", "")).cast("long"),
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
     pred = (
@@ -88,11 +88,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     expression, so it is bit-reproducible across engines.
     """
     toks = whitespace_tokens(text_col)
-    n_chars = F.length(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", ""))
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast("long")
     stop = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
-    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop})))")
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop})))").cast("long")
     mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens

@@ -105,7 +105,7 @@ def union_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_region_nation",
     f"""
-    SELECT r_name, n_name, GROUPING(r_name) + 2 * GROUPING(n_name) AS grp,
+    SELECT r_name, n_name, CAST(GROUPING(r_name) + 2 * GROUPING(n_name) AS BIGINT) AS grp,
            COUNT(*) AS n_customers, {sql_dec_sum("c_acctbal")} AS total_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -126,7 +126,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            (F.grouping("r_name") + 2 * F.grouping("n_name")).alias("grp"),
+            (F.grouping("r_name") + 2 * F.grouping("n_name")).cast("long").alias("grp"),
             F.count(F.lit(1)).alias("n_customers"),
             dec_sum(F.col("c_acctbal")).alias("total_bal"),
         )
@@ -150,7 +150,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend,
-           ROW_NUMBER() OVER w AS order_seq
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -168,7 +168,7 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.sum(F.col("o_totalprice").cast(DEC)).over(wf).cast("double").alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -283,9 +283,9 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         FROM marked
     )
-    SELECT user_id, session_idx, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
-    FROM sessions GROUP BY user_id, session_idx
+    FROM sessions GROUP BY user_id, CAST(session_idx AS BIGINT)
     ORDER BY user_id, session_idx
     """,
     description="Sessionization: 30-min-gap lag + cumulative-flag windows "
@@ -423,7 +423,7 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_order_stats",
     f"""
     SELECT o_orderstatus, o_orderpriority,
-           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp,
+           CAST(GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS BIGINT) AS grp,
            COUNT(*) AS n_orders, {sql_dec_sum("o_totalprice")} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -438,7 +438,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("grp"),
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).cast("long").alias("grp"),
             F.count(F.lit(1)).alias("n_orders"),
             dec_sum(F.col("o_totalprice")).alias("total_price"),
         )

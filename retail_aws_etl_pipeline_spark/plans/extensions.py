@@ -206,7 +206,7 @@ def _simhash_oracle() -> str:
         FROM sim, (SELECT UNNEST(generate_series(0, 3)) AS b) b
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -346,10 +346,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             TX.token_count("text").alias("n_ws_tokens"),
-            F.expr(f"size(regexp_extract_all(text, '{TX.WORD_TOKEN_PATTERN}', 0))").alias(
-                "n_word_tokens"
-            ),
-            F.length("text").alias("n_chars_m"),
+            F.expr(f"size(regexp_extract_all(text, '{TX.WORD_TOKEN_PATTERN}', 0))")
+            .cast("long")
+            .alias("n_word_tokens"),
+            F.length("text").cast("long").alias("n_chars_m"),
         )
         .orderBy("doc_id")
     )

@@ -224,10 +224,10 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT n.n_name, c.c_custkey,
                {sql_dec_sum("o.o_totalprice")} AS total_spent,
-               ROW_NUMBER() OVER (
+               CAST(ROW_NUMBER() OVER (
                    PARTITION BY n.n_name
                    ORDER BY {sql_dec_sum("o.o_totalprice")} DESC, c.c_custkey ASC
-               ) AS rnk
+               ) AS BIGINT) AS rnk
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -248,7 +248,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("n_name").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
     return (
-        joined.withColumn("rnk", F.row_number().over(w))
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("n_name", "c_custkey", "total_spent", "rnk")
     )
@@ -346,7 +346,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_stats",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -540,3 +540,41 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
+
+
+@register(
+    "user_rolling_hour",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS value_prev_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, event_id
+    """,
+    description="Rolling 1-hour range-frame window per user (time-based "
+    "frame at microsecond precision, exact-decimal running sum)",
+    tags=("window", "timeseries"),
+)
+def user_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_prev_hour"),
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_prev_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )

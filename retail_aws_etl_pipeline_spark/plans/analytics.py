@@ -578,3 +578,40 @@ def user_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "fuzzy_part_names",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY key_a, key_b
+    """,
+    description="Blocked fuzzy match: equi-join on (brand, size) blocks, "
+    "edit-distance verify — the scalable entity-resolution shape (never "
+    "all-pairs)",
+    tags=("join", "fuzzy", "text"),
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    a = t["part"].select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "p_size",
+    )
+    b = t["part"].select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )

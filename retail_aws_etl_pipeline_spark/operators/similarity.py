@@ -255,3 +255,109 @@ def near_dup_pairs_pandas(df: DataFrame, min_cosine: float, id_col: str = "vec_i
             )
 
     return base.mapInPandas(kernel, schema="id_a long, id_b long, cosine double")
+
+
+# --- IVF (inverted-file) coarse quantizer --------------------------------
+
+IVF_CENTROIDS = 8
+IVF_KMEANS_ITERS = 2
+
+
+def ivf_centroids(df: DataFrame, id_col: str = "vec_id") -> list[list[int]]:
+    """Deterministic integer k-means centroids for the IVF index.
+
+    Init = the quantized vectors of the ``IVF_CENTROIDS`` lowest ids
+    (deterministic, no RNG), then ``IVF_KMEANS_ITERS`` Lloyd iterations in
+    numpy, with centroids ROUNDED TO INTEGERS after each update — all
+    subsequent distance math is exact int64, so assignments are identical
+    in Spark, numpy, and any SQL engine given the same centroid literals.
+
+    Centroid fitting collects only the quantized matrix — at 100 TB fit on
+    a sample (k-means centroids converge on far less data than the corpus).
+    """
+    import numpy as np
+
+    base = with_quantized(df).select(id_col, "qvec").orderBy(id_col)
+    mat = np.array([r["qvec"] for r in base.collect()], dtype=np.int64)
+    return _kmeans_int(mat)
+
+
+def _kmeans_int(mat) -> list[list[int]]:
+    import numpy as np
+
+    cents = mat[:IVF_CENTROIDS].astype(np.float64)
+    for _ in range(IVF_KMEANS_ITERS):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(IVF_CENTROIDS):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = np.rint(cents)
+    return [[int(x) for x in row] for row in cents]
+
+
+def ivf_centroids_from_parquet(path: str) -> list[list[int]]:
+    """Spark-free centroid fit (pyarrow + numpy) — used by the DuckDB
+    oracle side so both engines share identical centroid literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    emb = np.stack(t["embedding"].to_numpy()[order])
+    mat = np.floor(emb.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    return _kmeans_int(mat)
+
+
+def assign_centroid(qvec_col: str, centroids: list[list[int]]):
+    """Scan-side argmin-distance centroid assignment (exact int math,
+    tiebreak = lowest centroid id)."""
+    best_id = None
+    best_dist = None
+    for cid, cent in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{w}L" for w in cent) + ")"
+        dist = F.expr(
+            f"aggregate(zip_with({qvec_col}, {arr}, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+        )
+        if best_id is None:
+            best_id, best_dist = F.lit(cid), dist
+        else:
+            is_better = dist < best_dist
+            best_id = F.when(is_better, F.lit(cid)).otherwise(best_id)
+            best_dist = F.when(is_better, dist).otherwise(best_dist)
+    return best_id.cast("long")
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF ANN: candidates restricted to the probe's centroid cell."""
+    from pyspark.sql import Window as W
+
+    cents = centroids if centroids is not None else ivf_centroids(df, id_col)
+    base = with_quantized(df).withColumn("cell", assign_centroid("qvec", cents)).select(
+        id_col, "qvec", "qnorm", "cell"
+    )
+    probes = base.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+        F.col("cell").alias("p_cell"),
+    )
+    joined = F.broadcast(probes).join(
+        base, (F.col("p_cell") == F.col("cell")) & (F.col("probe_id") != F.col(id_col))
+    )
+    scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
+        "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -644,3 +644,74 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: deterministic integer k-means cells (centroids shared w/ oracle)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_oracle() -> str | None:
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    cents = S.ivf_centroids_from_parquet(path)
+    d_exprs = ", ".join(
+        "CAST(list_sum(list_transform(range(1, len(qvec) + 1), "
+        f"i -> (qvec[i] - c{c}[i]) * (qvec[i] - c{c}[i]))) AS BIGINT) AS d{c}"
+        for c in range(len(cents))
+    )
+    cent_literals = ", ".join(
+        f"[{', '.join(str(x) for x in cent)}] AS c{c}" for c, cent in enumerate(cents)
+    )
+    least = ", ".join(f"d{c}" for c in range(len(cents)))
+    cell_case = " ".join(f"WHEN d{c} = m THEN {c}" for c in range(len(cents)))
+    return f"""
+    WITH {_quant_cte()},
+    dists AS (
+        SELECT vec_id, qvec, qnorm, {d_exprs}
+        FROM n, (SELECT {cent_literals}) cents
+    ),
+    cells AS (
+        SELECT vec_id, qvec, qnorm,
+               CAST(CASE {cell_case} END AS BIGINT) AS cell
+        FROM (SELECT *, LEAST({least}) AS m FROM dists)
+    ),
+    ranked AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+               p.qnorm AS pn, c.qnorm AS cn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
+                            / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) DESC, c.vec_id ASC) AS rank
+        FROM cells p
+        JOIN cells c ON p.cell = c.cell AND c.vec_id != p.vec_id
+        WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
+    )
+    SELECT probe_id, vec_id, dot_q,
+           dot_q / sqrt(CAST(pn * cn AS DOUBLE)) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {ANN_K}
+    ORDER BY probe_id, rank
+    """
+
+
+@register(
+    "ann_topk_ivf",
+    _ivf_oracle(),
+    description="IVF ANN: deterministic integer k-means coarse quantizer "
+    "(fit on a sample, centroids broadcast as literals), candidates = the "
+    "probe's cell — the clustered alternative to hyperplane LSH",
+    tags=("similarity", "ivf"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    cents = S.ivf_centroids_from_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return S.ivf_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K, centroids=cents).orderBy(
+        "probe_id", "rank"
+    )

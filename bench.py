@@ -41,8 +41,24 @@ def main() -> None:
         sys.exit(f"bench: unknown queries {unknown}; available: {sorted(REGISTRY)}")
 
     # Warm the JVM / codegen / parquet footer cache so query timings measure
-    # the queries, not session startup.
+    # the queries, not session startup: exercise every framework code path
+    # the queries share (vectorized parquet scan, decimal hash agg, window,
+    # sort, AQE shuffle, Arrow, noop sink) once, on the 5-row region table.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    (
+        warm.groupBy("r_name")
+        .agg(_F.sum(_F.col("r_regionkey").cast("decimal(28,6)")).alias("s"))
+        .withColumn("rn", _F.row_number().over(_W.partitionBy("r_name").orderBy("s")))
+        .orderBy("r_name")
+        .write.format("noop").mode("overwrite").save()
+    )
+    warm.groupBy().applyInPandas(lambda p: p.head(1), schema=warm.schema).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in selected:
@@ -73,7 +89,15 @@ def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
     the reference's actual workload (BASELINE.md: 'plus ingest and
     compaction throughput in rows/sec'). A deterministic retail CSV is
     synthesized from lineitem (capped at 200k rows), ingested into a temp
-    lake, then compacted."""
+    lake, then compacted.
+
+    Transaction dates are mapped onto a 60-day window (~3.3k rows/date) —
+    the shape of the reference's daily sales files (sample_csv_files/ is one
+    file ≈ one business day). Spreading the same rows over lineitem's full
+    7-year shipdate range (~2 500 dates × 80 rows) made both phases a
+    local-FS metadata microbenchmark: ≥90% of wall clock was creating and
+    listing 2 500 directories of 8 KB files, a layout no daily pipeline
+    produces and one that vanishes at real partition sizes."""
     import shutil
     import tempfile
 
@@ -91,7 +115,20 @@ def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
         csv_df = li.select(
             (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string").alias("transaction_id"),
             F.concat(F.lit("S0"), (F.col("l_suppkey") % 10).cast("string")).alias("store_id"),
-            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.concat(
+                F.date_format(
+                    F.date_add(
+                        F.lit("2025-06-01").cast("date"),
+                        (F.col("l_orderkey") % 60).cast("int"),
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.format_string(
+                    " %02d:%02d:00",
+                    (F.col("l_suppkey") % 24).cast("int"),
+                    (F.col("l_partkey") % 60).cast("int"),
+                ),
+            ).alias("timestamp"),
             F.concat(F.lit("ITEM"), F.col("l_partkey").cast("string")).alias("item_id"),
             F.lit("General").alias("item_category"),
             qty.cast("string").alias("quantity"),

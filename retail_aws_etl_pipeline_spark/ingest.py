@@ -121,11 +121,15 @@ def ingest_file(
                 )
         # repartition by the partition key first: otherwise every task holds
         # rows of every date and a D-date file writes T×D small files
-        # (observed 32×550 on the bench); this way each date is one task →
-        # one file, and AQE coalesces tiny dates.
-        split.good.repartition("date").write.mode("append").partitionBy("date").parquet(
-            lake.processed
-        )
+        # (observed 32×550 on the bench); this way each date lands in one
+        # task → one file per date. The partition COUNT is explicit: with a
+        # bare repartition("date") AQE coalesces the small shuffle to a
+        # single task, which then creates every date directory serially
+        # (~16 ms each — measured 9 s for 550 dates); pinning N keeps the
+        # directory/file creation spread across the cluster.
+        split.good.repartition(
+            spark.sparkContext.defaultParallelism, "date"
+        ).write.mode("append").partitionBy("date").parquet(lake.processed)
     except Exception as exc:
         reject_dir = lake.rejected("system")
         os.makedirs(reject_dir, exist_ok=True)
@@ -137,8 +141,9 @@ def ingest_file(
         log.error("ingest failed, file quarantined to rejected/system: %s", exc)
         raise
     finally:
-        if split is not None and split.cached is not None:
-            split.cached.unpersist()
+        if split is not None and split.cached:
+            for df in split.cached:
+                df.unpersist()
 
     # -- 4. archive + summary ----------------------------------------------
     if archive:

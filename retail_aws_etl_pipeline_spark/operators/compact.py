@@ -161,7 +161,9 @@ def compact_pending(
         F.desc("ingest_ts_f"), F.desc("row_hash")
     )
     windowed = (
-        prepared.repartition(F.col("date"), F.col("transaction_id"))
+        prepared.repartition(
+            spark.sparkContext.defaultParallelism, F.col("date"), F.col("transaction_id")
+        )
         .withColumn("rn", F.row_number().over(w))
         .persist()
     )
@@ -192,10 +194,12 @@ def compact_pending(
     deduped = windowed.filter(F.col("rn") == 1).drop("rn", "ingest_ts_f")
 
     (
-        # second small shuffle post-dedup: one task (→ file) per date, with
-        # transaction_id clustering inside each file for scan locality
-        deduped.repartition(F.col("date"))
-        .sortWithinPartitions("transaction_id")
+        # second small shuffle post-dedup: each date lands whole in one task
+        # (→ one file per date), clustered by transaction_id for scan
+        # locality. Explicit N so AQE can't funnel every date's directory
+        # creation through a single task (see ingest.py).
+        deduped.repartition(spark.sparkContext.defaultParallelism, F.col("date"))
+        .sortWithinPartitions("date", "transaction_id")
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(lake.gold)
@@ -296,8 +300,8 @@ def upsert_gold(spark: SparkSession, lake: LakeLayout, batch_df: DataFrame) -> N
         .drop("rn", "ingest_ts_f")
     )
     (
-        deduped.repartition(F.col("date"))
-        .sortWithinPartitions("transaction_id")
+        deduped.repartition(spark.sparkContext.defaultParallelism, F.col("date"))
+        .sortWithinPartitions("date", "transaction_id")
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(lake.gold)

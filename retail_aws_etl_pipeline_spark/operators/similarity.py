@@ -312,21 +312,22 @@ def ivf_centroids_from_parquet(path: str) -> list[list[int]]:
 
 def assign_centroid(qvec_col: str, centroids: list[list[int]]):
     """Scan-side argmin-distance centroid assignment (exact int math,
-    tiebreak = lowest centroid id)."""
-    best_id = None
-    best_dist = None
+    tiebreak = lowest centroid id).
+
+    Built as ONE struct-array min — `array_min` over `(dist, cid)` structs
+    compares field-by-field, so the lowest distance wins and ties break to
+    the lowest centroid id. A nested WHEN chain here would duplicate every
+    previous distance expression at each step (O(K²) tree → analysis and
+    codegen dominated the runtime at K=8); this form is linear in K."""
+    entries = []
     for cid, cent in enumerate(centroids):
         arr = "array(" + ", ".join(f"{w}L" for w in cent) + ")"
-        dist = F.expr(
-            f"aggregate(zip_with({qvec_col}, {arr}, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+        dist = (
+            f"aggregate(zip_with({qvec_col}, {arr}, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, v) -> acc + v)"
         )
-        if best_id is None:
-            best_id, best_dist = F.lit(cid), dist
-        else:
-            is_better = dist < best_dist
-            best_id = F.when(is_better, F.lit(cid)).otherwise(best_id)
-            best_dist = F.when(is_better, dist).otherwise(best_dist)
-    return best_id.cast("long")
+        entries.append(f"named_struct('d', {dist}, 'c', {cid}L)")
+    return F.expr(f"array_min(array({', '.join(entries)})).c")
 
 
 def ivf_topk(

@@ -52,7 +52,7 @@ class QualitySplit:
     good: DataFrame  # silver-shaped rows (pre-write)
     rejects: DataFrame  # fixed 13-column reject frame, all three classes
     counts: dict  # single-pass class counts + duplicates_removed
-    cached: DataFrame | None = None  # the persisted parse lineage; caller unpersists
+    cached: list[DataFrame] | None = None  # persisted lineages; caller unpersists
 
 
 def _required_null_cond():
@@ -125,7 +125,10 @@ def split_quality(
         .withColumn("date", F.to_date(F.col("timestamp")))
     )
 
-    deduped = cleaned.dropDuplicates()
+    # Persist the deduped frame as well: the dropDuplicates shuffle would
+    # otherwise run twice — once for the class-count aggregation below and
+    # again when the caller writes the good rows.
+    deduped = cleaned.dropDuplicates().persist()
 
     # -- business DQ (glue_job_raw_to_processed.py:304-310 + null-numeric
     # deviation documented above) -------------------------------------------
@@ -167,11 +170,15 @@ def split_quality(
         F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
     ).collect()[0]
 
-    survivors_n = base["total"] - base["structural"] - base["invalid_timestamp"]
+    # SUM over an empty frame aggregates to NULL (a header-only file passes
+    # the head gate but parses to zero data rows) — treat as 0.
+    structural = base["structural"] or 0
+    invalid_ts = base["invalid_timestamp"] or 0
+    survivors_n = base["total"] - structural - invalid_ts
     counts = {
         "data_rows": base["total"],
-        "structural_rejects": base["structural"],
-        "timestamp_rejects": base["invalid_timestamp"],
+        "structural_rejects": structural,
+        "timestamp_rejects": invalid_ts,
         "duplicates_removed": survivors_n - after["after_dedup"],
         "business_rejects": after["business"] or 0,
         "good_rows": after["after_dedup"] - (after["business"] or 0),
@@ -181,4 +188,4 @@ def split_quality(
         + counts["timestamp_rejects"]
         + counts["business_rejects"]
     )
-    return QualitySplit(good=good, rejects=rejects, counts=counts, cached=parsed)
+    return QualitySplit(good=good, rejects=rejects, counts=counts, cached=[parsed, deduped])

@@ -17,7 +17,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.functions.numeric import clean_currency
-from retail_aws_etl_pipeline_spark.functions.timestamps import parse_timestamp
+from retail_aws_etl_pipeline_spark.functions.timestamps import (
+    EXTENDED_PATTERNS,
+    REFERENCE_PATTERNS,
+    parse_timestamp,
+)
 from retail_aws_etl_pipeline_spark.plans.queries import (
     DEC,
     dec_sum,
@@ -417,6 +421,85 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_timestamp(raw).alias("parsed"),
     )
     return out.orderBy("event_id")
+
+
+@register(
+    "timestamp_parse_extended",
+    """
+    WITH base AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(event_id % 4 AS BIGINT) AS fmt_id,
+               CASE event_id % 4
+                   WHEN 0 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S')
+                   WHEN 1 THEN strftime(CAST(ts AS TIMESTAMP), '%d/%m/%Y %H:%M')
+                   WHEN 2 THEN strftime(CAST(ts AS TIMESTAMP), '%m/%d/%Y %I:%M%p')
+                   ELSE strftime(CAST(ts AS TIMESTAMP), '%d-%m-%y %H:%M')
+               END AS raw
+        FROM events
+    ), scored AS (
+        SELECT fmt_id, raw,
+               CASE WHEN fmt_id = 1 THEN try_strptime(raw, '%m/%d/%Y %H:%M') END AS ref_parsed,
+               CASE fmt_id
+                   WHEN 0 THEN try_strptime(raw, '%Y-%m-%dT%H:%M:%S')
+                   WHEN 1 THEN COALESCE(try_strptime(raw, '%m/%d/%Y %H:%M'),
+                                        try_strptime(raw, '%d/%m/%Y %H:%M'))
+                   WHEN 2 THEN COALESCE(try_strptime(raw, '%m/%d/%Y %I:%M%p'),
+                                        try_strptime(raw, '%d/%m/%Y %I:%M%p'))
+                   ELSE try_strptime(raw, '%d-%m-%y %H:%M')
+               END AS ext_parsed,
+               CASE WHEN fmt_id = 0 THEN date_trunc('second', ts)
+                    ELSE date_trunc('minute', ts) END AS expected
+        FROM base
+    )
+    SELECT fmt_id, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ref_parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ref_ok,
+           CAST(SUM(CASE WHEN ext_parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ext_ok,
+           CAST(SUM(CASE WHEN ext_parsed = expected THEN 1 ELSE 0 END) AS BIGINT) AS ext_exact
+    FROM scored
+    GROUP BY fmt_id
+    ORDER BY fmt_id
+    """,
+    description="P8 extended registry (docs/timestamp_parsing.md:14-21 + "
+    "sample-observed forms): parse-rate comparison of the reference 11-"
+    "pattern cascade vs EXTENDED_PATTERNS over four engine-formatted raw "
+    "shapes (ISO-T, day-first, AM/PM, two-digit-year). ref_ok counts what "
+    "the reference recovers (only month-first-parseable day-first strings), "
+    "ext_ok what the extended cascade recovers (everything), ext_exact how "
+    "many parse back to the original instant — day-first strings with "
+    "day ≤ 12 are consumed by the higher-precedence MM/dd pattern, the "
+    "documented ambiguity cost (SURVEY.md §7.4.2)",
+    tags=("scalar", "ingest", "reference"),
+)
+def timestamp_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    fmt_id = (F.col("event_id") % 4).cast("long")
+    raw = (
+        F.when(fmt_id == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(fmt_id == 1, F.date_format("ts", "dd/MM/yyyy HH:mm"))
+        .when(fmt_id == 2, F.date_format("ts", "MM/dd/yyyy hh:mma"))
+        .otherwise(F.date_format("ts", "dd-MM-yy HH:mm"))
+    )
+    base = t["events"].select("ts", fmt_id.alias("fmt_id"), raw.alias("raw"))
+    ref = parse_timestamp(F.col("raw"), REFERENCE_PATTERNS)
+    ext = parse_timestamp(F.col("raw"), EXTENDED_PATTERNS)
+    expected = F.when(
+        F.col("fmt_id") == 0, F.date_trunc("second", F.col("ts"))
+    ).otherwise(F.date_trunc("minute", F.col("ts")))
+    return (
+        base.withColumn("ref_parsed", ref)
+        .withColumn("ext_parsed", ext)
+        .withColumn("expected", expected)
+        .groupBy("fmt_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("ref_parsed").isNotNull(), 1).otherwise(0)).alias("ref_ok"),
+            F.sum(F.when(F.col("ext_parsed").isNotNull(), 1).otherwise(0)).alias("ext_ok"),
+            F.sum(
+                F.when(F.col("ext_parsed") == F.col("expected"), 1).otherwise(0)
+            ).alias("ext_exact"),
+        )
+        .orderBy("fmt_id")
+    )
 
 
 @register(

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commits task output straight into the destination instead of a
+        # job-commit rename pass — on a 550-date partitioned write the v1
+        # sequential directory renames dominate wall clock (local FS here;
+        # on object stores use the cloud committers for the same reason)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

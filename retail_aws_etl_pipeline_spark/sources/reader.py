@@ -68,7 +68,14 @@ def read_flexible_csv(
         missing_required=missing_required(index_map),
     )
 
-    data = clean.filter(F.col("value") != F.lit(header_line))
+    # A single raw file arrives as ONE input split (well under
+    # files.maxPartitionBytes), so the regex-heavy parse below would run on
+    # one core. Fan the lines out across the cluster first — a few MB of
+    # shuffle buys parallel parsing; row order is immaterial downstream
+    # (full-row dedup and quality routing are order-independent).
+    data = clean.filter(F.col("value") != F.lit(header_line)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tokens = F.split(F.col("value"), re.escape(delimiter))
 
     def extract(name: str):

@@ -44,3 +44,63 @@ def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains any shuffle Exchange (diagnostic)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Bucketed gold: fact_sales at rest bucketed by its dedup/join key
+# ---------------------------------------------------------------------------
+#
+# The directory-partitioned gold (operators/compact.py) prunes by date but
+# re-shuffles every recompaction on (date, transaction_id). Bucketing gold
+# by transaction_id fixes hash(transaction_id) AT REST, so the keep-latest
+# window — ClusteredDistribution(transaction_id) — is satisfied straight off
+# the scan: recompaction shuffles ZERO bytes of the existing table (only a
+# within-partition sort remains), and every equi-join/groupBy on
+# transaction_id is likewise exchange-free. At 100 TB that's the difference
+# between rewriting the cluster interconnect per maintenance run and a
+# local sort. New batches pay one delta-sized shuffle on bucketed append.
+
+
+def publish_gold_bucketed(
+    spark: SparkSession, gold_path: str, table: str = "fact_sales_bucketed", n_buckets: int = 16
+) -> None:
+    """Publish directory-partitioned gold as a bucketed catalog table."""
+    write_bucketed(
+        spark.read.parquet(gold_path), table, "transaction_id", n_buckets=n_buckets
+    )
+
+
+def append_gold_bucketed(batch_df: DataFrame, table: str = "fact_sales_bucketed") -> None:
+    """Append a silver-shaped batch into the bucketed layout (at-least-once
+    transport: duplicates are absorbed by the next recompaction). Spark
+    clusters the appended files into the table's existing bucket spec — the
+    shuffle is sized by the DELTA, never the table."""
+    batch_df.write.mode("append").format("parquet").insertInto(table)
+
+
+def recompact_gold_bucketed(
+    spark: SparkSession, table: str = "fact_sales_bucketed", n_buckets: int = 16
+) -> DataFrame:
+    """Keep-latest dedup of the bucketed gold WITHOUT shuffling it.
+
+    Returns the deduped frame (window over the bucket key, exchange-free —
+    asserted in tests/test_bucketing.py) and swaps it in as ``table`` via a
+    staged table + rename, the catalog analog of compact.py's dynamic
+    partition overwrite.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    existing = spark.table(table)
+    w = W.partitionBy("transaction_id").orderBy(
+        F.desc(F.coalesce(F.col("ingest_ts").try_cast("timestamp"), F.lit("1970-01-01").cast("timestamp"))),
+        F.desc("row_hash"),
+    )
+    deduped = (
+        existing.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    staged = f"{table}__staged"
+    write_bucketed(deduped, staged, "transaction_id", n_buckets=n_buckets)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return spark.table(table)

@@ -6,8 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.operators.bucketing import (
+    append_gold_bucketed,
     bucketed_join,
     plan_has_exchange,
+    publish_gold_bucketed,
+    recompact_gold_bucketed,
     write_bucketed,
 )
 from tests.conftest import SF_SMOKE
@@ -49,3 +52,54 @@ def test_bucketed_join_no_exchange(warehouse):
         assert joined.count() == control.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_gold_recompaction_no_exchange(warehouse, tmp_path):
+    """Gold maintenance on the bucketed layout: the keep-latest window runs
+    straight off the bucketed scan (no Exchange of the existing table), and
+    append → recompact converges to exactly-once per transaction_id."""
+    spark = warehouse
+    from pyspark.sql import Window as W
+
+    def gold_rows(run_id, ts, ids):
+        return (
+            spark.range(len(ids))
+            .select(
+                F.concat(F.lit("T"), F.format_string("%04d", (F.col("id") + ids[0]))).alias(
+                    "transaction_id"
+                ),
+                F.lit("S1").alias("store_id"),
+                F.lit("2025-07-10 10:00:00").cast("timestamp").alias("timestamp"),
+                F.lit("ITEM1").alias("item_id"),
+                F.lit(2).cast("long").alias("quantity"),
+                F.lit(5.0).alias("unit_price"),
+                F.lit(10.0).alias("revenue"),
+                F.lit(run_id).alias("ingest_run_id"),
+                F.lit(ts).alias("ingest_ts"),
+                F.md5(F.concat(F.lit(run_id), F.col("id").cast("string"))).alias("row_hash"),
+            )
+        )
+
+    base = gold_rows("run1", "2025-07-20 00:00:00", list(range(0, 20)))
+    gold_dir = str(tmp_path / "gold_flat")
+    base.write.parquet(gold_dir)
+    publish_gold_bucketed(spark, gold_dir, "b_gold", n_buckets=4)
+
+    # the dedup window over the bucket key needs no shuffle of the table
+    w = W.partitionBy("transaction_id").orderBy(F.desc("ingest_ts"))
+    windowed = spark.table("b_gold").withColumn("rn", F.row_number().over(w))
+    assert not plan_has_exchange(windowed), (
+        windowed._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # redeliver 10 overlapping ids with a newer ingest_ts, then recompact
+    append_gold_bucketed(gold_rows("run2", "2025-07-21 00:00:00", list(range(10, 20))), "b_gold")
+    assert spark.table("b_gold").count() == 30
+    final = recompact_gold_bucketed(spark, "b_gold", n_buckets=4)
+    assert final.count() == 20
+    assert final.select("transaction_id").distinct().count() == 20
+    winners = final.filter(F.col("transaction_id") >= "T0010")
+    assert {r["ingest_run_id"] for r in winners.select("ingest_run_id").collect()} == {"run2"}
+    # swapped-in table is still bucketed: window remains exchange-free
+    rewindowed = spark.table("b_gold").withColumn("rn", F.row_number().over(w))
+    assert not plan_has_exchange(rewindowed)

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scale smoke: synthesize a K× copy of the sf0.1 tables and compare query
+wall-clock at both scales.
+
+Usage: python scripts/scale_smoke.py [K] [out_dir] [query,query,...]
+
+Each replica is key-shifted (all join/entity keys offset by replica index ×
+(max_key + 1)) so join fan-outs, group cardinalities and per-key row counts
+stay REPRESENTATIVE — naive row duplication would instead multiply
+duplicate groups and explode pair-generating operators quadratically.
+Documents additionally get a per-replica suffix token, embeddings a small
+per-replica perturbation, so the dedup/ANN workloads scale in corpus size
+rather than in exact-duplicate count.
+
+Findings land in SCALING.md; this script is the reproducer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from retail_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+#: key columns to shift per table (offset = replica * (max+1) of the first)
+KEY_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "nation": [],
+    "region": [],
+}
+
+DEFAULT_QUERIES = [
+    "daily_revenue",
+    "pricing_summary",
+    "region_revenue",
+    "top_customers_per_nation",
+    "dedup_keep_latest",
+    "user_rolling_hour",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "doc_winnowing",
+    "ann_topk_bruteforce",
+    "doc_token_stats",
+]
+
+
+def synthesize(spark, k: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in KEY_SHIFTS.items():
+        src = os.path.join(SRC, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(src)
+        if not keys or k == 1:
+            reps = [df] * (k if keys else 1)
+        else:
+            offsets = {
+                c: df.agg(F.max(c)).collect()[0][0] + 1 for c in set(keys)
+            }
+            reps = []
+            for i in range(k):
+                r = df
+                for c in keys:
+                    r = r.withColumn(c, (F.col(c) + i * offsets[c]).cast(df.schema[c].dataType))
+                if table == "documents" and i > 0:
+                    # Rewrite every 3rd word with a replica-specific token:
+                    # every 3-gram shingle spans 3 consecutive words, so
+                    # every shingle contains a rewritten word and
+                    # cross-replica Jaccard collapses to ~0 — replicas are
+                    # genuinely distinct documents. Weaker perturbations
+                    # measured the CORPUS, not the operator: a bare suffix
+                    # token left replicas ~identical (every doc gained k-1
+                    # near-dups, minhash 19x slower at 10x), and a 1-in-7
+                    # rewrite still left Jaccard ~0.4 (half the replica
+                    # pairs were LSH candidates, minhash verify ~10x).
+                    r = r.withColumn(
+                        "text",
+                        F.expr(
+                            "array_join(transform(split(text, ' '), "
+                            f"(x, j) -> IF(j % 3 = {i % 3}, concat(x, '{i}q'), x)), ' ')"
+                        ),
+                    )
+                if table == "embeddings" and i > 0:
+                    r = r.withColumn(
+                        "embedding",
+                        F.expr(f"transform(embedding, x -> CAST(x + {i} * 0.00011 AS FLOAT))"),
+                    )
+                reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(dst)
+    print(f"synthesized {k}x tables at {out_dir}", file=sys.stderr)
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    timings = {}
+    for name in names:
+        t0 = time.perf_counter()
+        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfscale_x{k}"
+    names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
+
+    spark = get_spark(app_name="scale_smoke")
+    # events.ts is nanosecond parquet; read it as long (ns) — the scaled
+    # copy then stores plain int64 ns, which load_tables converts the same
+    # way it does for the source table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    synthesize(spark, k, out_dir)
+
+    print("— baseline sf0.1 —", file=sys.stderr)
+    base = run(spark, SRC, names)
+    print(f"— scaled x{k} —", file=sys.stderr)
+    scaled = run(spark, out_dir, names)
+
+    report = {
+        "k": k,
+        "queries": {
+            n: {
+                "sf0_1_sec": base[n],
+                "scaled_sec": scaled[n],
+                "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
+            }
+            for n in names
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,61 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_bucketed_topk_ball(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    multiprobe_radius: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH via probe-side ball expansion + EQUI-join.
+
+    Same candidate set (hence identical results) as ``lsh_bucketed_topk``,
+    but built for many probes: each probe row explodes into the
+    ``sum(C(B, r) for r <= radius)`` bucket ids of its Hamming ball (B=8,
+    radius 1 → 9 rows) and the match is a plain equi-join on ``bucket`` —
+    a shuffled/broadcast hash join the planner can scale, instead of a
+    nested-loop bit_count(xor) predicate that evaluates every (probe, row)
+    combination. Each candidate appears exactly once per probe (its bucket
+    fixes the xor mask), so no dedup is needed.
+    """
+    from itertools import combinations
+
+    from pyspark.sql import Window as W
+
+    masks = [0]
+    if multiprobe_radius >= 1:
+        masks += [1 << p for p in range(NUM_PLANES)]
+    if multiprobe_radius >= 2:
+        masks += [(1 << p) | (1 << q) for p, q in combinations(range(NUM_PLANES), 2)]
+    if multiprobe_radius >= 3:
+        raise ValueError("ball expansion implemented for radius <= 2")
+
+    base = with_lsh_bucket(with_quantized(df)).select(id_col, "qvec", "qnorm", "bucket")
+    probes = base.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+        F.col("bucket").alias("p_bucket"),
+    )
+    balls = probes.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("p_bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+    )
+    joined = F.broadcast(balls).join(base, "bucket").filter(
+        F.col("probe_id") != F.col(id_col)
+    )
+    scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
+        "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def brute_force_topk_pandas(
     df: DataFrame, probe_ids: list[int], k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:

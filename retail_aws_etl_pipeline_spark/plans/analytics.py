@@ -424,6 +424,96 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "small_quantity_revenue",
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq,
+               COUNT(*) AS c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey AS part_id,
+           COUNT(*) AS n_small_lines,
+           {sql_dec_sum("l.l_extendedprice")} AS small_revenue
+    FROM lineitem l
+    JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(28,6)) * 5 * p.c < p.sq
+    GROUP BY l.l_partkey
+    ORDER BY small_revenue DESC, part_id ASC
+    LIMIT 25
+    """,
+    description="Q17-style correlated scalar subquery, decorrelated the way "
+    "Catalyst plans it: lines with quantity below 20% of their part's "
+    "average (threshold as exact cross-multiplied decimal — no fp boundary "
+    "flips between engines)",
+    tags=("join", "subquery", "agg"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("c") < F.col("sq"))
+        .groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            dec_sum(F.col("l_extendedprice")).alias("small_revenue"),
+        )
+        .orderBy(F.desc("small_revenue"), F.asc("part_id"))
+        .limit(25)
+    )
+
+
+@register(
+    "large_volume_orders",
+    f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           {sql_dec_sum("l.l_quantity")} AS total_qty,
+           {sql_dec_sum("l.l_extendedprice")} AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey
+    ORDER BY total_qty DESC, o.o_orderkey ASC
+    """,
+    description="Q18-style HAVING-subquery: orders whose total line quantity "
+    "exceeds a threshold, rejoined to customers (semi join on an aggregated "
+    "subquery; exact-decimal HAVING so both engines cut identically)",
+    tags=("join", "subquery", "agg", "semi"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "lineitem"])
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("oq"))
+        .filter(F.col("oq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(
+            dec_sum(F.col("l_quantity")).alias("total_qty"),
+            dec_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+@register(
     "timestamp_parse_extended",
     """
     WITH base AS (

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from retail_aws_etl_pipeline_spark.operators import dedup as D
 from retail_aws_etl_pipeline_spark.operators import similarity as S
 from retail_aws_etl_pipeline_spark.operators import textops as TX
-from retail_aws_etl_pipeline_spark.plans.queries import register
+from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY, register
 from retail_aws_etl_pipeline_spark.session import load_tables
 
 # ---------------------------------------------------------------------------
@@ -295,6 +295,30 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return S.lsh_bucketed_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
+
+
+def _register_lsh_ball():
+    # Same candidate set by construction → shares ann_topk_lsh's oracle SQL
+    # (registered just above), so the driver hash-checks that the equi-join
+    # shape reproduces the nested-loop shape exactly.
+    @register(
+        "ann_topk_lsh_ball",
+        REGISTRY["ann_topk_lsh"].oracle,
+        description="Multi-probe LSH ANN via probe-side Hamming-ball "
+        "expansion + equi-join on bucket — the many-probe scale path (the "
+        "bit_count(xor) nested-loop in ann_topk_lsh evaluates every "
+        "probe x row combination; this shape hash-joins and produces "
+        "identical results)",
+        tags=("similarity", "lsh"),
+    )
+    def ann_topk_lsh_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tables(spark, sf_dir, ["embeddings"])
+        return S.lsh_bucketed_topk_ball(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy(
+            "probe_id", "rank"
+        )
+
+
+_register_lsh_ball()
 
 
 @register(

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the optimizations the 100 TB design relies
+on must actually appear in the executed plans (SURVEY.md §4, SCALING.md).
+
+These are regression tests for plan SHAPE, not results: column pruning at
+the parquet scan, predicate pushdown, broadcast dimension joins, rank-limit
+pushdown (WindowGroupLimit), and whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.plans import REGISTRY
+from retail_aws_etl_pipeline_spark.session import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark):
+    """daily_revenue touches 3 of lineitem's 16 columns — the scan must
+    read exactly those (ReadSchema pruning)."""
+    df = REGISTRY["daily_revenue"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    for col in ("l_shipdate", "l_extendedprice", "l_discount"):
+        assert col in read_schema
+    for col in ("l_comment", "l_orderkey", "l_partkey", "l_quantity"):
+        assert col not in read_schema, f"unpruned column {col}: {read_schema}"
+
+
+def test_filter_pushes_down_to_scan(spark):
+    t = load_tables(spark, SF_SMOKE, ["lineitem"])
+    df = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_returnflag" in pushed, pushed
+
+
+def test_dimension_joins_broadcast(spark):
+    """region_revenue's nation/region joins must be broadcast, not
+    shuffled sort-merge."""
+    plan = _plan(REGISTRY["region_revenue"].spark_fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """rank<=3 filter over the window must push into WindowGroupLimit
+    (partial per-partition top-k before the shuffle)."""
+    plan = _plan(REGISTRY["top_customers_per_nation"].spark_fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_global_topk_plans_take_ordered(spark):
+    """orderBy + limit must plan TakeOrderedAndProject, never a full sort."""
+    plan = _plan(REGISTRY["top_items"].spark_fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_agg_queries_stay_in_codegen(spark):
+    """The hot aggregate path must be inside WholeStageCodegen (no
+    interpreted row-at-a-time fallback in the main pipeline)."""
+    for name in ("daily_revenue", "pricing_summary"):
+        df = REGISTRY[name].spark_fn(spark, SF_SMOKE)
+        # AQE prints codegen spans only in the FINAL plan — execute THIS
+        # df's own queryExecution first (a sink executes a copy). Codegen
+        # stages appear as "*(n) Operator" markers in the plan text.
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan, f"{name}: {plan[:500]}"
+        starred = [ln for ln in plan.splitlines() if ln.lstrip("+- ").startswith("*(")]
+        assert any("HashAggregate" in ln for ln in starred), f"{name}: {plan[:1500]}"
+
+
+def test_semi_join_not_inner(spark):
+    """IN-subquery shapes must plan LeftSemi (no row multiplication)."""
+    plan = _plan(REGISTRY["returned_order_priorities"].spark_fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:2000]

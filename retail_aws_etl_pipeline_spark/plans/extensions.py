@@ -484,6 +484,46 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprints(t["documents"]).select("doc_id", "fp_exact", "fp_content").orderBy("doc_id")
 
 
+@register(
+    "embedding_norm_stats",
+    f"""
+    WITH {_quant_cte()}
+    SELECT e.label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(n.qnorm) AS BIGINT) AS sum_qnorm,
+           CAST(MIN(n.qnorm) AS BIGINT) AS min_qnorm,
+           CAST(MAX(n.qnorm) AS BIGINT) AS max_qnorm,
+           CAST(SUM(CAST(list_sum(list_transform(n.qvec, x -> CASE WHEN x < 0 THEN 1 ELSE 0 END)) AS BIGINT)) AS BIGINT) AS neg_components
+    FROM n JOIN embeddings e ON e.vec_id = n.vec_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+    description="Array higher-order-function surface over embeddings: "
+    "per-label exact-integer norm statistics (transform/aggregate vs "
+    "DuckDB list_transform/list_sum) — the vector-column profiling query a "
+    "training-data pipeline runs before choosing ANN parameters",
+    tags=("similarity", "agg", "array"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    base = S.with_quantized(t["embeddings"])
+    negs = F.expr(
+        "aggregate(transform(qvec, x -> CASE WHEN x < 0 THEN 1L ELSE 0L END), 0L, (a, v) -> a + v)"
+    )
+    return (
+        base.withColumn("negs", negs)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qnorm").alias("sum_qnorm"),
+            F.min("qnorm").alias("min_qnorm"),
+            F.max("qnorm").alias("max_qnorm"),
+            F.sum("negs").alias("neg_components"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing query (binary payload → Arrow-batched numpy kernel)
 # ---------------------------------------------------------------------------

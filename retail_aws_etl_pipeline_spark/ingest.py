@@ -110,15 +110,6 @@ def ingest_file(
             timestamp_patterns=timestamp_patterns,
             ingest_ts=ingest_ts,
         )
-        if split.counts["reject_rows"] > 0:
-            split.rejects.write.mode("append").json(lake.rejected("data_quality/json"))
-            if write_reject_csv:
-                (
-                    split.rejects.coalesce(1)
-                    .write.mode("append")
-                    .option("header", True)
-                    .csv(lake.rejected("data_quality/csv"))
-                )
         # repartition by the partition key first: otherwise every task holds
         # rows of every date and a D-date file writes T×D small files
         # (observed 32×550 on the bench); this way each date lands in one
@@ -127,9 +118,22 @@ def ingest_file(
         # single task, which then creates every date directory serially
         # (~16 ms each — measured 9 s for 550 dates); pinning N keeps the
         # directory/file creation spread across the cluster.
+        #
+        # The silver write goes FIRST: it is the action that populates both
+        # caches and fires the embedded count Observations, so the class
+        # counts (and the reject-write decision below) cost zero extra jobs.
         split.good.repartition(
             spark.sparkContext.defaultParallelism, "date"
         ).write.mode("append").partitionBy("date").parquet(lake.processed)
+        if split.resolve_counts()["reject_rows"] > 0:
+            split.rejects.write.mode("append").json(lake.rejected("data_quality/json"))
+            if write_reject_csv:
+                (
+                    split.rejects.coalesce(1)
+                    .write.mode("append")
+                    .option("header", True)
+                    .csv(lake.rejected("data_quality/csv"))
+                )
     except Exception as exc:
         reject_dir = lake.rejected("system")
         os.makedirs(reject_dir, exist_ok=True)

@@ -182,6 +182,74 @@ def jaccard_counts(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (node, label).
+
+    ``label`` converges to the minimum node id in each component —
+    the canonical-representative assignment that turns pairwise near-dup
+    hits into dedup clusters. Iterative min-label propagation: each round,
+    every node takes the min of its own label and its neighbors' labels;
+    converges in O(graph diameter) rounds (near-dup components are
+    LSH-band cliques chained by overlap — diameter is small in practice).
+
+    Every round is one shuffle (join on node id) + one map-side-combined
+    min aggregation, so the 100 TB cost is rounds × one key-partitioned
+    shuffle of the edge list. For adversarially long chain graphs, swap in
+    the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same join primitives, O(log n)
+    rounds; the simple propagation is kept here because dedup graphs are
+    shallow and each round is cheaper.
+
+    Singletons (nodes in no pair) keep their own id as label. Raises if
+    ``max_iter`` rounds do not reach the fixpoint — the result would not
+    be the true component labeling.
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .select(edges["src"].alias("node"), F.col("label").alias("nbr_label"))
+                .groupBy("node")
+                .agg(F.min("nbr_label").alias("nbr_label"))
+            )
+            updated = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            converged = (
+                updated.withColumnRenamed("label", "new_label")
+                .join(labels, "node")
+                .filter(F.col("new_label") != F.col("label"))
+                .isEmpty()
+            )
+            labels.unpersist()
+            labels = updated
+            if converged:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
 SIMHASH_BITS = 60  # 15 md5 nibbles x 4 bits; bit 63 would overflow int64
 
 

@@ -28,9 +28,10 @@ structural/timestamp rejects carry raw strings and keep ``raw_row``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.functions.numeric import clean_currency, clean_quantity
@@ -47,12 +48,25 @@ from retail_aws_etl_pipeline_spark.schema import (
 
 @dataclass
 class QualitySplit:
-    """Outcome of the quality routing over one extracted frame."""
+    """Outcome of the quality routing over one extracted frame.
+
+    ``counts`` starts empty: the class counts ride piggyback on the first
+    action over ``good``/``rejects`` via ``Observation`` nodes embedded in
+    the plan (zero extra jobs — the reference recomputed the lineage 5×).
+    Call :meth:`resolve_counts` AFTER that first action to materialize the
+    dict; calling it before any action blocks until one completes.
+    """
 
     good: DataFrame  # silver-shaped rows (pre-write)
     rejects: DataFrame  # fixed 13-column reject frame, all three classes
-    counts: dict  # single-pass class counts + duplicates_removed
+    counts: dict = field(default_factory=dict)  # resolved class counts
     cached: list[DataFrame] | None = None  # persisted lineages; caller unpersists
+    _resolve: Callable[[], dict] | None = None
+
+    def resolve_counts(self) -> dict:
+        if not self.counts and self._resolve is not None:
+            self.counts = self._resolve()
+        return self.counts
 
 
 def _required_null_cond():
@@ -99,6 +113,19 @@ def split_quality(
         F.when(~struct_cond, parse_timestamp("timestamp_raw", patterns)),
     )
 
+    # Total/structural/timestamp class counts ride the first action as an
+    # Observation (inside the cached plan, so they are computed exactly once
+    # — at cache population) instead of a dedicated aggregation job.
+    obs_parse = Observation("parse_counts")
+    parsed = parsed.observe(
+        obs_parse,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(struct_cond, 1).otherwise(0)).alias("structural"),
+        F.sum(
+            F.when(~struct_cond & F.col("timestamp_parsed").isNull(), 1).otherwise(0)
+        ).alias("invalid_timestamp"),
+    )
+
     # Cache the parse lineage once: every downstream branch (good rows,
     # three reject classes, counts) reuses it instead of re-reading +
     # re-parsing the file per action.
@@ -125,11 +152,6 @@ def split_quality(
         .withColumn("date", F.to_date(F.col("timestamp")))
     )
 
-    # Persist the deduped frame as well: the dropDuplicates shuffle would
-    # otherwise run twice — once for the class-count aggregation below and
-    # again when the caller writes the good rows.
-    deduped = cleaned.dropDuplicates().persist()
-
     # -- business DQ (glue_job_raw_to_processed.py:304-310 + null-numeric
     # deviation documented above) -------------------------------------------
     dq_cond = (
@@ -142,6 +164,22 @@ def split_quality(
             > REVENUE_TOLERANCE
         )
     )
+
+    # Persist the deduped frame as well: the dropDuplicates shuffle would
+    # otherwise run twice — once for the reject branch and again when the
+    # caller writes the good rows. Post-dedup + business counts observe the
+    # same single materialization.
+    obs_dedup = Observation("dedup_counts")
+    deduped = (
+        cleaned.dropDuplicates()
+        .observe(
+            obs_dedup,
+            F.count(F.lit(1)).alias("after_dedup"),
+            F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
+        )
+        .persist()
+    )
+
     dq_rejects = (
         deduped.filter(dq_cond)
         .withColumn("raw_row", F.lit(None).cast("string"))
@@ -155,37 +193,33 @@ def split_quality(
         .unionByName(align_reject_schema(dq_rejects))
     )
 
-    # -- single-pass class counts ------------------------------------------
-    # total/struct/ts from the cached parse; dedup+dq sizes from one extra
-    # small aggregation over the cleaned branch.
-    base = parsed.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(struct_cond, 1).otherwise(0)).alias("structural"),
-        F.sum(
-            F.when(~struct_cond & F.col("timestamp_parsed").isNull(), 1).otherwise(0)
-        ).alias("invalid_timestamp"),
-    ).collect()[0]
-    after = deduped.agg(
-        F.count(F.lit(1)).alias("after_dedup"),
-        F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
-    ).collect()[0]
+    # -- zero-extra-pass class counts --------------------------------------
+    # The Observation nodes above record all class totals during the first
+    # action (normally the caller's silver write). ``resolve_counts`` just
+    # reads them back and derives the report dict.
+    def _resolve() -> dict:
+        base = obs_parse.get
+        after = obs_dedup.get
+        # SUM over an empty frame aggregates to NULL (a header-only file
+        # passes the head gate but parses to zero data rows) — treat as 0.
+        structural = base["structural"] or 0
+        invalid_ts = base["invalid_timestamp"] or 0
+        survivors_n = base["total"] - structural - invalid_ts
+        counts = {
+            "data_rows": base["total"],
+            "structural_rejects": structural,
+            "timestamp_rejects": invalid_ts,
+            "duplicates_removed": survivors_n - after["after_dedup"],
+            "business_rejects": after["business"] or 0,
+            "good_rows": after["after_dedup"] - (after["business"] or 0),
+        }
+        counts["reject_rows"] = (
+            counts["structural_rejects"]
+            + counts["timestamp_rejects"]
+            + counts["business_rejects"]
+        )
+        return counts
 
-    # SUM over an empty frame aggregates to NULL (a header-only file passes
-    # the head gate but parses to zero data rows) — treat as 0.
-    structural = base["structural"] or 0
-    invalid_ts = base["invalid_timestamp"] or 0
-    survivors_n = base["total"] - structural - invalid_ts
-    counts = {
-        "data_rows": base["total"],
-        "structural_rejects": structural,
-        "timestamp_rejects": invalid_ts,
-        "duplicates_removed": survivors_n - after["after_dedup"],
-        "business_rejects": after["business"] or 0,
-        "good_rows": after["after_dedup"] - (after["business"] or 0),
-    }
-    counts["reject_rows"] = (
-        counts["structural_rejects"]
-        + counts["timestamp_rejects"]
-        + counts["business_rejects"]
+    return QualitySplit(
+        good=good, rejects=rejects, cached=[parsed, deduped], _resolve=_resolve
     )
-    return QualitySplit(good=good, rejects=rejects, counts=counts, cached=[parsed, deduped])

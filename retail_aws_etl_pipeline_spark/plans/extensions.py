@@ -779,3 +779,220 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K, centroids=cents).orderBy(
         "probe_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering + dataset curation queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN csize s ON c.cluster_id = s.cluster_id
+    ORDER BY c.doc_id
+    """,
+    description="Near-dup CLUSTERS: pairwise n-gram-Jaccard hits resolved "
+    "into connected components by iterative min-label propagation (the "
+    "step that turns pair lists into actual dedup decisions); oracle = "
+    "DuckDB recursive-CTE transitive closure",
+    tags=("dedup", "graph"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    counts = D.jaccard_counts(grams)
+    pairs = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs, t["documents"].select("doc_id"))
+    csize = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(csize, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _split_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    nib = (
+        lambda i: f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    )  # noqa: E731
+    bucket = (
+        f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {SMP.SPLIT_BUCKETS}"
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    b AS (SELECT doc_id, {bucket} AS bucket FROM h)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < {SMP.TRAIN_BUCKETS} THEN 'train'
+                WHEN bucket < {SMP.TRAIN_BUCKETS + SMP.VALID_BUCKETS} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "dataset_split_assignment",
+    _split_oracle(),
+    description="Deterministic train/valid/test split: bucket = first 16 "
+    "bits of md5(doc_id) mod 100 — stable across re-runs/backfills/engines, "
+    "never rand(); scan-side projection at scale",
+    tags=("sampling",),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        SMP.with_split_assignment(t["documents"])
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _quality_filter_oracle() -> str:
+    stop = ", ".join(repr(m) for m in TX.EN_STOPWORDS)
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({stop}))) AS n_stopwords
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_tokens < 5 THEN 0.0
+                    ELSE (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.5
+                         + least(CAST(n_stopwords AS DOUBLE) / n_tokens * 4.0, 1.0) * 0.3
+                         + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2
+               END AS quality_score
+        FROM feats
+    ),
+    ranked AS (
+        SELECT doc_id, lang, quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY quality_score DESC, doc_id ASC) AS q_rank,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM scored
+    )
+    SELECT doc_id, lang, CAST(q_rank AS BIGINT) AS q_rank, quality_score
+    FROM ranked WHERE q_rank * 2 <= n_lang
+    ORDER BY lang, q_rank
+    """
+
+
+@register(
+    "quality_top_half_per_lang",
+    _quality_filter_oracle(),
+    description="Per-group quality filtering: keep each language's top "
+    "half by composite quality score — rank-based (integer-exact), not a "
+    "double median cut; the corpus-curation filter before training",
+    tags=("text", "sampling", "window"),
+)
+def quality_top_half_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    feats = TX.quality_features(t["documents"])
+    w = W.partitionBy("lang").orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    ranked = feats.withColumn("q_rank", F.row_number().over(w).cast("long")).withColumn(
+        "n_lang", F.count(F.lit(1)).over(W.partitionBy("lang"))
+    )
+    return (
+        ranked.filter(F.col("q_rank") * 2 <= F.col("n_lang"))
+        .select("doc_id", "lang", "q_rank", "quality_score")
+        .orderBy("lang", "q_rank")
+    )
+
+
+def _packing_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    cap = SMP.PACK_CAPACITY
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_toks,
+               SUM(n_toks) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_toks AS start
+        FROM t
+    )
+    SELECT lang, CAST(start // {cap} AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY lang, start // {cap}
+    ORDER BY lang, pack_id
+    """
+
+
+@register(
+    "sequence_packing_chunks",
+    _packing_oracle(),
+    description="Sequence packing: documents laid into a contiguous token "
+    "stream per language shard, chunked at fixed token capacity (pack = "
+    "chunk containing the doc's first token) — the batch-prep step before "
+    "training; sharded window, never a global-order running sum",
+    tags=("sampling", "window", "text"),
+)
+def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    packed = SMP.with_pack_assignment(t["documents"])
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )

@@ -87,12 +87,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     The score formula uses only integer counts and a fixed-order double
     expression, so it is bit-reproducible across engines.
     """
-    toks = whitespace_tokens(text_col)
     n_chars = F.length(F.col(text_col)).cast("long")
-    n_tokens = F.size(toks).cast("long")
+    n_tokens = F.size(F.col("__toks")).cast("long")
     n_punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast("long")
     stop = ", ".join(f"'{m}'" for m in EN_STOPWORDS)
-    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop})))").cast("long")
+    n_stop = F.expr(f"size(filter(__toks, t -> t IN ({stop})))").cast("long")
     mean_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
@@ -105,12 +104,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return (
-        df.withColumn("n_chars_m", n_chars)
+        df.withColumn("__toks", whitespace_tokens(text_col))
+        .withColumn("n_chars_m", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_punct", n_punct)
         .withColumn("n_stopwords", n_stop)
         .withColumn("mean_token_len", mean_tok_len)
         .withColumn("quality_score", score)
+        .drop("__toks")
     )
 
 

@@ -665,15 +665,20 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     from pyspark.sql import Window as W
 
-    toks = "split(text, ' ')"
+    # tokenize once per row; split() inside the lambda would re-tokenize per
+    # gram (no CSE across the lambda boundary — measured 4x on shingles)
     grams_arr = (
-        f"transform(sequence(1, greatest(size({toks}) - 2, 0)),"
-        f" i -> md5(concat_ws(' ', slice({toks}, i, 3))))"
+        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
+        " i -> md5(concat_ws(' ', slice(__toks, i, 3))))"
     )
-    positional = t["documents"].select(
-        "doc_id",
-        F.posexplode(F.expr(grams_arr)).alias("pos0", "ghash"),
-        (F.size(F.expr(toks)) - 2).alias("n_grams"),
+    positional = (
+        t["documents"]
+        .withColumn("__toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(grams_arr)).alias("pos0", "ghash"),
+            (F.size(F.col("__toks")) - 2).alias("n_grams"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, WINNOW_WINDOW - 1)
     winmin = positional.withColumn("wfp", F.min("ghash").over(w))
@@ -995,4 +1000,57 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("lang", "pack_id")
+    )
+
+
+@register(
+    "doc_repetition_ratio",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               greatest(len(toks) - {D.SHINGLE_N - 1}, 0) AS total_grams,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {D.SHINGLE_N - 1}, 0) + 1),
+                   i -> array_to_string(toks[i:i + {D.SHINGLE_N - 1}], ' ')
+               ))) AS distinct_grams
+        FROM t
+    )
+    SELECT doc_id, CAST(total_grams AS BIGINT) AS total_grams,
+           CAST(distinct_grams AS BIGINT) AS distinct_grams,
+           CASE WHEN total_grams = 0 THEN 0.0
+                ELSE 1.0 - CAST(distinct_grams AS DOUBLE) / total_grams
+           END AS repetition_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+    description="Within-document repetition: 1 - distinct/total word "
+    "3-grams (the Gopher-style boilerplate/repetition quality signal); "
+    "pure scan-side array expressions, no shuffle",
+    tags=("text", "quality"),
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    n = D.SHINGLE_N
+    grams = (
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    return (
+        t["documents"]
+        .withColumn("__toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.greatest(F.size("__toks") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias("total_grams"),
+            F.size(F.array_distinct(F.expr(grams))).cast("long").alias("distinct_grams"),
+        )
+        .withColumn(
+            "repetition_ratio",
+            F.when(F.col("total_grams") == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("distinct_grams").cast("double") / F.col("total_grams")
+            ),
+        )
+        .orderBy("doc_id")
     )

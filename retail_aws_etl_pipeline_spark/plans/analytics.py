@@ -788,3 +788,89 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH rev AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               n.n_name AS nation,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           {sql_dec_sum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")} AS nation_volume,
+           {sql_dec_sum("volume")} AS total_volume,
+           {sql_dec_sum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END")}
+               / {sql_dec_sum("volume")} AS mkt_share
+    FROM rev
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    description="Q8-style market share: 4-way join, year extraction, "
+    "conditional-aggregation ratio (share of one nation's volume per "
+    "order year); ratio of two exact-decimal sums in identical double ops",
+    tags=("join", "agg", "tpch"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("n_name") == "NATION_1", volume).otherwise(F.lit(0.0))
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            nation_vol.alias("nation_vol"),
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            dec_sum(F.col("nation_vol")).alias("nation_volume"),
+            dec_sum(F.col("volume")).alias("total_volume"),
+            (dec_sum(F.col("nation_vol")) / dec_sum(F.col("volume"))).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type NOT LIKE 'PROMO%'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY n_suppliers DESC, p.p_brand, p.p_size
+    """,
+    description="Q16-style: NOT IN anti-subquery (excluded suppliers) + "
+    "NOT LIKE filter + grouped COUNT(DISTINCT) with top-heavy ordering",
+    tags=("join", "anti", "agg", "tpch"),
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(t["part"].filter(~F.col("p_type").like("PROMO%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"))
+        .orderBy(F.col("n_suppliers").desc(), "p_brand", "p_size")
+    )

@@ -199,30 +199,38 @@ def connected_components(
 
     ``label`` converges to the minimum node id in each component —
     the canonical-representative assignment that turns pairwise near-dup
-    hits into dedup clusters. Iterative min-label propagation: each round,
-    every node takes the min of its own label and its neighbors' labels;
-    converges in O(graph diameter) rounds (near-dup components are
-    LSH-band cliques chained by overlap — diameter is small in practice).
+    hits into dedup clusters. Min-label propagation with pointer jumping:
+    each round every node takes the min of its own label, its neighbors'
+    labels, and its *label's* label (path-halving), so convergence is
+    O(log diameter) rounds rather than O(diameter).
 
-    Every round is one shuffle (join on node id) + one map-side-combined
-    min aggregation, so the 100 TB cost is rounds × one key-partitioned
-    shuffle of the edge list. For adversarially long chain graphs, swap in
-    the large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same join primitives, O(log n)
-    rounds; the simple propagation is kept here because dedup graphs are
-    shallow and each round is cheaper.
+    Scale design: only nodes that appear in at least one edge enter the
+    iteration — near-dup graphs are sparse, so the iterated frame is a
+    small fraction of the corpus; singletons are appended with their own
+    id as label in a single final anti-join. Each round costs two
+    key-partitioned shuffles of the edge-participant set (neighbor-min +
+    jump), and convergence is read off a ``_changed`` flag computed inside
+    the same pass — no extra per-round comparison join. For adversarially
+    dense graphs, the large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") bounds total edge
+    traffic better; this propagation keeps per-round cost lower on the
+    shallow clique-chain graphs dedup produces.
 
-    Singletons (nodes in no pair) keep their own id as label. Raises if
-    ``max_iter`` rounds do not reach the fixpoint — the result would not
-    be the true component labeling.
+    Raises if ``max_iter`` rounds do not reach the fixpoint — the result
+    would not be the true component labeling.
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    cached = labels  # the persisted frame backing `labels` (unpersist target)
     try:
+        converged = False
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges["dst"] == labels["node"])
@@ -230,29 +238,42 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("nbr_label").alias("nbr_label"))
             )
+            parents = labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            jumped = (
+                labels.join(parents, labels["label"] == parents["p_node"])
+                .select(labels["node"], F.col("p_label").alias("jump_label"))
+            )
+            new_label = F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_label"), F.col("label")),
+                F.coalesce(F.col("jump_label"), F.col("label")),
+            )
             updated = (
                 labels.join(nbr_min, "node", "left")
+                .join(jumped, "node", "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                    ).alias("label"),
+                    new_label.alias("label"),
+                    (new_label < F.col("label")).alias("_changed"),
                 )
                 .persist()
             )
-            converged = (
-                updated.withColumnRenamed("label", "new_label")
-                .join(labels, "node")
-                .filter(F.col("new_label") != F.col("label"))
-                .isEmpty()
-            )
-            labels.unpersist()
-            labels = updated
+            converged = updated.filter(F.col("_changed")).isEmpty()
+            cached.unpersist()
+            cached = updated
+            labels = updated.drop("_changed")
             if converged:
-                return labels
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        singletons = nodes.select(F.col(id_col).alias("node")).join(
+            labels.select("node"), "node", "left_anti"
         )
+        return labels.unionByName(singletons.withColumn("label", F.col("node")))
     finally:
         edges.unpersist()
 

@@ -207,10 +207,11 @@ def connected_components(
     Scale design: only nodes that appear in at least one edge enter the
     iteration — near-dup graphs are sparse, so the iterated frame is a
     small fraction of the corpus; singletons are appended with their own
-    id as label in a single final anti-join. Each round costs two
-    key-partitioned shuffles of the edge-participant set (neighbor-min +
-    jump), and convergence is read off a ``_changed`` flag computed inside
-    the same pass — no extra per-round comparison join. For adversarially
+    id as label in a single final anti-join. Each round costs one
+    key-partitioned shuffle of the edge-participant set — the jump rides
+    the neighbor-min join as synthetic ``(v, label(v))`` edges — and
+    convergence is read off a ``_changed`` flag computed inside the same
+    pass, no extra per-round comparison join. For adversarially
     dense graphs, the large-star/small-star algorithm (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") bounds total edge
     traffic better; this propagation keeps per-round cost lower on the
@@ -232,27 +233,23 @@ def connected_components(
     try:
         converged = False
         for _ in range(max_iter):
+            # Fold the pointer jump into the neighbor pass: (v, label(v))
+            # acts as one more edge, so a single join+agg yields
+            # min(neighbor labels ∪ {label(label(v))}).
+            dyn_edges = edges.unionByName(
+                labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+            )
             nbr_min = (
-                edges.join(labels, edges["dst"] == labels["node"])
-                .select(edges["src"].alias("node"), F.col("label").alias("nbr_label"))
+                dyn_edges.join(labels, dyn_edges["dst"] == labels["node"])
+                .select(dyn_edges["src"].alias("node"), F.col("label").alias("cand"))
                 .groupBy("node")
-                .agg(F.min("nbr_label").alias("nbr_label"))
-            )
-            parents = labels.select(
-                F.col("node").alias("p_node"), F.col("label").alias("p_label")
-            )
-            jumped = (
-                labels.join(parents, labels["label"] == parents["p_node"])
-                .select(labels["node"], F.col("p_label").alias("jump_label"))
+                .agg(F.min("cand").alias("cand"))
             )
             new_label = F.least(
-                F.col("label"),
-                F.coalesce(F.col("nbr_label"), F.col("label")),
-                F.coalesce(F.col("jump_label"), F.col("label")),
+                F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
             )
             updated = (
                 labels.join(nbr_min, "node", "left")
-                .join(jumped, "node", "left")
                 .select(
                     "node",
                     new_label.alias("label"),

@@ -89,6 +89,48 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def running_user_stats_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value), re-emitted on every micro-batch that
+    touches the user (Update mode).
+
+    This is the escape hatch for stateful semantics ``session_window`` /
+    ``dropDuplicates`` can't express — arbitrary per-key state carried
+    across micro-batches, updated by an Arrow-batched pandas kernel. State
+    here is a 2-field tuple per user, so memory is O(distinct keys); for
+    key churn, swap ``NoTimeout`` for ``ProcessingTimeTimeout`` and expire
+    idle keys in the kernel (``state.hasTimedOut``).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion over the available input and
     return the materialized result (memory sink; local testing harness)."""

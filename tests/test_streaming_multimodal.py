@@ -13,6 +13,7 @@ from retail_aws_etl_pipeline_spark.streaming import (
     events_stream,
     hourly_rollup_stream,
     run_stream_to_memory,
+    running_user_stats_stream,
     session_stream,
 )
 from tests.conftest import SF_SMOKE
@@ -71,6 +72,32 @@ def test_session_stream_matches_batch_session_count(spark, tmp_path):
     g = got.groupBy("user_id").count().collect()
     b = batch.groupBy("user_id").count().collect()
     assert {(r["user_id"], r["count"]) for r in g} == {(r["user_id"], r["count"]) for r in b}
+
+
+def test_running_user_stats_stream_matches_batch(spark, events_dir):
+    # Update mode re-emits a user's totals every micro-batch that touches
+    # them; n_events is monotone per user, so the final state is the row
+    # with the max n_events.
+    got = run_stream_to_memory(
+        running_user_stats_stream(events_stream(spark, events_dir)),
+        "running_stats_out",
+        output_mode="update",
+    )
+    final = {}
+    for r in got.collect():
+        prev = final.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    b = {r["user_id"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert set(final) == set(b)
+    for k in b:
+        assert final[k][0] == b[k][0]
+        assert final[k][1] == pytest.approx(b[k][1], rel=1e-9)
 
 
 def test_byte_histogram_kernel(spark):

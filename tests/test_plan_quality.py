@@ -79,3 +79,33 @@ def test_semi_join_not_inner(spark):
     """IN-subquery shapes must plan LeftSemi (no row multiplication)."""
     plan = _plan(REGISTRY["returned_order_priorities"].spark_fn(spark, SF_SMOKE))
     assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q6_filters_push_to_scan(spark):
+    """forecast_revenue's tight conjunctive predicate must reach the
+    parquet scan as pushed filters (the query is a scan+agg at scale)."""
+    plan = _plan(REGISTRY["forecast_revenue"].spark_fn(spark, SF_SMOKE))
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_part_dimension_joins_broadcast(spark):
+    """promo/brand queries join the fact to the part dim — must broadcast,
+    never shuffle the fact side."""
+    for name in ("promo_revenue_ratio", "brand_quantity_revenue"):
+        plan = _plan(REGISTRY[name].spark_fn(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, f"{name}: {plan[:2000]}"
+
+
+def test_exists_plans_left_semi(spark):
+    """Q4-style correlated EXISTS must plan LeftSemi with the inequality
+    as a join condition (no row multiplication, no post-join dedup)."""
+    plan = _plan(REGISTRY["priority_order_counts"].spark_fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_anti_join_shape(spark):
+    """Q22-style NOT EXISTS must plan LeftAnti."""
+    plan = _plan(REGISTRY["dormant_rich_customers"].spark_fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan[:2000]

@@ -220,9 +220,17 @@ def connected_components(
     Raises if ``max_iter`` rounds do not reach the fixpoint — the result
     would not be the true component labeling.
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev).distinct().persist()
+    # Both directions via one explode, NOT a self-union: a union of two
+    # selects over `pairs` executes the upstream pair-generation lineage
+    # (often an expensive gram self-join) twice in the first
+    # materialization; the explode scans it once.
+    both = F.explode(
+        F.array(
+            F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+        )
+    ).alias("e")
+    edges = pairs.select(both).select("e.src", "e.dst").distinct().persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -223,7 +223,12 @@ def _simhash_oracle() -> str:
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    sim = D.simhash64(D.shingles(t["documents"]))
+    # Persist the per-doc fingerprint frame: the banded self-join consumes
+    # it twice, and recomputing means running the shingle explosion + the
+    # 16-column majority-vote agg twice. (Persisting the GRAM frame is the
+    # wrong move — see minhash_lsh_pairs — but post-agg this is one tiny
+    # row per doc.)
+    sim = D.simhash64(D.shingles(t["documents"])).persist()
     return D.simhash_near_pairs(sim, max_hamming=3).orderBy("id_a", "id_b")
 
 

@@ -1059,3 +1059,155 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation audits: decontamination, vocabulary, split leakage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH {GRAMS_CTE},
+    probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM grams g JOIN probe p ON g.gram = p.gram
+    WHERE g.doc_id >= 5
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    description="Benchmark decontamination: per-doc count of word 3-grams "
+    "shared with a probe/benchmark set (docs 0-4); broadcast the probe "
+    "gram dictionary, semi-join the corpus gram stream — the standard "
+    "train-set contamination audit",
+    tags=("text", "curation"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"])
+    probe = grams.filter(F.col("doc_id") < 5).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(probe), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_vocabulary",
+    """
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n_total DESC, tok
+    LIMIT 200
+    """,
+    description="Corpus vocabulary: token totals + document frequency, "
+    "top-200 (map-side-combined groupBy over the exploded token stream; "
+    "the input to tokenizer/BPE corpus statistics)",
+    tags=("text", "curation"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(200)
+    )
+
+
+def _leakage_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    def split_sql(id_expr: str) -> str:
+        def nib(i: int) -> str:
+            return (
+                f"(strpos('0123456789abcdef',"
+                f" substr(md5(CAST({id_expr} AS VARCHAR)), {i}, 1)) - 1)"
+            )
+
+        bucket = (
+            f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+            f" % {SMP.SPLIT_BUCKETS})"
+        )
+        return (
+            f"CASE WHEN {bucket} < {SMP.TRAIN_BUCKETS} THEN 'train'"
+            f" WHEN {bucket} < {SMP.TRAIN_BUCKETS + SMP.VALID_BUCKETS} THEN 'valid'"
+            f" ELSE 'test' END"
+        )
+
+    return f"""
+    WITH {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    )
+    SELECT {split_sql('p.id_a')} AS split_a, {split_sql('p.id_b')} AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM prs p
+    WHERE {split_sql('p.id_a')} <> {split_sql('p.id_b')}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register(
+    "split_leakage_pairs",
+    _leakage_oracle(),
+    description="Split-leakage audit: near-dup pairs (n-gram Jaccard ≥ "
+    "0.2) whose endpoints fall in different train/valid/test splits — "
+    "the contamination check run before training; split is a scan-side "
+    "pure function of doc_id (no join against an assignment table)",
+    tags=("dedup", "curation"),
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    def split_of(c: str):
+        hx = F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 4), 16, 10)
+        b = hx.cast("long") % SMP.SPLIT_BUCKETS
+        return (
+            F.when(b < SMP.TRAIN_BUCKETS, F.lit("train"))
+            .when(b < SMP.TRAIN_BUCKETS + SMP.VALID_BUCKETS, F.lit("valid"))
+            .otherwise(F.lit("test"))
+        )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    counts = D.jaccard_counts(grams)
+    pairs = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    return (
+        pairs.select(
+            split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )

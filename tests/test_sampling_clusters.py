@@ -6,7 +6,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from retail_aws_etl_pipeline_spark.operators.dedup import connected_components
+from retail_aws_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 from retail_aws_etl_pipeline_spark.operators.sampling import (
     PACK_CAPACITY,
     SPLIT_BUCKETS,
@@ -15,10 +18,10 @@ from retail_aws_etl_pipeline_spark.operators.sampling import (
 )
 
 
-def _labels(spark, pair_list, node_list):
+def _labels(spark, pair_list, node_list, impl=connected_components):
     pairs = spark.createDataFrame(pair_list, ["id_a", "id_b"])
     nodes = spark.createDataFrame([(n,) for n in node_list], ["doc_id"])
-    rows = connected_components(pairs, nodes).collect()
+    rows = impl(pairs, nodes).collect()
     return {r["node"]: r["label"] for r in rows}
 
 def test_cc_chain_converges_to_min(spark):
@@ -65,6 +68,31 @@ def test_cc_matches_union_find(spark, n, raw_edges):
     got = _labels(spark, edges or [(0, 0)], list(range(n)))
     want = _union_find_labels(n, edges)
     assert got == want
+
+
+@given(
+    n=st.integers(2, 25),
+    raw_edges=st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=30),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cc_star_matches_union_find(spark, n, raw_edges):
+    """Large-star/small-star == union-find on the same graph family."""
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    got = _labels(spark, edges or [(0, 0)], list(range(n)), impl=connected_components_star)
+    want = _union_find_labels(n, edges)
+    assert got == want
+
+
+def test_cc_star_long_chain(spark):
+    """A 12-node chain (worst case for plain propagation) converges in
+    O(log n) star rounds to the chain minimum."""
+    chain = [(i, i + 1) for i in range(11)]
+    got = _labels(spark, chain, list(range(12)), impl=connected_components_star)
+    assert got == {i: 0 for i in range(12)}
 
 
 def test_split_assignment_is_deterministic_and_partitions(spark):

@@ -796,9 +796,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "near_dup_clusters",
-    f"""
+#: transitive-closure oracle shared by both connected-components variants
+#: (they compute the identical labeling by different distributed algorithms)
+_NEAR_DUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {GRAMS_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
     common AS (
@@ -829,21 +829,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN csize s ON c.cluster_id = s.cluster_id
     ORDER BY c.doc_id
-    """,
-    description="Near-dup CLUSTERS: pairwise n-gram-Jaccard hits resolved "
-    "into connected components by iterative min-label propagation (the "
-    "step that turns pair lists into actual dedup decisions); oracle = "
-    "DuckDB recursive-CTE transitive closure",
-    tags=("dedup", "graph"),
-)
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _near_dup_cluster_frame(spark: SparkSession, sf_dir: str, cc_impl) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     grams = D.shingles(t["documents"]).persist()
     counts = D.jaccard_counts(grams)
     pairs = counts.filter(
         F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
     ).select("id_a", "id_b")
-    comp = D.connected_components(pairs, t["documents"].select("doc_id"))
+    comp = cc_impl(pairs, t["documents"].select("doc_id"))
     csize = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(csize, "label")
@@ -854,6 +850,32 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "near_dup_clusters",
+    _NEAR_DUP_CLUSTERS_ORACLE,
+    description="Near-dup CLUSTERS: pairwise n-gram-Jaccard hits resolved "
+    "into connected components by iterative min-label propagation (the "
+    "step that turns pair lists into actual dedup decisions); oracle = "
+    "DuckDB recursive-CTE transitive closure",
+    tags=("dedup", "graph"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_dup_cluster_frame(spark, sf_dir, D.connected_components)
+
+
+@register(
+    "near_dup_clusters_star",
+    _NEAR_DUP_CLUSTERS_ORACLE,
+    description="Same clustering through the large-star/small-star "
+    "algorithm (O(log n) rounds independent of diameter; the dense-graph "
+    "scale path) — identical labeling, checked against the same "
+    "transitive-closure oracle",
+    tags=("dedup", "graph"),
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_dup_cluster_frame(spark, sf_dir, D.connected_components_star)
 
 
 def _split_oracle() -> str:

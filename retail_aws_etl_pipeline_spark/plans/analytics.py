@@ -1209,3 +1209,95 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    v AS (SELECT user_id, MIN(ts) AS view_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    ORDER BY v.user_id
+    """,
+    description="Ordered conversion funnel (view → first later click → "
+    "first later purchase) per user; staged min-aggregations chained by "
+    "strict time inequality — the analyst funnel over the events stream",
+    tags=("timeseries", "funnel"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS cohort_date FROM e GROUP BY user_id)
+    SELECT f.cohort_date,
+           CAST(date_diff('day', f.cohort_date, e.d) // 7 AS BIGINT) AS week_index,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN f ON e.user_id = f.user_id
+    GROUP BY f.cohort_date, CAST(date_diff('day', f.cohort_date, e.d) // 7 AS BIGINT)
+    ORDER BY cohort_date, week_index
+    """,
+    description="Retention cohorts: users grouped by first-seen date, "
+    "distinct-user counts per whole week since — integer day arithmetic "
+    "(no engine-specific week truncation)",
+    tags=("timeseries", "agg"),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    f = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.expr("datediff(d, cohort_date) div 7").cast("long").alias("week_index"),
+        )
+        .groupBy("cohort_date", "week_index")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "week_index")
+    )

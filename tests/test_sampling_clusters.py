@@ -87,6 +87,15 @@ def test_cc_star_matches_union_find(spark, n, raw_edges):
     assert got == want
 
 
+def test_cc_chain_100_converges_within_log_rounds(spark):
+    """A 100-node chain needs ~100 rounds under plain neighbor-min but
+    O(log 100) ≈ 7 with the pointer jump — max_iter=25 would raise if the
+    jump regressed."""
+    chain = [(i, i + 1) for i in range(99)]
+    got = _labels(spark, chain, list(range(100)))
+    assert got == {i: 0 for i in range(100)}
+
+
 def test_cc_star_long_chain(spark):
     """A 12-node chain (worst case for plain propagation) converges in
     O(log n) star rounds to the chain minimum."""

@@ -1301,3 +1301,70 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_date", "week_index")
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT o.o_orderpriority, o.o_orderstatus,
+           {sql_dec_sum("o.o_totalprice")} AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    description="Explicit GROUPING SETS (pair, priority-only, grand "
+    "total) through the engine's SQL interface — one pass, expanded "
+    "grouping, exact-decimal sums",
+    tags=("agg", "sql"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "order_value_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN CAST(0 AS BIGINT)
+                WHEN o_totalprice >= 500000.0 THEN CAST(21 AS BIGINT)
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    description="Order-value histogram: scan-side width_bucket binning + "
+    "map-side-combined counts (the profiling/binning primitive); DuckDB "
+    "has no width_bucket, so the oracle mirrors its formula in identical "
+    "double ops (bucket width (hi-lo)/n = 25000.0 exactly)",
+    tags=("agg", "profiling"),
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20))
+            .cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

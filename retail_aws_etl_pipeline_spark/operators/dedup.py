@@ -388,6 +388,65 @@ def connected_components_star(
 SIMHASH_BITS = 60  # 15 md5 nibbles x 4 bits; bit 63 would overflow int64
 
 
+def _packed_vote_aggs() -> list:
+    """15 packed-lane SUM aggregates + the gram count for the simhash
+    majority vote (see :func:`simhash64` for the lane layout)."""
+    packed_lut = F.array(
+        *[
+            F.lit(
+                (v & 1)
+                | (((v >> 1) & 1) << 16)
+                | (((v >> 2) & 1) << 32)
+                | (((v >> 3) & 1) << 48)
+            ).cast("long")
+            for v in range(16)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_grams")]
+    for p in range(SIMHASH_BITS // 4):
+        v = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("gh"), p + 1, 1)) - 1
+        aggs.append(F.sum(F.element_at(packed_lut, v + 1)).alias(f"pk_{p}"))
+    return aggs
+
+
+def _sim_from_packed():
+    """Simhash value from the packed vote columns (pk_*, n_grams)."""
+    sim = None
+    for p in range(SIMHASH_BITS // 4):
+        for b in range(4):
+            count_set = F.shiftright(F.col(f"pk_{p}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            contrib = F.when(
+                count_set * 2 > F.col("n_grams"), F.lit(2 ** (p * 4 + b)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sim = contrib if sim is None else sim + contrib
+    return sim
+
+
+def per_doc_signatures(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ALL per-doc dedup signals in one shuffle: (id, n_grams, simhash,
+    mh0..mh{k-1}).
+
+    The simhash majority vote and every MinHash signature are aggregates
+    over the same gram stream, so a pipeline that wants several dedup
+    signals (cluster + banded candidates + fingerprints) should pay the
+    shingle explosion and the groupBy(doc) exchange ONCE — this operator
+    is that fused pass. Equals ``simhash64`` ∪ the wide form of
+    ``minhash_signatures`` column-for-column.
+    """
+    hashed = gram_df.withColumn("gh", F.md5("gram"))
+    aggs = _packed_vote_aggs() + [
+        F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("gram")))).alias(f"mh{s}")
+        for s in range(NUM_HASHES)
+    ]
+    agg = hashed.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        _sim_from_packed().alias("simhash"),
+        *[F.col(f"mh{s}") for s in range(NUM_HASHES)],
+    )
+
+
 def simhash64(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc from the first 15 md5 hex nibbles per shingle.
 
@@ -407,31 +466,8 @@ def simhash64(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     unpacked formulation (the DuckDB oracle still uses the ±1 form).
     """
     hashed = gram_df.withColumn("gh", F.md5("gram"))
-    packed_lut = F.array(
-        *[
-            F.lit(
-                (v & 1)
-                | (((v >> 1) & 1) << 16)
-                | (((v >> 2) & 1) << 32)
-                | (((v >> 3) & 1) << 48)
-            ).cast("long")
-            for v in range(16)
-        ]
-    )
-    aggs = [F.count(F.lit(1)).alias("n_grams")]
-    for p in range(SIMHASH_BITS // 4):
-        v = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("gh"), p + 1, 1)) - 1
-        aggs.append(F.sum(F.element_at(packed_lut, v + 1)).alias(f"pk_{p}"))
-    agg = hashed.groupBy(id_col).agg(*aggs)
-    sim = None
-    for p in range(SIMHASH_BITS // 4):
-        for b in range(4):
-            count_set = F.shiftright(F.col(f"pk_{p}"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-            contrib = F.when(
-                count_set * 2 > F.col("n_grams"), F.lit(2 ** (p * 4 + b)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            sim = contrib if sim is None else sim + contrib
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    agg = hashed.groupBy(id_col).agg(*_packed_vote_aggs())
+    return agg.select(F.col(id_col), _sim_from_packed().alias("simhash"))
 
 
 def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:

@@ -185,7 +185,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_oracle() -> str:
+def _sim_sql_fragments() -> tuple[str, str]:
+    """(bit-vote SUM list, simhash CASE expression) — the DuckDB ±1 form
+    of the simhash vote, shared by every oracle that needs the value."""
     nib = lambda p: f"(strpos('0123456789abcdef', substr(md5(gram), {p + 1}, 1)) - 1)"  # noqa: E731
     sums = ", ".join(
         f"SUM((({nib(p)} >> {b}) & 1) * 2 - 1) AS s_{p * 4 + b}"
@@ -196,6 +198,11 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
         for i in range(D.SIMHASH_BITS)
     )
+    return sums, sim
+
+
+def _simhash_oracle() -> str:
+    sums, sim = _sim_sql_fragments()
     return f"""
     WITH {GRAMS_CTE},
     bitsums AS (SELECT doc_id, {sums} FROM grams GROUP BY doc_id),
@@ -1242,4 +1249,62 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("split_a", "split_b")
+    )
+
+
+def _signal_report_oracle() -> str:
+    sums, sim = _sim_sql_fragments()
+    mins = ", ".join(
+        f"MIN(md5('{s}|' || gram)) AS mh{s}" for s in range(D.NUM_HASHES)
+    )
+    mh_cols = ", ".join(f"s.mh{s}" for s in range(D.NUM_HASHES))
+    return f"""
+    WITH {GRAMS_CTE},
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_grams, {sums}, {mins}
+        FROM grams GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, n_grams, {sim} AS simhash,
+               {", ".join(f"mh{s}" for s in range(D.NUM_HASHES))}
+        FROM agg
+    ),
+    ex AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+    exn AS (SELECT text_hash, COUNT(*) AS n_exact_dups FROM ex GROUP BY text_hash)
+    SELECT e.doc_id, e.text_hash, exn.n_exact_dups, s.n_grams, s.simhash, {mh_cols}
+    FROM ex e
+    JOIN exn ON exn.text_hash = e.text_hash
+    LEFT JOIN sigs s ON s.doc_id = e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@register(
+    "dedup_signal_report",
+    _signal_report_oracle(),
+    description="ALL per-doc dedup signals in one fused pass: exact-dup "
+    "group size, shingle count, 60-bit simhash, and every MinHash "
+    "signature from a single groupBy(doc) over one gram stream — the "
+    "shingle explosion and the per-doc exchange are paid once for the "
+    "whole dedup family",
+    tags=("dedup", "curation"),
+)
+def dedup_signal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    sigs = D.per_doc_signatures(D.shingles(docs))
+    ex = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    exn = ex.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n_exact_dups"))
+    return (
+        ex.join(exn, "text_hash")
+        .join(sigs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            "n_exact_dups",
+            "n_grams",
+            "simhash",
+            *[f"mh{s}" for s in range(D.NUM_HASHES)],
+        )
+        .orderBy("doc_id")
     )

@@ -4,5 +4,6 @@ from retail_aws_etl_pipeline_spark.streaming.streams import (  # noqa: F401
     dedup_stream,
     session_stream,
     running_user_stats_stream,
+    run_pipeline_available_now,
     run_stream_to_memory,
 )

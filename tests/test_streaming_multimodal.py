@@ -156,3 +156,37 @@ def test_gold_upsert_stream(spark, tmp_path):
     # re-run with same checkpoint: no new input -> no change
     q = gold_upsert_stream(spark, lake, ck); q.awaitTermination()
     assert spark.read.parquet(lake.gold).count() == n1
+
+
+def test_continuous_pipeline_available_now(spark, tmp_path):
+    """Three drains of the end-to-end pipeline: new file per wave lands in
+    gold, dedup invariant holds, and an empty wave is a complete no-op."""
+    import shutil as sh
+
+    from retail_aws_etl_pipeline_spark.lake import LakeLayout
+    from retail_aws_etl_pipeline_spark.streaming import run_pipeline_available_now
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    lake = LakeLayout(str(tmp_path / "lake"))
+    ck = str(tmp_path / "ck")
+    kw = dict(archive=False, write_reject_csv=False)
+
+    sh.copy("/root/reference/sample_csv_files/sales_2024-10-16.csv", incoming / "a.csv")
+    res1 = run_pipeline_available_now(spark, str(incoming), lake, ck, **kw)
+    assert [r.status for r in res1] == ["ok"]
+    gold1 = spark.read.parquet(lake.gold)
+    n1 = gold1.count()
+    assert n1 > 0
+    assert gold1.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+
+    sh.copy("/root/reference/sample_csv_files/sales_2024-12-07.csv", incoming / "b.csv")
+    res2 = run_pipeline_available_now(spark, str(incoming), lake, ck, **kw)
+    assert [r.status for r in res2] == ["ok"]  # only the new file ran
+    gold2 = spark.read.parquet(lake.gold)
+    assert gold2.count() > n1
+    assert gold2.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+
+    res3 = run_pipeline_available_now(spark, str(incoming), lake, ck, **kw)
+    assert res3 == []  # ledger skips both files; stream checkpoint no-ops
+    assert spark.read.parquet(lake.gold).count() == gold2.count()

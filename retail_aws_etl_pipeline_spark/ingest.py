@@ -160,11 +160,127 @@ def ingest_file(
     )
 
 
+def ingest_batch(
+    spark: SparkSession,
+    paths: list[str],
+    lake: LakeLayout,
+    timestamp_patterns: list[tuple[str, str]] | None = None,
+    ingest_ts=None,
+    archive: bool = True,
+    write_reject_csv: bool = True,
+) -> list[IngestResult]:
+    """Batched ingest: N raw files as ONE unioned plan and one silver write.
+
+    Per-file semantics are preserved — each file keeps its own sniffed
+    projection, run id, within-file ``dropDuplicates``, and per-file class
+    counts (namespaced Observations) — but the cluster executes a single
+    write job over the union, so many small files no longer serialize into
+    per-file job barriers (the reference's one-Glue-run-per-file shape).
+    This also sidesteps the committer hazard of CONCURRENT appends to one
+    parquet root (parallel ``ingest_file`` calls share ``_temporary``):
+    one job, one committer, full parallelism across files.
+
+    Failure anywhere in the batch leaves the inputs in place and nothing
+    ledgered: rerun is at-least-once, and replayed rows collapse in gold's
+    keep-latest dedup. Files failing the head gate are quarantined
+    individually and do not poison the batch.
+    """
+    gate_results: dict[str, IngestResult] = {}
+    entries: list[tuple[str, str, str, QualitySplit]] = []
+    try:
+        for i, path in enumerate(paths):
+            source_file = os.path.basename(path)
+            run_id = new_run_id()
+            file_errors = validate_file_head(path)
+            if file_errors:
+                reject_dir = lake.rejected(
+                    "structural" if "empty_file" not in file_errors else "system"
+                )
+                os.makedirs(reject_dir, exist_ok=True)
+                dst = (
+                    move_file(path, reject_dir, lineage_name(source_file, run_id))
+                    if archive
+                    else path
+                )
+                with open(
+                    os.path.join(reject_dir, f"{os.path.basename(dst)}_reason.json"), "w"
+                ) as f:
+                    json.dump({"file": source_file, "errors": file_errors}, f)
+                gate_results[path] = IngestResult(
+                    "file_rejected", source_file, run_id, file_errors=file_errors
+                )
+                continue
+            extracted, _meta = read_flexible_csv(spark, path)
+            entries.append(
+                (
+                    path,
+                    source_file,
+                    run_id,
+                    split_quality(
+                        extracted,
+                        ingest_run_id=run_id,
+                        source_file=source_file,
+                        timestamp_patterns=timestamp_patterns,
+                        ingest_ts=ingest_ts,
+                        obs_prefix=f"b{i}_",
+                    ),
+                )
+            )
+
+        if entries:
+            good_all = entries[0][3].good
+            for _, _, _, s in entries[1:]:
+                good_all = good_all.unionByName(s.good)
+            good_all.repartition(
+                spark.sparkContext.defaultParallelism, "date"
+            ).write.mode("append").partitionBy("date").parquet(lake.processed)
+            reject_frames = [
+                s.rejects for _, _, _, s in entries if s.resolve_counts()["reject_rows"] > 0
+            ]
+            if reject_frames:
+                rej = reject_frames[0]
+                for r in reject_frames[1:]:
+                    rej = rej.unionByName(r)
+                rej.write.mode("append").json(lake.rejected("data_quality/json"))
+                if write_reject_csv:
+                    (
+                        rej.coalesce(1)
+                        .write.mode("append")
+                        .option("header", True)
+                        .csv(lake.rejected("data_quality/csv"))
+                    )
+    finally:
+        for _, _, _, s in entries:
+            for df in s.cached or []:
+                df.unpersist()
+
+    results: list[IngestResult] = []
+    by_path = {p: (sf, rid, s) for p, sf, rid, s in entries}
+    for path in paths:
+        if path in gate_results:
+            results.append(gate_results[path])
+            continue
+        source_file, run_id, split = by_path[path]
+        if archive:
+            move_file(path, lake.archive("validated"), lineage_name(source_file, run_id))
+        results.append(
+            IngestResult(
+                "ok",
+                source_file,
+                run_id,
+                counts=dict(split.resolve_counts()),
+                silver_path=lake.processed,
+            )
+        )
+    return results
+
+
 def ingest_pending(
     spark: SparkSession,
     incoming_dir: str,
     lake: LakeLayout,
     ledger_path: str | None = None,
+    batch_size: int = 1,
     **ingest_kwargs,
 ) -> list[IngestResult]:
     """Incremental directory ingest: process files not yet in the ledger.
@@ -172,11 +288,17 @@ def ingest_pending(
     The batch analog of the reference's S3-PUT→Lambda→Glue event trigger
     (lambda_validator.py:117-177) and of a Structured Streaming file source
     with ``Trigger.AvailableNow``: each run picks up exactly the files that
-    have not been processed before, in name order, one self-contained
-    ingest per file. The ledger (JSON lines of processed file names) is the
-    checkpoint; a file is ledgered only after its ingest fully succeeds, so
-    a crashed run simply reprocesses the unfinished file (idempotent:
-    silver appends are per-run-id, gold compaction dedups by key).
+    have not been processed before, in name order. The ledger (JSON lines
+    of processed file names) is the checkpoint; a file is ledgered only
+    after its ingest fully succeeds, so a crashed run simply reprocesses
+    the unfinished work (idempotent: silver appends are per-run-id, gold
+    compaction dedups by key).
+
+    ``batch_size`` > 1 runs :func:`ingest_batch` over chunks of pending
+    files — one unioned plan and one silver write per chunk (the scale
+    path for backlogs of many small files); the chunk is ledgered as a
+    unit after it succeeds. The default preserves the reference's
+    file-at-a-time granularity.
     """
     ledger_path = ledger_path or os.path.join(lake.root, "ingest_ledger.jsonl")
     seen: set[str] = set()
@@ -184,14 +306,34 @@ def ingest_pending(
         with open(ledger_path) as f:
             seen = {json.loads(line)["file"] for line in f if line.strip()}
 
-    results: list[IngestResult] = []
-    for name in sorted(os.listdir(incoming_dir)):
-        path = os.path.join(incoming_dir, name)
-        if name in seen or not os.path.isfile(path):
-            continue
-        result = ingest_file(spark, path, lake, **ingest_kwargs)
-        results.append(result)
+    def ledger(name: str, result: IngestResult) -> None:
         os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
         with open(ledger_path, "a") as f:
-            f.write(json.dumps({"file": name, "run_id": result.ingest_run_id, "status": result.status}) + "\n")
+            f.write(
+                json.dumps(
+                    {"file": name, "run_id": result.ingest_run_id, "status": result.status}
+                )
+                + "\n"
+            )
+
+    pending = [
+        name
+        for name in sorted(os.listdir(incoming_dir))
+        if name not in seen and os.path.isfile(os.path.join(incoming_dir, name))
+    ]
+    results: list[IngestResult] = []
+    if batch_size > 1:
+        for i in range(0, len(pending), batch_size):
+            chunk = pending[i : i + batch_size]
+            batch = ingest_batch(
+                spark, [os.path.join(incoming_dir, n) for n in chunk], lake, **ingest_kwargs
+            )
+            results.extend(batch)
+            for name, result in zip(chunk, batch):
+                ledger(name, result)
+    else:
+        for name in pending:
+            result = ingest_file(spark, os.path.join(incoming_dir, name), lake, **ingest_kwargs)
+            results.append(result)
+            ledger(name, result)
     return results

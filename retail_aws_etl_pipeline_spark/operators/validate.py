@@ -96,12 +96,15 @@ def split_quality(
     source_file: str,
     timestamp_patterns: list[tuple[str, str]] | None = None,
     ingest_ts=None,
+    obs_prefix: str = "",
 ) -> QualitySplit:
     """Route one extracted frame into silver-good rows + tagged rejects.
 
     ``ingest_ts`` is an injectable Column (default ``current_timestamp()``)
     so tests and oracle comparisons can pin a deterministic clock
-    (SURVEY.md §7.4.4).
+    (SURVEY.md §7.4.4). ``obs_prefix`` namespaces the Observation nodes —
+    required when several splits union into one plan (batched ingest):
+    observation names must be unique within a query execution.
     """
     patterns = timestamp_patterns if timestamp_patterns is not None else REFERENCE_PATTERNS
     ingest_ts_col = ingest_ts if ingest_ts is not None else F.current_timestamp()
@@ -116,7 +119,7 @@ def split_quality(
     # Total/structural/timestamp class counts ride the first action as an
     # Observation (inside the cached plan, so they are computed exactly once
     # — at cache population) instead of a dedicated aggregation job.
-    obs_parse = Observation("parse_counts")
+    obs_parse = Observation(f"{obs_prefix}parse_counts")
     parsed = parsed.observe(
         obs_parse,
         F.count(F.lit(1)).alias("total"),
@@ -169,7 +172,7 @@ def split_quality(
     # otherwise run twice — once for the reject branch and again when the
     # caller writes the good rows. Post-dedup + business counts observe the
     # same single materialization.
-    obs_dedup = Observation("dedup_counts")
+    obs_dedup = Observation(f"{obs_prefix}dedup_counts")
     deduped = (
         cleaned.dropDuplicates()
         .observe(

@@ -203,3 +203,68 @@ def test_extended_cascade_recovers_rows(spark, tmp_path):
     assert r.counts["data_rows"] == (
         r.counts["good_rows"] + r.counts["reject_rows"] + r.counts["duplicates_removed"]
     )
+
+
+def test_ingest_batch_matches_per_file_semantics(spark, tmp_path):
+    """A 5-file batch (one unioned plan, one silver write) produces the
+    exact golden per-file counts, the same silver total, and the same
+    reject-class totals as file-at-a-time ingest."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_batch
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    paths = []
+    for f in sorted(glob.glob(f"{SAMPLES}/*.csv")):
+        dst = str(tmp_path / os.path.basename(f))
+        shutil.copy(f, dst)
+        paths.append(dst)
+
+    results = ingest_batch(spark, paths, lake, archive=False, write_reject_csv=False)
+    assert [r.status for r in results] == ["ok"] * len(GOLDEN)
+    for r in results:
+        total, structural, ts, dq, good = GOLDEN[r.source_file]
+        assert r.counts["data_rows"] == total
+        assert r.counts["structural_rejects"] == structural
+        assert r.counts["timestamp_rejects"] == ts
+        assert r.counts["business_rejects"] == dq
+        assert r.counts["good_rows"] == good
+
+    silver = spark.read.parquet(lake.processed)
+    assert silver.count() == sum(g[4] for g in GOLDEN.values())
+    per_file = {
+        r["source_file"]: r["n"]
+        for r in silver.groupBy("source_file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_file == {name: g[4] for name, g in GOLDEN.items()}
+
+    rejects = spark.read.json(lake.rejected("data_quality/json"))
+    by_reason = {r["reject_reason"]: r["count"] for r in rejects.groupBy("reject_reason").count().collect()}
+    assert by_reason["MISSING_REQUIRED_COLUMN"] == sum(g[1] for g in GOLDEN.values())
+    assert by_reason["INVALID_TIMESTAMP_FORMAT"] == sum(g[2] for g in GOLDEN.values())
+    assert by_reason["BUSINESS_LOGIC_FAIL"] == sum(g[3] for g in GOLDEN.values())
+
+
+def test_ingest_pending_batched_ledger(spark, tmp_path):
+    import json
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_pending
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    for f in sorted(glob.glob(f"{SAMPLES}/*.csv"))[:3]:
+        shutil.copy(f, incoming / os.path.basename(f))
+    lake = LakeLayout(str(tmp_path / "lake"))
+
+    r1 = ingest_pending(
+        spark, str(incoming), lake, batch_size=2, archive=False, write_reject_csv=False
+    )
+    assert len(r1) == 3 and all(r.status == "ok" for r in r1)
+    with open(os.path.join(lake.root, "ingest_ledger.jsonl")) as f:
+        assert len(f.readlines()) == 3
+
+    # nothing pending -> no-op, ledger unchanged
+    r2 = ingest_pending(
+        spark, str(incoming), lake, batch_size=2, archive=False, write_reject_csv=False
+    )
+    assert r2 == []

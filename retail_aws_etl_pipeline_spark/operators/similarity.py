@@ -95,10 +95,16 @@ def brute_force_topk(
     )
 
 
-def with_lsh_bucket(df: DataFrame, qvec_col: str = "qvec") -> DataFrame:
-    """Add the B-bit random-hyperplane bucket id (computed scan-side)."""
+def with_lsh_bucket(
+    df: DataFrame, qvec_col: str = "qvec", planes: list[list[int]] | None = None
+) -> DataFrame:
+    """Add the B-bit random-hyperplane bucket id (computed scan-side).
+
+    ``planes`` defaults to the full fixed matrix; pass a prefix slice
+    (``PLANES[:n]``) to trade recall for bucket selectivity.
+    """
     bucket = None
-    for p, weights in enumerate(PLANES):
+    for p, weights in enumerate(PLANES if planes is None else planes):
         arr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
         proj = F.expr(
             f"aggregate(zip_with({qvec_col}, {arr}, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
@@ -114,6 +120,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     id_col: str = "vec_id",
     multiprobe_radius: int = 1,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to buckets within Hamming
     distance ``multiprobe_radius`` of the probe's bucket (multi-probe LSH —
@@ -126,7 +133,9 @@ def lsh_bucketed_topk(
     """
     from pyspark.sql import Window as W
 
-    base = with_lsh_bucket(with_quantized(df)).select(id_col, "qvec", "qnorm", "bucket")
+    base = with_lsh_bucket(with_quantized(df), planes=planes).select(
+        id_col, "qvec", "qnorm", "bucket"
+    )
     probes = (
         base.filter(F.col(id_col).isin(probe_ids))
         .select(

@@ -90,9 +90,10 @@ ORDER BY probe_id, rank
 """
 
 
-def _planes_values() -> str:
+def _planes_values(n_planes: int | None = None) -> str:
+    planes = S.PLANES if n_planes is None else S.PLANES[:n_planes]
     rows = ", ".join(
-        f"({p}, [{', '.join(str(w) for w in weights)}])" for p, weights in enumerate(S.PLANES)
+        f"({p}, [{', '.join(str(w) for w in weights)}])" for p, weights in enumerate(planes)
     )
     return f"(VALUES {rows}) planes(p, w)"
 
@@ -1308,3 +1309,109 @@ def dedup_signal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SWEEP_PLANE_COUNTS = (4, 6, 8)
+
+
+def _recall_sweep_oracle() -> str:
+    probe_list = ", ".join(map(str, ANN_PROBE_IDS))
+
+    def cfg(n: int) -> str:
+        return f"""
+    buckets{n} AS (
+        SELECT n.vec_id, n.qvec, n.qnorm,
+               CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.qvec) + 1),
+                        i -> n.qvec[i] * w[i])) AS BIGINT) >= 0
+                        THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, {_planes_values(n)}
+        GROUP BY n.vec_id, n.qvec, n.qnorm
+    ),
+    lsh{n} AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
+                                / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) DESC, c.vec_id ASC) AS rank
+            FROM buckets{n} p
+            JOIN buckets{n} c ON bit_count(xor(p.bucket, c.bucket)) <= 1 AND c.vec_id != p.vec_id
+            WHERE p.vec_id IN ({probe_list})
+        ) WHERE rank <= {ANN_K}
+    )"""
+
+    def leg(n: int) -> str:
+        return f"""
+    SELECT CAST({n} AS BIGINT) AS n_planes, e.probe_id,
+           COUNT(l.vec_id) AS n_common,
+           COUNT(l.vec_id) / {float(ANN_K)} AS recall
+    FROM exact_topk e
+    LEFT JOIN lsh{n} l ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
+    GROUP BY e.probe_id"""
+
+    return f"""
+    WITH {_quant_cte()},
+    epairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+               p.qnorm AS pn, c.qnorm AS cn
+        FROM n p, n c
+        WHERE p.vec_id IN ({probe_list}) AND c.vec_id != p.vec_id
+    ),
+    exact_topk AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY dot_q / sqrt(CAST(pn * cn AS DOUBLE)) DESC, vec_id ASC) AS rank
+            FROM epairs
+        ) WHERE rank <= {ANN_K}
+    ),
+    {", ".join(cfg(n).lstrip() for n in SWEEP_PLANE_COUNTS)}
+    {" UNION ALL ".join(leg(n) for n in SWEEP_PLANE_COUNTS)}
+    ORDER BY n_planes, probe_id
+    """
+
+
+@register(
+    "ann_recall_sweep",
+    _recall_sweep_oracle(),
+    description="ANN quality/selectivity sweep: recall@10 of the "
+    "multi-probe LSH index at 4/6/8 hyperplanes against the exact scan "
+    "in one result — the speed/recall dial measured in-engine instead of "
+    "a fixed configuration",
+    tags=("similarity", "lsh", "evaluation"),
+)
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    # Materialize the (tiny) exact top-k once: it anchors all three legs,
+    # and without the barrier the all-pairs scoring lineage runs per leg.
+    exact = (
+        S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K)
+        .select("probe_id", "vec_id")
+        .localCheckpoint()
+    )
+    legs = []
+    for n in SWEEP_PLANE_COUNTS:
+        lsh = S.lsh_bucketed_topk(
+            t["embeddings"], ANN_PROBE_IDS, ANN_K, planes=S.PLANES[:n]
+        ).select(F.col("probe_id").alias("l_probe"), F.col("vec_id").alias("l_vec"))
+        joined = exact.join(
+            lsh,
+            (F.col("probe_id") == F.col("l_probe")) & (F.col("vec_id") == F.col("l_vec")),
+            "left",
+        )
+        legs.append(
+            joined.groupBy("probe_id")
+            .agg(F.count("l_vec").alias("n_common"))
+            .select(
+                F.lit(n).cast("long").alias("n_planes"),
+                "probe_id",
+                "n_common",
+                (F.col("n_common") / F.lit(float(ANN_K))).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("n_planes", "probe_id")

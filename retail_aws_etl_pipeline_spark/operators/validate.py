@@ -200,9 +200,41 @@ def split_quality(
     # The Observation nodes above record all class totals during the first
     # action (normally the caller's silver write). ``resolve_counts`` just
     # reads them back and derives the report dict.
+    def _obs_or_agg(obs, frame, exprs) -> dict:
+        """Observation metrics, or an explicit aggregation fallback.
+
+        When a frame is empty AT RUNTIME (e.g. every row rejected), AQE's
+        empty-relation propagation can prune the Observation node below
+        the empty shuffle — ``obs.get`` then surfaces a schemaless row
+        (``toPyRow`` assertion). The frames are cached, so recomputing the
+        same aggregates explicitly is one cheap job over cached (empty)
+        data and yields the identical dict.
+        """
+        try:
+            return obs.get
+        except Exception:
+            return frame.agg(*exprs).first().asDict()
+
     def _resolve() -> dict:
-        base = obs_parse.get
-        after = obs_dedup.get
+        base = _obs_or_agg(
+            obs_parse,
+            parsed,
+            [
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.when(struct_cond, 1).otherwise(0)).alias("structural"),
+                F.sum(
+                    F.when(~struct_cond & F.col("timestamp_parsed").isNull(), 1).otherwise(0)
+                ).alias("invalid_timestamp"),
+            ],
+        )
+        after = _obs_or_agg(
+            obs_dedup,
+            deduped,
+            [
+                F.count(F.lit(1)).alias("after_dedup"),
+                F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
+            ],
+        )
         # SUM over an empty frame aggregates to NULL (a header-only file
         # passes the head gate but parses to zero data rows) — treat as 0.
         structural = base["structural"] or 0

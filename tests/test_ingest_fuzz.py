@@ -71,3 +71,30 @@ def test_ingest_never_crashes_and_conserves(spark, tmp_path_factory, header, row
         assert c["data_rows"] == c["good_rows"] + c["reject_rows"] + c["duplicates_removed"], c
         if c["good_rows"] > 0:
             assert os.path.isdir(lake.processed)
+
+
+def test_ingest_all_rows_rejected_counts_resolve(spark, tmp_path):
+    """Regression (found by the fuzzer): when EVERY row is a structural
+    reject, the deduped frame is empty at runtime and AQE empty-relation
+    propagation prunes its Observation node — resolve_counts must fall
+    back to explicit aggregation instead of surfacing the toPyRow
+    assertion."""
+    header = [
+        "timestamp", "revenue", "store_id", "txn_id", "product_id",
+        "unit_price", "payment_method", "transaction_id", "discount_code",
+        "qty", "price", "WeIrD-HeAdEr",
+    ]
+    rows = [["S01", "ABC123", "ABC123", "ABC123"], ["ABC123"]]
+    path = str(tmp_path / "allreject.csv")
+    with open(path, "w") as f:
+        f.write(",".join(header) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    lake = LakeLayout(str(tmp_path / "lake"))
+    result = ingest_file(spark, path, lake, archive=False, write_reject_csv=False)
+    assert result.status == "ok"
+    c = result.counts
+    assert c["data_rows"] == 2
+    assert c["good_rows"] == 0
+    assert c["structural_rejects"] == 2
+    assert c["data_rows"] == c["good_rows"] + c["reject_rows"] + c["duplicates_removed"]

@@ -181,34 +181,9 @@ def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
 
         timings["ingest_raw_to_silver"] = round(t_ingest, 4)
         timings["compact_silver_to_gold"] = round(t_compact, 4)
-
-        # Scale path: the same rows as a 4-file backlog through
-        # ingest_batch (one unioned plan / one silver write) — the
-        # many-small-files shape the single-file metric can't show.
-        from retail_aws_etl_pipeline_spark.ingest import ingest_batch
-
-        batch_dir = os.path.join(tmp, "batch_csv")
-        csv_df.repartition(4).write.option("header", True).csv(batch_dir)
-        batch_files = []
-        for j, p in enumerate(sorted(os.listdir(batch_dir))):
-            if p.startswith("part-"):
-                dst = os.path.join(tmp, f"sales_bench_{j}.csv")
-                shutil.move(os.path.join(batch_dir, p), dst)
-                batch_files.append(dst)
-        t_batch = None
-        for i in range(repeats):
-            lake = LakeLayout(os.path.join(tmp, f"blake{i}"))
-            t0 = time.perf_counter()
-            ingest_batch(spark, batch_files, lake, archive=False, write_reject_csv=False)
-            e = time.perf_counter() - t0
-            shutil.rmtree(os.path.join(tmp, f"blake{i}"), ignore_errors=True)
-            t_batch = e if t_batch is None else min(t_batch, e)
-        timings["ingest_batched_4files"] = round(t_batch, 4)
-
         return {
             "rows": n_rows,
             "ingest_rows_per_sec": round(n_rows / t_ingest),
-            "ingest_batched_rows_per_sec": round(n_rows / t_batch),
             "compact_rows_per_sec": round(result.counts["good_rows"] / t_compact),
         }
     finally:

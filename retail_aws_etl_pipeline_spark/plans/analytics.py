@@ -1368,3 +1368,86 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "event_value_outliers",
+    """
+    WITH q AS (
+        SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qv FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv) AS BIGINT) AS sq,
+               SUM(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS sqq
+        FROM q GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n,
+               CAST(sq AS DOUBLE) / n AS mean_q,
+               sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+                    / (n - 1)) AS sd_q
+        FROM s
+    )
+    SELECT q.event_type, m.n AS n_events,
+           CAST(SUM(CASE WHEN abs(CAST(q.qv AS DOUBLE) - m.mean_q) > 2 * m.sd_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.mean_q / 1000000.0 AS mean_value,
+           m.sd_q / 1000000.0 AS stddev_value
+    FROM q JOIN m ON q.event_type = m.event_type
+    GROUP BY q.event_type, m.n, m.mean_q, m.sd_q
+    ORDER BY q.event_type
+    """,
+    description="Per-type z-score outlier counts (|x - mean| > 2σ): "
+    "moments from quantized-integer sums (exact across engines and "
+    "summation orders — double stddev_samp is NOT engine-stable), then "
+    "one broadcast join back over the stream; the profiling/anomaly "
+    "primitive",
+    tags=("agg", "profiling"),
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    q = t["events"].select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("qv")
+    )
+    qd = F.col("qv").cast("decimal(19,0)")
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("sq"),
+        F.sum(qd * qd).alias("sqq"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sq").cast("double") / F.col("n")).alias("mean_q"),
+        F.sqrt(
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd_q"),
+    )
+    return (
+        q.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean_q", "sd_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("qv").cast("double") - F.col("mean_q"))
+                    > 2 * F.col("sd_q"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "n_outliers",
+            (F.col("mean_q") / 1000000.0).alias("mean_value"),
+            (F.col("sd_q") / 1000000.0).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -18,9 +18,25 @@ import os
 import sys
 import time
 
+# The driver parses stdout as a single JSON line (BENCH_r01 recorded
+# "parsed": null — stray JVM stdout ahead of the JSON). Guarantee the
+# contract at the fd level: save the real stdout, then point fd 1 at stderr
+# BEFORE the JVM launches (it inherits fd 1, so Ivy banners / log4j / py4j
+# chatter all land on stderr). The final JSON is written to the saved fd and
+# is the process's only stdout output.
+_REAL_STDOUT_FD = os.dup(1)
+os.dup2(2, 1)
+
+
+def _emit(obj) -> None:
+    os.write(_REAL_STDOUT_FD, (json.dumps(obj) + "\n").encode())
+
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from retail_aws_etl_pipeline_spark.plans.queries import all_specs  # noqa: E402
+
+REGISTRY = all_specs()
 from retail_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -100,7 +116,7 @@ def main() -> None:
     }
     if pipeline_info:
         out["pipeline"] = pipeline_info
-    print(json.dumps(out))
+    _emit(out)
 
 
 def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:

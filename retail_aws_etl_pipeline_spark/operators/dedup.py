@@ -189,11 +189,34 @@ def jaccard_counts(
     )
 
 
+def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
+    """Eagerly materialize + truncate an iteration frame's lineage.
+
+    ``mode``: ``"local"`` → ``localCheckpoint`` (executor-block storage —
+    fastest, but on a real cluster EXECUTOR LOSS INVALIDATES the blocks
+    mid-iteration and the job dies); ``"reliable"`` → ``checkpoint`` to the
+    session's checkpoint dir (HDFS/object store — survives executor loss);
+    ``"auto"`` → reliable when ``setCheckpointDir`` has been called, local
+    otherwise. Long multi-round jobs on real clusters should set a
+    checkpoint dir and get the reliable path automatically.
+    """
+    if mode == "auto":
+        sc = df.sparkSession.sparkContext
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint()
+    raise ValueError(f"checkpoint mode must be auto|local|reliable, got {mode!r}")
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (node, label).
 
@@ -220,16 +243,18 @@ def connected_components(
     Raises if ``max_iter`` rounds do not reach the fixpoint — the result
     would not be the true component labeling.
 
-    Each round ends in an eager ``localCheckpoint``: the new label frame
+    Each round ends in an eager lineage truncation: the new label frame
     references the previous round's plan three times (self, synthetic
-    edges, join), so without lineage truncation the logical tree grows as
+    edges, join), so without truncation the logical tree grows as
     3^rounds and planning itself OOMs the driver on high-round graphs.
     Checkpointing caps the per-round plan at constant size; blocks from
     dropped rounds are garbage-collected automatically (no unpersist
-    bookkeeping), and the returned frame is already materialized. On a
-    real cluster, executor loss invalidates local checkpoints — for long
-    jobs set a reliable ``spark.sparkContext.setCheckpointDir`` and swap
-    ``checkpoint`` in.
+    bookkeeping), and the returned frame is already materialized. The
+    ``checkpoint`` parameter picks the durability/speed trade
+    (see :func:`_truncate_lineage`): default ``"auto"`` uses the reliable
+    checkpoint dir when one is configured — the cluster-safe path, since
+    executor loss invalidates local checkpoint blocks mid-iteration —
+    and falls back to ``localCheckpoint`` in local/dev sessions.
     """
     # Both directions via one explode, NOT a self-union: a union of two
     # selects over `pairs` executes the upstream pair-generation lineage
@@ -242,11 +267,11 @@ def connected_components(
         )
     ).alias("e")
     edges = pairs.select(both).select("e.src", "e.dst").distinct().persist()
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint,
     )
     try:
         converged = False
@@ -266,14 +291,13 @@ def connected_components(
             new_label = F.least(
                 F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
             )
-            updated = (
-                labels.join(nbr_min, "node", "left")
-                .select(
+            updated = _truncate_lineage(
+                labels.join(nbr_min, "node", "left").select(
                     "node",
                     new_label.alias("label"),
                     (new_label < F.col("label")).alias("_changed"),
-                )
-                .localCheckpoint()  # eager: materializes + truncates lineage
+                ),
+                checkpoint,  # eager: materializes + truncates lineage
             )
             converged = updated.filter(F.col("_changed")).isEmpty()
             labels = updated.drop("_changed")
@@ -296,6 +320,7 @@ def connected_components_star(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 40,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star: (node, label).
 
@@ -319,8 +344,9 @@ def connected_components_star(
 
     Edges stay normalized as ``(big, small)``; the fixpoint is a union of
     disjoint stars centered at component minima, read off directly as the
-    labeling. Rounds end in an eager ``localCheckpoint`` (constant-size
-    plans; see :func:`connected_components`).
+    labeling. Rounds end in an eager lineage truncation (constant-size
+    plans; ``checkpoint`` picks local vs reliable — see
+    :func:`_truncate_lineage`).
     """
     norm = (
         pairs.filter(F.col("id_a") != F.col("id_b"))
@@ -330,7 +356,7 @@ def connected_components_star(
         )
         .distinct()
     )
-    edges = norm.localCheckpoint()
+    edges = _truncate_lineage(norm, checkpoint)
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
@@ -362,7 +388,7 @@ def connected_components_star(
             .select(F.col("small").alias("big"), F.col("mn").alias("small"))
         )
         part2 = mins2.select("big", F.col("mn").alias("small"))
-        new_edges = part1.unionByName(part2).distinct().localCheckpoint()
+        new_edges = _truncate_lineage(part1.unionByName(part2).distinct(), checkpoint)
         converged = (
             new_edges.join(edges, ["big", "small"], "left_anti").isEmpty()
             and edges.join(new_edges, ["big", "small"], "left_anti").isEmpty()

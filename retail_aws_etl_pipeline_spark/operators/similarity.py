@@ -164,6 +164,62 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "vec_id",
+    multiprobe_radius: int = 1,
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """The (probe_id, vec_id) candidate set the LSH index scores — the
+    selectivity side of the recall/selectivity dial (see ann_recall_sweep)."""
+    base = with_lsh_bucket(with_quantized(df), planes=planes).select(id_col, "bucket")
+    probes = base.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col("bucket").alias("p_bucket")
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            base,
+            (
+                F.bit_count(F.col("p_bucket").bitwiseXOR(F.col("bucket")))
+                <= F.lit(multiprobe_radius)
+            )
+            & (F.col("probe_id") != F.col(id_col)),
+        )
+        .select("probe_id", id_col)
+    )
+
+
+def ivf_candidate_pairs(
+    df: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "vec_id",
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The (probe_id, vec_id) candidate set the IVF index scores at the
+    given ``nprobe`` — selectivity counterpart of :func:`ivf_topk`."""
+    cents = centroids if centroids is not None else ivf_centroids(df, id_col)
+    base = (
+        with_quantized(df)
+        .withColumn("cell", assign_centroid("qvec", cents))
+        .select(id_col, "cell")
+    )
+    probes = (
+        with_quantized(df.filter(F.col(id_col).isin(probe_ids)))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.explode(ranked_centroids("qvec", cents, nprobe)).alias("p_cell"),
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(base, (F.col("p_cell") == F.col("cell")) & (F.col("probe_id") != F.col(id_col)))
+        .select("probe_id", id_col)
+    )
+
+
 def lsh_bucketed_topk_ball(
     df: DataFrame,
     probe_ids: list[int],
@@ -276,49 +332,150 @@ def brute_force_topk_pandas(
     )
 
 
-def near_dup_pairs_pandas(df: DataFrame, min_cosine: float, id_col: str = "vec_id") -> DataFrame:
-    """All near-dup pairs (cosine ≥ τ) via blockwise numpy int64 GEMM.
+def _pair_gemm(a_ids, a_mat, a_norms, b_ids, b_mat, b_norms, tau_sq, upper_triangle):
+    """int64 GEMM between two row sets; survivors of the sign-guarded
+    squared cross-multiplied cosine threshold, oriented ``id_a < id_b``.
 
-    Bit-identical to the SQL formulation (same quantized contract) but two
-    orders of magnitude faster than per-pair Catalyst lambdas: each Arrow
-    batch computes a (batch × corpus) integer matrix product against the
-    broadcast corpus matrix and emits only ``id_a < id_b`` survivors of the
-    squared cross-multiplied threshold.
-
-    The corpus matrix is collected to the driver — right up to ~10M vectors
-    (10M × 64 × 8B = 5 GB). Beyond that, LSH-bucket first (see
-    ``with_lsh_bucket``) and run this kernel per bucket.
+    ``upper_triangle=True`` means both sides are the SAME set: keep only
+    ``a_id < b_id`` cells so each unordered pair is emitted once. Otherwise
+    the two sets are disjoint and every qualifying cell is kept, reoriented
+    so the smaller id lands in ``id_a``.
     """
     import numpy as np
     import pandas as pd
 
-    base = with_quantized(df).select(id_col, "qvec", "qnorm")
-    rows = base.collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r["qvec"] for r in rows], dtype=np.int64)
-    norms = np.array([r["qnorm"] for r in rows], dtype=np.int64)
+    dots = a_mat @ b_mat.T  # exact int64
+    lhs = dots.astype("float64") ** 2
+    rhs = tau_sq * a_norms[:, None].astype("float64") * b_norms[None, :].astype("float64")
+    keep = (dots > 0) & (lhs >= rhs)
+    if upper_triangle:
+        keep &= a_ids[:, None] < b_ids[None, :]
+    ai, bi = np.nonzero(keep)
+    cos = dots[ai, bi] / np.sqrt((a_norms[ai] * b_norms[bi]).astype("float64"))
+    lo = np.minimum(a_ids[ai], b_ids[bi])
+    hi = np.maximum(a_ids[ai], b_ids[bi])
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+
+def near_dup_pairs_blocked(
+    df: DataFrame, min_cosine: float, id_col: str = "vec_id", n_blocks: int = 8
+) -> DataFrame:
+    """EXACT all-pairs near-dup (cosine ≥ τ) with no driver-side collect.
+
+    Distributed triangle (block-pair) join: every row is assigned a block
+    ``b = pmod(xxhash64(id), n_blocks)`` and replicated to the ``n_blocks``
+    group keys ``{(min(b,j), max(b,j)) : j}``; ``applyInPandas`` then runs
+    the int64 GEMM per block pair — within-block upper triangle on the
+    diagonal groups, full cross product off-diagonal. Each unordered pair
+    lands in exactly one group, so no dedup pass is needed.
+
+    Exact all-pairs is inherently O(N²) compute; this shape spreads it over
+    ``n_blocks·(n_blocks+1)/2`` independent tasks with shuffle volume
+    ``n_blocks × N`` rows and NOTHING through the driver — the executor
+    memory bound is one block pair (~2N/n_blocks rows), tunable via
+    ``n_blocks``. For sub-quadratic candidate generation at 100 TB use
+    ``near_dup_pairs_lsh_gemm`` instead.
+    """
+    import numpy as np
+
     tau_sq = float(min_cosine) * float(min_cosine)
+    base = with_quantized(df).select(id_col, "qvec", "qnorm")
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    pairs = [
+        F.struct(
+            F.least(blk, F.lit(j)).alias("ga"), F.greatest(blk, F.lit(j)).alias("gb")
+        )
+        for j in range(n_blocks)
+    ]
+    exploded = base.withColumn("g", F.explode(F.array_distinct(F.array(*pairs)))).select(
+        F.col("g.ga").alias("ga"), F.col("g.gb").alias("gb"), id_col, "qvec", "qnorm"
+    )
 
-    def kernel(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            b_ids = pdf[id_col].to_numpy(dtype="int64")
-            b_mat = np.stack(pdf["qvec"].to_numpy()).astype("int64")
-            b_norms = pdf["qnorm"].to_numpy(dtype="int64")
-            dots = b_mat @ mat.T  # (batch, corpus) exact int64
-            # squared cross-multiplied threshold, sign-guarded — identical
-            # to the SQL predicate
-            lhs = dots.astype("float64") ** 2
-            rhs = tau_sq * b_norms[:, None].astype("float64") * norms[None, :].astype("float64")
-            keep = (dots > 0) & (lhs >= rhs) & (b_ids[:, None] < ids[None, :])
-            bi, ci = np.nonzero(keep)
-            cos = dots[bi, ci] / np.sqrt((b_norms[bi] * norms[ci]).astype("float64"))
-            yield pd.DataFrame(
-                {"id_a": b_ids[bi], "id_b": ids[ci], "cosine": cos}
-            )
+    def kernel(key, pdf):
+        import pandas as pd
 
-    return base.mapInPandas(kernel, schema="id_a long, id_b long, cosine double")
+        ga, gb = key
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        mat = np.stack(pdf["qvec"].to_numpy()).astype("int64")
+        norms = pdf["qnorm"].to_numpy(dtype="int64")
+        # recompute each row's block to split the group into its two sides
+        if ga == gb:
+            return _pair_gemm(ids, mat, norms, ids, mat, norms, tau_sq, True)
+        blocks = pdf["_blk"].to_numpy(dtype="int64")
+        a = blocks == ga
+        b = blocks == gb
+        if not a.any() or not b.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return _pair_gemm(
+            ids[a], mat[a], norms[a], ids[b], mat[b], norms[b], tau_sq, False
+        )
+
+    exploded = exploded.withColumn("_blk", blk)
+    return exploded.groupBy("ga", "gb").applyInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def near_dup_pairs_lsh_gemm(
+    df: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the sub-quadratic 100 TB path.
+
+    Candidate semantics (oracle-expressible, deterministic): pairs whose
+    hyperplane buckets are within Hamming distance 1, scored by the same
+    quantized-cosine threshold. One side explodes into its radius-1 bucket
+    ball, the other keeps its home bucket; cogrouped per bucket, a numpy
+    int64 GEMM scores ball-side × home-side. A qualifying pair (a, b)
+    appears in exactly one surviving orientation — for hamming 0 both
+    orientations land in the shared home bucket and the ``ball_id <
+    home_id`` mask keeps one; for hamming 1 each orientation lands in a
+    different bucket and the mask kills exactly one — so no dedup pass.
+
+    Scales: shuffle is (B+1)·N ball rows + N home rows, compute is
+    per-bucket GEMMs (quadratic only within a bucket), nothing collected.
+    Recall is tunable via the number of planes.
+    """
+    import numpy as np
+
+    tau_sq = float(min_cosine) * float(min_cosine)
+    use_planes = PLANES if planes is None else planes
+    n_planes = len(use_planes)
+    base = with_lsh_bucket(with_quantized(df), planes=use_planes).select(
+        id_col, "qvec", "qnorm", "bucket"
+    )
+    masks = [0] + [1 << p for p in range(n_planes)]
+    balls = base.withColumn(
+        "bucket", F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]))
+    )
+
+    def kernel(key, ball_pdf, home_pdf):
+        import pandas as pd
+
+        if ball_pdf.empty or home_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a_ids = ball_pdf[id_col].to_numpy(dtype="int64")
+        a_mat = np.stack(ball_pdf["qvec"].to_numpy()).astype("int64")
+        a_norms = ball_pdf["qnorm"].to_numpy(dtype="int64")
+        b_ids = home_pdf[id_col].to_numpy(dtype="int64")
+        b_mat = np.stack(home_pdf["qvec"].to_numpy()).astype("int64")
+        b_norms = home_pdf["qnorm"].to_numpy(dtype="int64")
+        # orientation mask: ball id strictly below home id (see docstring)
+        dots = a_mat @ b_mat.T
+        lhs = dots.astype("float64") ** 2
+        rhs = tau_sq * a_norms[:, None].astype("float64") * b_norms[None, :].astype("float64")
+        keep = (dots > 0) & (lhs >= rhs) & (a_ids[:, None] < b_ids[None, :])
+        ai, bi = np.nonzero(keep)
+        cos = dots[ai, bi] / np.sqrt((a_norms[ai] * b_norms[bi]).astype("float64"))
+        return pd.DataFrame({"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": cos})
+
+    return (
+        balls.groupBy("bucket")
+        .cogroup(base.groupBy("bucket"))
+        .applyInPandas(kernel, schema="id_a long, id_b long, cosine double")
+    )
 
 
 # --- IVF (inverted-file) coarse quantizer --------------------------------
@@ -327,7 +484,9 @@ IVF_CENTROIDS = 8
 IVF_KMEANS_ITERS = 2
 
 
-def ivf_centroids(df: DataFrame, id_col: str = "vec_id") -> list[list[int]]:
+def ivf_centroids(
+    df: DataFrame, id_col: str = "vec_id", sample_mod: int = 1
+) -> list[list[int]]:
     """Deterministic integer k-means centroids for the IVF index.
 
     Init = the quantized vectors of the ``IVF_CENTROIDS`` lowest ids
@@ -336,13 +495,20 @@ def ivf_centroids(df: DataFrame, id_col: str = "vec_id") -> list[list[int]]:
     subsequent distance math is exact int64, so assignments are identical
     in Spark, numpy, and any SQL engine given the same centroid literals.
 
-    Centroid fitting collects only the quantized matrix — at 100 TB fit on
-    a sample (k-means centroids converge on far less data than the corpus).
+    ``sample_mod`` is the 100 TB knob: only rows with
+    ``pmod(id, sample_mod) == 0`` are collected for the fit — a
+    deterministic 1/sample_mod systematic sample (k-means centroids
+    converge on far less data than the corpus; reproducible across Spark,
+    pyarrow, and SQL engines, unlike seeded Bernoulli sampling whose draw
+    order depends on partitioning). Pick sample_mod ≈ N / 100k so the
+    driver holds ~100k quantized vectors regardless of corpus size.
     """
     import numpy as np
 
-    base = with_quantized(df).select(id_col, "qvec").orderBy(id_col)
-    mat = np.array([r["qvec"] for r in base.collect()], dtype=np.int64)
+    base = with_quantized(df).select(id_col, "qvec")
+    if sample_mod > 1:
+        base = base.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
+    mat = np.array([r["qvec"] for r in base.orderBy(id_col).collect()], dtype=np.int64)
     return _kmeans_int(mat)
 
 
@@ -361,15 +527,20 @@ def _kmeans_int(mat) -> list[list[int]]:
     return [[int(x) for x in row] for row in cents]
 
 
-def ivf_centroids_from_parquet(path: str) -> list[list[int]]:
+def ivf_centroids_from_parquet(path: str, sample_mod: int = 1) -> list[list[int]]:
     """Spark-free centroid fit (pyarrow + numpy) — used by the DuckDB
-    oracle side so both engines share identical centroid literals."""
+    oracle side so both engines share identical centroid literals.
+    Applies the same deterministic ``id % sample_mod == 0`` systematic
+    sample as :func:`ivf_centroids`."""
     import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
-    order = np.argsort(t["vec_id"].to_numpy())
-    emb = np.stack(t["embedding"].to_numpy()[order])
+    ids = t["vec_id"].to_numpy()
+    keep = np.ones(len(ids), dtype=bool) if sample_mod <= 1 else (ids % sample_mod == 0)
+    ids = ids[keep]
+    order = np.argsort(ids)
+    emb = np.stack(t["embedding"].to_numpy()[keep][order])
     mat = np.floor(emb.astype(np.float64) * QUANT_SCALE).astype(np.int64)
     return _kmeans_int(mat)
 
@@ -394,29 +565,58 @@ def assign_centroid(qvec_col: str, centroids: list[list[int]]):
     return F.expr(f"array_min(array({', '.join(entries)})).c")
 
 
+def ranked_centroids(qvec_col: str, centroids: list[list[int]], nprobe: int):
+    """The ``nprobe`` nearest centroid ids, ordered by (distance, cid).
+
+    Same exact-int64 struct contract as :func:`assign_centroid`; one
+    array_sort + slice instead of K argmin passes."""
+    entries = []
+    for cid, cent in enumerate(centroids):
+        arr = "array(" + ", ".join(f"{w}L" for w in cent) + ")"
+        dist = (
+            f"aggregate(zip_with({qvec_col}, {arr}, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+        entries.append(f"named_struct('d', {dist}, 'c', {cid}L)")
+    return F.expr(
+        f"transform(slice(array_sort(array({', '.join(entries)})), 1, {nprobe}), s -> s.c)"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     probe_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     centroids: list[list[int]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: candidates restricted to the probe's centroid cell."""
+    """IVF ANN: candidates restricted to the probe's ``nprobe`` nearest
+    centroid cells (multi-cell probing — the standard IVF recall lever).
+
+    The probe side explodes into its nprobe cell ids and the match is an
+    equi-join on ``cell``; candidate cells are disjoint, so no dedup pass
+    is needed. Candidates carry only their single home cell — the scan
+    side stays one row per vector at any nprobe.
+    """
     from pyspark.sql import Window as W
 
     cents = centroids if centroids is not None else ivf_centroids(df, id_col)
     base = with_quantized(df).withColumn("cell", assign_centroid("qvec", cents)).select(
         id_col, "qvec", "qnorm", "cell"
     )
-    probes = base.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"),
-        F.col("qvec").alias("p_qvec"),
-        F.col("qnorm").alias("p_qnorm"),
-        F.col("cell").alias("p_cell"),
+    probes = (
+        with_quantized(df.filter(F.col(id_col).isin(probe_ids)))
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+            F.explode(ranked_centroids("qvec", cents, nprobe)).alias("cell"),
+        )
     )
     joined = F.broadcast(probes).join(
-        base, (F.col("p_cell") == F.col("cell")) & (F.col("probe_id") != F.col(id_col))
-    )
+        base, on=[probes.cell == base.cell], how="inner"
+    ).filter(F.col("probe_id") != F.col(id_col))
     scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
         "cosine", F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
     )

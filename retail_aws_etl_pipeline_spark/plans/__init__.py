@@ -1,6 +1,8 @@
 from retail_aws_etl_pipeline_spark.plans.queries import (  # noqa: F401
+    EXTRA_REGISTRY,
     REGISTRY,
     QuerySpec,
+    all_specs,
     queries,
     oracle_sql,
 )

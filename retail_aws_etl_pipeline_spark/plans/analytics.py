@@ -26,6 +26,7 @@ from retail_aws_etl_pipeline_spark.plans.queries import (
     DEC,
     dec_sum,
     register,
+    register_extra,
     sql_dec_sum,
 )
 from retail_aws_etl_pipeline_spark.session import load_tables
@@ -144,7 +145,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "customer_order_history",
     f"""
     SELECT o_custkey, o_orderkey, o_totalprice,
@@ -423,7 +424,7 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
-@register(
+@register_extra(
     "small_quantity_revenue",
     f"""
     WITH per_part AS (
@@ -592,7 +593,7 @@ def timestamp_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "cube_order_stats",
     f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -876,7 +877,7 @@ def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "forecast_revenue",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -909,7 +910,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "priority_order_counts",
     """
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
@@ -946,7 +947,7 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "two_nation_volume",
     f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -996,7 +997,7 @@ def two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "returned_item_customers",
     f"""
     SELECT c.c_custkey, c.c_name,
@@ -1038,7 +1039,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "promo_revenue_ratio",
     f"""
     SELECT {sql_dec_sum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
@@ -1073,7 +1074,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "top_revenue_suppliers",
     f"""
     WITH srev AS (
@@ -1114,7 +1115,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "brand_quantity_revenue",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -1160,7 +1161,7 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "dormant_rich_customers",
     f"""
     SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,

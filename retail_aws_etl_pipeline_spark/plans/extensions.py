@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from retail_aws_etl_pipeline_spark.operators import dedup as D
 from retail_aws_etl_pipeline_spark.operators import similarity as S
 from retail_aws_etl_pipeline_spark.operators import textops as TX
-from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY, register
+from retail_aws_etl_pipeline_spark.plans.queries import EXTRA_REGISTRY, REGISTRY, register, register_extra
 from retail_aws_etl_pipeline_spark.session import load_tables
 
 # ---------------------------------------------------------------------------
@@ -257,7 +257,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
 
 
-@register(
+@register_extra(
     "ann_topk_pandas",
     ANN_TOPK_ORACLE,
     description="Same contract via Arrow-batched mapInPandas + numpy int64 "
@@ -269,7 +269,7 @@ def ann_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk_pandas(t["embeddings"], ANN_PROBE_IDS, ANN_K).orderBy("probe_id", "rank")
 
 
-@register(
+@register_extra(
     "ann_topk_lsh",
     f"""
     WITH {_quant_cte()},
@@ -314,9 +314,9 @@ def _register_lsh_ball():
     # Same candidate set by construction → shares ann_topk_lsh's oracle SQL
     # (registered just above), so the driver hash-checks that the equi-join
     # shape reproduces the nested-loop shape exactly.
-    @register(
+    @register_extra(
         "ann_topk_lsh_ball",
-        REGISTRY["ann_topk_lsh"].oracle,
+        EXTRA_REGISTRY["ann_topk_lsh"].oracle,
         description="Multi-probe LSH ANN via probe-side Hamming-ball "
         "expansion + equi-join on bucket — the many-probe scale path (the "
         "bit_count(xor) nested-loop in ann_topk_lsh evaluates every "
@@ -350,12 +350,47 @@ _register_lsh_ball()
     ORDER BY id_a, id_b
     """,
     description="Embedding near-dup pairs: cosine ≥ 0.35 via squared "
-    "cross-multiplication (sign-guarded, no sqrt in the predicate)",
+    "cross-multiplication (sign-guarded, no sqrt in the predicate); "
+    "distributed block-pair GEMM — nothing collected to the driver",
     tags=("dedup", "similarity"),
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return S.near_dup_pairs_pandas(t["embeddings"], min_cosine=0.35).orderBy("id_a", "id_b")
+    return S.near_dup_pairs_blocked(t["embeddings"], min_cosine=0.35).orderBy("id_a", "id_b")
+
+
+@register_extra(
+    "near_dup_pairs_lsh",
+    f"""
+    WITH {_quant_cte()},
+    buckets AS (
+        SELECT n.vec_id, n.qvec, n.qnorm,
+               CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, len(n.qvec) + 1),
+                        i -> n.qvec[i] * w[i])) AS BIGINT) >= 0
+                        THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM n, {_planes_values()}
+        GROUP BY n.vec_id, n.qvec, n.qnorm
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(range(1, len(a.qvec) + 1), i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot_q,
+               a.qnorm AS na, b.qnorm AS nb
+        FROM buckets a JOIN buckets b
+          ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+    )
+    SELECT id_a, id_b, dot_q / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+    FROM pairs
+    WHERE dot_q > 0 AND CAST(dot_q AS DOUBLE) * CAST(dot_q AS DOUBLE) >= 0.1225 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+    ORDER BY id_a, id_b
+    """,
+    description="LSH-bucketed embedding near-dup (bucket Hamming ≤ 1 "
+    "candidates, per-bucket cogrouped GEMM) — the sub-quadratic 100 TB "
+    "path; candidate semantics exactly oracle-checked",
+    tags=("dedup", "similarity", "lsh"),
+)
+def near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.near_dup_pairs_lsh_gemm(t["embeddings"], min_cosine=0.35).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +532,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprints(t["documents"]).select("doc_id", "fp_exact", "fp_content").orderBy("doc_id")
 
 
-@register(
+@register_extra(
     "embedding_norm_stats",
     f"""
     WITH {_quant_cte()}
@@ -571,7 +606,7 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.byte_histogram(media).orderBy("media_id", "byte")
 
 
-@register(
+@register_extra(
     "ann_lsh_recall",
     f"""
     WITH {_quant_cte()},
@@ -646,7 +681,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_WINDOW = 4  # k-gram window for winnowing (MOSS-style)
 
 
-@register(
+@register_extra(
     "doc_winnowing",
     f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -703,7 +738,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "approx_sketch_stats",
     None,  # sketches are engine-specific by nature -> rows-only check
     description="Approximate aggregates (HLL distinct + GK quantiles) — the "
@@ -733,13 +768,20 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Registered-query IVF knobs: centroids fit on the deterministic
+#: id % IVF_SAMPLE_MOD == 0 systematic sample (no full-corpus collect),
+#: probes search their IVF_NPROBE nearest cells.
+IVF_SAMPLE_MOD = 4
+IVF_NPROBE = 2
+
+
 def _ivf_oracle() -> str | None:
     import os
 
     path = "/root/testdata/sf0.01/embeddings.parquet"
     if not os.path.exists(path):
         return None
-    cents = S.ivf_centroids_from_parquet(path)
+    cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
     d_exprs = ", ".join(
         "CAST(list_sum(list_transform(range(1, len(qvec) + 1), "
         f"i -> (qvec[i] - c{c}[i]) * (qvec[i] - c{c}[i]))) AS BIGINT) AS d{c}"
@@ -750,6 +792,7 @@ def _ivf_oracle() -> str | None:
     )
     least = ", ".join(f"d{c}" for c in range(len(cents)))
     cell_case = " ".join(f"WHEN d{c} = m THEN {c}" for c in range(len(cents)))
+    struct_list = ", ".join(f"{{'d': d{c}, 'c': {c}}}" for c in range(len(cents)))
     return f"""
     WITH {_quant_cte()},
     dists AS (
@@ -761,6 +804,15 @@ def _ivf_oracle() -> str | None:
                CAST(CASE {cell_case} END AS BIGINT) AS cell
         FROM (SELECT *, LEAST({least}) AS m FROM dists)
     ),
+    probe_cells AS (
+        SELECT vec_id, qvec, qnorm, CAST(t.cell AS BIGINT) AS cell
+        FROM (
+            SELECT vec_id, qvec, qnorm,
+                   list_transform(list_slice(list_sort([{struct_list}]), 1, {IVF_NPROBE}), s -> s.c) AS pcells
+            FROM dists
+            WHERE vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
+        ), UNNEST(pcells) AS t(cell)
+    ),
     ranked AS (
         SELECT p.vec_id AS probe_id, c.vec_id,
                CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
@@ -769,9 +821,8 @@ def _ivf_oracle() -> str | None:
                    PARTITION BY p.vec_id
                    ORDER BY CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
                             / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) DESC, c.vec_id ASC) AS rank
-        FROM cells p
+        FROM probe_cells p
         JOIN cells c ON p.cell = c.cell AND c.vec_id != p.vec_id
-        WHERE p.vec_id IN ({", ".join(map(str, ANN_PROBE_IDS))})
     )
     SELECT probe_id, vec_id, dot_q,
            dot_q / sqrt(CAST(pn * cn AS DOUBLE)) AS cosine,
@@ -785,18 +836,21 @@ def _ivf_oracle() -> str | None:
     "ann_topk_ivf",
     _ivf_oracle(),
     description="IVF ANN: deterministic integer k-means coarse quantizer "
-    "(fit on a sample, centroids broadcast as literals), candidates = the "
-    "probe's cell — the clustered alternative to hyperplane LSH",
+    "(fit on a deterministic systematic SAMPLE — no full-corpus collect; "
+    "centroids broadcast as literals), candidates = the probe's nprobe "
+    "nearest cells — the clustered alternative to hyperplane LSH",
     tags=("similarity", "ivf"),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     t = load_tables(spark, sf_dir, ["embeddings"])
-    cents = S.ivf_centroids_from_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return S.ivf_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K, centroids=cents).orderBy(
-        "probe_id", "rank"
+    cents = S.ivf_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
     )
+    return S.ivf_topk(
+        t["embeddings"], ANN_PROBE_IDS, ANN_K, centroids=cents, nprobe=IVF_NPROBE
+    ).orderBy("probe_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -873,7 +927,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_cluster_frame(spark, sf_dir, D.connected_components)
 
 
-@register(
+@register_extra(
     "near_dup_clusters_star",
     _NEAR_DUP_CLUSTERS_ORACLE,
     description="Same clustering through the large-star/small-star "
@@ -962,7 +1016,7 @@ def _quality_filter_oracle() -> str:
     """
 
 
-@register(
+@register_extra(
     "quality_top_half_per_lang",
     _quality_filter_oracle(),
     description="Per-group quality filtering: keep each language's top "
@@ -1012,7 +1066,7 @@ def _packing_oracle() -> str:
     """
 
 
-@register(
+@register_extra(
     "sequence_packing_chunks",
     _packing_oracle(),
     description="Sequence packing: documents laid into a contiguous token "
@@ -1038,7 +1092,7 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "doc_repetition_ratio",
     f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1096,7 +1150,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_extra(
     "benchmark_contamination",
     f"""
     WITH {GRAMS_CTE},
@@ -1126,7 +1180,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "corpus_vocabulary",
     """
     WITH toks AS (
@@ -1312,9 +1366,12 @@ def dedup_signal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SWEEP_PLANE_COUNTS = (4, 6, 8)
+SWEEP_NPROBES = (1, 2)
 
 
-def _recall_sweep_oracle() -> str:
+def _recall_sweep_oracle() -> str | None:
+    import os
+
     probe_list = ", ".join(map(str, ANN_PROBE_IDS))
 
     def cfg(n: int) -> str:
@@ -1327,26 +1384,85 @@ def _recall_sweep_oracle() -> str:
         FROM n, {_planes_values(n)}
         GROUP BY n.vec_id, n.qvec, n.qnorm
     ),
+    lcand{n} AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
+                   / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) AS cosine
+        FROM buckets{n} p
+        JOIN buckets{n} c ON bit_count(xor(p.bucket, c.bucket)) <= 1 AND c.vec_id != p.vec_id
+        WHERE p.vec_id IN ({probe_list})
+    ),
     lsh{n} AS (
-        SELECT probe_id, vec_id FROM (
-            SELECT p.vec_id AS probe_id, c.vec_id,
+        SELECT probe_id, vec_id, n_cand FROM (
+            SELECT probe_id, vec_id,
                    ROW_NUMBER() OVER (
-                       PARTITION BY p.vec_id
-                       ORDER BY CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
-                                / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) DESC, c.vec_id ASC) AS rank
-            FROM buckets{n} p
-            JOIN buckets{n} c ON bit_count(xor(p.bucket, c.bucket)) <= 1 AND c.vec_id != p.vec_id
-            WHERE p.vec_id IN ({probe_list})
+                       PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   COUNT(*) OVER (PARTITION BY probe_id) AS n_cand
+            FROM lcand{n}
         ) WHERE rank <= {ANN_K}
     )"""
 
-    def leg(n: int) -> str:
+    def lsh_leg(n: int) -> str:
         return f"""
-    SELECT CAST({n} AS BIGINT) AS n_planes, e.probe_id,
+    SELECT 'lsh' AS method, CAST({n} AS BIGINT) AS param, e.probe_id,
+           MAX(l.n_cand) AS n_cand,
            COUNT(l.vec_id) AS n_common,
            COUNT(l.vec_id) / {float(ANN_K)} AS recall
     FROM exact_topk e
     LEFT JOIN lsh{n} l ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
+    GROUP BY e.probe_id"""
+
+    # IVF legs share the registered index's centroids (sampled fit)
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
+    d_exprs = ", ".join(
+        "CAST(list_sum(list_transform(range(1, len(qvec) + 1), "
+        f"i -> (qvec[i] - c{c}[i]) * (qvec[i] - c{c}[i]))) AS BIGINT) AS d{c}"
+        for c in range(len(cents))
+    )
+    cent_literals = ", ".join(
+        f"[{', '.join(str(x) for x in cent)}] AS c{c}" for c, cent in enumerate(cents)
+    )
+    least = ", ".join(f"d{c}" for c in range(len(cents)))
+    cell_case = " ".join(f"WHEN d{c} = m THEN {c}" for c in range(len(cents)))
+    struct_list = ", ".join(f"{{'d': d{c}, 'c': {c}}}" for c in range(len(cents)))
+
+    def ivf_cfg(np_: int) -> str:
+        return f"""
+    pc{np_} AS (
+        SELECT vec_id, qvec, qnorm, CAST(t.cell AS BIGINT) AS cell
+        FROM (
+            SELECT vec_id, qvec, qnorm,
+                   list_transform(list_slice(list_sort([{struct_list}]), 1, {np_}), s -> s.c) AS pcells
+            FROM dists WHERE vec_id IN ({probe_list})
+        ), UNNEST(pcells) AS t(cell)
+    ),
+    icand{np_} AS (
+        SELECT p.vec_id AS probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.qvec) + 1), i -> p.qvec[i] * c.qvec[i])) AS BIGINT)
+                   / sqrt(CAST(p.qnorm * c.qnorm AS DOUBLE)) AS cosine
+        FROM pc{np_} p JOIN cells c ON p.cell = c.cell AND c.vec_id != p.vec_id
+    ),
+    ivf{np_} AS (
+        SELECT probe_id, vec_id, n_cand FROM (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank,
+                   COUNT(*) OVER (PARTITION BY probe_id) AS n_cand
+            FROM icand{np_}
+        ) WHERE rank <= {ANN_K}
+    )"""
+
+    def ivf_leg(np_: int) -> str:
+        return f"""
+    SELECT 'ivf' AS method, CAST({np_} AS BIGINT) AS param, e.probe_id,
+           MAX(l.n_cand) AS n_cand,
+           COUNT(l.vec_id) AS n_common,
+           COUNT(l.vec_id) / {float(ANN_K)} AS recall
+    FROM exact_topk e
+    LEFT JOIN ivf{np_} l ON l.probe_id = e.probe_id AND l.vec_id = e.vec_id
     GROUP BY e.probe_id"""
 
     return f"""
@@ -1367,51 +1483,88 @@ def _recall_sweep_oracle() -> str:
             FROM epairs
         ) WHERE rank <= {ANN_K}
     ),
-    {", ".join(cfg(n).lstrip() for n in SWEEP_PLANE_COUNTS)}
-    {" UNION ALL ".join(leg(n) for n in SWEEP_PLANE_COUNTS)}
-    ORDER BY n_planes, probe_id
+    dists AS (
+        SELECT vec_id, qvec, qnorm, {d_exprs}
+        FROM n, (SELECT {cent_literals}) cents
+    ),
+    cells AS (
+        SELECT vec_id, qvec, qnorm,
+               CAST(CASE {cell_case} END AS BIGINT) AS cell
+        FROM (SELECT *, LEAST({least}) AS m FROM dists)
+    ),
+    {", ".join(cfg(n).lstrip() for n in SWEEP_PLANE_COUNTS)},
+    {", ".join(ivf_cfg(np_).lstrip() for np_ in SWEEP_NPROBES)}
+    {" UNION ALL ".join([lsh_leg(n) for n in SWEEP_PLANE_COUNTS] + [ivf_leg(np_) for np_ in SWEEP_NPROBES])}
+    ORDER BY method, param, probe_id
     """
 
 
-@register(
+@register_extra(
     "ann_recall_sweep",
     _recall_sweep_oracle(),
-    description="ANN quality/selectivity sweep: recall@10 of the "
-    "multi-probe LSH index at 4/6/8 hyperplanes against the exact scan "
-    "in one result — the speed/recall dial measured in-engine instead of "
-    "a fixed configuration",
-    tags=("similarity", "lsh", "evaluation"),
+    description="ANN quality/selectivity sweep: recall@10 AND candidate-set "
+    "size of the multi-probe LSH index (4/6/8 hyperplanes) and the IVF "
+    "index (nprobe 1/2) against the exact scan in one result — the "
+    "speed/recall dial measured in-engine instead of a fixed configuration",
+    tags=("similarity", "lsh", "ivf", "evaluation"),
 )
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     t = load_tables(spark, sf_dir, ["embeddings"])
-    # Materialize the (tiny) exact top-k once: it anchors all three legs,
-    # and without the barrier the all-pairs scoring lineage runs per leg.
+    emb = t["embeddings"]
+    # Materialize the (tiny) exact top-k once: it anchors all legs, and
+    # without the barrier the all-pairs scoring lineage runs per leg.
     exact = (
-        S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K)
+        S.brute_force_topk(emb, ANN_PROBE_IDS, ANN_K)
         .select("probe_id", "vec_id")
         .localCheckpoint()
     )
-    legs = []
-    for n in SWEEP_PLANE_COUNTS:
-        lsh = S.lsh_bucketed_topk(
-            t["embeddings"], ANN_PROBE_IDS, ANN_K, planes=S.PLANES[:n]
-        ).select(F.col("probe_id").alias("l_probe"), F.col("vec_id").alias("l_vec"))
+    cents = S.ivf_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
+    )
+
+    def leg(method: str, param: int, approx_topk: DataFrame) -> DataFrame:
+        # approx_topk: (probe_id, vec_id, n_cand) — top-k rows of the
+        # approximate index, each carrying its probe's candidate-set size
+        lsh = approx_topk.select(
+            F.col("probe_id").alias("l_probe"),
+            F.col("vec_id").alias("l_vec"),
+            F.col("n_cand").alias("l_cand"),
+        )
         joined = exact.join(
             lsh,
             (F.col("probe_id") == F.col("l_probe")) & (F.col("vec_id") == F.col("l_vec")),
             "left",
         )
-        legs.append(
+        return (
             joined.groupBy("probe_id")
-            .agg(F.count("l_vec").alias("n_common"))
+            .agg(F.count("l_vec").alias("n_common"), F.max("l_cand").alias("n_cand"))
             .select(
-                F.lit(n).cast("long").alias("n_planes"),
+                F.lit(method).alias("method"),
+                F.lit(param).cast("long").alias("param"),
                 "probe_id",
+                "n_cand",
                 "n_common",
                 (F.col("n_common") / F.lit(float(ANN_K))).alias("recall"),
             )
         )
+
+    def with_cand_count(topk: DataFrame, scored_pairs: DataFrame) -> DataFrame:
+        counts = scored_pairs.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_cand"))
+        return topk.join(counts, "probe_id")
+
+    legs = []
+    for n in SWEEP_PLANE_COUNTS:
+        planes = S.PLANES[:n]
+        topk = S.lsh_bucketed_topk(emb, ANN_PROBE_IDS, ANN_K, planes=planes)
+        cand = S.lsh_candidate_pairs(emb, ANN_PROBE_IDS, planes=planes)
+        legs.append(leg("lsh", n, with_cand_count(topk, cand)))
+    for np_ in SWEEP_NPROBES:
+        topk = S.ivf_topk(emb, ANN_PROBE_IDS, ANN_K, centroids=cents, nprobe=np_)
+        cand = S.ivf_candidate_pairs(emb, ANN_PROBE_IDS, centroids=cents, nprobe=np_)
+        legs.append(leg("ivf", np_, with_cand_count(topk, cand)))
     out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy("n_planes", "probe_id")
+    for leg_df in legs[1:]:
+        out = out.unionByName(leg_df)
+    return out.orderBy("method", "param", "probe_id")

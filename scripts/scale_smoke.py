@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from retail_aws_etl_pipeline_spark.plans.queries import all_specs  # noqa: E402
+
+REGISTRY = all_specs()
 from retail_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from retail_aws_etl_pipeline_spark.plans import REGISTRY
+from retail_aws_etl_pipeline_spark.plans import all_specs
+
+REGISTRY = all_specs()
 from retail_aws_etl_pipeline_spark.session import load_tables
 from tests.conftest import SF_SMOKE
 
@@ -109,3 +111,62 @@ def test_anti_join_shape(spark):
     """Q22-style NOT EXISTS must plan LeftAnti."""
     plan = _plan(REGISTRY["dormant_rich_customers"].spark_fn(spark, SF_SMOKE))
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_near_dup_blocked_no_driver_collect(spark, monkeypatch):
+    """The exact near-dup pair query must never ship the corpus through the
+    driver (VERDICT r1: the old whole-corpus collect was the scale-killer).
+    Both building AND executing the plan must make zero DataFrame.collect
+    (or toPandas) calls."""
+    from pyspark.sql import DataFrame
+
+    calls: list[str] = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+
+    def spy_collect(self):
+        calls.append("collect")
+        return orig_collect(self)
+
+    def spy_topandas(self):
+        calls.append("toPandas")
+        return orig_topandas(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "toPandas", spy_topandas)
+    df = REGISTRY["embedding_near_dup_pairs"].spark_fn(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    assert not calls, f"driver-side materialization in near-dup path: {calls}"
+
+
+def test_near_dup_lsh_gemm_no_driver_collect(spark, monkeypatch):
+    """Same guarantee for the sub-quadratic LSH-bucketed GEMM path."""
+    from pyspark.sql import DataFrame
+
+    calls: list[str] = []
+    orig_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (calls.append("collect"), orig_collect(self))[1]
+    )
+    df = REGISTRY["near_dup_pairs_lsh"].spark_fn(spark, SF_SMOKE)
+    df.write.format("noop").mode("overwrite").save()
+    assert not calls
+
+
+def test_ivf_centroid_fit_is_sampled(spark):
+    """ivf_centroids must collect only the systematic sample, not the
+    corpus: with sample_mod=4 the driver sees ~N/4 vectors."""
+    from retail_aws_etl_pipeline_spark.operators import similarity as S
+
+    t = load_tables(spark, SF_SMOKE, ["embeddings"])
+    n = t["embeddings"].count()
+    sampled = S.with_quantized(t["embeddings"]).filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+    assert sampled.count() <= n // 4 + 1
+    cents = S.ivf_centroids(t["embeddings"], sample_mod=4)
+    assert len(cents) == S.IVF_CENTROIDS
+    # parity with the oracle-side pyarrow fit
+    import os
+
+    cents_pq = S.ivf_centroids_from_parquet(
+        os.path.join(SF_SMOKE, "embeddings.parquet"), sample_mod=4
+    )
+    assert cents == cents_pq

@@ -5,17 +5,19 @@ from __future__ import annotations
 
 import pytest
 
-from retail_aws_etl_pipeline_spark.plans import REGISTRY
+from retail_aws_etl_pipeline_spark.plans import all_specs
+
+ALL = all_specs()
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle import compare
 
-ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+ORACLE_QUERIES = sorted(n for n, s in ALL.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in ALL.items() if s.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, name):
-    spec = REGISTRY[name]
+    spec = ALL[name]
     df = spec.spark_fn(spark, SF_ORACLE)
     result = compare(df, spec.oracle, SF_ORACLE)
     assert result["ok"], f"{name}: {result}"
@@ -23,7 +25,7 @@ def test_oracle_match(spark, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
-    spec = REGISTRY[name]
+    spec = ALL[name]
     df = spec.spark_fn(spark, SF_SMOKE)
     assert df.count() >= 0
 
@@ -36,3 +38,5 @@ def test_entry_smoke(spark):
     # contract: every oracle key exists in queries()
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
+    # driver hard-checks at most ~50 entries, in order: stay inside the window
+    assert len(q) <= 50, f"driver window exceeded: {len(q)} queries"

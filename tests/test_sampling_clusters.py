@@ -133,3 +133,43 @@ def test_pack_assignment_chunks_token_stream(spark):
     two = df.withColumn("lang", F.when(F.col("doc_id") < 5, "a").otherwise("b"))
     rows2 = with_pack_assignment(two).collect()
     assert {r["start"] for r in rows2 if r["lang"] == "b"} == {i * 600 for i in range(5)}
+
+
+def test_cc_reliable_checkpoint_paths(spark, tmp_path):
+    """VERDICT r1 #6: both lineage-truncation modes must produce the same
+    labeling, and 'auto' must pick the reliable path once a checkpoint dir
+    is configured (executor loss invalidates local checkpoint blocks on a
+    real cluster — the reliable path is the long-job default)."""
+    chain = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(n,) for n in range(12)], ["doc_id"])
+    expect = {n: (0 if n <= 10 else n) for n in range(12)}
+
+    local = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, nodes, checkpoint="local").collect()
+    }
+    assert local == expect
+
+    sc = spark.sparkContext
+    had_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for mode in ("reliable", "auto"):
+            got = {
+                r["node"]: r["label"]
+                for r in connected_components(pairs, nodes, checkpoint=mode).collect()
+            }
+            assert got == expect, mode
+        star = {
+            r["node"]: r["label"]
+            for r in connected_components_star(
+                pairs, nodes, checkpoint="reliable"
+            ).collect()
+        }
+        assert star == expect
+    finally:
+        if not had_dir:
+            # pyspark has no unset API; point it at a scratch dir so later
+            # tests' "auto" still resolves somewhere writable
+            sc.setCheckpointDir(str(tmp_path / "ckpt2"))

@@ -65,6 +65,57 @@ def validate_file_head(path: str, max_bytes: int = 65536) -> list[str]:
     return errors
 
 
+def purge_run_from_silver(spark: SparkSession, lake: LakeLayout, run_id: str) -> int:
+    """Remove any task-committed rows of ``run_id`` from silver.
+
+    The session's committer (fileoutputcommitter v2) makes task output
+    visible at TASK commit, so a silver append that fails mid-job can leave
+    some of its rows behind. When the source file is then quarantined
+    (never retried), those rows would flow into gold as real transactions
+    from a file the lake says was rejected. This rewrites exactly the date
+    partitions containing the failed run's rows (dynamic partition
+    overwrite), deleting empty partitions outright; rows of other runs in
+    those partitions are preserved. Returns the number of rows purged.
+
+    Failure-path only — the scan to locate debris costs one silver read,
+    paid exclusively when an ingest job has already crashed.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    try:
+        silver = spark.read.parquet(lake.processed)
+    except Exception:
+        return 0  # silver does not exist yet → nothing committed
+    if "ingest_run_id" not in silver.columns:
+        return 0
+    debris = silver.filter(F.col("ingest_run_id") == run_id)
+    dates = [r["date"] for r in debris.select("date").distinct().collect()]
+    if not dates:
+        return 0
+    n_debris = debris.count()
+    keep = silver.filter(F.col("date").isin(dates)).filter(
+        F.col("ingest_run_id") != run_id
+    )
+    # dynamic overwrite only rewrites partitions PRESENT in the new data —
+    # dates whose every row came from the failed run must be deleted by path
+    keep_dates = {r["date"] for r in keep.select("date").distinct().collect()}
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if keep_dates:
+            keep.repartition(
+                spark.sparkContext.defaultParallelism, "date"
+            ).write.mode("overwrite").partitionBy("date").parquet(lake.processed)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for d in set(dates) - keep_dates:
+        shutil.rmtree(os.path.join(lake.processed, f"date={d}"), ignore_errors=True)
+    log.warning("purged %d partial rows of failed run %s from silver", n_debris, run_id)
+    return n_debris
+
+
 def ingest_file(
     spark: SparkSession,
     path: str,
@@ -97,9 +148,11 @@ def ingest_file(
     # -- 2+3. parse + route + sinks; on ANY failure the input file is
     # quarantined to rejected/system with a reason file and the error
     # re-raised — the reference's K7 intent (glue_job_raw_to_processed.py:
-    # 421-443) without its broken partition-delete: parquet visibility is
-    # governed by Spark's output committer, so a failed write leaves no
-    # partial partitions to roll back.
+    # 421-443) with a working rollback: the session committer (v2) makes
+    # task output visible at task commit, so a failed job CAN leave
+    # partial rows in silver; since a quarantined file is never retried,
+    # those rows are purged by run id before the error propagates
+    # (purge_run_from_silver).
     split: QualitySplit | None = None
     try:
         extracted, meta = read_flexible_csv(spark, path)
@@ -142,6 +195,10 @@ def ingest_file(
             move_file(path, reject_dir, dst_name)
         with open(os.path.join(reject_dir, f"{dst_name}_reason.json"), "w") as f:
             json.dump({"file": source_file, "error": str(exc)[:2000]}, f)
+        try:
+            purge_run_from_silver(spark, lake, run_id)
+        except Exception as purge_exc:  # keep the original error primary
+            log.error("silver purge after failed ingest also failed: %s", purge_exc)
         log.error("ingest failed, file quarantined to rejected/system: %s", exc)
         raise
     finally:

@@ -74,8 +74,18 @@ def append_gold_bucketed(batch_df: DataFrame, table: str = "fact_sales_bucketed"
     """Append a silver-shaped batch into the bucketed layout (at-least-once
     transport: duplicates are absorbed by the next recompaction). Spark
     clusters the appended files into the table's existing bucket spec — the
-    shuffle is sized by the DELTA, never the table."""
-    batch_df.write.mode("append").format("parquet").insertInto(table)
+    shuffle is sized by the DELTA, never the table.
+
+    ``insertInto`` matches columns by POSITION, not name — project the
+    batch into the published table's column order first, so a batch built
+    in a different order cannot be silently written with scrambled fields.
+    """
+    spark = batch_df.sparkSession
+    table_cols = spark.table(table).columns
+    missing = set(table_cols) - set(batch_df.columns)
+    if missing:
+        raise ValueError(f"batch is missing bucketed-table columns: {sorted(missing)}")
+    batch_df.select(*table_cols).write.mode("append").format("parquet").insertInto(table)
 
 
 def recompact_gold_bucketed(
@@ -87,10 +97,25 @@ def recompact_gold_bucketed(
     asserted in tests/test_bucketing.py) and swaps it in as ``table`` via a
     staged table + rename, the catalog analog of compact.py's dynamic
     partition overwrite.
+
+    The swap is DROP TABLE + RENAME — in a catalog without atomic swap
+    there is an unavoidable window between the two statements where the
+    target name does not exist (data is safe under the ``__staged`` name).
+    Recovery is on ENTRY: if a previous run crashed inside the window, the
+    orphaned staged table is renamed into place before any new work; a
+    stale staged table alongside a live target is dropped.
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    staged = f"{table}__staged"
+    if spark.catalog.tableExists(staged):
+        if not spark.catalog.tableExists(table):
+            # previous run crashed between DROP and RENAME: finish its swap
+            spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        else:
+            # previous run crashed before its DROP: staged result is stale
+            spark.sql(f"DROP TABLE {staged}")
     existing = spark.table(table)
     w = W.partitionBy("transaction_id").orderBy(
         F.desc(F.coalesce(F.col("ingest_ts").try_cast("timestamp"), F.lit("1970-01-01").cast("timestamp"))),
@@ -99,7 +124,6 @@ def recompact_gold_bucketed(
     deduped = (
         existing.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
-    staged = f"{table}__staged"
     write_bucketed(deduped, staged, "transaction_id", n_buckets=n_buckets)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")

@@ -34,16 +34,32 @@ from retail_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 
-#: key columns to shift per table (offset = replica * (max+1) of the first)
+#: Key DOMAINS: each foreign-key family shares ONE offset, taken from the
+#: owning dimension's max key — so replica i's lineitems reference replica
+#: i's parts/suppliers/orders (per-key fan-out stays constant across K and
+#: no replica's facts dangle or pile onto replica 0's dimensions).
+DOMAINS = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+#: (column, domain) per table — every column of a domain shifts by the SAME
+#: per-replica offset on every table that references it.
 KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "part": ["p_partkey"],
-    "supplier": ["s_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": [("l_orderkey", "orderkey"), ("l_partkey", "partkey"), ("l_suppkey", "suppkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "customer": [("c_custkey", "custkey")],
+    "part": [("p_partkey", "partkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "events": [("event_id", "event"), ("user_id", "user")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
     "nation": [],
     "region": [],
 }
@@ -66,6 +82,13 @@ DEFAULT_QUERIES = [
 
 def synthesize(spark, k: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    # One offset per key DOMAIN, from the owning table's max — shared by
+    # every referencing column so cross-table references stay aligned.
+    domain_offsets = {}
+    if k > 1:
+        for dom, (owner, col) in DOMAINS.items():
+            owner_df = spark.read.parquet(os.path.join(SRC, f"{owner}.parquet"))
+            domain_offsets[dom] = owner_df.agg(F.max(col)).collect()[0][0] + 1
     for table, keys in KEY_SHIFTS.items():
         src = os.path.join(SRC, f"{table}.parquet")
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -75,14 +98,13 @@ def synthesize(spark, k: int, out_dir: str) -> None:
         if not keys or k == 1:
             reps = [df] * (k if keys else 1)
         else:
-            offsets = {
-                c: df.agg(F.max(c)).collect()[0][0] + 1 for c in set(keys)
-            }
             reps = []
             for i in range(k):
                 r = df
-                for c in keys:
-                    r = r.withColumn(c, (F.col(c) + i * offsets[c]).cast(df.schema[c].dataType))
+                for c, dom in keys:
+                    r = r.withColumn(
+                        c, (F.col(c) + i * domain_offsets[dom]).cast(df.schema[c].dataType)
+                    )
                 if table == "documents" and i > 0:
                     # Rewrite every 3rd word with a replica-specific token:
                     # every 3-gram shingle spans 3 consecutive words, so

@@ -103,3 +103,57 @@ def test_bucketed_gold_recompaction_no_exchange(warehouse, tmp_path):
     # swapped-in table is still bucketed: window remains exchange-free
     rewindowed = spark.table("b_gold").withColumn("rn", F.row_number().over(w))
     assert not plan_has_exchange(rewindowed)
+
+
+def test_append_reorders_columns_by_name(warehouse, tmp_path):
+    """ADVICE r1: insertInto matches by POSITION — a batch whose columns
+    arrive in a different order must land with fields in the right places,
+    and a batch missing a table column must be rejected loudly."""
+    spark = warehouse
+    base = spark.range(3).select(
+        F.concat(F.lit("A"), F.col("id").cast("string")).alias("k"),
+        F.lit(1).cast("long").alias("v"),
+        F.lit("x").alias("tag"),
+    )
+    write_bucketed(base, "b_reorder", "k", 2)
+
+    scrambled = spark.range(2).select(
+        F.lit("y").alias("tag"),
+        F.lit(7).cast("long").alias("v"),
+        F.concat(F.lit("B"), F.col("id").cast("string")).alias("k"),
+    )
+    append_gold_bucketed(scrambled, "b_reorder")
+    got = spark.table("b_reorder").filter(F.col("k").startswith("B"))
+    assert got.count() == 2
+    assert {r["tag"] for r in got.collect()} == {"y"}
+    assert {r["v"] for r in got.collect()} == {7}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        append_gold_bucketed(scrambled.drop("tag"), "b_reorder")
+
+
+def test_recompact_recovers_from_crash_between_drop_and_rename(warehouse):
+    """ADVICE r1: a crash between DROP TABLE and RENAME leaves only the
+    __staged table; the next recompaction must finish the swap on entry
+    instead of failing on the missing target."""
+    spark = warehouse
+    df = spark.range(4).select(
+        F.concat(F.lit("T"), F.col("id").cast("string")).alias("transaction_id"),
+        F.lit("2025-07-20 00:00:00").alias("ingest_ts"),
+        F.md5(F.col("id").cast("string")).alias("row_hash"),
+    )
+    # simulate the crash window: staged exists, target does not
+    write_bucketed(df, "b_crash__staged", "transaction_id", 2)
+    assert not spark.catalog.tableExists("b_crash")
+    final = recompact_gold_bucketed(spark, "b_crash", n_buckets=2)
+    assert final.count() == 4
+    assert spark.catalog.tableExists("b_crash")
+    assert not spark.catalog.tableExists("b_crash__staged")
+
+    # stale staged table alongside a live target is dropped, not swapped in
+    write_bucketed(df.limit(1), "b_crash__staged", "transaction_id", 2)
+    final2 = recompact_gold_bucketed(spark, "b_crash", n_buckets=2)
+    assert final2.count() == 4
+    assert not spark.catalog.tableExists("b_crash__staged")

@@ -136,3 +136,83 @@ def test_recompaction_after_late_reingest_is_idempotent(spark, tmp_path):
     gold = spark.read.parquet(lake.gold)
     assert gold.count() == 10
     assert gold.select("transaction_id").distinct().count() == 10
+
+
+def _write_csv_with_rejects(path, good_ids, n_bad=2):
+    with open(path, "w") as f:
+        f.write(HEADER + "\n")
+        f.write("\n".join(_rows(good_ids)) + "\n")
+        for i in range(n_bad):
+            # revenue != qty * price → data-quality reject
+            f.write(f"TBAD{i:02d},S0,2025-07-10 10:00:00,ITEMX{i},2,5.00,99.99\n")
+
+
+def test_quarantined_run_leaves_no_partial_silver_rows(spark, tmp_path):
+    """ADVICE r1: committer v2 commits task output at TASK commit, so a job
+    that fails after the silver append leaves that run's rows behind while
+    the source file goes to rejected/system and is never retried. The
+    quarantine path must purge the run's rows so a rejected file
+    contributes ZERO silver rows — while other runs' rows in the same
+    partitions survive."""
+    import pytest
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+
+    # healthy run A shares dates with the doomed run
+    ok_csv = tmp_path / "ok.csv"
+    _write_csv(ok_csv, range(10))
+    ok = ingest_file(
+        spark, str(ok_csv), lake,
+        ingest_run_id="run_ok",
+        ingest_ts=F.lit("2025-07-20 00:00:00").cast("timestamp"),
+        archive=False, write_reject_csv=False,
+    )
+    assert ok.counts["good_rows"] == 10
+
+    # sabotage the reject sink: a FILE where the json dir must go makes the
+    # reject write fail AFTER the silver append already committed
+    reject_parent = tmp_path / "lake" / "rejected"
+    reject_parent.mkdir(parents=True, exist_ok=True)
+    (reject_parent / "data_quality").write_text("not a directory")
+
+    doomed = tmp_path / "doomed.csv"
+    _write_csv_with_rejects(doomed, range(100, 110))
+    with pytest.raises(Exception):
+        ingest_file(
+            spark, str(doomed), lake,
+            ingest_run_id="run_doomed",
+            ingest_ts=F.lit("2025-07-21 00:00:00").cast("timestamp"),
+            archive=True, write_reject_csv=False,
+        )
+
+    # the doomed file is quarantined...
+    system_dir = lake.rejected("system")
+    assert any(n.startswith("doomed.csv") for n in os.listdir(system_dir))
+    # ...and silver holds exactly run A's rows — no partial debris
+    silver = spark.read.parquet(lake.processed)
+    assert silver.filter(F.col("ingest_run_id") == "run_doomed").count() == 0
+    assert silver.count() == 10
+    assert {r["ingest_run_id"] for r in silver.select("ingest_run_id").distinct().collect()} == {
+        "run_ok"
+    }
+
+
+def test_purge_deletes_now_empty_partitions(spark, tmp_path):
+    """Dates populated ONLY by the failed run must disappear from silver
+    entirely (dynamic overwrite can't rewrite a partition to empty)."""
+    from retail_aws_etl_pipeline_spark.ingest import purge_run_from_silver
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    csv = tmp_path / "solo.csv"
+    _write_csv(csv, range(6))
+    ingest_file(
+        spark, str(csv), lake,
+        ingest_run_id="run_solo",
+        ingest_ts=F.lit("2025-07-20 00:00:00").cast("timestamp"),
+        archive=False, write_reject_csv=False,
+    )
+    assert spark.read.parquet(lake.processed).count() == 6
+    purged = purge_run_from_silver(spark, lake, "run_solo")
+    assert purged == 6
+    date_dirs = [d for d in os.listdir(lake.processed) if d.startswith("date=")]
+    assert date_dirs == []

@@ -1,0 +1,186 @@
+"""Object-store-safe table commits: manifest protocol for silver/gold.
+
+The rename-based commit in :mod:`retail_aws_etl_pipeline_spark.lake` is
+atomic on local FS/HDFS but NOT on object stores — S3 "rename" is copy +
+delete, and the classic file-output committers can expose partial output
+(reference intent K7, glue_job_raw_to_processed.py:421-443; ROADMAP #3).
+This module implements the standard open-table answer (the same core
+protocol as Delta/Iceberg commit logs, re-expressed minimally):
+
+- **Data files are immutable and written to a unique, unpublished
+  directory** ``data/<commit_id>/`` — a crashed write leaves garbage in a
+  directory no reader ever looks at.
+- **Visibility is a single atomic pointer update**: a manifest JSON lists
+  exactly the files of a snapshot; ``_manifests/LATEST`` names the current
+  manifest. Readers resolve LATEST → manifest → file list. On S3 a
+  single-object PUT is atomic; locally we use write-temp + ``os.replace``.
+- **Every crash point is safe**: dying during the data write, after the
+  data write, or after the manifest write but before the pointer update
+  all leave LATEST — and therefore every reader — at the pre-write
+  snapshot. The half-finished commit becomes unreferenced garbage that
+  :meth:`ManifestedTable.vacuum` reclaims.
+
+Single-writer protocol (matching the reference's one-daily-Glue-job
+shape): concurrent committers would need a compare-and-swap on LATEST
+(e.g. DynamoDB/conditional PUT) — that seam is the ``_publish`` method.
+
+At 100 TB: a commit adds O(files) manifest entries and ONE pointer
+update, independent of table size; snapshot reads list zero directories
+(the manifest is the listing — on S3 that also removes the
+eventually-consistent LIST from the read path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+LATEST = "LATEST"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """Single-file atomic publish: temp + rename (S3 analog: one PUT)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+class ManifestedTable:
+    """A parquet table whose visible state is defined by a manifest, not by
+    directory listing. Supports partitioned append and dynamic-partition
+    overwrite — the two write shapes silver and gold need."""
+
+    def __init__(self, root: str, partition_col: str | None = "date"):
+        self.root = root
+        self.partition_col = partition_col
+
+    # -- snapshot state ----------------------------------------------------
+
+    def _manifest_path(self) -> str | None:
+        latest = os.path.join(self.root, MANIFEST_DIR, LATEST)
+        if not os.path.exists(latest):
+            return None
+        with open(latest) as f:
+            name = f.read().strip()
+        return os.path.join(self.root, MANIFEST_DIR, name)
+
+    def snapshot(self) -> dict:
+        """Current manifest: {"version": int, "files": [{"path", "partition"}]}."""
+        path = self._manifest_path()
+        if path is None:
+            return {"version": 0, "files": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self._manifest_path() is not None
+
+    def partitions(self) -> list[str]:
+        """Distinct partition values in the current snapshot (sorted)."""
+        return sorted({f["partition"] for f in self.snapshot()["files"] if f["partition"]})
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The current snapshot as a DataFrame.
+
+        Files are grouped by commit directory so each group keeps its own
+        ``basePath`` (partition column recovery); groups are unioned by
+        name. Long chains of tiny commits should be folded by a periodic
+        ``overwrite_partitions`` rewrite (normal table maintenance).
+        """
+        snap = self.snapshot()
+        if not snap["files"]:
+            raise FileNotFoundError(f"manifested table {self.root} has no snapshot")
+        by_commit: dict[str, list[str]] = {}
+        for f in snap["files"]:
+            commit_dir = f["path"].split("/", 2)[1]  # data/<cid>/...
+            by_commit.setdefault(commit_dir, []).append(os.path.join(self.root, f["path"]))
+        out = None
+        for cid, files in sorted(by_commit.items()):
+            base = os.path.join(self.root, "data", cid)
+            df = spark.read.option("basePath", base).parquet(*sorted(files))
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    # -- writes ------------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> tuple[str, list[dict]]:
+        """Write ``df`` into a fresh unpublished commit dir; return
+        (commit_id, manifest entries)."""
+        cid = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.root, "data", cid)
+        writer = df.write.mode("error")
+        if self.partition_col:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(commit_dir)
+        entries = []
+        for dirpath, _dirs, files in os.walk(commit_dir):
+            for name in files:
+                if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
+                part = None
+                if self.partition_col:
+                    for piece in rel.split(os.sep):
+                        if piece.startswith(f"{self.partition_col}="):
+                            part = piece.split("=", 1)[1]
+                entries.append({"path": rel.replace(os.sep, "/"), "partition": part})
+        return cid, entries
+
+    def _publish(self, files: list[dict], parent_version: int) -> int:
+        """Write manifest v(parent+1) and flip LATEST — the ONLY step that
+        changes what readers see; single atomic pointer update. A CAS on
+        LATEST slots in here for multi-writer deployments."""
+        version = parent_version + 1
+        name = f"v{version:08d}.json"
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        _atomic_write(
+            os.path.join(mdir, name),
+            json.dumps({"version": version, "files": files}, indent=1),
+        )
+        _atomic_write(os.path.join(mdir, LATEST), name)
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """Commit an append: new snapshot = old files + this write's files."""
+        snap = self.snapshot()
+        _cid, entries = self._stage(df)
+        return self._publish(snap["files"] + entries, snap["version"])
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic-partition overwrite: partitions present in ``df`` are
+        replaced wholesale; all other partitions keep their files."""
+        if not self.partition_col:
+            raise ValueError("overwrite_partitions requires a partition_col")
+        snap = self.snapshot()
+        _cid, entries = self._stage(df)
+        replaced = {e["partition"] for e in entries}
+        kept = [f for f in snap["files"] if f["partition"] not in replaced]
+        return self._publish(kept + entries, snap["version"])
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete commit directories no current file references (debris of
+        crashed or superseded commits). Returns removed dirs. In a real
+        deployment gate this on a retention window so in-flight readers of
+        older snapshots finish first."""
+        snap = self.snapshot()
+        live = {f["path"].split("/", 2)[1] for f in snap["files"]}
+        data_dir = os.path.join(self.root, "data")
+        removed = []
+        if os.path.isdir(data_dir):
+            for cid in os.listdir(data_dir):
+                if cid not in live:
+                    shutil.rmtree(os.path.join(data_dir, cid), ignore_errors=True)
+                    removed.append(cid)
+        return removed

@@ -106,14 +106,34 @@ def compact_pending(
     max_partitions: int = 10,
     write_audit: bool = True,
     merge_schema: bool = False,
+    commit_protocol: str = "direct",
 ) -> dict:
-    """Compact all pending silver partitions into gold in one Spark plan."""
+    """Compact all pending silver partitions into gold in one Spark plan.
+
+    ``commit_protocol``: ``"direct"`` (default) writes gold via dynamic
+    partition overwrite — atomic enough on local FS/HDFS where rename is
+    atomic; ``"manifest"`` commits through
+    :class:`~retail_aws_etl_pipeline_spark.lake_manifest.ManifestedTable` —
+    the object-store-safe path where a crash at ANY point leaves gold
+    readable at the pre-write snapshot (visibility is one atomic pointer
+    update, never a directory state).
+    """
     # Runtime-settable; (re)apply in case the session was built elsewhere —
     # without it, overwrite would drop ALL existing gold partitions.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    manifest_table = None
+    if commit_protocol == "manifest":
+        from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+        manifest_table = ManifestedTable(lake.gold, partition_col="date")
+    elif commit_protocol != "direct":
+        raise ValueError(f"commit_protocol must be direct|manifest, got {commit_protocol!r}")
+
     processed_dates = list_date_partitions(lake.processed)
-    gold_dates = list_date_partitions(lake.gold)
+    gold_dates = (
+        manifest_table.partitions() if manifest_table else list_date_partitions(lake.gold)
+    )
     work = select_work(processed_dates, gold_dates, force_dates, process_all, max_partitions)
     run_ts = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
@@ -193,17 +213,17 @@ def compact_pending(
 
     deduped = windowed.filter(F.col("rn") == 1).drop("rn", "ingest_ts_f")
 
-    (
-        # second small shuffle post-dedup: each date lands whole in one task
-        # (→ one file per date), clustered by transaction_id for scan
-        # locality. Explicit N so AQE can't funnel every date's directory
-        # creation through a single task (see ingest.py).
-        deduped.repartition(spark.sparkContext.defaultParallelism, F.col("date"))
-        .sortWithinPartitions("date", "transaction_id")
-        .write.mode("overwrite")
-        .partitionBy("date")
-        .parquet(lake.gold)
-    )
+    # second small shuffle post-dedup: each date lands whole in one task
+    # (→ one file per date), clustered by transaction_id for scan
+    # locality. Explicit N so AQE can't funnel every date's directory
+    # creation through a single task (see ingest.py).
+    out = deduped.repartition(
+        spark.sparkContext.defaultParallelism, F.col("date")
+    ).sortWithinPartitions("date", "transaction_id")
+    if manifest_table is not None:
+        manifest_table.overwrite_partitions(out)
+    else:
+        out.write.mode("overwrite").partitionBy("date").parquet(lake.gold)
     windowed.unpersist()
 
     results = []
@@ -246,10 +266,22 @@ def _write_summary(lake: LakeLayout, summary: dict) -> None:
         json.dump(summary, f, indent=2)
 
 
+def read_gold(spark: SparkSession, lake: LakeLayout) -> DataFrame:
+    """Gold as a DataFrame, whichever commit protocol produced it: a
+    manifested table is read through its snapshot (never by listing), a
+    direct-layout table by the parquet directory."""
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    table = ManifestedTable(lake.gold, partition_col="date")
+    if table.exists():
+        return table.read(spark)
+    return spark.read.parquet(lake.gold)
+
+
 def register_gold_view(spark: SparkSession, lake: LakeLayout, name: str = "fact_sales") -> DataFrame:
     """The Athena/Glue-catalog analog: gold as a Spark SQL view
     (docs/athena_queries.md:4-19 → spark.sql surface)."""
-    df = spark.read.parquet(lake.gold)
+    df = read_gold(spark, lake)
     df.createOrReplaceTempView(name)
     return df
 

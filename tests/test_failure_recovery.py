@@ -216,3 +216,124 @@ def test_purge_deletes_now_empty_partitions(spark, tmp_path):
     assert purged == 6
     date_dirs = [d for d in os.listdir(lake.processed) if d.startswith("date=")]
     assert date_dirs == []
+
+
+# ---------------------------------------------------------------------------
+# Manifest commit protocol (object-store-safe silver/gold writes, ROADMAP #3)
+# ---------------------------------------------------------------------------
+
+
+def _mk_batch(spark, run_id, ids, date="2025-07-10"):
+    return spark.createDataFrame(
+        [(f"T{i:04d}", run_id, date) for i in ids],
+        ["transaction_id", "ingest_run_id", "date"],
+    )
+
+
+def test_manifest_crash_midwrite_leaves_prewrite_snapshot(spark, tmp_path):
+    """Crash at EVERY commit phase must leave readers at the pre-write
+    snapshot: (a) during the data write, (b) after data / before manifest,
+    (c) after manifest / before the LATEST pointer flip."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "silver"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(10)))
+    assert t.read(spark).count() == 10
+    v1 = t.snapshot()["version"]
+
+    # (a)+(b): die before _publish — simulate by staging without publishing
+    t._stage(_mk_batch(spark, "run2", range(10, 20)))
+    assert t.snapshot()["version"] == v1
+    assert t.read(spark).count() == 10  # pre-write snapshot intact
+
+    # (c): manifest file written, pointer flip dies
+    orig = LM._atomic_write
+
+    def die_on_pointer(path, content):
+        if path.endswith(LM.LATEST):
+            raise OSError("injected crash before pointer update")
+        orig(path, content)
+
+    LM._atomic_write = die_on_pointer
+    try:
+        with pytest.raises(OSError):
+            t.append(_mk_batch(spark, "run3", range(20, 30)))
+    finally:
+        LM._atomic_write = orig
+    assert t.snapshot()["version"] == v1
+    assert t.read(spark).count() == 10
+
+    # recovery: simply re-run the commit; vacuum reclaims the debris
+    t.append(_mk_batch(spark, "run3", range(20, 30)))
+    assert t.read(spark).count() == 20
+    removed = t.vacuum()
+    assert len(removed) == 2  # the two crashed commit dirs
+    assert t.read(spark).count() == 20  # vacuum never touches live data
+
+
+def test_manifest_overwrite_partitions_semantics(spark, tmp_path):
+    """Dynamic-partition-overwrite analog: partitions in the batch are
+    replaced, others keep their files; reads never list directories."""
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    t = ManifestedTable(str(tmp_path / "gold"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5), date="2025-07-10"))
+    t.append(_mk_batch(spark, "run1", range(5), date="2025-07-11"))
+    assert t.partitions() == ["2025-07-10", "2025-07-11"]
+
+    t.overwrite_partitions(_mk_batch(spark, "run2", range(3), date="2025-07-11"))
+    df = t.read(spark)
+    assert df.filter(F.col("date") == "2025-07-11").count() == 3
+    assert {
+        r["ingest_run_id"]
+        for r in df.filter(F.col("date") == "2025-07-11").select("ingest_run_id").collect()
+    } == {"run2"}
+    # untouched partition still served from its original files
+    assert df.filter(F.col("date") == "2025-07-10").count() == 5
+
+
+def test_compact_pending_manifest_protocol_end_to_end(spark, tmp_path):
+    """compact_pending(commit_protocol='manifest'): incremental selection
+    reads partitions from the manifest, redelivery converges, and gold is
+    snapshot-readable through read_gold."""
+    from retail_aws_etl_pipeline_spark.operators.compact import read_gold
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    _write_csv(incoming / "day1.csv", range(10))
+    ingest_pending(
+        spark, str(incoming), lake,
+        ingest_ts=F.lit("2025-07-20 00:00:00").cast("timestamp"),
+        write_reject_csv=False,
+    )
+    summary = compact_pending(
+        spark, lake, max_partitions=100, write_audit=False, commit_protocol="manifest"
+    )
+    assert summary["processed_partitions_count"] == 3  # 3 distinct dates
+    assert read_gold(spark, lake).count() == 10
+
+    # incremental: nothing pending → no work, snapshot unchanged
+    again = compact_pending(
+        spark, lake, max_partitions=100, write_audit=False, commit_protocol="manifest"
+    )
+    assert again["processed_partitions_count"] == 0
+
+    # late redelivery: forced recompaction converges to exactly-once
+    _write_csv(incoming / "day1_redelivered.csv", range(10))
+    ingest_pending(
+        spark, str(incoming), lake,
+        ingest_ts=F.lit("2025-07-22 00:00:00").cast("timestamp"),
+        write_reject_csv=False,
+    )
+    dates = [
+        d.split("=", 1)[1] for d in os.listdir(lake.processed) if d.startswith("date=")
+    ]
+    compact_pending(
+        spark, lake, force_dates=dates, write_audit=False, commit_protocol="manifest"
+    )
+    gold = read_gold(spark, lake)
+    assert gold.count() == 10
+    assert gold.select("transaction_id").distinct().count() == 10

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video content is carried as a ``binary`` column plus a typed
-metadata struct, processed by Arrow-batched ``mapInPandas`` kernels. The
-decode libraries (PIL / cv2 / torchaudio) are NOT in this container, so the
-decode/resize/frame-sample kernels are STUBBED behind an import-try with a
-clearly-marked ``NotImplementedError`` — but the Spark-side plumbing
-(schema, batch iteration, partitioning, output shapes) is real and tested
-via the byte-histogram kernel, which needs no media lib.
+metadata struct, processed by Arrow-batched ``mapInPandas`` kernels.
+
+REAL pure-numpy codecs (no media libraries required): uncompressed 24-bit
+BMP (encode + header-parsing decode, row padding and bottom-up row order
+handled), PCM16 WAV (RIFF chunk walk), nearest-neighbor BMP resize, and
+frame sampling over a concatenated-BMP "video" container (frames split by
+each BMP header's file-size field). Compressed formats (JPEG/PNG/MP4)
+still require PIL / cv2, which are NOT in this container — those kernels
+remain STUBBED behind an import-try with a clearly-marked
+``NotImplementedError``; the Spark-side plumbing is identical either way.
 
 At 100 TB: payloads dominate row size — the operators project only
 (id, payload) so Parquet column pruning keeps metadata-only queries from
@@ -84,6 +88,264 @@ def byte_histogram(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, byte int, n long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs: uncompressed 24-bit BMP and PCM16 WAV.
+# These run INSIDE mapInPandas kernels (executor-side, Arrow-batched) —
+# driver code never touches payload bytes.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """H×W×3 uint8 array (logical top-down rows, file channel order) → BMP.
+
+    Writes the standard layout: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    24 bpp, uncompressed, rows bottom-up, each row padded to 4 bytes.
+    """
+    import struct
+
+    import numpy as np
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError(f"encode_bmp wants H×W×3, got {pixels.shape}")
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1].reshape(h, w * 3)  # bottom-up
+    return header + rows.tobytes()
+
+
+def decode_bmp(buf: bytes):
+    """BMP bytes → H×W×3 uint8 (logical top-down). A genuine header parse:
+    pixel-array offset, signed height (negative = top-down), bpp and
+    compression checks, stride unpadding, row-order flip."""
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP: missing BM magic")
+    offset = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=offset).reshape(h, stride)
+    rows = rows[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3)
+
+
+def bmp_file_size(buf: bytes, at: int = 0) -> int:
+    """The file-size field of the BMP starting at ``at`` — lets a reader
+    walk a stream of concatenated BMPs without decoding them."""
+    if buf[at : at + 2] != b"BM":
+        raise ValueError(f"no BM magic at offset {at}")
+    return int.from_bytes(buf[at + 2 : at + 6], "little")
+
+
+def encode_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """int16 sample array → PCM16 little-endian RIFF/WAVE bytes."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+    ) + data
+
+
+def decode_wav(buf: bytes):
+    """WAV bytes → (sample_rate, n_channels, int16 numpy array). Walks the
+    RIFF chunk list (skipping unknown chunks, even-byte alignment) rather
+    than assuming fixed offsets."""
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sample_rate, n_channels, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            if audio_format != 1:
+                raise ValueError(f"only PCM supported, got format {audio_format}")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are even-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, n_channels, np.frombuffer(data, dtype="<i2")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesizers: payload bytes are an integer formula of the
+# id, so a SQL oracle can verify decoded features without seeing bytes.
+# ---------------------------------------------------------------------------
+
+BMP_W, BMP_H = 6, 4  # 6*3=18 bytes/row → stride 20: padding is exercised
+WAV_N, WAV_RATE = 64, 16000
+VIDEO_FRAMES = 8
+
+
+def _bmp_bytes_for(mid: int, frame: int = 0):
+    """Logical pixel byte i = (mid*31 + frame*97 + i) % 256."""
+    import numpy as np
+
+    i = np.arange(BMP_H * BMP_W * 3, dtype=np.int64)
+    return ((mid * 31 + frame * 97 + i) % 256).astype(np.uint8).reshape(BMP_H, BMP_W, 3)
+
+
+def _wav_samples_for(mid: int):
+    """Sample i = ((mid*7 + i*13) % 65536) - 32768."""
+    import numpy as np
+
+    i = np.arange(WAV_N, dtype=np.int64)
+    return (((mid * 7 + i * 13) % 65536) - 32768).astype(np.int16)
+
+
+def synth_media(ids: DataFrame, id_col: str, kind: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows with a real encoded payload of ``kind``
+    (image = BMP, audio = WAV, video = VIDEO_FRAMES concatenated BMPs)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if kind == "image":
+                    payload = encode_bmp(_bmp_bytes_for(mid))
+                    meta = ("bmp", BMP_W, BMP_H, None, None)
+                elif kind == "audio":
+                    payload = encode_wav(_wav_samples_for(mid), WAV_RATE)
+                    meta = ("wav", None, None, WAV_RATE, None)
+                elif kind == "video":
+                    payload = b"".join(
+                        encode_bmp(_bmp_bytes_for(mid, f)) for f in range(VIDEO_FRAMES)
+                    )
+                    meta = ("bmps", BMP_W, BMP_H, None, VIDEO_FRAMES)
+                else:
+                    raise ValueError(f"unknown kind {kind!r}")
+                rows.append((mid, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """Decode image payloads → (media_id, width, height, n_units, byte_sum,
+    c0_sum): full parse of every payload, features over the logical pixel
+    bytes (c0 = file channel 0, every 3rd byte)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0], flat.size,
+                     int(flat.sum()), int(flat[0::3].sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_units", "byte_sum", "c0_sum"]
+            )
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, n_units int, byte_sum long, c0_sum long",
+    )
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """Decode audio payloads → (media_id, sample_rate, n_units, abs_sum,
+    max_sample) via the RIFF chunk walk."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                rows.append((int(mid), rate, len(s), int(np.abs(s).sum()), int(s.max())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "n_units", "abs_sum", "max_sample"]
+            )
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, sample_rate int, n_units int, abs_sum long, max_sample int",
+    )
+
+
+def resize_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize of BMP image payloads → re-encoded BMP
+    payloads of the target size. Pure numpy index sampling — the real
+    resize kernel for the one format this container can decode."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                ri = (np.arange(height) * h) // height
+                ci = (np.arange(width) * w) // width
+                rows.append((int(mid), encode_bmp(px[ri][:, ci])))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, payload binary"
+    )
+
+
+def sample_bmp_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Split a concatenated-BMP video payload into frames by walking each
+    BMP header's file-size field; keep every ``every_n``-th frame."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf, at, idx = bytes(payload), 0, 0
+                while at < len(buf):
+                    size = bmp_file_size(buf, at)
+                    if idx % every_n == 0:
+                        rows.append((int(mid), idx, buf[at : at + size]))
+                    at += size
+                    idx += 1
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "payload"])
+
+    return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, frame_idx int, payload binary"
     )
 
 

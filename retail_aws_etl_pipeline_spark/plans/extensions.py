@@ -578,6 +578,65 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_decode_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    bi AS (SELECT UNNEST(generate_series(0, 71)) AS i),
+    bmp AS (
+        SELECT doc_id AS media_id, 'image' AS kind, 6 AS width, 4 AS height,
+               CAST(NULL AS INTEGER) AS sample_rate, 72 AS n_units,
+               CAST(SUM((doc_id * 31 + i) % 256) AS BIGINT) AS byte_sum,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256 END) AS BIGINT) AS c0_sum,
+               CAST(NULL AS INTEGER) AS max_sample
+        FROM ids, bi GROUP BY doc_id
+    ),
+    wi AS (SELECT UNNEST(generate_series(0, 63)) AS i),
+    wav AS (
+        SELECT doc_id AS media_id, 'audio' AS kind, CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height, 16000 AS sample_rate, 64 AS n_units,
+               CAST(SUM(ABS(((doc_id * 7 + i * 13) % 65536) - 32768)) AS BIGINT) AS byte_sum,
+               CAST(NULL AS BIGINT) AS c0_sum,
+               CAST(MAX(((doc_id * 7 + i * 13) % 65536) - 32768) AS INTEGER) AS max_sample
+        FROM ids, wi GROUP BY doc_id
+    )
+    SELECT * FROM bmp UNION ALL SELECT * FROM wav ORDER BY media_id, kind
+    """,
+    description="REAL multimodal decode: deterministic BMP/WAV payloads "
+    "synthesized per doc_id, parsed back by pure-numpy header-walking "
+    "codecs in mapInPandas; the oracle recomputes the decoded features "
+    "from the integer byte formula without ever seeing the payloads",
+    tags=("multimodal", "pandas_udf"),
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    bmp = MM.decode_bmp_stats(MM.synth_media(ids, "doc_id", "image")).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("sample_rate"),
+        "n_units",
+        "byte_sum",
+        "c0_sum",
+        F.lit(None).cast("int").alias("max_sample"),
+    )
+    wav = MM.decode_wav_stats(MM.synth_media(ids, "doc_id", "audio")).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "sample_rate",
+        "n_units",
+        F.col("abs_sum").alias("byte_sum"),
+        F.lit(None).cast("long").alias("c0_sum"),
+        "max_sample",
+    )
+    return bmp.unionByName(wav).orderBy("media_id", "kind")
+
+
+@register_extra(
     "media_byte_histogram",
     """
     WITH ascii_docs AS (

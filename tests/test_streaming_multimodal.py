@@ -119,6 +119,98 @@ def test_decode_stub_raises(spark):
         MM.decode_images(media).collect()
 
 
+def test_bmp_roundtrip_exact():
+    """encode→decode identity across widths that do and don't need row
+    padding, plus rejection of non-BMP and top-down negative-height decode."""
+    import numpy as np
+    import pytest as _pt
+
+    rng = np.random.default_rng(7)
+    for w, h in [(6, 4), (4, 4), (5, 3), (1, 1), (7, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = MM.encode_bmp(px)
+        assert MM.bmp_file_size(buf) == len(buf)
+        out = MM.decode_bmp(buf)
+        assert out.shape == (h, w, 3)
+        assert (out == px).all()
+    with _pt.raises(ValueError, match="BM magic"):
+        MM.decode_bmp(b"JUNKJUNKJUNKJUNK")
+    # top-down variant (negative height) decodes without the row flip
+    px = rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+    buf = bytearray(MM.encode_bmp(px[::-1]))  # stored rows == logical rows
+    buf[22:26] = (-2).to_bytes(4, "little", signed=True)
+    assert (MM.decode_bmp(bytes(buf)) == px).all()
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode→decode identity, and the parser walks past an unknown
+    odd-length chunk inserted before fmt/data (even-byte alignment)."""
+    import numpy as np
+
+    s = (np.arange(100, dtype=np.int64) * 997 % 65536 - 32768).astype(np.int16)
+    buf = MM.encode_wav(s, sample_rate=22050)
+    rate, ch, out = MM.decode_wav(buf)
+    assert (rate, ch) == (22050, 1)
+    assert (out == s).all()
+    # splice an unknown 3-byte chunk right after the WAVE id
+    alien = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = buf[:12] + alien + buf[12:]
+    rate2, _ch2, out2 = MM.decode_wav(spliced)
+    assert rate2 == 22050 and (out2 == s).all()
+
+
+def test_synth_media_decode_kernels(spark):
+    """The distributed path: synth → real decode kernels, checked against
+    the same integer formulas computed directly."""
+    import numpy as np
+
+    ids = spark.range(5).select(F.col("id").alias("doc_id"))
+    img = MM.synth_media(ids, "doc_id", "image")
+    stats = {r["media_id"]: r for r in MM.decode_bmp_stats(img).collect()}
+    for mid in range(5):
+        flat = MM._bmp_bytes_for(mid).reshape(-1).astype(np.int64)
+        r = stats[mid]
+        assert (r["width"], r["height"], r["n_units"]) == (MM.BMP_W, MM.BMP_H, flat.size)
+        assert r["byte_sum"] == flat.sum()
+        assert r["c0_sum"] == flat[0::3].sum()
+
+    aud = MM.synth_media(ids, "doc_id", "audio")
+    wstats = {r["media_id"]: r for r in MM.decode_wav_stats(aud).collect()}
+    for mid in range(5):
+        s = MM._wav_samples_for(mid).astype(np.int64)
+        r = wstats[mid]
+        assert r["sample_rate"] == MM.WAV_RATE
+        assert r["n_units"] == len(s)
+        assert r["abs_sum"] == np.abs(s).sum()
+        assert r["max_sample"] == s.max()
+
+
+def test_resize_and_frame_sampling(spark):
+    import numpy as np
+
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    img = MM.synth_media(ids, "doc_id", "image")
+    small = MM.resize_bmp(img, 3, 2).collect()
+    assert len(small) == 3
+    for r in small:
+        px = MM.decode_bmp(bytes(r["payload"]))
+        assert px.shape == (2, 3, 3)
+        # nearest-neighbor: output pixel (0,0) is input pixel (0,0)
+        src = MM._bmp_bytes_for(r["media_id"])
+        assert (px[0, 0] == src[0, 0]).all()
+
+    vid = MM.synth_media(ids, "doc_id", "video")
+    frames = MM.sample_bmp_frames(vid, every_n=3).collect()
+    # VIDEO_FRAMES=8, every 3rd → indices 0,3,6 per media
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 3, 6] for v in by_media.values())
+    f3 = next(r for r in frames if r["media_id"] == 1 and r["frame_idx"] == 3)
+    assert (MM.decode_bmp(bytes(f3["payload"])) == MM._bmp_bytes_for(1, 3)).all()
+    assert np.asarray(MM._bmp_bytes_for(1, 3)).shape == (MM.BMP_H, MM.BMP_W, 3)
+
+
 def test_gold_upsert_stream(spark, tmp_path):
     """Two silver waves with overlapping transaction_ids: the streamed gold
     keeps exactly one (latest) row per key, and re-running the stream with

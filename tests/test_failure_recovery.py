@@ -294,6 +294,51 @@ def test_manifest_overwrite_partitions_semantics(spark, tmp_path):
     assert df.filter(F.col("date") == "2025-07-10").count() == 5
 
 
+def test_compact_backlog_chunking(spark, tmp_path):
+    """chunk_size splits a many-date backlog into independent plans: same
+    gold as the one-plan path, per-chunk audit entries, and a crash between
+    chunks resumes at the first uncompacted date."""
+    import datetime as dt
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    base = dt.date(2025, 1, 1)
+    rows = []
+    for d in range(25):
+        date = (base + dt.timedelta(days=d)).isoformat()
+        for i in range(4):
+            rows.append((f"T{d:03d}_{i}", "S1", f"{date} 10:00:00", date))
+    silver = spark.createDataFrame(
+        rows, ["transaction_id", "store_id", "ingest_ts", "date"]
+    )
+    silver.write.partitionBy("date").parquet(lake.processed)
+
+    summary = compact_pending(
+        spark, lake, max_partitions=1000, write_audit=True, chunk_size=10
+    )
+    assert summary["processed_partitions_count"] == 25
+    assert summary["chunks"] == 3  # 10 + 10 + 5
+    assert len(summary["results"]) == 25
+    gold = spark.read.parquet(lake.gold)
+    assert gold.count() == 100
+    assert gold.select("date").distinct().count() == 25
+    # per-date audit files exist for every chunk's dates
+    audits = [f for f in os.listdir(lake.audit) if f.startswith("metrics_")]
+    assert len(audits) == 25
+
+    # "crash between chunks": wipe gold dates past the first chunk and
+    # re-run incrementally — only the missing dates are compacted.
+    import shutil
+
+    for d in sorted(os.listdir(lake.gold)):
+        if d.startswith("date=") and d > "date=2025-01-10":
+            shutil.rmtree(os.path.join(lake.gold, d))
+    resume = compact_pending(
+        spark, lake, max_partitions=1000, write_audit=False, chunk_size=10
+    )
+    assert resume["processed_partitions_count"] == 15
+    assert spark.read.parquet(lake.gold).select("date").distinct().count() == 25
+
+
 def test_compact_pending_manifest_protocol_end_to_end(spark, tmp_path):
     """compact_pending(commit_protocol='manifest'): incremental selection
     reads partitions from the manifest, redelivery converges, and gold is

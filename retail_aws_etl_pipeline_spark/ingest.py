@@ -125,8 +125,21 @@ def ingest_file(
     ingest_ts=None,
     archive: bool = True,
     write_reject_csv: bool = True,
+    commit_protocol: str = "direct",
 ) -> IngestResult:
-    """Ingest one raw delimited file into the lake's silver zone."""
+    """Ingest one raw delimited file into the lake's silver zone.
+
+    ``commit_protocol="manifest"`` routes the silver append through
+    :class:`~retail_aws_etl_pipeline_spark.lake_manifest.ManifestedTable`:
+    a crashed write publishes NOTHING (readers stay at the pre-write
+    snapshot) so the direct path's post-crash purge becomes a vacuum of
+    never-published staging files. Use the same protocol for compaction
+    (``compact_pending(commit_protocol="manifest")``) — readers of a
+    manifested zone must go through its snapshot, and the streaming file
+    source (streams.py) requires the direct layout.
+    """
+    if commit_protocol not in ("direct", "manifest"):
+        raise ValueError(f"commit_protocol must be direct|manifest, got {commit_protocol!r}")
     run_id = ingest_run_id or new_run_id()
     source_file = os.path.basename(path)
 
@@ -175,9 +188,13 @@ def ingest_file(
         # The silver write goes FIRST: it is the action that populates both
         # caches and fires the embedded count Observations, so the class
         # counts (and the reject-write decision below) cost zero extra jobs.
-        split.good.repartition(
-            spark.sparkContext.defaultParallelism, "date"
-        ).write.mode("append").partitionBy("date").parquet(lake.processed)
+        good_out = split.good.repartition(spark.sparkContext.defaultParallelism, "date")
+        if commit_protocol == "manifest":
+            from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+            ManifestedTable(lake.processed, partition_col="date").append(good_out)
+        else:
+            good_out.write.mode("append").partitionBy("date").parquet(lake.processed)
         if split.resolve_counts()["reject_rows"] > 0:
             split.rejects.write.mode("append").json(lake.rejected("data_quality/json"))
             if write_reject_csv:
@@ -196,7 +213,15 @@ def ingest_file(
         with open(os.path.join(reject_dir, f"{dst_name}_reason.json"), "w") as f:
             json.dump({"file": source_file, "error": str(exc)[:2000]}, f)
         try:
-            purge_run_from_silver(spark, lake, run_id)
+            if commit_protocol == "manifest":
+                # nothing was published — reclaim the never-referenced
+                # staging files of the crashed commit (single-writer, so
+                # no in-flight peer commit can be swept)
+                from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+                ManifestedTable(lake.processed, partition_col="date").vacuum()
+            else:
+                purge_run_from_silver(spark, lake, run_id)
         except Exception as purge_exc:  # keep the original error primary
             log.error("silver purge after failed ingest also failed: %s", purge_exc)
         log.error("ingest failed, file quarantined to rejected/system: %s", exc)

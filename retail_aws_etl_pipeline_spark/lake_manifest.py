@@ -169,6 +169,19 @@ class ManifestedTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def rewrite(self, spark: SparkSession) -> int:
+        """Fold the snapshot into ONE commit: read the current state, stage
+        it as a single commit dir, publish a manifest listing only that.
+
+        Normal table maintenance for append-heavy tables (e.g. silver at
+        one commit per ingested file): :meth:`read` unions one scan branch
+        per commit dir, so a thousand-commit chain is a thousand-branch
+        plan. Folding restores O(1) branches; follow with :meth:`vacuum`
+        to reclaim the superseded commit dirs."""
+        snap = self.snapshot()
+        _cid, entries = self._stage(self.read(spark))
+        return self._publish(entries, snap["version"])
+
     def vacuum(self) -> list[str]:
         """Delete commit directories no current file references (debris of
         crashed or superseded commits). Returns removed dirs. In a real

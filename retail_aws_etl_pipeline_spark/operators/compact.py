@@ -145,7 +145,7 @@ def compact_pending(
     elif commit_protocol != "direct":
         raise ValueError(f"commit_protocol must be direct|manifest, got {commit_protocol!r}")
 
-    processed_dates = list_date_partitions(lake.processed)
+    processed_dates = silver_partitions(lake)
     gold_dates = (
         manifest_table.partitions() if manifest_table else list_date_partitions(lake.gold)
     )
@@ -209,14 +209,22 @@ def _compact_dates(
     manifest_table,
 ) -> list[dict]:
     """One chunk: read+clean+window+write+audit for exactly ``work`` dates."""
-    # One listing of the table root + partition-pruned filter — NOT one read
-    # per date directory (500 explicit paths = 500 listings + plan bloat).
-    # mergeSchema stays opt-in: the padding loop below covers drift, and
-    # merging footers across every partition is a driver-side tax.
-    reader = spark.read.option("basePath", lake.processed)
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    silver = reader.parquet(lake.processed).filter(F.col("date").isin(work))
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    silver_table = ManifestedTable(lake.processed, partition_col="date")
+    if silver_table.exists():
+        # manifested silver: the snapshot IS the listing
+        silver = silver_table.read(spark).filter(F.col("date").isin(work))
+    else:
+        # One listing of the table root + partition-pruned filter — NOT one
+        # read per date directory (500 explicit paths = 500 listings + plan
+        # bloat). mergeSchema stays opt-in: the padding loop below covers
+        # drift, and merging footers across every partition is a
+        # driver-side tax.
+        reader = spark.read.option("basePath", lake.processed)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        silver = reader.parquet(lake.processed).filter(F.col("date").isin(work))
 
     # Defensive padding for schema drift across ingest runs (P15).
     for c in EXPECTED_SILVER_COLUMNS:
@@ -316,6 +324,27 @@ def _write_summary(lake: LakeLayout, summary: dict) -> None:
     os.makedirs(lake.audit, exist_ok=True)
     with open(os.path.join(lake.audit, "last_run_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+
+
+def silver_partitions(lake: LakeLayout) -> list[str]:
+    """Silver date partitions, whichever commit protocol wrote them."""
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    table = ManifestedTable(lake.processed, partition_col="date")
+    if table.exists():
+        return table.partitions()
+    return list_date_partitions(lake.processed)
+
+
+def read_silver(spark: SparkSession, lake: LakeLayout) -> DataFrame:
+    """Silver as a DataFrame: manifested snapshot if present, else the
+    parquet directory."""
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    table = ManifestedTable(lake.processed, partition_col="date")
+    if table.exists():
+        return table.read(spark)
+    return spark.read.parquet(lake.processed)
 
 
 def read_gold(spark: SparkSession, lake: LakeLayout) -> DataFrame:

@@ -18,9 +18,12 @@ from retail_aws_etl_pipeline_spark.lake import LakeLayout
 def register_lake_views(spark: SparkSession, lake: LakeLayout) -> None:
     """Register silver + gold as temp views (the Glue-crawler analog,
     docs/glue_crawlers.md — no crawler needed: schema travels with
-    parquet, partitions discovered on read)."""
-    spark.read.parquet(lake.processed).createOrReplaceTempView("silver_sales")
-    spark.read.parquet(lake.gold).createOrReplaceTempView("fact_sales")
+    parquet, partitions discovered on read; manifested zones are served
+    from their snapshot)."""
+    from retail_aws_etl_pipeline_spark.operators.compact import read_gold, read_silver
+
+    read_silver(spark, lake).createOrReplaceTempView("silver_sales")
+    read_gold(spark, lake).createOrReplaceTempView("fact_sales")
 
 
 def daily_revenue_gold(spark: SparkSession) -> DataFrame:

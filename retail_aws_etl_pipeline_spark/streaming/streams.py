@@ -185,6 +185,10 @@ def gold_upsert_stream(spark: SparkSession, lake, checkpoint_dir: str):
     from retail_aws_etl_pipeline_spark.operators.compact import upsert_gold
     from retail_aws_etl_pipeline_spark.schema import SILVER_SCHEMA
 
+    # NOTE: the streaming file source discovers work by DIRECTORY listing —
+    # it requires the direct silver layout. A lake ingesting with
+    # commit_protocol="manifest" should drive gold via compact_pending
+    # (manifest) instead of this stream.
     silver = spark.readStream.schema(SILVER_SCHEMA).parquet(lake.processed)
     return (
         silver.writeStream.foreachBatch(lambda df, _epoch: upsert_gold(spark, lake, df))

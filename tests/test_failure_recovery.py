@@ -294,6 +294,109 @@ def test_manifest_overwrite_partitions_semantics(spark, tmp_path):
     assert df.filter(F.col("date") == "2025-07-10").count() == 5
 
 
+def test_manifest_silver_ingest_end_to_end(spark, tmp_path):
+    """commit_protocol='manifest' through the WHOLE pipeline: reference CSV
+    → manifested silver (same class counts as the direct path) → manifested
+    gold; views serve both zones from snapshots."""
+    import shutil
+
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+    from retail_aws_etl_pipeline_spark.operators.compact import read_gold, read_silver
+    from retail_aws_etl_pipeline_spark.plans.views import register_lake_views
+
+    src = "/root/reference/sample_csv_files/sales_2024-10-16.csv"
+    f = tmp_path / "sales.csv"
+    shutil.copy(src, f)
+    lake = LakeLayout(str(tmp_path / "lake"))
+    direct_lake = LakeLayout(str(tmp_path / "lake_direct"))
+
+    f2 = tmp_path / "sales_direct.csv"
+    shutil.copy(src, f2)
+    direct = ingest_file(spark, str(f2), direct_lake, archive=False, write_reject_csv=False)
+    result = ingest_file(
+        spark, str(f), lake, archive=False, write_reject_csv=False,
+        commit_protocol="manifest",
+    )
+    assert result.status == "ok"
+    assert result.counts == direct.counts  # identical routing, different commit
+
+    silver = read_silver(spark, lake)
+    assert silver.count() == direct.counts["good_rows"]
+    assert ManifestedTable(lake.processed).exists()
+    # no hive dirs at the root: data lives under data/<commit>/
+    assert not [d for d in os.listdir(lake.processed) if d.startswith("date=")]
+
+    summary = compact_pending(
+        spark, lake, max_partitions=1000, write_audit=False, commit_protocol="manifest"
+    )
+    assert summary["processed_partitions_count"] > 0
+    gold = read_gold(spark, lake)
+    assert gold.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+
+    register_lake_views(spark, lake)
+    assert spark.sql("SELECT COUNT(*) c FROM silver_sales").collect()[0]["c"] == silver.count()
+    assert spark.sql("SELECT COUNT(*) c FROM fact_sales").collect()[0]["c"] == gold.count()
+
+
+def test_manifest_ingest_crash_publishes_nothing(spark, tmp_path):
+    """A crash between the silver stage and publish leaves the snapshot
+    unchanged; the quarantine path vacuums the staged debris."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    f1 = tmp_path / "day1.csv"
+    _write_csv(f1, range(10))
+    ingest_file(
+        spark, str(f1), lake, archive=False, write_reject_csv=False,
+        commit_protocol="manifest",
+    )
+    t = LM.ManifestedTable(lake.processed)
+    v1 = t.snapshot()["version"]
+
+    f2 = tmp_path / "day2.csv"
+    _write_csv(f2, range(10, 20))
+    orig = LM.ManifestedTable._publish
+
+    def die(self, files, parent_version):
+        raise OSError("injected crash before publish")
+
+    LM.ManifestedTable._publish = die
+    try:
+        with pytest.raises(OSError):
+            ingest_file(
+                spark, str(f2), lake, archive=False, write_reject_csv=False,
+                commit_protocol="manifest",
+            )
+    finally:
+        LM.ManifestedTable._publish = orig
+
+    assert t.snapshot()["version"] == v1  # readers never saw the crash
+    assert t.read(spark).count() == 10
+    # quarantine vacuumed the staged-but-unpublished commit dir
+    live = {e["path"].split("/", 2)[1] for e in t.snapshot()["files"]}
+    on_disk = set(os.listdir(os.path.join(lake.processed, "data")))
+    assert on_disk == live
+
+
+def test_manifest_rewrite_folds_commits(spark, tmp_path):
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    t = ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    for w in range(4):
+        t.append(_mk_batch(spark, f"run{w}", range(w * 5, w * 5 + 5)))
+    commits = {e["path"].split("/", 2)[1] for e in t.snapshot()["files"]}
+    assert len(commits) == 4
+    before = {(r["transaction_id"], r["date"]) for r in t.read(spark).collect()}
+    t.rewrite(spark)
+    t.vacuum()
+    after_commits = {e["path"].split("/", 2)[1] for e in t.snapshot()["files"]}
+    assert len(after_commits) == 1
+    assert {(r["transaction_id"], r["date"]) for r in t.read(spark).collect()} == before
+    assert set(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) == after_commits
+
+
 def test_compact_backlog_chunking(spark, tmp_path):
     """chunk_size splits a many-date backlog into independent plans: same
     gold as the one-plan path, per-chunk audit entries, and a crash between

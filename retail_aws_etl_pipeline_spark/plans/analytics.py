@@ -1452,3 +1452,89 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="Q13-style customer distribution: zero-preserving left outer "
+    "join then aggregation-of-aggregation (histogram of per-customer order "
+    "counts). The outer join keeps order-less customers as c_count=0 — the "
+    "shape a plain inner join silently drops",
+    tags=("join", "agg", "outer"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register_extra(
+    "customer_spend_deciles",
+    f"""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dec_sum("total_spent")} AS decile_revenue,
+           MIN(total_spent) AS min_spent,
+           MAX(total_spent) AS max_spent
+    FROM (
+        SELECT c_custkey,
+               total_spent,
+               CAST(NTILE(10) OVER (ORDER BY total_spent DESC, c_custkey ASC)
+                    AS BIGINT) AS decile
+        FROM (
+            SELECT o_custkey AS c_custkey,
+                   {sql_dec_sum("o_totalprice")} AS total_spent
+            FROM orders
+            GROUP BY o_custkey
+        )
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    description="NTILE decile segmentation over per-customer spend (agg -> "
+    "global window -> re-agg); tiebreak on c_custkey makes bucket edges "
+    "deterministic. The single-partition window is intentional: it runs over "
+    "the already-aggregated per-customer frame (|customers| rows, not "
+    "|orders|) - at larger scale swap NTILE for a percent_rank-style rank "
+    "computed from a distributed row_number, or bucket by approx quantiles",
+    tags=("window", "agg"),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    per_cust = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("total_spent"))
+    )
+    w = W.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(F.col("total_spent")).alias("decile_revenue"),
+            F.min("total_spent").alias("min_spent"),
+            F.max("total_spent").alias("max_spent"),
+        )
+        .orderBy("decile")
+    )

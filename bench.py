@@ -9,6 +9,13 @@ Env:
 
 Each query's full plan is executed via the no-op sink (forces every column,
 no driver collect). Prints {"metric", "value", "unit", "queries", "sf"}.
+
+stdout budget: the driver captures only the tail ~2 KB of stdout and JSON-
+parses it (BENCH_r01/r02 both recorded "parsed": null once the full
+per-query dict crossed that window). stdout therefore carries a COMPACT
+headline — total, pipeline rates, and the 8 slowest queries — guaranteed
+under ~1 KB, while the full per-query timing dict goes to BENCH_DETAIL.json
+next to this script.
 """
 
 from __future__ import annotations
@@ -107,12 +114,34 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
-    out = {
+    # Full per-query detail → sidecar file (the driver's stdout capture
+    # window is ~2 KB; 63 queries overflow it — see module docstring).
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+    }
+    if pipeline_info:
+        detail["pipeline"] = pipeline_info
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # stdout: compact headline only. "queries" keeps the driver's expected
+    # key but holds just the 8 slowest entries (the long tail of sub-100ms
+    # queries is in the sidecar).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    out = {
+        "metric": "headline_queries_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
     }
     if pipeline_info:
         out["pipeline"] = pipeline_info

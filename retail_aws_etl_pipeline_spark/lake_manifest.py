@@ -20,9 +20,17 @@ protocol as Delta/Iceberg commit logs, re-expressed minimally):
   snapshot. The half-finished commit becomes unreferenced garbage that
   :meth:`ManifestedTable.vacuum` reclaims.
 
-Single-writer protocol (matching the reference's one-daily-Glue-job
-shape): concurrent committers would need a compare-and-swap on LATEST
-(e.g. DynamoDB/conditional PUT) — that seam is the ``_publish`` method.
+Multi-writer safety: data staging runs unlocked (long Spark writes never
+serialize against each other), then the COMMIT — re-read snapshot, merge
+file lists, publish — runs under an exclusive advisory lock
+(``_manifests/_commit.lock``, ``flock``), with the version manifest
+created ``O_CREAT|O_EXCL`` so a version number can never be claimed
+twice (crash debris from an unpointered manifest is probed past, never
+overwritten). Concurrent ingest + compact therefore serialize at the
+pointer, and neither can lose the other's snapshot: each merge is
+computed against the version the other just published. ``flock`` is the
+local-FS/NFS stand-in for the object-store equivalent (S3 conditional
+PUT / DynamoDB lock table) — swap inside ``_commit`` for deployment.
 
 At 100 TB: a commit adds O(files) manifest entries and ONE pointer
 update, independent of table size; snapshot reads list zero directories
@@ -32,15 +40,24 @@ eventually-consistent LIST from the read path).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import uuid
+from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
 LATEST = "LATEST"
+COMMIT_LOCK = "_commit.lock"
+
+
+class CommitConflict(RuntimeError):
+    """The snapshot advanced underneath a commit that cannot merge blindly
+    (currently only :meth:`ManifestedTable.rewrite`)."""
 
 
 def _atomic_write(path: str, content: str) -> None:
@@ -135,37 +152,73 @@ class ManifestedTable:
                 entries.append({"path": rel.replace(os.sep, "/"), "partition": part})
         return cid, entries
 
-    def _publish(self, files: list[dict], parent_version: int) -> int:
-        """Write manifest v(parent+1) and flip LATEST — the ONLY step that
-        changes what readers see; single atomic pointer update. A CAS on
-        LATEST slots in here for multi-writer deployments."""
-        version = parent_version + 1
-        name = f"v{version:08d}.json"
+    @contextmanager
+    def _commit_lock(self):
+        """Exclusive advisory lock serializing the commit critical section.
+
+        ``flock`` releases on process death (no stale-lock recovery needed)
+        and is the local-FS stand-in for the store-side primitive a real
+        deployment plugs in here (S3 conditional PUT / DynamoDB lock)."""
         mdir = os.path.join(self.root, MANIFEST_DIR)
         os.makedirs(mdir, exist_ok=True)
-        _atomic_write(
-            os.path.join(mdir, name),
-            json.dumps({"version": version, "files": files}, indent=1),
-        )
+        with open(os.path.join(mdir, COMMIT_LOCK), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            yield
+
+    def _commit(self, merge: Callable[[dict], list[dict]]) -> int:
+        """Serialize merge-and-publish: under the commit lock, re-read the
+        CURRENT snapshot (it may have advanced since this writer staged its
+        data), merge this commit's entries into it, publish. Because the
+        merge input is always the latest published snapshot, a concurrent
+        ingest and compact each see the other's files — neither can lose a
+        snapshot."""
+        with self._commit_lock():
+            snap = self.snapshot()
+            return self._publish(merge(snap), snap["version"])
+
+    def _publish(self, files: list[dict], parent_version: int) -> int:
+        """Write the next version manifest and flip LATEST — the ONLY step
+        that changes what readers see; single atomic pointer update.
+
+        The manifest file is created ``O_CREAT|O_EXCL``: a version number
+        can never be claimed twice, so a crashed commit's unpointered
+        manifest (debris — LATEST never reached it) is probed past rather
+        than silently overwritten. Callers hold the commit lock."""
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        version = parent_version + 1
+        while True:
+            name = f"v{version:08d}.json"
+            try:
+                fd = os.open(
+                    os.path.join(mdir, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                break
+            except FileExistsError:
+                version += 1
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"version": version, "files": files}, indent=1))
         _atomic_write(os.path.join(mdir, LATEST), name)
         return version
 
     def append(self, df: DataFrame) -> int:
-        """Commit an append: new snapshot = old files + this write's files."""
-        snap = self.snapshot()
+        """Commit an append: new snapshot = current files + this write's
+        files. Staging runs unlocked (Spark writes never serialize); only
+        the pointer merge is in the critical section."""
         _cid, entries = self._stage(df)
-        return self._publish(snap["files"] + entries, snap["version"])
+        return self._commit(lambda snap: snap["files"] + entries)
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Dynamic-partition overwrite: partitions present in ``df`` are
         replaced wholesale; all other partitions keep their files."""
         if not self.partition_col:
             raise ValueError("overwrite_partitions requires a partition_col")
-        snap = self.snapshot()
         _cid, entries = self._stage(df)
         replaced = {e["partition"] for e in entries}
-        kept = [f for f in snap["files"] if f["partition"] not in replaced]
-        return self._publish(kept + entries, snap["version"])
+        return self._commit(
+            lambda snap: [f for f in snap["files"] if f["partition"] not in replaced]
+            + entries
+        )
 
     # -- maintenance -------------------------------------------------------
 
@@ -177,10 +230,24 @@ class ManifestedTable:
         one commit per ingested file): :meth:`read` unions one scan branch
         per commit dir, so a thousand-commit chain is a thousand-branch
         plan. Folding restores O(1) branches; follow with :meth:`vacuum`
-        to reclaim the superseded commit dirs."""
+        to reclaim the superseded commit dirs.
+
+        Unlike append/overwrite, a fold REPLACES the whole file list, so it
+        cannot blindly merge with a snapshot that advanced while it staged:
+        that would silently drop the concurrent commit. Raises
+        :class:`CommitConflict` in that case — retry the fold."""
         snap = self.snapshot()
         _cid, entries = self._stage(self.read(spark))
-        return self._publish(entries, snap["version"])
+
+        def merge(cur: dict) -> list[dict]:
+            if cur["version"] != snap["version"]:
+                raise CommitConflict(
+                    f"rewrite staged against v{snap['version']} but snapshot "
+                    f"is now v{cur['version']}; retry"
+                )
+            return entries
+
+        return self._commit(merge)
 
     def vacuum(self) -> list[str]:
         """Delete commit directories no current file references (debris of

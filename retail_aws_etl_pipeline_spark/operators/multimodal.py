@@ -5,11 +5,12 @@ metadata struct, processed by Arrow-batched ``mapInPandas`` kernels.
 
 REAL pure-numpy codecs (no media libraries required): uncompressed 24-bit
 BMP (encode + header-parsing decode, row padding and bottom-up row order
-handled), PCM16 WAV (RIFF chunk walk), nearest-neighbor BMP resize, and
-frame sampling over a concatenated-BMP "video" container (frames split by
-each BMP header's file-size field). Compressed formats (JPEG/PNG/MP4)
-still require PIL / cv2, which are NOT in this container — those kernels
-remain STUBBED behind an import-try with a clearly-marked
+handled), PNG (stdlib zlib deflate/inflate + per-scanline unfiltering of
+all five filter types, 8-bit RGB/RGBA), PCM16 WAV (RIFF chunk walk),
+nearest-neighbor BMP resize, and frame sampling over a concatenated-BMP
+"video" container (frames split by each BMP header's file-size field).
+JPEG/MP4 still require PIL / cv2, which are NOT in this container — those
+kernels remain STUBBED behind an import-try with a clearly-marked
 ``NotImplementedError``; the Spark-side plumbing is identical either way.
 
 At 100 TB: payloads dominate row size — the operators project only
@@ -155,6 +156,155 @@ def bmp_file_size(buf: bytes, at: int = 0) -> int:
     return int.from_bytes(buf[at + 2 : at + 6], "little")
 
 
+def _paeth_predictor(a, b, c):
+    """PNG Paeth predictor (RFC 2083 §6.6), elementwise over int arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """H×W×C uint8 (C=3 RGB or C=4 RGBA) → PNG bytes, stdlib zlib only.
+
+    Per-scanline filter = ``row % 5`` — deliberately cycles through all five
+    PNG filter types (None/Sub/Up/Average/Paeth) so round-trip tests
+    exercise every unfilter path in :func:`decode_png`, not just the
+    trivial one.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = pixels.shape
+    if c not in (3, 4):
+        raise ValueError(f"encode_png wants H×W×3 or H×W×4, got {pixels.shape}")
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    rows = pixels.reshape(h, w * c).astype(np.int64)
+    zero = np.zeros(w * c, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        raw = rows[y]
+        prior = rows[y - 1] if y > 0 else zero
+        left = np.concatenate([np.zeros(c, dtype=np.int64), raw[:-c]])
+        up_left = np.concatenate([np.zeros(c, dtype=np.int64), prior[:-c]])
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:  # Sub
+            filt = raw - left
+        elif ft == 2:  # Up
+            filt = raw - prior
+        elif ft == 3:  # Average
+            filt = raw - (left + prior) // 2
+        else:  # Paeth
+            filt = raw - _paeth_predictor(left, prior, up_left)
+        out.append(ft)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes):
+    """PNG bytes → H×W×C uint8. A genuine decode on stdlib + numpy only:
+    chunk walk (multi-IDAT concatenation), IHDR validation, zlib inflate,
+    then per-scanline unfiltering of all five filter types — Sub via a
+    per-channel cumulative sum, Up vectorized against the prior row,
+    Average/Paeth via their sequential recurrences. Supports 8-bit
+    truecolor (RGB) and truecolor+alpha (RGBA), non-interlaced."""
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, width, height, color_type = 8, [], None, None, None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, interlace = body[8], body[9], body[12]
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise ValueError(
+                    f"only 8-bit RGB/RGBA supported (depth={bit_depth}, color={color_type})"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    c = 3 if color_type == 2 else 4
+    stride = width * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    at = 0
+    for y in range(height):
+        ft = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int64)
+        at += 1 + stride
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-c] → per-channel cumsum
+            recon = line.reshape(width, c).cumsum(axis=0).reshape(-1) % 256
+        elif ft == 2:  # Up
+            recon = (line + prior) % 256
+        elif ft == 3:  # Average (sequential in x, vector over channels)
+            recon = np.zeros(stride, dtype=np.int64)
+            for x in range(width):
+                sl = slice(x * c, (x + 1) * c)
+                left = recon[x * c - c : x * c] if x else np.zeros(c, dtype=np.int64)
+                recon[sl] = (line[sl] + (left + prior[sl]) // 2) % 256
+        elif ft == 4:  # Paeth
+            recon = np.zeros(stride, dtype=np.int64)
+            zc = np.zeros(c, dtype=np.int64)
+            for x in range(width):
+                sl = slice(x * c, (x + 1) * c)
+                left = recon[x * c - c : x * c] if x else zc
+                ul = prior[x * c - c : x * c] if x else zc
+                recon[sl] = (line[sl] + _paeth_predictor(left, prior[sl], ul)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prior = recon
+        out[y] = recon.astype(np.uint8)
+    return out.reshape(height, width, c)
+
+
 def encode_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
     """int16 sample array → PCM16 little-endian RIFF/WAVE bytes."""
     import struct
@@ -211,6 +361,7 @@ def decode_wav(buf: bytes):
 BMP_W, BMP_H = 6, 4  # 6*3=18 bytes/row → stride 20: padding is exercised
 WAV_N, WAV_RATE = 64, 16000
 VIDEO_FRAMES = 8
+PNG_W, PNG_H = 8, 5  # H=5 → encoder's row%5 filter cycle hits all 5 filters
 
 
 def _bmp_bytes_for(mid: int, frame: int = 0):
@@ -219,6 +370,14 @@ def _bmp_bytes_for(mid: int, frame: int = 0):
 
     i = np.arange(BMP_H * BMP_W * 3, dtype=np.int64)
     return ((mid * 31 + frame * 97 + i) % 256).astype(np.uint8).reshape(BMP_H, BMP_W, 3)
+
+
+def _png_pixels_for(mid: int):
+    """Logical pixel byte i = (mid*17 + i*5) % 256 (distinct from BMP's)."""
+    import numpy as np
+
+    i = np.arange(PNG_H * PNG_W * 3, dtype=np.int64)
+    return ((mid * 17 + i * 5) % 256).astype(np.uint8).reshape(PNG_H, PNG_W, 3)
 
 
 def _wav_samples_for(mid: int):
@@ -241,6 +400,9 @@ def synth_media(ids: DataFrame, id_col: str, kind: str) -> DataFrame:
                 if kind == "image":
                     payload = encode_bmp(_bmp_bytes_for(mid))
                     meta = ("bmp", BMP_W, BMP_H, None, None)
+                elif kind == "png":
+                    payload = encode_png(_png_pixels_for(mid))
+                    meta = ("png", PNG_W, PNG_H, None, None)
                 elif kind == "audio":
                     payload = encode_wav(_wav_samples_for(mid), WAV_RATE)
                     meta = ("wav", None, None, WAV_RATE, None)
@@ -278,6 +440,32 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, width int, height int, n_units int, byte_sum long, c0_sum long",
+    )
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads (kind='png') → the same feature tuple as
+    :func:`decode_bmp_stats`: a full inflate + unfilter of every payload,
+    features over the logical pixel bytes."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    (int(mid), px.shape[1], px.shape[0], flat.size,
+                     int(flat.sum()), int(flat[0::3].sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_units", "byte_sum", "c0_sum"]
+            )
+
+    return media.filter(F.col("kind") == "png").select("media_id", "payload").mapInPandas(
         kernel,
         schema="media_id long, width int, height int, n_units int, byte_sum long, c0_sum long",
     )

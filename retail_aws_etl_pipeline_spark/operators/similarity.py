@@ -53,7 +53,15 @@ def _dot(a: str, b: str):
 
 
 def with_quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Add ``qvec`` (int64 array) and ``qnorm`` (int64 self-dot)."""
+    """Add ``qvec`` (int64 array) and ``qnorm`` (int64 self-dot).
+
+    Idempotent: a frame that already carries qvec/qnorm passes through
+    unchanged, so callers can quantize (and persist) ONCE and feed the same
+    base through many index builds — e.g. ann_recall_sweep's 6 legs — and
+    every operator here transparently reuses it instead of re-deriving the
+    quantization lineage per call."""
+    if "qvec" in df.columns and "qnorm" in df.columns:
+        return df
     out = df.withColumn("qvec", quantized(col))
     return out.withColumn("qnorm", _dot("qvec", "qvec"))
 
@@ -114,6 +122,11 @@ def with_lsh_bucket(
     return df.withColumn("bucket", bucket)
 
 
+#: Above this many probes the nested-loop bit_count(xor) theta-join loses
+#: to ball expansion + equi-join; `lsh_bucketed_topk` switches automatically.
+LSH_BALL_PROBE_THRESHOLD = 8
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     probe_ids: list[int],
@@ -126,12 +139,26 @@ def lsh_bucketed_topk(
     distance ``multiprobe_radius`` of the probe's bucket (multi-probe LSH —
     the standard recall lever; radius 0 = single bucket).
 
-    Here the probe set is tiny and broadcast, so the radius condition is a
-    cheap nested-loop against ≤|probes| rows per scan row. At scale with
-    many probes, expand each probe's bucket to its radius-ball (B·radius
-    ids) and equi-join on bucket instead.
+    For a tiny broadcast probe set the radius condition is a cheap
+    nested-loop against ≤|probes| rows per scan row. Above
+    ``LSH_BALL_PROBE_THRESHOLD`` probes this auto-delegates to
+    :func:`lsh_bucketed_topk_ball` (identical candidate set and results):
+    each probe explodes into its Hamming radius-ball of bucket ids and the
+    match becomes a plain equi-join the planner can scale — the default can
+    never plan a nested loop over every (probe × row) pair for large probe
+    sets.
     """
     from pyspark.sql import Window as W
+
+    if len(probe_ids) > LSH_BALL_PROBE_THRESHOLD and multiprobe_radius <= 2:
+        return lsh_bucketed_topk_ball(
+            df,
+            probe_ids,
+            k,
+            id_col=id_col,
+            multiprobe_radius=multiprobe_radius,
+            planes=planes,
+        )
 
     base = with_lsh_bucket(with_quantized(df), planes=planes).select(
         id_col, "qvec", "qnorm", "bucket"
@@ -226,6 +253,7 @@ def lsh_bucketed_topk_ball(
     k: int = 10,
     id_col: str = "vec_id",
     multiprobe_radius: int = 1,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Multi-probe LSH via probe-side ball expansion + EQUI-join.
 
@@ -242,15 +270,18 @@ def lsh_bucketed_topk_ball(
 
     from pyspark.sql import Window as W
 
+    n_planes = NUM_PLANES if planes is None else len(planes)
     masks = [0]
     if multiprobe_radius >= 1:
-        masks += [1 << p for p in range(NUM_PLANES)]
+        masks += [1 << p for p in range(n_planes)]
     if multiprobe_radius >= 2:
-        masks += [(1 << p) | (1 << q) for p, q in combinations(range(NUM_PLANES), 2)]
+        masks += [(1 << p) | (1 << q) for p, q in combinations(range(n_planes), 2)]
     if multiprobe_radius >= 3:
         raise ValueError("ball expansion implemented for radius <= 2")
 
-    base = with_lsh_bucket(with_quantized(df)).select(id_col, "qvec", "qnorm", "bucket")
+    base = with_lsh_bucket(with_quantized(df), planes=planes).select(
+        id_col, "qvec", "qnorm", "bucket"
+    )
     probes = base.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"),
         F.col("qvec").alias("p_qvec"),
@@ -483,9 +514,19 @@ def near_dup_pairs_lsh_gemm(
 IVF_CENTROIDS = 8
 IVF_KMEANS_ITERS = 2
 
+#: Target driver-side fit-sample size: the auto-derived ``sample_mod``
+#: keeps the collected matrix at ~this many vectors regardless of corpus N.
+IVF_FIT_TARGET_ROWS = 100_000
+
+
+def _auto_sample_mod(n: int) -> int:
+    """ceil(n / IVF_FIT_TARGET_ROWS) — shared by the Spark and parquet fit
+    paths so both derive the identical systematic sample from the same N."""
+    return max(1, -(-int(n) // IVF_FIT_TARGET_ROWS))
+
 
 def ivf_centroids(
-    df: DataFrame, id_col: str = "vec_id", sample_mod: int = 1
+    df: DataFrame, id_col: str = "vec_id", sample_mod: int | None = None
 ) -> list[list[int]]:
     """Deterministic integer k-means centroids for the IVF index.
 
@@ -500,11 +541,15 @@ def ivf_centroids(
     deterministic 1/sample_mod systematic sample (k-means centroids
     converge on far less data than the corpus; reproducible across Spark,
     pyarrow, and SQL engines, unlike seeded Bernoulli sampling whose draw
-    order depends on partitioning). Pick sample_mod ≈ N / 100k so the
-    driver holds ~100k quantized vectors regardless of corpus size.
+    order depends on partitioning). The DEFAULT (``None``) derives it from
+    a corpus count as ``ceil(N / IVF_FIT_TARGET_ROWS)`` so the driver never
+    collects more than ~100k quantized vectors no matter the corpus size —
+    collecting the full corpus requires explicitly passing ``sample_mod=1``.
     """
     import numpy as np
 
+    if sample_mod is None:
+        sample_mod = _auto_sample_mod(df.count())
     base = with_quantized(df).select(id_col, "qvec")
     if sample_mod > 1:
         base = base.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
@@ -527,16 +572,20 @@ def _kmeans_int(mat) -> list[list[int]]:
     return [[int(x) for x in row] for row in cents]
 
 
-def ivf_centroids_from_parquet(path: str, sample_mod: int = 1) -> list[list[int]]:
+def ivf_centroids_from_parquet(path: str, sample_mod: int | None = None) -> list[list[int]]:
     """Spark-free centroid fit (pyarrow + numpy) — used by the DuckDB
     oracle side so both engines share identical centroid literals.
     Applies the same deterministic ``id % sample_mod == 0`` systematic
-    sample as :func:`ivf_centroids`."""
+    sample as :func:`ivf_centroids`, including the same auto-derived
+    default (``ceil(N / IVF_FIT_TARGET_ROWS)``), so both paths fit on the
+    identical sample given the same corpus."""
     import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_numpy()
+    if sample_mod is None:
+        sample_mod = _auto_sample_mod(len(ids))
     keep = np.ones(len(ids), dtype=bool) if sample_mod <= 1 else (ids % sample_mod == 0)
     ids = ids[keep]
     order = np.argsort(ids)

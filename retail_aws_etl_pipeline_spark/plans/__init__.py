@@ -10,3 +10,94 @@ from retail_aws_etl_pipeline_spark.plans.queries import (  # noqa: F401
 # Importing these modules populates REGISTRY via their @register decorators.
 from retail_aws_etl_pipeline_spark.plans import analytics  # noqa: E402,F401
 from retail_aws_etl_pipeline_spark.plans import extensions  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Round-4 driver-window rotation (VERDICT r3 item #5).
+#
+# The driver hard-checks at most ~50 registry entries per round, in
+# registration order. Rounds 1-3 recorded green oracle rows for the same 50
+# queries three times while the 29 EXTRA_REGISTRY entries never got a driver
+# row (local sf0.01 DuckDB hash checks only — the same gate, run by
+# tests/test_queries_oracle.py). This rotation swaps 29 triple-proven
+# queries out of the window and promotes every never-driver-checked entry,
+# so after round 4 EVERY registry query has a green driver row in r1-3 ∪ r4.
+# Demoted queries keep full local oracle coverage (the test parametrizes
+# over BOTH registries). user_sessions / user_rolling_hour stay in the
+# window: their round-3 rows were the TIMESTAMP_NTZ failures and round 4
+# must prove the fix. Rotation map: COVERAGE.md §rotation.
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R4 = [
+    "top_customers_per_nation",
+    "returned_order_priorities",
+    "event_props_stats",
+    "segment_buyers_intersect",
+    "unordered_parts_except",
+    "union_account_balances",
+    "rollup_region_nation",
+    "median_order_by_priority",
+    "user_event_pivot",
+    "hourly_event_rollup",
+    "large_volume_orders",
+    "timestamp_parse_extended",
+    "distinct_buyer_counts",
+    "shipping_priority",
+    "supplier_nation_volume",
+    "fuzzy_part_names",
+    "nation_market_share",
+    "part_supplier_counts",
+    "conversion_funnel",
+    "weekly_retention_cohorts",
+    "grouping_sets_revenue",
+    "order_value_histogram",
+    "event_value_outliers",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_fingerprints",
+    "dataset_split_assignment",
+    "split_leakage_pairs",
+]
+
+_PROMOTE_R4 = [
+    "customer_order_history",
+    "small_quantity_revenue",
+    "cube_order_stats",
+    "forecast_revenue",
+    "priority_order_counts",
+    "two_nation_volume",
+    "returned_item_customers",
+    "promo_revenue_ratio",
+    "top_revenue_suppliers",
+    "brand_quantity_revenue",
+    "dormant_rich_customers",
+    "customer_order_distribution",
+    "customer_spend_deciles",
+    "ann_topk_pandas",
+    "ann_topk_lsh",
+    "ann_topk_lsh_ball",
+    "near_dup_pairs_lsh",
+    "embedding_norm_stats",
+    "media_byte_histogram",
+    "ann_lsh_recall",
+    "doc_winnowing",
+    "approx_sketch_stats",
+    "near_dup_clusters_star",
+    "quality_top_half_per_lang",
+    "sequence_packing_chunks",
+    "doc_repetition_ratio",
+    "benchmark_contamination",
+    "corpus_vocabulary",
+    "ann_recall_sweep",
+]
+
+
+def _rotate_driver_window() -> None:
+    for name in _DEMOTE_R4:
+        EXTRA_REGISTRY[name] = REGISTRY.pop(name)
+    for name in _PROMOTE_R4:
+        REGISTRY[name] = EXTRA_REGISTRY.pop(name)
+    assert len(REGISTRY) <= 50, f"driver window exceeded: {len(REGISTRY)}"
+
+
+_rotate_driver_window()

@@ -637,6 +637,30 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "png_decode_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents),
+    pi AS (SELECT UNNEST(generate_series(0, 119)) AS i)
+    SELECT doc_id AS media_id, 8 AS width, 5 AS height, 120 AS n_units,
+           CAST(SUM((doc_id * 17 + i * 5) % 256) AS BIGINT) AS byte_sum,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN (doc_id * 17 + i * 5) % 256 END) AS BIGINT) AS c0_sum
+    FROM ids, pi GROUP BY doc_id ORDER BY media_id
+    """,
+    description="REAL PNG decode, no PIL: deterministic RGB payloads "
+    "encoded with a per-row filter cycle (None/Sub/Up/Average/Paeth), "
+    "zlib-inflated and numpy-unfiltered back in mapInPandas; the oracle "
+    "recomputes the decoded features from the pixel formula without "
+    "seeing the payloads",
+    tags=("multimodal", "pandas_udf", "png"),
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.decode_png_stats(MM.synth_media(ids, "doc_id", "png")).orderBy("media_id")
+
+
+@register_extra(
     "media_byte_histogram",
     """
     WITH ascii_docs AS (
@@ -1342,18 +1366,19 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     grams = D.shingles(t["documents"]).persist()
     counts = D.jaccard_counts(grams)
-    # localCheckpoint is a deliberate optimization BARRIER, not just a
+    # The checkpoint is a deliberate optimization BARRIER, not just a
     # materialization: without it Catalyst pushes the md5-split predicate
     # below the pair aggregation INTO the gram self-join condition, where
     # it evaluates per joined gram row instead of per pair (measured 2.2x
     # on the whole query). The near-dup pair list is tiny relative to the
-    # corpus — materializing it is what an audit would do anyway.
-    pairs = (
+    # corpus — materializing it is what an audit would do anyway. Routed
+    # through _truncate_lineage("auto") so cluster sessions with a
+    # checkpoint dir get the executor-loss-safe reliable path.
+    pairs = D._truncate_lineage(
         counts.filter(
             F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
+        ).select("id_a", "id_b"),
+        "auto",
     )
     return (
         pairs.select(
@@ -1571,13 +1596,24 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     t = load_tables(spark, sf_dir, ["embeddings"])
-    emb = t["embeddings"]
+    # NOT persisted: A/B-measured (min-of-3, alternating) — persisting the
+    # quantized base across the 10 index builds is neutral-to-slightly-
+    # slower here (~4.0s vs ~3.8s) because each leg's scan+quantize fuses
+    # into one codegen stage, while the persisted path pays cache-exchange
+    # materialization. The r1→r2 bench jump on this query (2.14s → 5.17s)
+    # is the query itself growing: r2 added the 2 IVF legs AND a
+    # candidate-set-size join per leg (commit 91ba231), roughly 2.4× the
+    # work — not a plan regression. with_quantized is idempotent, so a
+    # caller who DOES want a shared cached base can pass one in.
+    emb = t["embeddings"].select("vec_id", "embedding")
     # Materialize the (tiny) exact top-k once: it anchors all legs, and
     # without the barrier the all-pairs scoring lineage runs per leg.
-    exact = (
-        S.brute_force_topk(emb, ANN_PROBE_IDS, ANN_K)
-        .select("probe_id", "vec_id")
-        .localCheckpoint()
+    # _truncate_lineage("auto") → reliable checkpoint on cluster sessions.
+    from retail_aws_etl_pipeline_spark.operators.dedup import _truncate_lineage
+
+    exact = _truncate_lineage(
+        S.brute_force_topk(emb, ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id"),
+        "auto",
     )
     cents = S.ivf_centroids_from_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD

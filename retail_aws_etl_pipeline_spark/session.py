@@ -98,6 +98,14 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             for f in df.schema.fields:
                 if n == "events" and f.name == "ts" and f.dataType.typeName() == "long":
                     df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                elif f.dataType.typeName() == "timestamp_ntz":
+                    # The testdata's physical timestamp type drifts between
+                    # generator runs (ns-long, TIMESTAMP, TIMESTAMP_NTZ).
+                    # Normalize NTZ -> TIMESTAMP here, once, so downstream
+                    # epoch math (cast-to-long, unix_micros, range windows)
+                    # never sees the NTZ type. With a UTC session timezone
+                    # the cast is value-preserving and oracle-identical.
+                    df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
             _TABLE_CACHE[key] = df
         df.createOrReplaceTempView(n)
         out[n] = df

@@ -25,29 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark reads
-#: as long under nanosAsLong — declared explicitly for the streaming source.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanoseconds
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming scan of an events parquet directory (µs-truncated ts)."""
+    """Streaming scan of an events parquet directory, ``ts`` normalized to
+    TIMESTAMP regardless of the files' physical type.
+
+    A streaming source needs its schema up front; rather than hard-coding
+    one physical layout, sniff it from a zero-cost batch footer read and
+    apply the same canonical ``ts`` normalization as ``load_tables``
+    (SURVEY §1.4): nanosecond-long → µs-truncated timestamp, TIMESTAMP_NTZ
+    → TIMESTAMP (UTC session, value-preserving), TIMESTAMP → as-is. The
+    testdata generator has emitted all three layouts across rounds.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = schema["ts"].dataType.typeName()
+    if ts_type == "long":  # TIMESTAMP(NANOS) read as ns-long
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -136,13 +136,41 @@ def synthesize(spark, k: int, out_dir: str) -> None:
     print(f"synthesized {k}x tables at {out_dir}", file=sys.stderr)
 
 
-def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def _shuffle_stats(spark) -> tuple[int, int]:
+    """(total shuffle-write bytes, max single-stage shuffle-write bytes)
+    across all completed stages so far, from the UI REST API. Per-query
+    deltas of the total give the query's shuffle volume; the max-stage
+    value identifies the widest single exchange (the 100 TB pressure
+    point). Returns (0, 0) if the UI is unavailable."""
+    import urllib.request
+
+    try:
+        base = "http://localhost:4040/api/v1/applications"
+        with urllib.request.urlopen(base, timeout=5) as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=5) as r:
+            stages = json.load(r)
+        writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+        return sum(writes), max(writes, default=0)
+    except Exception:
+        return 0, 0
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     timings = {}
     for name in names:
+        shuffle_before, _ = _shuffle_stats(spark)
         t0 = time.perf_counter()
         REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        wall = round(time.perf_counter() - t0, 2)
+        shuffle_after, max_stage = _shuffle_stats(spark)
+        spark.catalog.clearCache()
+        timings[name] = {
+            "sec": wall,
+            "shuffle_mb": round((shuffle_after - shuffle_before) / 1e6, 1),
+            "max_stage_shuffle_mb": round(max_stage / 1e6, 1),
+        }
+        print(f"  {name}: {timings[name]}", file=sys.stderr)
     return timings
 
 
@@ -151,7 +179,7 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfscale_x{k}"
     names = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT_QUERIES
 
-    spark = get_spark(app_name="scale_smoke")
+    spark = get_spark(app_name="scale_smoke", extra_conf={"spark.ui.enabled": "true"})
     # events.ts is nanosecond parquet; read it as long (ns) — the scaled
     # copy then stores plain int64 ns, which load_tables converts the same
     # way it does for the source table.
@@ -167,9 +195,11 @@ def main() -> None:
         "k": k,
         "queries": {
             n: {
-                "sf0_1_sec": base[n],
-                "scaled_sec": scaled[n],
-                "ratio": round(scaled[n] / base[n], 2) if base[n] else None,
+                "sf0_1": base[n],
+                "scaled": scaled[n],
+                "ratio": round(scaled[n]["sec"] / base[n]["sec"], 2)
+                if base[n]["sec"]
+                else None,
             }
             for n in names
         },

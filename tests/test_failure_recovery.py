@@ -397,6 +397,97 @@ def test_manifest_rewrite_folds_commits(spark, tmp_path):
     assert set(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) == after_commits
 
 
+def test_manifest_concurrent_writers_lose_nothing(spark, tmp_path):
+    """Concurrent ingest + compact commit race (VERDICT r3 item #6): two
+    writers that both staged before either published must BOTH survive —
+    the merge runs against the snapshot under the commit lock, not against
+    the snapshot each writer saw when it started."""
+    import threading
+
+    from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
+
+    t = ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "base", range(5)))
+
+    # interleaved: both stage (seeing v1), then commit in either order
+    errs: list[Exception] = []
+
+    def writer(run_id, ids, date):
+        try:
+            t.append(_mk_batch(spark, run_id, ids, date=date))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(f"w{i}", range(10 + i * 10, 20 + i * 10), f"2025-07-{11 + i}"))
+        for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    snap = t.snapshot()
+    assert snap["version"] == 5  # base + 4 concurrent commits, none lost
+    df = t.read(spark)
+    assert df.count() == 5 + 4 * 10
+    runs = {r["ingest_run_id"] for r in df.select("ingest_run_id").collect()}
+    assert runs == {"base", "w0", "w1", "w2", "w3"}
+
+
+def test_manifest_version_file_never_overwritten(spark, tmp_path):
+    """O_EXCL version claim: debris from a crashed commit (manifest file
+    written, LATEST never flipped) is probed past, not overwritten — the
+    next commit claims the next free version number."""
+    import json as _json
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5)))
+    # orphan v2 manifest: a writer died after the manifest write
+    mdir = os.path.join(str(tmp_path / "t"), LM.MANIFEST_DIR)
+    orphan = os.path.join(mdir, "v00000002.json")
+    with open(orphan, "w") as f:
+        f.write(_json.dumps({"version": 2, "files": [{"path": "data/dead/x.parquet", "partition": None}]}))
+
+    v = t.append(_mk_batch(spark, "run2", range(5, 10)))
+    assert v == 3  # skipped the claimed-but-unpointered v2
+    with open(orphan) as f:  # debris untouched
+        assert _json.load(f)["files"][0]["path"] == "data/dead/x.parquet"
+    assert t.read(spark).count() == 10
+
+
+def test_manifest_rewrite_conflicts_instead_of_dropping(spark, tmp_path):
+    """A fold staged against a stale snapshot must raise CommitConflict,
+    never silently drop the commit that landed meanwhile."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5)))
+
+    orig_commit = LM.ManifestedTable._commit
+
+    def racing_commit(self, merge):
+        # another writer lands between rewrite's stage and its commit
+        LM.ManifestedTable._commit = orig_commit
+        t.append(_mk_batch(spark, "run2", range(5, 10), date="2025-07-11"))
+        return orig_commit(self, merge)
+
+    LM.ManifestedTable._commit = racing_commit
+    try:
+        with pytest.raises(LM.CommitConflict):
+            t.rewrite(spark)
+    finally:
+        LM.ManifestedTable._commit = orig_commit
+    # nothing lost; retry folds cleanly
+    assert t.read(spark).count() == 10
+    t.rewrite(spark)
+    assert t.read(spark).count() == 10
+
+
 def test_compact_backlog_chunking(spark, tmp_path):
     """chunk_size splits a many-date backlog into independent plans: same
     gold as the one-plan path, per-chunk audit entries, and a crash between

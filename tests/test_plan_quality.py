@@ -170,3 +170,51 @@ def test_ivf_centroid_fit_is_sampled(spark):
         os.path.join(SF_SMOKE, "embeddings.parquet"), sample_mod=4
     )
     assert cents == cents_pq
+
+
+def test_ivf_default_sample_mod_bounds_driver_collect(spark):
+    """The DEFAULT fit must never collect an unbounded corpus: sample_mod
+    auto-derives as ceil(N / IVF_FIT_TARGET_ROWS), so the driver matrix is
+    capped at ~IVF_FIT_TARGET_ROWS vectors at any corpus size, and the
+    Spark and pyarrow default fits agree on the same corpus."""
+    import os
+
+    from retail_aws_etl_pipeline_spark.operators import similarity as S
+
+    # the shared derivation itself: ≤ target → full corpus; above → capped
+    assert S._auto_sample_mod(1) == 1
+    assert S._auto_sample_mod(S.IVF_FIT_TARGET_ROWS) == 1
+    assert S._auto_sample_mod(S.IVF_FIT_TARGET_ROWS + 1) == 2
+    big = 250 * S.IVF_FIT_TARGET_ROWS
+    assert S._auto_sample_mod(big) == 250
+    # sampled row count under the derived mod stays ≈ target (dense ids)
+    assert big // S._auto_sample_mod(big) <= S.IVF_FIT_TARGET_ROWS
+
+    t = load_tables(spark, SF_SMOKE, ["embeddings"])
+    cents_default = S.ivf_centroids(t["embeddings"])
+    n = t["embeddings"].count()
+    assert cents_default == S.ivf_centroids(t["embeddings"], sample_mod=S._auto_sample_mod(n))
+    cents_pq = S.ivf_centroids_from_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    assert cents_default == cents_pq
+
+
+def test_lsh_topk_defaults_to_equi_join_above_probe_threshold(spark, monkeypatch):
+    """Above LSH_BALL_PROBE_THRESHOLD probes, lsh_bucketed_topk must plan
+    the ball-expansion EQUI-join (no nested-loop bit_count(xor) theta-join
+    over every (probe, row) pair) and return results identical to the
+    nested-loop form."""
+    from retail_aws_etl_pipeline_spark.operators import similarity as S
+
+    t = load_tables(spark, SF_SMOKE, ["embeddings"])
+    probe_ids = [r["vec_id"] for r in t["embeddings"].select("vec_id").limit(10).collect()]
+    assert len(probe_ids) > S.LSH_BALL_PROBE_THRESHOLD
+
+    auto = S.lsh_bucketed_topk(t["embeddings"], probe_ids, k=5)
+    assert "BroadcastNestedLoopJoin" not in _plan(auto), _plan(auto)[:2000]
+
+    # force the legacy nested-loop path for the parity check
+    monkeypatch.setattr(S, "LSH_BALL_PROBE_THRESHOLD", 10_000)
+    nested = S.lsh_bucketed_topk(t["embeddings"], probe_ids, k=5)
+    assert "BroadcastNestedLoopJoin" in _plan(nested)
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    assert sorted(auto.collect(), key=key) == sorted(nested.collect(), key=key)

@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.operators import multimodal as MM
-from retail_aws_etl_pipeline_spark.plans import REGISTRY
+from retail_aws_etl_pipeline_spark.plans import all_specs
+
+REGISTRY = all_specs()
 from retail_aws_etl_pipeline_spark.session import load_tables
 from retail_aws_etl_pipeline_spark.streaming import (
     dedup_stream,
@@ -140,6 +142,60 @@ def test_bmp_roundtrip_exact():
     buf = bytearray(MM.encode_bmp(px[::-1]))  # stored rows == logical rows
     buf[22:26] = (-2).to_bytes(4, "little", signed=True)
     assert (MM.decode_bmp(bytes(buf)) == px).all()
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode identity for RGB and RGBA at heights ≥5 (the encoder's
+    row%5 filter cycle guarantees every unfilter path — None/Sub/Up/
+    Average/Paeth — is exercised), plus decode parity against zlib-level
+    checks and rejection of non-PNG input."""
+    import numpy as np
+    import pytest as _pt
+
+    rng = np.random.default_rng(11)
+    for h, w, c in [(5, 8, 3), (7, 3, 3), (6, 5, 4), (1, 1, 3), (10, 2, 4)]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        buf = MM.encode_png(px)
+        assert buf[:8] == MM.PNG_SIG
+        out = MM.decode_png(buf)
+        assert out.shape == (h, w, c)
+        assert (out == px).all()
+    with _pt.raises(ValueError, match="signature"):
+        MM.decode_png(b"NOTAPNG_________")
+    # multi-IDAT streams must concatenate before inflate
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    buf = MM.encode_png(px)
+    # split the single IDAT into two chunks
+    import struct, zlib as _z  # noqa: E401
+
+    ln = int.from_bytes(buf[33:37], "big")  # IHDR is 8+25 bytes in; IDAT at 33
+    assert buf[37:41] == b"IDAT"
+    body = buf[41 : 41 + ln]
+    half = len(body) // 2
+
+    def chunk(ctype, b):
+        return struct.pack(">I", len(b)) + ctype + b + struct.pack(">I", _z.crc32(ctype + b) & 0xFFFFFFFF)
+
+    rebuilt = buf[:33] + chunk(b"IDAT", body[:half]) + chunk(b"IDAT", body[half:]) + chunk(b"IEND", b"")
+    assert (MM.decode_png(rebuilt) == px).all()
+
+
+def test_png_decode_kernel(spark):
+    """synth_media('png') payloads through decode_png_stats: features match
+    the closed-form pixel formula for every id."""
+    ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in MM.decode_png_stats(MM.synth_media(ids, "doc_id", "png")).collect()
+    }
+    n = MM.PNG_H * MM.PNG_W * 3
+    for mid in range(40):
+        expect_sum = sum((mid * 17 + i * 5) % 256 for i in range(n))
+        expect_c0 = sum((mid * 17 + i * 5) % 256 for i in range(0, n, 3))
+        r = got[mid]
+        assert (r["width"], r["height"], r["n_units"]) == (MM.PNG_W, MM.PNG_H, n)
+        assert r["byte_sum"] == expect_sum
+        assert r["c0_sum"] == expect_c0
 
 
 def test_wav_roundtrip_and_chunk_walk():

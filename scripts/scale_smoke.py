@@ -136,12 +136,11 @@ def synthesize(spark, k: int, out_dir: str) -> None:
     print(f"synthesized {k}x tables at {out_dir}", file=sys.stderr)
 
 
-def _shuffle_stats(spark) -> tuple[int, int]:
-    """(total shuffle-write bytes, max single-stage shuffle-write bytes)
-    across all completed stages so far, from the UI REST API. Per-query
-    deltas of the total give the query's shuffle volume; the max-stage
-    value identifies the widest single exchange (the 100 TB pressure
-    point). Returns (0, 0) if the UI is unavailable."""
+def _stage_shuffles(spark) -> dict[int, int]:
+    """{(stageId, attempt-unique key): shuffle-write bytes} for every
+    completed stage so far, from the UI REST API. Per-query deltas give
+    the query's total shuffle volume AND its widest single exchange (the
+    100 TB pressure point). Returns {} if the UI is unavailable."""
     import urllib.request
 
     try:
@@ -150,25 +149,35 @@ def _shuffle_stats(spark) -> tuple[int, int]:
             app_id = json.load(r)[0]["id"]
         with urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete", timeout=5) as r:
             stages = json.load(r)
-        writes = [s.get("shuffleWriteBytes", 0) for s in stages]
-        return sum(writes), max(writes, default=0)
+        return {
+            (s["stageId"], s.get("attemptId", 0)): s.get("shuffleWriteBytes", 0)
+            for s in stages
+        }
     except Exception:
-        return 0, 0
+        return {}
 
 
 def run(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
+    """min-of-N wall per query (host shows multi-second load spikes — a
+    single shot measured dedup_signal_report at both 11 s and 35 s minutes
+    apart); shuffle bytes are plan-determined, recorded once."""
+    repeats = max(1, int(os.environ.get("SMOKE_REPEATS", "3")))
     timings = {}
     for name in names:
-        shuffle_before, _ = _shuffle_stats(spark)
-        t0 = time.perf_counter()
-        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        wall = round(time.perf_counter() - t0, 2)
-        shuffle_after, max_stage = _shuffle_stats(spark)
-        spark.catalog.clearCache()
+        best, shuffle = None, {}
+        for _ in range(repeats):
+            seen = set(_stage_shuffles(spark))
+            t0 = time.perf_counter()
+            REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            new = {k: v for k, v in _stage_shuffles(spark).items() if k not in seen}
+            spark.catalog.clearCache()
+            if best is None or wall < best:
+                best, shuffle = wall, new
         timings[name] = {
-            "sec": wall,
-            "shuffle_mb": round((shuffle_after - shuffle_before) / 1e6, 1),
-            "max_stage_shuffle_mb": round(max_stage / 1e6, 1),
+            "sec": round(best, 2),
+            "shuffle_mb": round(sum(shuffle.values()) / 1e6, 1),
+            "max_stage_shuffle_mb": round(max(shuffle.values(), default=0) / 1e6, 1),
         }
         print(f"  {name}: {timings[name]}", file=sys.stderr)
     return timings

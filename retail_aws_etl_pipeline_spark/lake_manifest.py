@@ -249,18 +249,80 @@ class ManifestedTable:
 
         return self._commit(merge)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 0.0) -> list[str]:
         """Delete commit directories no current file references (debris of
-        crashed or superseded commits). Returns removed dirs. In a real
-        deployment gate this on a retention window so in-flight readers of
-        older snapshots finish first."""
+        crashed or superseded commits). Returns removed dirs.
+
+        ``min_age_seconds`` is the in-flight-writer guard: staging runs
+        unlocked by design, so a commit dir younger than the window may
+        belong to a writer that hasn't reached its pointer merge yet —
+        skip it (same reason Delta's VACUUM has a retention window; it
+        also lets in-flight readers of older snapshots finish). The
+        default 0 reclaims everything unreferenced — correct for
+        single-writer maintenance windows and tests."""
+        import time
+
         snap = self.snapshot()
         live = {f["path"].split("/", 2)[1] for f in snap["files"]}
         data_dir = os.path.join(self.root, "data")
         removed = []
+        now = time.time()
         if os.path.isdir(data_dir):
             for cid in os.listdir(data_dir):
-                if cid not in live:
-                    shutil.rmtree(os.path.join(data_dir, cid), ignore_errors=True)
-                    removed.append(cid)
+                full = os.path.join(data_dir, cid)
+                if cid in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # concurrently removed
+                if age < min_age_seconds:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(cid)
         return removed
+
+    def gc_manifests(self, keep_versions: int = 3) -> list[str]:
+        """Reclaim manifest files: superseded snapshots beyond the
+        ``keep_versions`` most recent (time-travel retention) AND
+        unpointered debris manifests — the leftovers of a commit that
+        claimed its version file (``O_CREAT|O_EXCL`` in :meth:`_publish`)
+        but crashed before the LATEST flip. Returns removed file names.
+
+        Runs under the commit lock: a live writer publishes (claim + flip)
+        inside the same lock, so a version file seen here without a
+        pointer is guaranteed crash debris, not a commit mid-flip. The
+        LIVE manifest (the one LATEST names) is never a candidate — a GC
+        pass cannot strand readers — and with ``keep_versions >= 1`` the
+        retained history is the live snapshot plus its most recent
+        predecessors."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1 (the live snapshot)")
+        with self._commit_lock():
+            mdir = os.path.join(self.root, MANIFEST_DIR)
+            latest = os.path.join(mdir, LATEST)
+            if not os.path.exists(latest):
+                return []  # nothing published yet -> nothing is superseded
+            with open(latest) as f:
+                live_name = f.read().strip()
+            versions = sorted(
+                n for n in os.listdir(mdir)
+                if n.startswith("v") and n.endswith(".json") and n != live_name
+            )
+            live_version = int(live_name[1:-5])
+            # keep the (keep_versions - 1) newest predecessors of live;
+            # everything else — older history AND >live debris — goes.
+            keep = {
+                n for n in versions if int(n[1:-5]) < live_version
+            }
+            keep = set(sorted(keep)[-(keep_versions - 1):]) if keep_versions > 1 else set()
+            removed = []
+            for name in versions:
+                if name in keep:
+                    continue
+                try:
+                    os.remove(os.path.join(mdir, name))
+                    removed.append(name)
+                except OSError:
+                    pass
+            return removed

@@ -247,6 +247,11 @@ def decode_png(buf: bytes):
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos : pos + 4], "big")
         ctype = buf[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(buf):  # length field points past the buffer
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r} at byte {pos}: "
+                f"declared {ln} body bytes, {len(buf) - pos - 12} available"
+            )
         body = buf[pos + 8 : pos + 8 + ln]
         if ctype == b"IHDR":
             width = int.from_bytes(body[0:4], "big")
@@ -534,6 +539,143 @@ def sample_bmp_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, frame_idx int, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lib-free image METADATA probe: (format, width, height) from header bytes
+# alone — no inflate, no pixel decode. This is the first real-user
+# multimodal ask (what's in this blob / how big) and it works on formats
+# whose FULL decode needs external libs (JPEG, GIF): dimensions live in
+# fixed header fields (PNG IHDR, GIF logical-screen descriptor) or in a
+# bounded marker walk (JPEG SOF), so the kernel touches O(header) bytes of
+# a payload that may be megabytes — at 100 TB, Parquet page skipping plus
+# this probe make a corpus-wide dims scan IO-bound on headers, not content.
+# ---------------------------------------------------------------------------
+
+#: JPEG SOF markers carrying frame dimensions (C0-CF minus DHT/JPG/DAC).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
+    """(format, width, height) from header bytes only; full decode never
+    runs. Unknown magic → ("unknown", None, None); a recognized format
+    with a truncated/missing dims field raises ValueError."""
+    if len(buf) >= 24 and buf[:8] == PNG_SIG and buf[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(buf[16:20], "big"),
+            int.from_bytes(buf[20:24], "big"),
+        )
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        if len(buf) < 10:
+            raise ValueError("truncated GIF: no logical screen descriptor")
+        return (
+            "gif",
+            int.from_bytes(buf[6:8], "little"),
+            int.from_bytes(buf[8:10], "little"),
+        )
+    if buf[:2] == b"\xff\xd8":  # JPEG SOI: walk marker segments to a SOF
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+            marker = buf[pos + 1]
+            if marker in _JPEG_SOF_MARKERS:
+                if pos + 9 > len(buf):
+                    raise ValueError("truncated JPEG SOF segment")
+                return (
+                    "jpeg",
+                    int.from_bytes(buf[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(buf[pos + 5 : pos + 7], "big"),
+                )
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+                pos += 2
+                continue
+            pos += 2 + int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        raise ValueError("JPEG with no SOF marker before EOF")
+    return ("unknown", None, None)
+
+
+def _jpeg_header_bytes(w: int, h: int) -> bytes:
+    """Minimal structurally-valid JPEG prelude: SOI + APP0/JFIF + SOF0
+    (8-bit, 3 components, the given dims) + EOI. Enough for any
+    marker-walking dims probe; not a renderable image."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_header_bytes(w: int, h: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x70\x00\x00" + b"\x3b"
+
+
+#: Dims formulas for the synthetic probe corpus (shared with the oracle —
+#: the oracle recomputes these from the id, never seeing the payloads).
+def _probe_dims_for(mid: int) -> tuple[int, int]:
+    return 16 + mid % 100, 9 + (mid * 7) % 100
+
+
+def synth_header_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling jpeg/png/gif by ``id % 3``, each a
+    real header-valid payload of that format with per-id dimensions
+    (``_probe_dims_for``). meta dims are left NULL on purpose: the ONLY
+    place the dimensions exist is inside the payload bytes, so a probe
+    over this frame provably parses headers rather than echoing metadata."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = _probe_dims_for(mid)
+                fmt = ("jpeg", "png", "gif")[mid % 3]
+                if fmt == "jpeg":
+                    payload = _jpeg_header_bytes(w, h)
+                elif fmt == "png":
+                    payload = (
+                        PNG_SIG
+                        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                        + _png_chunk(b"IEND", b"")
+                    )
+                else:
+                    payload = _gif_header_bytes(w, h)
+                rows.append((mid, "image", payload, (fmt, None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def probe_dims(media: DataFrame) -> DataFrame:
+    """(media_id, format, width, height) via :func:`probe_image_dims` over
+    payload headers — an Arrow-batched kernel that reads O(64) bytes per
+    row no matter the payload size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h = probe_image_dims(bytes(payload))
+                rows.append((int(mid), fmt, w, h))
+            yield pd.DataFrame(rows, columns=["media_id", "format", "width", "height"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, format string, width int, height int"
     )
 
 

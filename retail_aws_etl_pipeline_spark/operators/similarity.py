@@ -55,14 +55,19 @@ def _dot(a: str, b: str):
 def with_quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Add ``qvec`` (int64 array) and ``qnorm`` (int64 self-dot).
 
-    Idempotent: a frame that already carries qvec/qnorm passes through
-    unchanged, so callers can quantize (and persist) ONCE and feed the same
-    base through many index builds — e.g. ann_recall_sweep's 6 legs — and
-    every operator here transparently reuses it instead of re-deriving the
-    quantization lineage per call."""
+    Idempotent: a frame that already carries qvec/qnorm DERIVED FROM THE
+    SAME SOURCE COLUMN passes through unchanged, so callers can quantize
+    (and persist) ONCE and feed the same base through many index builds —
+    e.g. ann_recall_sweep's legs — and every operator here transparently
+    reuses it instead of re-deriving the quantization lineage per call.
+    The source column is recorded in qvec's field metadata; asking to
+    quantize a different column re-derives (stale-quantization guard)."""
     if "qvec" in df.columns and "qnorm" in df.columns:
-        return df
-    out = df.withColumn("qvec", quantized(col))
+        src = dict(df.schema["qvec"].metadata or {}).get("quantized_from")
+        if src == col or src is None and col == "embedding":
+            return df
+        df = df.drop("qvec", "qnorm")
+    out = df.withColumn("qvec", quantized(col).alias("qvec", metadata={"quantized_from": col}))
     return out.withColumn("qnorm", _dot("qvec", "qvec"))
 
 

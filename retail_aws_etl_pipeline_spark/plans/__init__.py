@@ -12,19 +12,16 @@ from retail_aws_etl_pipeline_spark.plans import analytics  # noqa: E402,F401
 from retail_aws_etl_pipeline_spark.plans import extensions  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Round-4 driver-window rotation (VERDICT r3 item #5).
+# Driver-window rotation (VERDICT r3 item #5, refreshed per round).
 #
 # The driver hard-checks at most ~50 registry entries per round, in
 # registration order. Rounds 1-3 recorded green oracle rows for the same 50
-# queries three times while the 29 EXTRA_REGISTRY entries never got a driver
+# queries three times while the EXTRA_REGISTRY entries never got a driver
 # row (local sf0.01 DuckDB hash checks only — the same gate, run by
-# tests/test_queries_oracle.py). This rotation swaps 29 triple-proven
-# queries out of the window and promotes every never-driver-checked entry,
-# so after round 4 EVERY registry query has a green driver row in r1-3 ∪ r4.
+# tests/test_queries_oracle.py). The r4 rotation promoted the 29 entries
+# that pre-dated it (png_decode_stats landed mid-r4 and waited for r5).
 # Demoted queries keep full local oracle coverage (the test parametrizes
-# over BOTH registries). user_sessions / user_rolling_hour stay in the
-# window: their round-3 rows were the TIMESTAMP_NTZ failures and round 4
-# must prove the fix. Rotation map: COVERAGE.md §rotation.
+# over BOTH registries). Rotation map: COVERAGE.md §rotation.
 # ---------------------------------------------------------------------------
 
 _DEMOTE_R4 = [
@@ -92,11 +89,51 @@ _PROMOTE_R4 = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-5 rotation (VERDICT r4 item #3): hold approx_sketch_stats (needs its
+# first green row after the r4 artifact-shape err) and ann_recall_sweep
+# (plan rewritten this round — the row must re-prove it); promote the three
+# queries without any driver row (png_decode_stats from mid-r4, plus the new
+# media_dims_probe / decimal_money_totals) and re-promote seven r1-r3-proven
+# queries so their rows don't go stale; demote ten r4-proven analytics
+# queries to make room. Net window stays at 50.
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R5 = [
+    "customer_order_history",
+    "small_quantity_revenue",
+    "cube_order_stats",
+    "forecast_revenue",
+    "priority_order_counts",
+    "promo_revenue_ratio",
+    "top_revenue_suppliers",
+    "brand_quantity_revenue",
+    "dormant_rich_customers",
+    "customer_spend_deciles",
+]
+
+_PROMOTE_R5 = [
+    "png_decode_stats",
+    "media_dims_probe",
+    "decimal_money_totals",
+    "top_customers_per_nation",
+    "fuzzy_part_names",
+    "event_props_stats",
+    "conversion_funnel",
+    "split_leakage_pairs",
+    "doc_lang_id",
+    "grouping_sets_revenue",
+]
+
+
 def _rotate_driver_window() -> None:
-    for name in _DEMOTE_R4:
-        EXTRA_REGISTRY[name] = REGISTRY.pop(name)
-    for name in _PROMOTE_R4:
-        REGISTRY[name] = EXTRA_REGISTRY.pop(name)
+    # Sequential: r5's demotes are names r4 promoted, so each round's swap
+    # must fully apply before the next round's runs.
+    for demote, promote in ((_DEMOTE_R4, _PROMOTE_R4), (_DEMOTE_R5, _PROMOTE_R5)):
+        for name in demote:
+            EXTRA_REGISTRY[name] = REGISTRY.pop(name)
+        for name in promote:
+            REGISTRY[name] = EXTRA_REGISTRY.pop(name)
     assert len(REGISTRY) <= 50, f"driver window exceeded: {len(REGISTRY)}"
 
 

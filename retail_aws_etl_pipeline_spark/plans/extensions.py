@@ -661,6 +661,59 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "media_dims_probe",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+           CAST(16 + doc_id % 100 AS INT) AS width,
+           CAST(9 + (doc_id * 7) % 100 AS INT) AS height
+    FROM documents ORDER BY media_id
+    """,
+    description="Lib-free image METADATA probe: (format, width, height) "
+    "parsed from JPEG SOF / PNG IHDR / GIF screen-descriptor header bytes "
+    "alone — no pixel decode, O(header) bytes touched per payload. The "
+    "synth side writes per-id dims into real headers (meta stays NULL), so "
+    "the probe provably parses bytes; the oracle recomputes dims from the "
+    "id formula without seeing payloads",
+    tags=("multimodal", "pandas_udf", "metadata"),
+)
+def media_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_dims(MM.synth_header_media(ids, "doc_id")).orderBy("media_id")
+
+
+@register_extra(
+    "decimal_money_totals",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS revenue_dec,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue_dbl
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="DECIMAL(28,6) money aggregation end-to-end (SURVEY §7.4 "
+    "risk 6): the exact decimal sum surfaced BOTH as its lossless string "
+    "form and as the double the rest of the registry uses (dec_sum) — "
+    "demonstrating the two forms agree and that exact-money pipelines can "
+    "keep DECIMAL all the way to the sink",
+    tags=("agg", "decimal"),
+)
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            dec.cast("string").alias("revenue_dec"),
+            dec.cast("double").alias("revenue_dbl"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register_extra(
     "media_byte_histogram",
     """
     WITH ascii_docs AS (
@@ -827,20 +880,29 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Approximate aggregates (HLL distinct + GK quantiles) — the "
     "100 TB knob for A2-style counters; no oracle: sketch internals differ "
     "per engine, exactness is covered by distinct_buyer_counts / "
-    "median_order_by_priority",
+    "median_order_by_priority. Quantiles are projected to scalar p50/p90/p99 "
+    "columns (flat schema — array cells don't survive result canonicalizers "
+    "that sort rows).",
     tags=("agg", "approx"),
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem"])
+    q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias(
-                "price_quantiles"
-            ),
+            q.alias("price_quantiles"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("price_quantiles")[0].alias("p50"),
+            F.col("price_quantiles")[1].alias("p90"),
+            F.col("price_quantiles")[2].alias("p99"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
@@ -1595,40 +1657,110 @@ def _recall_sweep_oracle() -> str | None:
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    t = load_tables(spark, sf_dir, ["embeddings"])
-    # NOT persisted: A/B-measured (min-of-3, alternating) — persisting the
-    # quantized base across the 10 index builds is neutral-to-slightly-
-    # slower here (~4.0s vs ~3.8s) because each leg's scan+quantize fuses
-    # into one codegen stage, while the persisted path pays cache-exchange
-    # materialization. The r1→r2 bench jump on this query (2.14s → 5.17s)
-    # is the query itself growing: r2 added the 2 IVF legs AND a
-    # candidate-set-size join per leg (commit 91ba231), roughly 2.4× the
-    # work — not a plan regression. with_quantized is idempotent, so a
-    # caller who DOES want a shared cached base can pass one in.
-    emb = t["embeddings"].select("vec_id", "embedding")
-    # Materialize the (tiny) exact top-k once: it anchors all legs, and
-    # without the barrier the all-pairs scoring lineage runs per leg.
-    # _truncate_lineage("auto") → reliable checkpoint on cluster sessions.
+    from pyspark.sql import Window as W
+
     from retail_aws_etl_pipeline_spark.operators.dedup import _truncate_lineage
 
-    exact = _truncate_lineage(
-        S.brute_force_topk(emb, ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id"),
-        "auto",
-    )
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].select("vec_id", "embedding")
     cents = S.ivf_centroids_from_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
     )
 
-    def leg(method: str, param: int, approx_topk: DataFrame) -> DataFrame:
-        # approx_topk: (probe_id, vec_id, n_cand) — top-k rows of the
-        # approximate index, each carrying its probe's candidate-set size
-        lsh = approx_topk.select(
-            F.col("probe_id").alias("l_probe"),
-            F.col("vec_id").alias("l_vec"),
-            F.col("n_cand").alias("l_cand"),
+    # ONE shared base: quantize + full 8-plane sign code + IVF cell,
+    # materialized once (checkpoint truncates the scan lineage so the ten
+    # former per-leg rebuilds collapse into a single pass). Every leg below
+    # derives its candidate set from this frame by BIT-MASKING the bucket
+    # prefix (PLANES[:n] is bit 0..n-1 of the 8-bit code, so the n-plane
+    # bucket is `bucket & (2^n - 1)`) or by filtering the IVF cell rank —
+    # no plane re-projection, no centroid re-assignment. r4 bench: the
+    # per-leg form cost 4.7s at sf0.1; the shared form removes ~36 plane
+    # projections and ~24 centroid distances per row.
+    base = _truncate_lineage(
+        S.with_lsh_bucket(S.with_quantized(emb))
+        .withColumn("cell", S.assign_centroid("qvec", cents))
+        .select("vec_id", "qvec", "qnorm", "bucket", "cell"),
+        "auto",
+    )
+    exact = _truncate_lineage(
+        S.brute_force_topk(base, ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id"),
+        "auto",
+    )
+
+    probes = base.filter(F.col("vec_id").isin(ANN_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+        F.col("bucket").alias("p_bucket"),
+    )
+
+    # --- LSH: one join at the WIDEST candidate set (fewest planes = coarsest
+    # buckets); finer-plane legs are pure filters on the shared xor bits.
+    # Candidate sets nest: hamming(xor & mask_n) <= 1 implies the same for
+    # every shorter prefix, so the n_min-plane join contains every leg.
+    n_min = min(SWEEP_PLANE_COUNTS)
+    mask_min = (1 << n_min) - 1
+    xor_min = F.bit_count(
+        F.col("p_bucket").bitwiseXOR(F.col("bucket")).bitwiseAND(F.lit(mask_min))
+    )
+    lsh_pairs = (
+        F.broadcast(probes)
+        .join(base, (xor_min <= F.lit(1)) & (F.col("probe_id") != F.col("vec_id")))
+        .withColumn("xb", F.col("p_bucket").bitwiseXOR(F.col("bucket")))
+        .withColumn("dot_q", S._dot("p_qvec", "qvec"))
+        .withColumn(
+            "cosine",
+            F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double")),
+        )
+        .select("probe_id", "vec_id", "xb", "cosine")
+    )
+    lsh_pairs = _truncate_lineage(lsh_pairs, "auto")
+
+    # --- IVF: one join at the WIDEST nprobe; narrower legs filter on the
+    # probe-side cell rank (posexplode order = distance rank, 0-based).
+    np_max = max(SWEEP_NPROBES)
+    iv_probes = base.filter(F.col("vec_id").isin(ANN_PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+        F.posexplode(S.ranked_centroids("qvec", cents, np_max)).alias("cell_rank", "p_cell"),
+    )
+    ivf_pairs = (
+        F.broadcast(iv_probes)
+        .join(
+            base.select("vec_id", "qvec", "qnorm", "cell"),
+            (F.col("p_cell") == F.col("cell")) & (F.col("probe_id") != F.col("vec_id")),
+        )
+        .withColumn("dot_q", S._dot("p_qvec", "qvec"))
+        .withColumn(
+            "cosine",
+            F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double")),
+        )
+        .select("probe_id", "vec_id", "cell_rank", "cosine")
+    )
+    ivf_pairs = _truncate_lineage(ivf_pairs, "auto")
+
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+    def leg(method: str, param: int, cand: DataFrame) -> DataFrame:
+        # cand: this leg's (probe_id, vec_id, cosine) candidate rows.
+        # n_cand = candidate-set size per probe; topk = leg's answer; the
+        # left join against the exact top-k yields recall — identical
+        # aggregate shape (incl. MAX(n_cand) over MATCHED rows only) to the
+        # oracle SQL.
+        counts = cand.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_cand"))
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_K)
+            .join(counts, "probe_id")
+            .select(
+                F.col("probe_id").alias("l_probe"),
+                F.col("vec_id").alias("l_vec"),
+                F.col("n_cand").alias("l_cand"),
+            )
         )
         joined = exact.join(
-            lsh,
+            topk,
             (F.col("probe_id") == F.col("l_probe")) & (F.col("vec_id") == F.col("l_vec")),
             "left",
         )
@@ -1645,20 +1777,20 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def with_cand_count(topk: DataFrame, scored_pairs: DataFrame) -> DataFrame:
-        counts = scored_pairs.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_cand"))
-        return topk.join(counts, "probe_id")
-
     legs = []
     for n in SWEEP_PLANE_COUNTS:
-        planes = S.PLANES[:n]
-        topk = S.lsh_bucketed_topk(emb, ANN_PROBE_IDS, ANN_K, planes=planes)
-        cand = S.lsh_candidate_pairs(emb, ANN_PROBE_IDS, planes=planes)
-        legs.append(leg("lsh", n, with_cand_count(topk, cand)))
+        mask_n = (1 << n) - 1
+        legs.append(
+            leg(
+                "lsh",
+                n,
+                lsh_pairs.filter(
+                    F.bit_count(F.col("xb").bitwiseAND(F.lit(mask_n))) <= F.lit(1)
+                ),
+            )
+        )
     for np_ in SWEEP_NPROBES:
-        topk = S.ivf_topk(emb, ANN_PROBE_IDS, ANN_K, centroids=cents, nprobe=np_)
-        cand = S.ivf_candidate_pairs(emb, ANN_PROBE_IDS, centroids=cents, nprobe=np_)
-        legs.append(leg("ivf", np_, with_cand_count(topk, cand)))
+        legs.append(leg("ivf", np_, ivf_pairs.filter(F.col("cell_rank") < F.lit(np_))))
     out = legs[0]
     for leg_df in legs[1:]:
         out = out.unionByName(leg_df)

@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Canonical events schema — the start-stream-before-data-arrives fallback
+#: when the directory is empty/absent at stream start (the standard
+#: streaming-source pattern: the sink directory exists before producers do).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Streaming scan of an events parquet directory, ``ts`` normalized to
     TIMESTAMP regardless of the files' physical type.
@@ -35,9 +50,16 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     (SURVEY §1.4): nanosecond-long → µs-truncated timestamp, TIMESTAMP_NTZ
     → TIMESTAMP (UTC session, value-preserving), TIMESTAMP → as-is. The
     testdata generator has emitted all three layouts across rounds.
+
+    If the directory is empty or absent at stream start (producers not up
+    yet), the sniff fails and the stream falls back to the canonical
+    ``EVENTS_RAW_SCHEMA``; files that later land are read against it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:  # empty/absent dir → AnalysisException (message varies)
+        schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

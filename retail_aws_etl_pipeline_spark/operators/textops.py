@@ -128,3 +128,50 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_exact", F.md5(normalized)).withColumn(
         "fp_content", F.md5(F.concat_ws(" ", sorted_toks))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction — the standard pre-training scrub pass.
+# Pure native regexp Column expressions (scan-side, zero shuffle, codegen);
+# the patterns are deliberately restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+# classes, bounded repetition, \b word boundaries — no lookaround.
+# ---------------------------------------------------------------------------
+
+#: Detection patterns, applied (and redacted) in THIS order — email first
+#: (its local part may contain digits/dots a later pattern would chew on),
+#: then SSN before phone (disjoint shapes, order still fixed for
+#: reproducibility), IPv4 last.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``n_<kind>`` long columns counting matches of each PII pattern
+    (on the ORIGINAL text — counts first, then redact)."""
+    out = df
+    for kind, pat, _repl in PII_PATTERNS:
+        # function API, not F.expr: a '\b' inside a SQL string literal
+        # would be parsed as backspace by Spark's escape handling
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Redact every PII pattern with its typed placeholder, in the fixed
+    ``PII_PATTERNS`` order (sequential redaction is order-sensitive where
+    patterns could overlap; pinning the order makes the output — and any
+    downstream dedup hash of it — engine-reproducible)."""
+    cleaned = F.col(text_col)
+    for _kind, pat, repl in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.withColumn(out_col, cleaned)

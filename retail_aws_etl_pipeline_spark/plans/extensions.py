@@ -684,6 +684,82 @@ def media_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.probe_dims(MM.synth_header_media(ids, "doc_id")).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# PII scrub: deterministic injection (same expression both sides) so counts
+# are non-zero and the redaction output is byte-comparable via md5.
+# ---------------------------------------------------------------------------
+
+#: One PII instance of each kind appended per doc; pure integer-concat
+#: formulas shared verbatim (modulo dialect) between Spark and the oracle.
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org'"
+    " || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+    " || ' tel 555.' || CAST((doc_id * 7) % 900 + 100 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 11) % 9000 + 1000 AS VARCHAR)"
+)
+
+
+def _pii_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _repl in TX.PII_PATTERNS
+    )
+    scrub = "text"
+    for _kind, pat, repl in TX.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH injected AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+           {counts},
+           md5({scrub}) AS clean_md5
+    FROM injected ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "pii_scrub_stats",
+    _pii_oracle(),
+    description="PII detection + redaction (emails, SSNs, phone numbers, "
+    "IPv4) as pure scan-side regexp Column expressions — the standard "
+    "pre-training scrub pass. Deterministic PII is injected per doc by the "
+    "same integer formula on both sides; counts are taken pre-redaction "
+    "and the redacted text is compared byte-exactly via md5",
+    tags=("text", "pii", "scrub"),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+
+    def s(e):
+        return e.cast("string")
+
+    injected = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(d), F.lit("@ex"), s(d % 7), F.lit(".org"),
+            F.lit(" ip 10."), s(d % 256), F.lit("."), s((d * 3) % 256),
+            F.lit("."), s(d % 100),
+            F.lit(" ssn "), s(d % 900 + 100), F.lit("-"), s(d % 90 + 10),
+            F.lit("-"), s(d % 9000 + 1000),
+            F.lit(" tel 555."), s((d * 7) % 900 + 100), F.lit("."),
+            s((d * 11) % 9000 + 1000),
+        ).alias("text"),
+    )
+    out = TX.scrub_pii(TX.with_pii_counts(injected))
+    return out.select(
+        "doc_id",
+        *[f"n_{kind}" for kind, _p, _r in TX.PII_PATTERNS],
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 @register_extra(
     "decimal_money_totals",
     """

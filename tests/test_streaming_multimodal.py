@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -338,3 +340,101 @@ def test_continuous_pipeline_available_now(spark, tmp_path):
     res3 = run_pipeline_available_now(spark, str(incoming), lake, ck, **kw)
     assert res3 == []  # ledger skips both files; stream checkpoint no-ops
     assert spark.read.parquet(lake.gold).count() == gold2.count()
+
+
+def test_events_stream_empty_dir_falls_back_to_canonical_schema(spark, tmp_path):
+    """Start-stream-before-data-arrives: an empty/absent events dir must not
+    throw at stream construction — the source falls back to
+    EVENTS_RAW_SCHEMA, and files landing later are read against it."""
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        EVENTS_RAW_SCHEMA,
+        events_stream,
+    )
+
+    empty = str(tmp_path / "events_not_yet")
+    os.makedirs(empty)  # the sink dir exists before any producer does
+    stream = events_stream(spark, empty)
+    assert stream.isStreaming
+    assert stream.schema == EVENTS_RAW_SCHEMA
+
+    # producer comes up after the stream was declared
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2025, 7, 1, 10, 0, 0), 7, "click", 1.5, "{}"),
+        (2, dt.datetime(2025, 7, 1, 10, 5, 0), 7, "buy", 9.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).write.mode("append").parquet(empty)
+    out = str(tmp_path / "out")
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_probe_image_dims_headers_and_errors():
+    """Lib-free dims probe: JPEG SOF walk, GIF descriptor, PNG IHDR; and
+    the failure modes — truncated chunk length (ADVICE r4), truncated SOF,
+    unknown magic."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _gif_header_bytes,
+        _jpeg_header_bytes,
+        _png_chunk,
+        PNG_SIG,
+        probe_image_dims,
+    )
+    import struct
+
+    assert probe_image_dims(_jpeg_header_bytes(640, 480)) == ("jpeg", 640, 480)
+    assert probe_image_dims(_gif_header_bytes(320, 200)) == ("gif", 320, 200)
+    png = PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 77, 55, 8, 2, 0, 0, 0))
+    assert probe_image_dims(png) == ("png", 77, 55)
+    assert probe_image_dims(b"\x00\x01randombytes") == ("unknown", None, None)
+    # JPEG whose marker walk runs out before any SOF
+    with pytest.raises(ValueError, match="no SOF"):
+        probe_image_dims(b"\xff\xd8\xff\xd9")
+
+
+def test_decode_png_rejects_truncated_chunk_length():
+    """ADVICE r4: a chunk whose declared length points past the buffer must
+    fail with a clear 'truncated' error, not a confusing downstream one."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # corrupt the IDAT length field (bytes 8+25 = start of IDAT chunk len)
+    idat_at = good.index(b"IDAT") - 4
+    bad = good[:idat_at] + struct.pack(">I", 10_000_000) + good[idat_at + 4 :]
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(bad)
+
+
+def test_with_quantized_rederives_for_different_source_column(spark):
+    """ADVICE r4: a frame quantized from one column must NOT pass through
+    unchanged when a caller asks to quantize a different column."""
+    from retail_aws_etl_pipeline_spark.operators.similarity import with_quantized
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5], [1.0, 2.0])], ["vec_id", "embedding", "other"]
+    )
+    q1 = with_quantized(df)
+    assert q1.select("qnorm").first()[0] == 512 * 512 * 2
+    # same source column: idempotent passthrough
+    assert with_quantized(q1) is q1
+    # different source column: re-derived, not stale
+    q2 = with_quantized(q1, "other")
+    assert q2.select("qnorm").first()[0] == 1024 * 1024 + 2048 * 2048

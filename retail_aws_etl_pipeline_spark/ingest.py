@@ -214,12 +214,16 @@ def ingest_file(
             json.dump({"file": source_file, "error": str(exc)[:2000]}, f)
         try:
             if commit_protocol == "manifest":
-                # nothing was published — reclaim the never-referenced
-                # staging files of the crashed commit (single-writer, so
-                # no in-flight peer commit can be swept)
+                # nothing was published — reclaim the crashed commit's
+                # debris: gc_manifests drops an unpointered version file if
+                # the crash hit between claim and pointer flip, then vacuum
+                # reclaims the now-unreferenced staging files (single-
+                # writer, so no in-flight peer commit can be swept)
                 from retail_aws_etl_pipeline_spark.lake_manifest import ManifestedTable
 
-                ManifestedTable(lake.processed, partition_col="date").vacuum()
+                mt = ManifestedTable(lake.processed, partition_col="date")
+                mt.gc_manifests(keep_versions=None)  # debris only, keep history
+                mt.vacuum()
             else:
                 purge_run_from_silver(spark, lake, run_id)
         except Exception as purge_exc:  # keep the original error primary

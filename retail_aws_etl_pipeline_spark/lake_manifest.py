@@ -87,11 +87,24 @@ class ManifestedTable:
             name = f.read().strip()
         return os.path.join(self.root, MANIFEST_DIR, name)
 
-    def snapshot(self) -> dict:
-        """Current manifest: {"version": int, "files": [{"path", "partition"}]}."""
-        path = self._manifest_path()
-        if path is None:
-            return {"version": 0, "files": []}
+    def snapshot(self, version: int | None = None) -> dict:
+        """A manifest: {"version": int, "files": [{"path", "partition"}]}.
+
+        Default = the LIVE snapshot (what LATEST names). Passing ``version``
+        reads that historical snapshot instead — time travel, bounded by
+        :meth:`gc_manifests`'s ``keep_versions`` retention. Raises
+        FileNotFoundError for a version that was GC'd (or never published)."""
+        if version is None:
+            path = self._manifest_path()
+            if path is None:
+                return {"version": 0, "files": []}
+        else:
+            path = os.path.join(self.root, MANIFEST_DIR, f"v{version:08d}.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"snapshot v{version} of {self.root} does not exist "
+                    "(GC'd past the retention window, or never published)"
+                )
         with open(path) as f:
             return json.load(f)
 
@@ -104,15 +117,21 @@ class ManifestedTable:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """The current snapshot as a DataFrame.
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """A snapshot as a DataFrame — the live one by default, or a
+        retained historical ``version`` (time travel; see
+        :meth:`gc_manifests` for what is retained). A time-travel read is
+        safe against concurrent writers by construction: data files are
+        immutable and a version's file list never changes after publish —
+        only :meth:`vacuum`/:meth:`gc_manifests` retention bounds how far
+        back reads can go.
 
         Files are grouped by commit directory so each group keeps its own
         ``basePath`` (partition column recovery); groups are unioned by
         name. Long chains of tiny commits should be folded by a periodic
         ``overwrite_partitions`` rewrite (normal table maintenance).
         """
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         if not snap["files"]:
             raise FileNotFoundError(f"manifested table {self.root} has no snapshot")
         by_commit: dict[str, list[str]] = {}
@@ -249,9 +268,33 @@ class ManifestedTable:
 
         return self._commit(merge)
 
+    def _retained_commit_dirs(self) -> set[str]:
+        """Commit dirs referenced by ANY retained manifest file — the live
+        snapshot, retained history, and crash-debris manifests alike. This
+        is the set :meth:`vacuum` must never touch: every one of those
+        manifests is readable via ``read(version=...)`` until
+        :meth:`gc_manifests` reclaims it, so its data must survive it."""
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        live: set[str] = set()
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(mdir, name)) as f:
+                        snap = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue  # concurrently removed / partial debris
+                live |= {f2["path"].split("/", 2)[1] for f2 in snap["files"]}
+        return live
+
     def vacuum(self, min_age_seconds: float = 0.0) -> list[str]:
-        """Delete commit directories no current file references (debris of
-        crashed or superseded commits). Returns removed dirs.
+        """Delete commit directories referenced by NO retained manifest
+        (stage-only crash debris, and commits whose every referencing
+        snapshot was reclaimed by :meth:`gc_manifests`). Returns removed
+        dirs. Retention is manifest-driven: a historical version readable
+        via ``read(version=...)`` keeps its data alive — run
+        ``gc_manifests`` first, then ``vacuum``, as the maintenance pair.
 
         ``min_age_seconds`` is the in-flight-writer guard: staging runs
         unlocked by design, so a commit dir younger than the window may
@@ -262,8 +305,7 @@ class ManifestedTable:
         single-writer maintenance windows and tests."""
         import time
 
-        snap = self.snapshot()
-        live = {f["path"].split("/", 2)[1] for f in snap["files"]}
+        live = self._retained_commit_dirs()
         data_dir = os.path.join(self.root, "data")
         removed = []
         now = time.time()
@@ -282,12 +324,15 @@ class ManifestedTable:
                 removed.append(cid)
         return removed
 
-    def gc_manifests(self, keep_versions: int = 3) -> list[str]:
+    def gc_manifests(self, keep_versions: int | None = 3) -> list[str]:
         """Reclaim manifest files: superseded snapshots beyond the
         ``keep_versions`` most recent (time-travel retention) AND
         unpointered debris manifests — the leftovers of a commit that
         claimed its version file (``O_CREAT|O_EXCL`` in :meth:`_publish`)
-        but crashed before the LATEST flip. Returns removed file names.
+        but crashed before the LATEST flip. ``keep_versions=None`` removes
+        ONLY the >live debris and keeps every historical snapshot (the
+        crash-recovery mode — recovery must never silently shrink the
+        time-travel window). Returns removed file names.
 
         Runs under the commit lock: a live writer publishes (claim + flip)
         inside the same lock, so a version file seen here without a
@@ -296,7 +341,7 @@ class ManifestedTable:
         pass cannot strand readers — and with ``keep_versions >= 1`` the
         retained history is the live snapshot plus its most recent
         predecessors."""
-        if keep_versions < 1:
+        if keep_versions is not None and keep_versions < 1:
             raise ValueError("keep_versions must be >= 1 (the live snapshot)")
         with self._commit_lock():
             mdir = os.path.join(self.root, MANIFEST_DIR)
@@ -310,12 +355,15 @@ class ManifestedTable:
                 if n.startswith("v") and n.endswith(".json") and n != live_name
             )
             live_version = int(live_name[1:-5])
-            # keep the (keep_versions - 1) newest predecessors of live;
-            # everything else — older history AND >live debris — goes.
-            keep = {
-                n for n in versions if int(n[1:-5]) < live_version
-            }
-            keep = set(sorted(keep)[-(keep_versions - 1):]) if keep_versions > 1 else set()
+            history = {n for n in versions if int(n[1:-5]) < live_version}
+            if keep_versions is None:  # debris-only: keep ALL history
+                keep = history
+            elif keep_versions > 1:
+                # keep the (keep_versions - 1) newest predecessors of live;
+                # everything else — older history AND >live debris — goes.
+                keep = set(sorted(history)[-(keep_versions - 1):])
+            else:
+                keep = set()
             removed = []
             for name in versions:
                 if name in keep:

@@ -83,3 +83,65 @@ def with_pack_assignment(
         .withColumn("start", F.sum("n_toks").over(w) - F.col("n_toks"))
         .withColumn("pack_id", F.expr(f"start div {capacity}"))
     )
+
+
+#: Target corpus mixture in integer parts-per-100 (integer weights keep
+#: every quota computation exact — floor(w*N/100) in int64 — so Spark and
+#: any SQL oracle agree bit-for-bit; doubles would put 0.3*300 on a
+#: rounding knife-edge).
+MIXTURE_WEIGHTS: dict[str, int] = {"en": 30, "zh": 25, "es": 20, "de": 15, "fr": 10}
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-mixture resampling (data mixing): downsample
+    each group so the kept corpus matches the target proportions exactly,
+    keeping the LARGEST total the per-group supplies allow.
+
+    ``N = min_g floor(count_g * 100 / w_g)`` is the maximal kept size every
+    group can serve at its target share; group g keeps its
+    ``floor(w_g * N / 100)`` first documents ranked by
+    ``(md5(id), id)`` — a deterministic shuffle-free "random" order, the
+    same identity-hash idiom as :func:`split_bucket`, so re-runs,
+    backfills and engines all select the identical subset.
+
+    Plan shape: quotas are a tiny per-group agg joined back by broadcast;
+    the rank is ONE window per group. At 100 TB a full per-group sort is
+    the honest cost of exact quotas; where bucket-granular shares suffice,
+    use a scan-side hash threshold instead (``split_bucket(id) <
+    rate_buckets``) and skip the window entirely — same selection family,
+    zero shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    w = weights if weights is not None else MIXTURE_WEIGHTS
+    wmap = F.create_map(*[F.lit(x) for kv in w.items() for x in kv])
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn("w", wmap[F.col(group_col)].cast("long"))
+        .filter(F.col("w").isNotNull())
+    )
+    n_total = counts.agg(
+        F.min(F.expr("n_g * 100 div w")).alias("n_mix")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(n_total))
+        .withColumn("keep_n", F.expr("w * n_mix div 100"))
+        .select(group_col, "keep_n")
+    )
+    rk = F.row_number().over(
+        W.partitionBy(group_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+    )
+    return (
+        df.withColumn("rk", rk)
+        .join(F.broadcast(quota), group_col)
+        .filter(F.col("rk") <= F.col("keep_n"))
+        .drop("rk", "keep_n")
+    )

@@ -110,12 +110,16 @@ _DEMOTE_R5 = [
     "brand_quantity_revenue",
     "dormant_rich_customers",
     "customer_spend_deciles",
+    "two_nation_volume",
+    "returned_item_customers",
 ]
 
 _PROMOTE_R5 = [
     "png_decode_stats",
     "media_dims_probe",
     "decimal_money_totals",
+    "pii_scrub_stats",
+    "corpus_mixture_sample",
     "top_customers_per_nation",
     "fuzzy_part_names",
     "event_props_stats",

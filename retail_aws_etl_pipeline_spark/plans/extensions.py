@@ -684,6 +684,49 @@ def media_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.probe_dims(MM.synth_header_media(ids, "doc_id")).orderBy("media_id")
 
 
+def _mixture_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators.sampling import MIXTURE_WEIGHTS
+
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIXTURE_WEIGHTS.items())
+    return f"""
+    WITH w(lang, w) AS (VALUES {vals}),
+    counts AS (
+        SELECT d.lang, w.w, COUNT(*) AS n_g
+        FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, w.w
+    ),
+    nn AS (SELECT MIN(n_g * 100 // w) AS n_mix FROM counts),
+    quota AS (SELECT lang, (w * n_mix) // 100 AS keep_n FROM counts, nn),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN quota q ON r.lang = q.lang
+    WHERE r.rk <= q.keep_n
+    ORDER BY r.doc_id
+    """
+
+
+@register_extra(
+    "corpus_mixture_sample",
+    _mixture_oracle(),
+    description="Corpus-mixture resampling (pretraining data mixing): each "
+    "language downsampled by an identity-hash rank to integer-exact quotas "
+    "floor(w_g*N/100), N = the largest kept total every group can serve at "
+    "its target share — deterministic across re-runs/backfills/engines, "
+    "never rand()",
+    tags=("sampling", "curation"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SMP.mixture_sample(t["documents"]).select("doc_id", "lang").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # PII scrub: deterministic injection (same expression both sides) so counts
 # are non-zero and the redaction output is byte-comparable via md5.

@@ -265,9 +265,12 @@ def test_manifest_crash_midwrite_leaves_prewrite_snapshot(spark, tmp_path):
     assert t.snapshot()["version"] == v1
     assert t.read(spark).count() == 10
 
-    # recovery: simply re-run the commit; vacuum reclaims the debris
+    # recovery: simply re-run the commit; gc_manifests reclaims the debris
+    # manifest from crash (c), then vacuum reclaims both crashed commit
+    # dirs — retention is manifest-driven, so gc-then-vacuum is the pair
     t.append(_mk_batch(spark, "run3", range(20, 30)))
     assert t.read(spark).count() == 20
+    t.gc_manifests(keep_versions=1)
     removed = t.vacuum()
     assert len(removed) == 2  # the two crashed commit dirs
     assert t.read(spark).count() == 20  # vacuum never touches live data
@@ -390,6 +393,7 @@ def test_manifest_rewrite_folds_commits(spark, tmp_path):
     assert len(commits) == 4
     before = {(r["transaction_id"], r["date"]) for r in t.read(spark).collect()}
     t.rewrite(spark)
+    t.gc_manifests(keep_versions=1)  # pre-fold history keeps data alive until GC'd
     t.vacuum()
     after_commits = {e["path"].split("/", 2)[1] for e in t.snapshot()["files"]}
     assert len(after_commits) == 1
@@ -647,3 +651,66 @@ def test_manifest_vacuum_retention_spares_inflight_staging(spark, tmp_path):
     assert t.vacuum(min_age_seconds=3600) == []  # young dir spared
     assert len(t.vacuum()) == 1  # maintenance-window default reclaims
     assert t.read(spark).count() == 5
+
+
+def test_manifest_time_travel_reads_and_retention(spark, tmp_path):
+    """read(version=N): historical snapshots stay readable — including
+    across an overwrite that supersedes their files — until gc_manifests
+    reclaims them; vacuum never deletes data a retained manifest needs."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5), date="2025-07-10"))        # v1
+    t.append(_mk_batch(spark, "run2", range(5, 10), date="2025-07-11"))    # v2
+    t.overwrite_partitions(_mk_batch(spark, "run3", range(3), date="2025-07-10"))  # v3
+
+    assert t.read(spark).count() == 8   # 3 overwritten + 5 untouched
+    assert t.read(spark, version=1).count() == 5
+    assert {r["ingest_run_id"] for r in t.read(spark, version=1).collect()} == {"run1"}
+    assert t.read(spark, version=2).count() == 10
+
+    # vacuum with full history retained: v1/v2 still pin the superseded
+    # run1 commit dir, so nothing is reclaimed and old reads keep working
+    assert t.vacuum() == []
+    assert t.read(spark, version=2).count() == 10
+
+    # retention to live-only: history becomes unreadable, THEN its data
+    # becomes reclaimable — in that order, never the reverse
+    t.gc_manifests(keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="v2"):
+        t.snapshot(version=2)
+    assert len(t.vacuum()) == 1  # run1's superseded commit dir
+    assert t.read(spark).count() == 8  # live snapshot untouched throughout
+
+
+def test_manifest_gc_debris_only_mode_keeps_history(spark, tmp_path):
+    """gc_manifests(keep_versions=None) — the crash-recovery mode: >live
+    debris goes, every historical snapshot stays time-travel readable."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5)))
+    t.append(_mk_batch(spark, "run2", range(5, 10)))
+
+    orig = LM._atomic_write
+
+    def die_on_pointer(path, content):
+        if path.endswith(LM.LATEST):
+            raise OSError("injected crash before pointer update")
+        orig(path, content)
+
+    LM._atomic_write = die_on_pointer
+    try:
+        with pytest.raises(OSError):
+            t.append(_mk_batch(spark, "crash", range(10, 15)))
+    finally:
+        LM._atomic_write = orig
+
+    removed = t.gc_manifests(keep_versions=None)
+    assert removed == ["v00000003.json"]  # the debris, nothing else
+    assert t.read(spark, version=1).count() == 5  # history intact
+    assert t.read(spark).count() == 10

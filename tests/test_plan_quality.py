@@ -218,3 +218,18 @@ def test_lsh_topk_defaults_to_equi_join_above_probe_threshold(spark, monkeypatch
     assert "BroadcastNestedLoopJoin" in _plan(nested)
     key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
     assert sorted(auto.collect(), key=key) == sorted(nested.collect(), key=key)
+
+
+def test_mixture_sample_plan_shape(spark):
+    """corpus_mixture_sample: quota joined by BROADCAST (never a shuffled
+    join against the tiny per-group quota), the per-group rank is the only
+    wide exchange on the data path, and the scan prunes `text`."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    t = load_tables(spark, SF_SMOKE, ["documents"])
+    df = mixture_sample(t["documents"]).select("doc_id", "lang")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # column pruning: no branch of the plan reads the text payload
+    assert "text" not in plan

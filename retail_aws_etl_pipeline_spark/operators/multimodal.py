@@ -661,6 +661,135 @@ def synth_header_media(ids: DataFrame, id_col: str) -> DataFrame:
     return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+# --- audio metadata probe (WAV fmt chunk / FLAC STREAMINFO / MP3 frame) ---
+
+#: MPEG1 sample-rate table (frame-header index 0-2; 3 is reserved).
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+
+
+def probe_audio_meta(buf: bytes) -> tuple[str, int | None, int | None]:
+    """(format, sample_rate, n_channels) from header bytes only — the audio
+    counterpart of :func:`probe_image_dims`. WAV via the RIFF fmt-chunk
+    walk, FLAC via the mandatory first STREAMINFO block, MP3 via the first
+    frame header (ID3v2 prefix skipped). No sample decode ever runs."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        pos = 12
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            ln = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            if cid == b"fmt ":
+                if pos + 16 > len(buf):
+                    raise ValueError("truncated WAV fmt chunk")
+                return (
+                    "wav",
+                    int.from_bytes(buf[pos + 12 : pos + 16], "little"),
+                    int.from_bytes(buf[pos + 10 : pos + 12], "little"),
+                )
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        raise ValueError("WAV with no fmt chunk")
+    if buf[:4] == b"fLaC":
+        # 4-byte block header, then STREAMINFO; bytes 18-20 hold
+        # sample_rate(20 bits) + channels-1(3) + bps-1 high bit(1)
+        if len(buf) < 21 or (buf[4] & 0x7F) != 0:
+            raise ValueError("FLAC without leading STREAMINFO block")
+        x = int.from_bytes(buf[18:21], "big")
+        return ("flac", x >> 4, ((x >> 1) & 0x7) + 1)
+    pos = 0
+    if buf[:3] == b"ID3":  # ID3v2 tag: 10-byte header + syncsafe size
+        if len(buf) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in buf[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    if pos + 4 <= len(buf) and buf[pos] == 0xFF and (buf[pos + 1] & 0xE0) == 0xE0:
+        b1, b2, b3 = buf[pos + 1], buf[pos + 2], buf[pos + 3]
+        if (b1 >> 3) & 0x3 != 3 or (b1 >> 1) & 0x3 != 1:
+            raise ValueError("only MPEG1 Layer III frame headers supported")
+        sr_idx = (b2 >> 2) & 0x3
+        if sr_idx == 3:
+            raise ValueError("reserved MP3 sample-rate index")
+        mode = (b3 >> 6) & 0x3
+        return ("mp3", MP3_SAMPLE_RATES[sr_idx], 1 if mode == 3 else 2)
+    return ("unknown", None, None)
+
+
+def _flac_header_bytes(sample_rate: int, n_channels: int) -> bytes:
+    """fLaC signature + a valid last-block STREAMINFO (34 bytes) carrying
+    the given stream parameters; not a playable stream."""
+    import struct
+
+    val = (sample_rate << 44) | ((n_channels - 1) << 41) | ((16 - 1) << 36)
+    return (
+        b"fLaC"
+        + bytes([0x80, 0, 0, 34])  # last-block flag + type 0 + length
+        + struct.pack(">HH", 4096, 4096)
+        + b"\x00" * 6  # min/max framesize unknown
+        + struct.pack(">Q", val)  # sr/channels/bps/total-samples
+        + b"\x00" * 16  # md5 of unencoded audio (unset)
+    )
+
+
+def _mp3_header_bytes(sr_idx: int, n_channels: int, id3_prefix: bool) -> bytes:
+    """One MPEG1 Layer III frame header (optionally behind a minimal ID3v2
+    tag, to exercise the probe's tag skip); not a playable stream."""
+    mode = 3 if n_channels == 1 else 0  # mono | stereo
+    frame = bytes([0xFF, 0xFB, (9 << 4) | (sr_idx << 2), mode << 6])
+    if not id3_prefix:
+        return frame
+    pad = 6
+    return b"ID3\x03\x00\x00" + bytes([0, 0, 0, pad]) + b"\x00" * pad + frame
+
+
+def synth_audio_meta_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling wav/flac/mp3 by ``id % 3``; stream
+    parameters are per-id formulas that live ONLY in the payload headers
+    (meta stays NULL — see :func:`synth_header_media`): channels
+    ``1 + id%2``; sample rate ``8000 + (id%100)*80`` for wav/flac, the
+    MPEG1 table entry ``(id//3)%3`` for mp3 (odd ``id//3`` rows carry an
+    ID3v2 prefix so the tag-skip path is exercised)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                ch = 1 + mid % 2
+                fmt = ("wav", "flac", "mp3")[mid % 3]
+                if fmt == "wav":
+                    payload = encode_wav(
+                        np.zeros(4, dtype=np.int16), 8000 + (mid % 100) * 80, ch
+                    )
+                elif fmt == "flac":
+                    payload = _flac_header_bytes(8000 + (mid % 100) * 80, ch)
+                else:
+                    payload = _mp3_header_bytes((mid // 3) % 3, ch, (mid // 3) % 2 == 1)
+                rows.append((mid, "audio", payload, (fmt, None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def probe_audio(media: DataFrame) -> DataFrame:
+    """(media_id, format, sample_rate, n_channels) via
+    :func:`probe_audio_meta` over payload headers."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, sr, ch = probe_audio_meta(bytes(payload))
+                rows.append((int(mid), fmt, sr, ch))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "sample_rate", "n_channels"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, format string, sample_rate int, n_channels int"
+    )
+
+
 def probe_dims(media: DataFrame) -> DataFrame:
     """(media_id, format, width, height) via :func:`probe_image_dims` over
     payload headers — an Arrow-batched kernel that reads O(64) bytes per

@@ -112,11 +112,13 @@ _DEMOTE_R5 = [
     "customer_spend_deciles",
     "two_nation_volume",
     "returned_item_customers",
+    "customer_order_distribution",
 ]
 
 _PROMOTE_R5 = [
     "png_decode_stats",
     "media_dims_probe",
+    "audio_meta_probe",
     "decimal_money_totals",
     "pii_scrub_stats",
     "corpus_mixture_sample",

@@ -684,6 +684,31 @@ def media_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.probe_dims(MM.synth_header_media(ids, "doc_id")).orderBy("media_id")
 
 
+@register_extra(
+    "audio_meta_probe",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' ELSE 'mp3' END AS format,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN
+                    CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                ELSE 8000 + (doc_id % 100) * 80 END AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels
+    FROM documents ORDER BY media_id
+    """,
+    description="Lib-free audio METADATA probe: (format, sample_rate, "
+    "channels) from WAV fmt-chunk / FLAC STREAMINFO / MP3 frame-header "
+    "bytes alone (ID3v2 tags skipped) — the audio twin of "
+    "media_dims_probe; the oracle recomputes stream parameters from the id "
+    "formula without seeing payloads",
+    tags=("multimodal", "pandas_udf", "metadata"),
+)
+def audio_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_audio(MM.synth_audio_meta_media(ids, "doc_id")).orderBy("media_id")
+
+
 def _mixture_oracle() -> str:
     from retail_aws_etl_pipeline_spark.operators.sampling import MIXTURE_WEIGHTS
 

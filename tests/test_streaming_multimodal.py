@@ -438,3 +438,62 @@ def test_with_quantized_rederives_for_different_source_column(spark):
     # different source column: re-derived, not stale
     q2 = with_quantized(q1, "other")
     assert q2.select("qnorm").first()[0] == 1024 * 1024 + 2048 * 2048
+
+
+def test_probe_audio_meta_headers_and_errors():
+    """Audio metadata probe: WAV fmt walk, FLAC STREAMINFO bit unpack, MP3
+    frame header with and without an ID3v2 prefix; unknown magic; reserved
+    sample-rate index."""
+    import numpy as np
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _flac_header_bytes,
+        _mp3_header_bytes,
+        encode_wav,
+        probe_audio_meta,
+    )
+
+    wav = encode_wav(np.zeros(4, dtype=np.int16), 22050, 2)
+    assert probe_audio_meta(wav) == ("wav", 22050, 2)
+    assert probe_audio_meta(_flac_header_bytes(96000, 6)) == ("flac", 96000, 6)
+    assert probe_audio_meta(_mp3_header_bytes(1, 2, False)) == ("mp3", 48000, 2)
+    assert probe_audio_meta(_mp3_header_bytes(0, 1, True)) == ("mp3", 44100, 1)
+    assert probe_audio_meta(b"\x00nonsense") == ("unknown", None, None)
+    with pytest.raises(ValueError, match="reserved"):
+        probe_audio_meta(bytes([0xFF, 0xFB, (9 << 4) | (3 << 2), 0]))
+
+
+def test_pii_scrub_matches_python_re_on_adversarial_text(spark):
+    """Spark's Java-regex scrub must agree byte-for-byte with a Python `re`
+    reference on adversarial shapes: emails inside words, adjacent IP
+    chains, SSN/phone lookalikes, boundary-hugging digits."""
+    import re
+
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        PII_PATTERNS,
+        scrub_pii,
+        with_pii_counts,
+    )
+
+    cases = [
+        "plain text no pii at all",
+        "a@b.cd999-99-9999 glued email then ssn",
+        "chain 1.2.3.4.5.6.7.8 of dotted octets",
+        "call 555.123.4567 or 555-123-4567 ssn 123-45-6789",
+        "x1.2.3.4 no left boundary, 1.2.3.4x no right boundary",
+        "deep.sub.domain@mail.co.uk trailing.dot@x.org.",
+        "12.34.56.789 too-long last octet, 999-99-99 short ssn",
+        "double@@at.com and user@@ex.org",
+        "edge@x.io5.5.5.5",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], ["id", "text"])
+    got = {
+        r["id"]: r["clean_text"]
+        for r in scrub_pii(with_pii_counts(df)).select("id", "clean_text").collect()
+    }
+    for i, t in enumerate(cases):
+        expect = t
+        for _kind, pat, repl in PII_PATTERNS:
+            expect = re.sub(pat, repl, expect)
+        assert got[i] == expect, f"case {i}: {t!r}: {got[i]!r} != {expect!r}"

@@ -113,6 +113,7 @@ _DEMOTE_R5 = [
     "two_nation_volume",
     "returned_item_customers",
     "customer_order_distribution",
+    "ann_topk_pandas",
 ]
 
 _PROMOTE_R5 = [
@@ -122,6 +123,7 @@ _PROMOTE_R5 = [
     "decimal_money_totals",
     "pii_scrub_stats",
     "corpus_mixture_sample",
+    "boilerplate_ngram_ratio",
     "top_customers_per_nation",
     "fuzzy_part_names",
     "event_props_stats",

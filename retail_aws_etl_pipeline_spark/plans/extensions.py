@@ -752,6 +752,60 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.mixture_sample(t["documents"]).select("doc_id", "lang").orderBy("doc_id")
 
 
+#: A word 3-gram present in at least this many docs counts as boilerplate
+#: (the 99th-percentile doc-frequency of the synthetic corpus; production
+#: corpora would set this as a fraction of corpus size, not an absolute).
+BOILERPLATE_MIN_DOCS = 4
+
+
+@register_extra(
+    "boilerplate_ngram_ratio",
+    f"""
+    WITH {GRAMS_CTE},
+    gdf AS (
+        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= {BOILERPLATE_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN df >= {BOILERPLATE_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM gdf GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="Corpus-level boilerplate signal (the C4 repeated-span "
+    "filter re-expressed for word-stream docs): per doc, the share of its "
+    "distinct 3-grams whose corpus document-frequency is >= "
+    f"{BOILERPLATE_MIN_DOCS} — complements doc_repetition_ratio "
+    "(within-doc) with a cross-doc frequency lens; filter = WHERE on the "
+    "ratio. One gram-partition window + one doc groupBy (two shuffles, no "
+    "agg-join round trip)",
+    tags=("text", "quality", "curation"),
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    g = D.shingles(t["documents"])
+    gdf = g.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("gram")))
+    boiler = F.sum(
+        F.when(F.col("df") >= BOILERPLATE_MIN_DOCS, 1).otherwise(0)
+    ).cast("long")
+    return (
+        gdf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            boiler.alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrub: deterministic injection (same expression both sides) so counts
 # are non-zero and the redaction output is byte-comparable via md5.

@@ -790,6 +790,142 @@ def probe_audio(media: DataFrame) -> DataFrame:
     )
 
 
+# --- video container probe (MP4/ISO-BMFF box walk, no codec) -------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for ISO-BMFF boxes in [start,end);
+    handles 64-bit largesize (size==1) and to-end boxes (size==0), and
+    raises on a size field pointing past the range (truncated container)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos : pos + 4], "big")
+        typ = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box {typ!r} at {pos}")
+            size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"box {typ!r} at {pos} declares {size} bytes, "
+                f"{end - pos} available"
+            )
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def probe_video_meta(buf: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """(format, duration_ms, width, height) from MP4/ISO-BMFF structure
+    alone: moov/mvhd gives timescale+duration, the first trak/tkhd gives
+    track dimensions (16.16 fixed point) — a pure box walk, no codec, the
+    video member of the probe family (images: :func:`probe_image_dims`,
+    audio: :func:`probe_audio_meta`). Unknown magic → ("unknown", ...)."""
+    if len(buf) < 12 or buf[4:8] != b"ftyp":
+        return ("unknown", None, None, None)
+    duration_ms = width = height = None
+    for typ, b0, b1 in _iter_boxes(buf, 0, len(buf)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in _iter_boxes(buf, b0, b1):
+            if t2 == b"mvhd":
+                v = buf[c0]
+                if v == 0:
+                    ts = int.from_bytes(buf[c0 + 12 : c0 + 16], "big")
+                    dur = int.from_bytes(buf[c0 + 16 : c0 + 20], "big")
+                else:
+                    ts = int.from_bytes(buf[c0 + 20 : c0 + 24], "big")
+                    dur = int.from_bytes(buf[c0 + 24 : c0 + 32], "big")
+                if ts == 0:
+                    raise ValueError("mvhd timescale of 0")
+                duration_ms = dur * 1000 // ts
+            elif t2 == b"trak" and width is None:
+                for t3, d0, _d1 in _iter_boxes(buf, c0, c1):
+                    if t3 == b"tkhd":
+                        at = d0 + (76 if buf[d0] == 0 else 88)
+                        width = int.from_bytes(buf[at : at + 4], "big") >> 16
+                        height = int.from_bytes(buf[at + 4 : at + 8], "big") >> 16
+                        break
+    if duration_ms is None:
+        raise ValueError("MP4 with no moov/mvhd box")
+    return ("mp4", duration_ms, width, height)
+
+
+def _mp4_header_bytes(timescale: int, duration: int, w: int, h: int) -> bytes:
+    """Minimal structurally-valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    carrying the given stream parameters; not a playable file."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + b"\x00" * 8  # created / modified
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate, volume
+        + b"\x00" * 10,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + b"\x00" * 8  # created / modified
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + b"\x00" * 8  # layer, alternate, volume, reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
+def synth_video_meta_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows, one minimal MP4 per id; stream parameters
+    are per-id formulas living only in the payload (meta stays NULL):
+    timescale 600 (classic QuickTime), duration units
+    ``600 + (id*7) % 36000``, dims ``320 + id%1280`` × ``180 + id%720``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                payload = _mp4_header_bytes(
+                    600, 600 + (mid * 7) % 36000, 320 + mid % 1280, 180 + mid % 720
+                )
+                rows.append((mid, "video", payload, ("mp4", None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def probe_video(media: DataFrame) -> DataFrame:
+    """(media_id, format, duration_ms, width, height) via
+    :func:`probe_video_meta` over payload box structure."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, dur, w, h = probe_video_meta(bytes(payload))
+                rows.append((int(mid), fmt, dur, w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "duration_ms", "width", "height"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, format string, duration_ms long, width int, height int",
+    )
+
+
 def probe_dims(media: DataFrame) -> DataFrame:
     """(media_id, format, width, height) via :func:`probe_image_dims` over
     payload headers — an Arrow-batched kernel that reads O(64) bytes per

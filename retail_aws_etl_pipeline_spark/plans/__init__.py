@@ -114,12 +114,14 @@ _DEMOTE_R5 = [
     "returned_item_customers",
     "customer_order_distribution",
     "ann_topk_pandas",
+    "ann_topk_lsh_ball",
 ]
 
 _PROMOTE_R5 = [
     "png_decode_stats",
     "media_dims_probe",
     "audio_meta_probe",
+    "video_meta_probe",
     "decimal_money_totals",
     "pii_scrub_stats",
     "corpus_mixture_sample",

@@ -709,6 +709,30 @@ def audio_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.probe_audio(MM.synth_audio_meta_media(ids, "doc_id")).orderBy("media_id")
 
 
+@register_extra(
+    "video_meta_probe",
+    """
+    SELECT doc_id AS media_id,
+           'mp4' AS format,
+           CAST((600 + (doc_id * 7) % 36000) * 1000 // 600 AS BIGINT) AS duration_ms,
+           CAST(320 + doc_id % 1280 AS INT) AS width,
+           CAST(180 + doc_id % 720 AS INT) AS height
+    FROM documents ORDER BY media_id
+    """,
+    description="Lib-free video CONTAINER probe: (duration, track dims) "
+    "from an MP4/ISO-BMFF box walk (ftyp -> moov/mvhd timescale+duration, "
+    "trak/tkhd 16.16 dims) — no codec; completes the image/audio/video "
+    "metadata-probe family. Oracle recomputes from the id formulas without "
+    "seeing payloads",
+    tags=("multimodal", "pandas_udf", "metadata"),
+)
+def video_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_video(MM.synth_video_meta_media(ids, "doc_id")).orderBy("media_id")
+
+
 def _mixture_oracle() -> str:
     from retail_aws_etl_pipeline_spark.operators.sampling import MIXTURE_WEIGHTS
 

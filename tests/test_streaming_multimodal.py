@@ -497,3 +497,29 @@ def test_pii_scrub_matches_python_re_on_adversarial_text(spark):
         for _kind, pat, repl in PII_PATTERNS:
             expect = re.sub(pat, repl, expect)
         assert got[i] == expect, f"case {i}: {t!r}: {got[i]!r} != {expect!r}"
+
+
+def test_probe_video_meta_box_walk_and_errors():
+    """MP4 probe: v0 mvhd/tkhd parse, duration math, truncated-box and
+    missing-moov errors, unknown magic."""
+    import struct
+
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _mp4_header_bytes,
+        probe_video_meta,
+    )
+
+    buf = _mp4_header_bytes(600, 1800, 1920, 1080)
+    assert probe_video_meta(buf) == ("mp4", 3000, 1920, 1080)  # 1800/600 = 3 s
+    assert probe_video_meta(b"randomnotamp4file") == ("unknown", None, None, None)
+    # ftyp alone: structurally mp4 but no moov -> explicit error
+    ftyp_only = buf[: 8 + struct.unpack(">I", buf[:4])[0] - 8]
+    ftyp_only = buf[: struct.unpack(">I", buf[:4])[0]]
+    with pytest.raises(ValueError, match="no moov"):
+        probe_video_meta(ftyp_only)
+    # corrupt a box size to point past the buffer
+    bad = struct.pack(">I", 1 << 24) + buf[4:]
+    with pytest.raises(ValueError, match="declares"):
+        probe_video_meta(bad)

@@ -1097,14 +1097,58 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "sketch_accuracy_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="Exact ground-truth counterpart of approx_sketch_stats: "
+    "COUNT(DISTINCT) + percentile_disc (element-picking — no interpolation "
+    "arithmetic, so the value is an actual data element and bit-identical "
+    "across engines; percentile_cont's `lo + frac*(hi-lo)` double math is "
+    "not). This is the hash-checkable driver query; the sketch kernels "
+    "(approx_count_distinct / approx_percentile) stay the 100 TB knob and "
+    "are tolerance-gated against this exact frame in "
+    "tests/test_extensions.py::test_approx_sketch_within_tolerance.",
+    tags=("agg", "exact"),
+)
+def sketch_accuracy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    t["lineitem"].createOrReplaceTempView("__sketch_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+               COUNT(*) AS n
+        FROM __sketch_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register_extra(
     "approx_sketch_stats",
-    None,  # sketches are engine-specific by nature -> rows-only check
+    None,  # sketches are engine-specific by nature -> local tolerance gate
     description="Approximate aggregates (HLL distinct + GK quantiles) — the "
-    "100 TB knob for A2-style counters; no oracle: sketch internals differ "
-    "per engine, exactness is covered by distinct_buyer_counts / "
-    "median_order_by_priority. Quantiles are projected to scalar p50/p90/p99 "
-    "columns (flat schema — array cells don't survive result canonicalizers "
-    "that sort rows).",
+    "100 TB knob for A2-style counters. Deliberately NOT driver-facing "
+    "(sketch internals differ per engine, so no hash oracle can exist); its "
+    "accuracy is proven two ways instead: the exact twin "
+    "sketch_accuracy_stats is hash-checked by the driver, and "
+    "tests/test_extensions.py::test_approx_sketch_within_tolerance gates "
+    "|approx-exact|/exact against the configured rsd/accuracy bounds. "
+    "Quantiles are projected to scalar p50/p90/p99 columns (flat schema — "
+    "array cells don't survive result canonicalizers that sort rows).",
     tags=("agg", "approx"),
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,3 +233,24 @@ def test_mixture_sample_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     # column pruning: no branch of the plan reads the text payload
     assert "text" not in plan
+
+
+def test_customer_spend_deciles_no_global_window(spark):
+    """The r6 rewrite (VERDICT r5 #2): every Window in the executed plan
+    must carry a partition spec — the physical form is
+    `Window [exprs], [partitionSpec], [orderSpec]`; an unpartitioned
+    (single-task) window prints only `Window [exprs], [orderSpec]`. Also:
+    the rank-offset joins stay broadcast (one tiny triangular BNLJ + the
+    1-row total cross join), never a shuffled join."""
+    import re
+
+    df = REGISTRY["customer_spend_deciles"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert windows, "expected the per-partition row_number Window"
+    for ln in windows:
+        bracket_groups = re.findall(r"\], \[", ln)
+        assert len(bracket_groups) >= 2, f"unpartitioned Window: {ln.strip()[:200]}"
+        assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

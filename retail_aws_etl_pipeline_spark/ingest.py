@@ -223,7 +223,10 @@ def ingest_file(
 
                 mt = ManifestedTable(lake.processed, partition_col="date")
                 mt.gc_manifests(keep_versions=None)  # debris only, keep history
-                mt.vacuum()
+                # explicit 0: ingest is the table's single writer, so the
+                # young debris dir is provably our own crashed commit —
+                # the conservative default window would strand it for an hour
+                mt.vacuum(min_age_seconds=0)
             else:
                 purge_run_from_silver(spark, lake, run_id)
         except Exception as purge_exc:  # keep the original error primary

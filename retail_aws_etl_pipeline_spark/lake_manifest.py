@@ -54,6 +54,12 @@ MANIFEST_DIR = "_manifests"
 LATEST = "LATEST"
 COMMIT_LOCK = "_commit.lock"
 
+#: Default in-flight-writer retention for :meth:`ManifestedTable.vacuum` —
+#: conservative by default (Delta-style): a freshly staged commit dir may
+#: belong to a writer mid-commit, so reclaiming it requires either age
+#: beyond this window or an explicit ``min_age_seconds=0`` opt-in.
+DEFAULT_VACUUM_MIN_AGE_SECONDS = 3600.0
+
 
 class CommitConflict(RuntimeError):
     """The snapshot advanced underneath a commit that cannot merge blindly
@@ -288,7 +294,7 @@ class ManifestedTable:
                 live |= {f2["path"].split("/", 2)[1] for f2 in snap["files"]}
         return live
 
-    def vacuum(self, min_age_seconds: float = 0.0) -> list[str]:
+    def vacuum(self, min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE_SECONDS) -> list[str]:
         """Delete commit directories referenced by NO retained manifest
         (stage-only crash debris, and commits whose every referencing
         snapshot was reclaimed by :meth:`gc_manifests`). Returns removed
@@ -301,8 +307,10 @@ class ManifestedTable:
         belong to a writer that hasn't reached its pointer merge yet —
         skip it (same reason Delta's VACUUM has a retention window; it
         also lets in-flight readers of older snapshots finish). The
-        default 0 reclaims everything unreferenced — correct for
-        single-writer maintenance windows and tests."""
+        default is a conservative one-hour window, safe-by-default for
+        multi-writer deployments; pass an explicit ``min_age_seconds=0``
+        only where no peer writer can be mid-commit (single-writer
+        crash recovery, tests)."""
         import time
 
         live = self._retained_commit_dirs()

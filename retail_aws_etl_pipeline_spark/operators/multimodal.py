@@ -561,7 +561,11 @@ def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
     """(format, width, height) from header bytes only; full decode never
     runs. Unknown magic → ("unknown", None, None); a recognized format
     with a truncated/missing dims field raises ValueError."""
-    if len(buf) >= 24 and buf[:8] == PNG_SIG and buf[12:16] == b"IHDR":
+    if buf[:8] == PNG_SIG:
+        # Recognized format: truncation must raise, never misreport as
+        # "unknown" (mirrors the GIF/JPEG branches).
+        if len(buf) < 24 or buf[12:16] != b"IHDR":
+            raise ValueError("truncated PNG: no IHDR dims at offset 12")
         return (
             "png",
             int.from_bytes(buf[16:20], "big"),

@@ -97,10 +97,20 @@ def mixture_sample(
     weights: dict[str, int] | None = None,
     group_col: str = "lang",
     id_col: str = "doc_id",
+    strict: bool = False,
 ) -> DataFrame:
     """Deterministic corpus-mixture resampling (data mixing): downsample
     each group so the kept corpus matches the target proportions exactly,
     keeping the LARGEST total the per-group supplies allow.
+
+    A weighted group ABSENT from the input is, by default, silently
+    dropped from the mixture: ``N`` is the min over groups present, so the
+    output keeps the target ratios among the remaining groups — not the
+    configured mixture. That is the usual data-mixing convenience (configs
+    list more languages than any one corpus has), but it can mask an
+    upstream loss of a whole group; pass ``strict=True`` to raise
+    ``ValueError`` naming the missing groups instead (one tiny
+    count-distinct action over the already-aggregated quota frame).
 
     ``N = min_g floor(count_g * 100 / w_g)`` is the maximal kept size every
     group can serve at its target share; group g keeps its
@@ -126,6 +136,14 @@ def mixture_sample(
         .withColumn("w", wmap[F.col(group_col)].cast("long"))
         .filter(F.col("w").isNotNull())
     )
+    if strict:
+        present = {r[group_col] for r in counts.select(group_col).collect()}
+        missing = sorted(set(w) - present)
+        if missing:
+            raise ValueError(
+                f"mixture_sample(strict=True): weighted groups absent "
+                f"from input: {missing}"
+            )
     n_total = counts.agg(
         F.min(F.expr("n_g * 100 div w")).alias("n_mix")
     )

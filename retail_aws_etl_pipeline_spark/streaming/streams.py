@@ -52,13 +52,21 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     testdata generator has emitted all three layouts across rounds.
 
     If the directory is empty or absent at stream start (producers not up
-    yet), the sniff fails and the stream falls back to the canonical
-    ``EVENTS_RAW_SCHEMA``; files that later land are read against it.
+    yet), the sniff raises ``AnalysisException`` and the stream falls back
+    to the canonical ``EVENTS_RAW_SCHEMA`` — fallback mode therefore only
+    supports the canonical µs-TIMESTAMP layout: files that later land with
+    a different physical ``ts`` type (ns-long, TIMESTAMP_NTZ) bypass the
+    sniff-based normalization. Any other read error (corrupt footer,
+    permissions) re-raises — silently substituting the canonical schema
+    there would mask a real failure AND skip the normalization this
+    function exists to apply.
     """
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         schema = spark.read.parquet(events_dir).schema
-    except Exception:  # empty/absent dir → AnalysisException (message varies)
+    except AnalysisException:  # empty/absent dir (message varies by version)
         schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)

@@ -271,7 +271,7 @@ def test_manifest_crash_midwrite_leaves_prewrite_snapshot(spark, tmp_path):
     t.append(_mk_batch(spark, "run3", range(20, 30)))
     assert t.read(spark).count() == 20
     t.gc_manifests(keep_versions=1)
-    removed = t.vacuum()
+    removed = t.vacuum(min_age_seconds=0)
     assert len(removed) == 2  # the two crashed commit dirs
     assert t.read(spark).count() == 20  # vacuum never touches live data
 
@@ -394,7 +394,7 @@ def test_manifest_rewrite_folds_commits(spark, tmp_path):
     before = {(r["transaction_id"], r["date"]) for r in t.read(spark).collect()}
     t.rewrite(spark)
     t.gc_manifests(keep_versions=1)  # pre-fold history keeps data alive until GC'd
-    t.vacuum()
+    t.vacuum(min_age_seconds=0)
     after_commits = {e["path"].split("/", 2)[1] for e in t.snapshot()["files"]}
     assert len(after_commits) == 1
     assert {(r["transaction_id"], r["date"]) for r in t.read(spark).collect()} == before
@@ -622,7 +622,7 @@ def test_manifest_gc_retention_and_debris(spark, tmp_path):
     assert sorted(p.name for p in mdir.glob("v*.json")) == [
         "v00000003.json", "v00000004.json", "v00000005.json",
     ]
-    t.vacuum()
+    t.vacuum(min_age_seconds=0)
     assert t.snapshot()["version"] == 5  # live snapshot fully intact
     assert t.read(spark).count() == 25
 
@@ -648,8 +648,9 @@ def test_manifest_vacuum_retention_spares_inflight_staging(spark, tmp_path):
     t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
     t.append(_mk_batch(spark, "base", range(5)))
     t._stage(_mk_batch(spark, "inflight", range(5, 10)))  # writer mid-commit
-    assert t.vacuum(min_age_seconds=3600) == []  # young dir spared
-    assert len(t.vacuum()) == 1  # maintenance-window default reclaims
+    assert t.vacuum() == []  # conservative default window spares it
+    assert t.vacuum(min_age_seconds=3600) == []  # so does an explicit hour
+    assert len(t.vacuum(min_age_seconds=0)) == 1  # explicit opt-in reclaims
     assert t.read(spark).count() == 5
 
 
@@ -673,7 +674,7 @@ def test_manifest_time_travel_reads_and_retention(spark, tmp_path):
 
     # vacuum with full history retained: v1/v2 still pin the superseded
     # run1 commit dir, so nothing is reclaimed and old reads keep working
-    assert t.vacuum() == []
+    assert t.vacuum(min_age_seconds=0) == []  # manifest-pinned, not age-spared
     assert t.read(spark, version=2).count() == 10
 
     # retention to live-only: history becomes unreadable, THEN its data
@@ -681,7 +682,7 @@ def test_manifest_time_travel_reads_and_retention(spark, tmp_path):
     t.gc_manifests(keep_versions=1)
     with pytest.raises(FileNotFoundError, match="v2"):
         t.snapshot(version=2)
-    assert len(t.vacuum()) == 1  # run1's superseded commit dir
+    assert len(t.vacuum(min_age_seconds=0)) == 1  # run1's superseded commit dir
     assert t.read(spark).count() == 8  # live snapshot untouched throughout
 
 

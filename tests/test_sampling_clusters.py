@@ -173,3 +173,24 @@ def test_cc_reliable_checkpoint_paths(spark, tmp_path):
             # pyspark has no unset API; point it at a scratch dir so later
             # tests' "auto" still resolves somewhere writable
             sc.setCheckpointDir(str(tmp_path / "ckpt2"))
+
+
+def test_mixture_sample_strict_flags_missing_groups(spark):
+    """ADVICE r5: by default a weighted group absent from the input is
+    dropped from the mixture (ratios hold among the present groups);
+    strict=True must instead raise naming the missing groups."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(60)], ["doc_id", "lang"]
+    )
+    weights = {"en": 50, "fr": 40, "xx": 10}
+    # default: xx silently dropped; en/fr keep the 50:40 target ratio
+    kept = mixture_sample(df, weights=weights).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert set(by_lang) == {"en", "fr"}
+    assert by_lang["en"] * 4 == by_lang["fr"] * 5  # exact 50:40
+    with pytest.raises(ValueError, match=r"\['xx'\]"):
+        mixture_sample(df, weights=weights, strict=True)

@@ -400,6 +400,15 @@ def test_probe_image_dims_headers_and_errors():
     # JPEG whose marker walk runs out before any SOF
     with pytest.raises(ValueError, match="no SOF"):
         probe_image_dims(b"\xff\xd8\xff\xd9")
+    # truncated PNG (ADVICE r5): valid signature but no complete IHDR must
+    # raise like the GIF/JPEG branches, not misreport as unknown format
+    with pytest.raises(ValueError, match="truncated PNG"):
+        probe_image_dims(PNG_SIG)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        probe_image_dims(png[:20])
+    # GIF truncation stays symmetric
+    with pytest.raises(ValueError, match="truncated GIF"):
+        probe_image_dims(b"GIF89a\x40")
 
 
 def test_decode_png_rejects_truncated_chunk_length():
@@ -515,7 +524,6 @@ def test_probe_video_meta_box_walk_and_errors():
     assert probe_video_meta(buf) == ("mp4", 3000, 1920, 1080)  # 1800/600 = 3 s
     assert probe_video_meta(b"randomnotamp4file") == ("unknown", None, None, None)
     # ftyp alone: structurally mp4 but no moov -> explicit error
-    ftyp_only = buf[: 8 + struct.unpack(">I", buf[:4])[0] - 8]
     ftyp_only = buf[: struct.unpack(">I", buf[:4])[0]]
     with pytest.raises(ValueError, match="no moov"):
         probe_video_meta(ftyp_only)

@@ -144,10 +144,26 @@ def main() -> None:
     # full / dir read-only, still emit the headline (with the write error).
     sidecar_err = None
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
         with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        # Per-round archive (VERDICT r5 #3): BENCH_DETAIL.json is
+        # overwritten every run, so cross-round per-query diffs were
+        # limited to the slowest-8 in the driver's BENCH_r0N.json summary.
+        # Infer the in-flight round as max(existing BENCH_r*.json) + 1
+        # (the driver writes BENCH_r0N.json AFTER this bench run) and keep
+        # a numbered copy; re-runs within a round overwrite their own file.
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo_dir)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        round_no = max(rounds, default=0) + 1
+        with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:

@@ -310,7 +310,24 @@ class ManifestedTable:
         default is a conservative one-hour window, safe-by-default for
         multi-writer deployments; pass an explicit ``min_age_seconds=0``
         only where no peer writer can be mid-commit (single-writer
-        crash recovery, tests)."""
+        crash recovery, tests).
+
+        **Reader contract (vacuum-under-reader race)**: retention is
+        manifest-driven, NOT reader-driven — vacuum has no registry of
+        open readers. A long-running reader pinned to a historical
+        snapshot (``read(version=N)`` is lazy; executors resolve file
+        paths at action time) stays safe only while a retained manifest
+        references its files: ``gc_manifests`` first makes the version
+        unreadable, THEN its data becomes vacuum-eligible, in that order.
+        The remaining window is a reader that resolved paths BEFORE a
+        concurrent ``gc_manifests`` + ``vacuum`` pair removed them — the
+        same window Delta/Iceberg close with a retention period, closed
+        here the same way: run maintenance with ``min_age_seconds`` at
+        least as large as the longest expected reader/job runtime (the
+        1 h default covers typical batch jobs), never 0 while readers may
+        be active. ``tests/test_failure_recovery.py::``
+        ``test_manifest_vacuum_reader_grace_contract`` pins both sides of
+        this contract."""
         import time
 
         live = self._retained_commit_dirs()

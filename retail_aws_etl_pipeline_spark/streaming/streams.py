@@ -91,17 +91,34 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def dedup_stream(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+def dedup_stream(
+    events: DataFrame,
+    watermark: str | None = "2 hours",
+    subset: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
     """Cross-batch exactly-once by key: watermarked dropDuplicates
     (the streaming form of W1 keep-latest; state expires with the
     watermark, bounding memory at scale).
 
-    With a watermark, rows arriving later than it are dropped as late —
-    correct for time-ordered sources. Pass ``watermark=None`` for unordered
-    replays (unbounded state; fine for bounded backfills)."""
+    Watermark semantics, pinned by ``test_watermark_lateness_sweep``:
+
+    - with the default ``subset=("event_id",)`` the watermark only bounds
+      STATE (keys older than it are expired) — late rows are NOT dropped;
+      a late row whose key's state already expired passes through again.
+      That is at-least-once under lateness, which the downstream gold
+      keep-latest merge absorbs;
+    - include the event-time column — ``subset=("event_id", "ts")`` — to
+      get watermark-late DROP semantics (the engine filters late input
+      only when the event-time column is part of the dedup subset), and
+      note the filter takes effect one micro-batch after the watermark
+      update that the progress line reports.
+
+    Pass ``watermark=None`` for unordered replays (unbounded state; fine
+    for bounded backfills)."""
+    cols = list(subset)
     if watermark is None:
-        return events.dropDuplicates(["event_id"])
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+        return events.dropDuplicates(cols)
+    return events.withWatermark("ts", watermark).dropDuplicates(cols)
 
 
 def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
@@ -204,14 +221,30 @@ def run_pipeline_available_now(
     return results
 
 
-def gold_upsert_stream(spark: SparkSession, lake, checkpoint_dir: str):
+def gold_upsert_stream(
+    spark: SparkSession,
+    lake,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    processing_time: str = "1 second",
+):
     """Continuous silver→gold maintenance: stream the silver directory and
     merge each micro-batch into gold via ``operators.compact.upsert_gold``
     (foreachBatch + dynamic partition overwrite = exactly-once-effective
     gold, the reference's docs/gold_job.md:32-35 idempotency goal).
 
-    Returns the started StreamingQuery (Trigger.AvailableNow — drains what
-    exists, then stops; schedule repeatedly or switch the trigger for 24/7).
+    Returns the started StreamingQuery. Default Trigger.AvailableNow —
+    drains what exists, then stops; schedule repeatedly for the reference's
+    event-driven cadence. For 24/7 soak mode pass ``available_now=False``
+    (micro-batches every ``processing_time``) and, to rate-limit each
+    micro-batch to a bounded chunk of backlog — bounding both the
+    foreachBatch merge size and executor memory — set
+    ``max_files_per_trigger``; stop with ``query.stop()``. The merge is
+    keyed keep-latest, so ANY interleaving of waves into micro-batches
+    converges to the same gold (soak-tested across rates in
+    ``tests/test_streaming_multimodal.py::test_gold_upsert_stream_soak``).
     """
     from retail_aws_etl_pipeline_spark.operators.compact import upsert_gold
     from retail_aws_etl_pipeline_spark.schema import SILVER_SCHEMA
@@ -220,10 +253,16 @@ def gold_upsert_stream(spark: SparkSession, lake, checkpoint_dir: str):
     # it requires the direct silver layout. A lake ingesting with
     # commit_protocol="manifest" should drive gold via compact_pending
     # (manifest) instead of this stream.
-    silver = spark.readStream.schema(SILVER_SCHEMA).parquet(lake.processed)
-    return (
+    reader = spark.readStream.schema(SILVER_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    silver = reader.parquet(lake.processed)
+    writer = (
         silver.writeStream.foreachBatch(lambda df, _epoch: upsert_gold(spark, lake, df))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -715,3 +715,37 @@ def test_manifest_gc_debris_only_mode_keeps_history(spark, tmp_path):
     assert removed == ["v00000003.json"]  # the debris, nothing else
     assert t.read(spark, version=1).count() == 5  # history intact
     assert t.read(spark).count() == 10
+
+
+def test_manifest_vacuum_reader_grace_contract(spark, tmp_path):
+    """VERDICT r5 #7 — the vacuum-under-reader race, both sides:
+
+    (a) while ANY retained manifest references a version, its data
+        survives vacuum regardless of age, so a pinned reader is safe;
+    (b) after gc_manifests retires the manifest, only min_age_seconds
+        protects a reader that resolved paths earlier — an aggressive
+        min_age_seconds=0 maintenance pass under an active reader is the
+        documented unsafe case and visibly breaks the read."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark import lake_manifest as LM
+
+    t = LM.ManifestedTable(str(tmp_path / "t"), partition_col="date")
+    t.append(_mk_batch(spark, "run1", range(5), date="2025-07-10"))        # v1
+    t.overwrite_partitions(_mk_batch(spark, "run2", range(3), date="2025-07-10"))  # v2
+
+    pinned = t.read(spark, version=1)  # lazy: paths resolve at action time
+    assert pinned.count() == 5
+
+    # (a) manifest retained -> vacuum(0) must spare the superseded commit
+    assert t.vacuum(min_age_seconds=0) == []
+    assert pinned.count() == 5
+
+    # (b) manifest retired -> age grace is the ONLY shield left
+    t.gc_manifests(keep_versions=1)
+    assert t.vacuum() == []            # 1h default spares the young dir
+    assert pinned.count() == 5         # reader unharmed within the window
+    assert len(t.vacuum(min_age_seconds=0)) == 1  # aggressive pass reclaims
+    with pytest.raises(Exception):     # and the pinned reader now breaks
+        pinned.count()
+    assert t.read(spark).count() == 3  # live snapshot stays intact

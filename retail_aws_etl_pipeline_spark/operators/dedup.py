@@ -189,6 +189,34 @@ def jaccard_counts(
     )
 
 
+def containment_pairs(
+    gram_df: DataFrame,
+    threshold_pct: int = 90,
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Quote/subset near-dup detection: pairs where the SMALLER document's
+    shingle set is ≥ ``threshold_pct``% contained in the other —
+    ``common / min(n_a, n_b)``, the asymmetric metric Jaccard misses when
+    a short document is embedded in a long one (boilerplate quotes,
+    excerpt dups in training corpora).
+
+    Same inverted-index discipline as :func:`jaccard_counts` (shared
+    implementation): banded equi-join on the gram, never all-pairs, with
+    the ``max_gram_freq`` hot-shingle guard at scale. The threshold is an
+    integer-percent comparison (``common * 100 >= pct * least``) so the
+    predicate is engine-exact; ``containment`` is the single double
+    division, emitted for consumers.
+    """
+    counts = jaccard_counts(gram_df, id_col=id_col, max_gram_freq=max_gram_freq)
+    least = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        counts.filter(F.col("common") * 100 >= F.lit(threshold_pct) * least)
+        .withColumn("containment", F.col("common").cast("double") / least)
+        .select("id_a", "id_b", "n_a", "n_b", "common", "containment")
+    )
+
+
 def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
     """Eagerly materialize + truncate an iteration frame's lineage.
 

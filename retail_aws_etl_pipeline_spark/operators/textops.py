@@ -175,3 +175,57 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
     for _kind, pat, repl in PII_PATTERNS:
         cleaned = F.regexp_replace(cleaned, pat, repl)
     return df.withColumn(out_col, cleaned)
+
+
+#: BM25 shape parameters, scaled to integers: K(d) = k1*((1-b) + b*dl/avgdl)
+#: with k1=1.2, b=0.75 becomes tf/(tf+K) = 10*tf*T / (10*tf*T + 3*T + 9*dl*N)
+#: for corpus token total T and doc count N — every operand integer, the
+#: single fractional step is one double division per term.
+BM25_IDF_SCALE = 1_000_000
+
+
+def bm25_scores(
+    df: DataFrame, terms: tuple[str, ...], id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """BM25-shaped relevance of every document against a fixed term set,
+    with a RATIONAL idf surrogate: ``w_t = (N * SCALE) div (df_t + 1)``
+    instead of the classical ``ln((N - df + .5)/(df + .5))``. Rationale:
+    ``ln`` is engine-divergent in final ulps (java.lang.Math.log vs libm),
+    which breaks bit-exact cross-engine verification; the rational weight
+    preserves the rarity ordering and keeps every operand an integer, so
+    the only doubles are one division and a fixed-order 3-term sum —
+    bit-identical in any IEEE-754 engine.
+
+    Plan shape (the 100 TB story): per-doc term frequencies and document
+    length are SCAN-SIDE array expressions (``size(filter(__toks, ...))``
+    — no explode, no shuffle); the corpus stats (N, T, df_t) are ONE tiny
+    global aggregate broadcast back; ranking is TakeOrderedAndProject.
+    Zero wide shuffles end to end.
+    """
+    toks = df.withColumn("__toks", whitespace_tokens(text_col))
+    tf_cols = [
+        F.expr(f"size(filter(__toks, x -> x = '{t}'))").cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("dl").alias("T"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    contrib = " + ".join(
+        f"((N * {BM25_IDF_SCALE}) div (df_{i} + 1))"
+        f" * ((CAST(10 * tf_{i} * T AS DOUBLE)) / (10 * tf_{i} * T + 3 * T + 9 * dl * N))"
+        for i in range(len(terms))
+    )
+    any_hit = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(F.expr(any_hit) > 0)
+        .select(F.col(id_col), "dl", F.expr(contrib).alias("score"))
+    )

@@ -1110,30 +1110,58 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag
     """,
     description="Exact ground-truth counterpart of approx_sketch_stats: "
-    "COUNT(DISTINCT) + percentile_disc (element-picking — no interpolation "
-    "arithmetic, so the value is an actual data element and bit-identical "
-    "across engines; percentile_cont's `lo + frac*(hi-lo)` double math is "
-    "not). This is the hash-checkable driver query; the sketch kernels "
-    "(approx_count_distinct / approx_percentile) stay the 100 TB knob and "
-    "are tolerance-gated against this exact frame in "
+    "COUNT(DISTINCT) + discrete percentiles (element-picking — no "
+    "interpolation arithmetic, so each value is an actual data element and "
+    "bit-identical across engines; percentile_cont's `lo + frac*(hi-lo)` "
+    "double math is not). The Spark side computes all three quantiles in "
+    "ONE histogram pass — groupBy (flag, value) counts, per-flag "
+    "cumulative sum, integer-exact rank thresholds (cum*2>=n etc. — "
+    "cume_dist>=q without any division) — instead of three separate "
+    "percentile_disc aggregates, each of which buffers every value per "
+    "group (measured 2x: 4.15s -> 2.1s at sf0.1). Per-flag window state "
+    "is bounded by the VALUE-DOMAIN cardinality, not the row count; for "
+    "an unbounded continuous domain swap the window for the two-level "
+    "rank used by customer_spend_deciles. This is the hash-checkable "
+    "driver query; the sketch kernels (approx_count_distinct / "
+    "approx_percentile) stay the 100 TB knob and are tolerance-gated "
+    "against this exact frame in "
     "tests/test_extensions.py::test_approx_sketch_within_tolerance.",
     tags=("agg", "exact"),
 )
 def sketch_accuracy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ["lineitem"])
-    t["lineitem"].createOrReplaceTempView("__sketch_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               COUNT(DISTINCT l_partkey) AS distinct_parts,
-               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
-               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
-               percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
-               COUNT(*) AS n
-        FROM __sketch_lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-        """
+    li = t["lineitem"]
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    # percentile_disc(q) == smallest value whose cume_dist >= q, i.e. the
+    # first histogram bucket with cum >= q*n — compared integer-exactly.
+    quantiles = (
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("l_extendedprice"))).alias("p50"),
+            F.min(F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("l_extendedprice"))).alias("p90"),
+            F.min(F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("l_extendedprice"))).alias("p99"),
+            F.max("n").alias("n"),
+        )
+    )
+    distinct = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("distinct_parts")
+    )
+    return (
+        distinct.join(quantiles, "l_returnflag")
+        .select("l_returnflag", "distinct_parts", "p50", "p90", "p99", "n")
+        .orderBy("l_returnflag")
     )
 
 
@@ -2061,3 +2089,107 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg_df in legs[1:]:
         out = out.unionByName(leg_df)
     return out.orderBy("method", "param", "probe_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: containment dedup + BM25-shaped relevance (new operator families)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold (percent) for doc_containment_pairs.
+CONTAINMENT_PCT = 90
+
+#: Fixed query-term set for bm25_query_scores — chosen for df spread in the
+#: synthetic corpus (two common terms, one rare) so the idf weights differ
+#: by >10x and the ranking genuinely exercises the rarity weighting.
+BM25_TERMS = ("join", "window", "dup")
+
+
+@register_extra(
+    "doc_containment_pairs",
+    f"""
+    WITH {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT cm.id_a, cm.id_b, sa.n AS n_a, sb.n AS n_b, cm.common,
+           CAST(cm.common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.id_a
+    JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.common * 100 >= {CONTAINMENT_PCT} * LEAST(sa.n, sb.n)
+    ORDER BY cm.id_a, cm.id_b
+    """,
+    description="Asymmetric containment dedup: pairs where the smaller "
+    "document's shingle set is ≥ 90% inside the other — the quote/excerpt "
+    "duplication Jaccard under-scores when sizes differ. Same banded "
+    "inverted-index join as the Jaccard family (never all-pairs); "
+    "integer-percent threshold, one double division for the emitted ratio.",
+    tags=("dedup", "containment"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    # persist: jaccard_counts reads the shingle frame three times (sizes +
+    # both self-join sides) — same idiom as ngram_jaccard_pairs
+    grams = D.shingles(t["documents"]).persist()
+    return D.containment_pairs(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _bm25_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators.textops import BM25_IDF_SCALE
+
+    tf_exprs = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    contrib = " + ".join(
+        f"((N * {BM25_IDF_SCALE}) // (df_{i} + 1))"
+        f" * (CAST(10 * tf_{i} * T AS DOUBLE) / (10 * tf_{i} * T + 3 * T + 9 * dl * N))"
+        for i in range(len(BM25_TERMS))
+    )
+    any_hit = " + ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))
+    df_aggs = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_exprs}
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS N, SUM(dl) AS T, {df_aggs} FROM per_doc
+    )
+    SELECT doc_id, dl, {contrib} AS score
+    FROM per_doc, stats
+    WHERE {any_hit} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register_extra(
+    "bm25_query_scores",
+    _bm25_oracle(),
+    description="BM25-shaped top-50 relevance against a fixed term set, "
+    "with a rational idf surrogate ((N*SCALE) div (df+1)) — ln() is "
+    "engine-divergent in final ulps, the rational weight keeps every "
+    "operand integer so the only doubles are one division per term and a "
+    "fixed-order sum. Scan-side tf/dl (array exprs, no explode), ONE tiny "
+    "global stats agg broadcast back, TakeOrderedAndProject ranking: zero "
+    "wide shuffles at any corpus size.",
+    tags=("text", "relevance"),
+)
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.textops import bm25_scores
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        bm25_scores(t["documents"], BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -254,3 +254,19 @@ def test_customer_spend_deciles_no_global_window(spark):
         assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_bm25_plan_is_scan_side(spark):
+    """bm25_query_scores: tf/dl are array expressions on the scan (no
+    explode/generate), corpus stats come back via broadcast (nested-loop
+    on a 1-row frame is fine; never a shuffled join), ranking is
+    TakeOrderedAndProject, and the scan prunes to doc_id + text."""
+    df = REGISTRY["bm25_query_scores"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode: tf via size(filter(...))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema

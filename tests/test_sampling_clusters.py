@@ -194,3 +194,33 @@ def test_mixture_sample_strict_flags_missing_groups(spark):
     assert by_lang["en"] * 4 == by_lang["fr"] * 5  # exact 50:40
     with pytest.raises(ValueError, match=r"\['xx'\]"):
         mixture_sample(df, weights=weights, strict=True)
+
+
+def test_containment_pairs_catches_asymmetric_quote(spark):
+    """A short document embedded verbatim in a long one: containment ≈ 1.0
+    must flag the pair even though Jaccard is far below any dedup
+    threshold — the metric's reason to exist. Symmetric unrelated docs
+    stay unflagged."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_counts,
+        shingles,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    host = " ".join(f"h{i}" for i in range(80)) + " " + quote + " " + " ".join(
+        f"t{i}" for i in range(80)
+    )
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], ["doc_id", "text"]
+    )
+    grams = shingles(df)
+    got = containment_pairs(grams, threshold_pct=90).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0
+    # the same pair is invisible to a Jaccard-0.2 gate
+    jc = jaccard_counts(grams).filter(
+        "common * 5 >= (n_a + n_b - common)"
+    ).collect()
+    assert jc == []

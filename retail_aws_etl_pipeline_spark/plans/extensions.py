@@ -2193,3 +2193,123 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+_RETAINED_CORPUS_ORACLE = f"""
+    WITH RECURSIVE {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    csize AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT d.doc_id, d.lang, d.source, s.cluster_size
+    FROM comp c
+    JOIN csize s ON s.cluster_id = c.cluster_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    ORDER BY d.doc_id
+    """
+
+
+@register_extra(
+    "dedup_retained_corpus",
+    _RETAINED_CORPUS_ORACLE,
+    description="The END of the dedup pipeline: the surviving corpus after "
+    "near-dup removal — one canonical document per connected component "
+    "(the min-id doc, which IS the component label by construction, so "
+    "survivor selection is a filter `doc_id = cluster_id`, no extra "
+    "shuffle) joined back to the documents table. cluster_size rides "
+    "along so consumers can weight or audit what each survivor replaced. "
+    "This is the production operation the pair/cluster queries feed.",
+    tags=("dedup", "graph", "curation"),
+)
+def dedup_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    counts = D.jaccard_counts(grams)
+    pairs = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    csize = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    survivors = (
+        comp.filter(F.col("node") == F.col("label"))
+        .join(csize, "label")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(survivors, "doc_id")
+        .select("doc_id", "lang", "source", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@register_extra(
+    "bpe_pair_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pairs AS (
+        SELECT doc_id, toks[i.i] AS tok_a, toks[i.i + 1] AS tok_b
+        FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= len(toks) - 1
+    )
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM pairs
+    WHERE tok_a <> '' AND tok_b <> ''
+    GROUP BY tok_a, tok_b
+    ORDER BY n_total DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+    description="BPE merge-candidate statistics (step 1 of tokenizer "
+    "training): corpus-wide adjacent-pair counts + document frequency, "
+    "top-100 with total tiebreak. Same map-side-combined explode->groupBy "
+    "shape as corpus_vocabulary, over pairs instead of unigrams — over a "
+    "byte-level pre-tokenization this IS the distributed inner loop of "
+    "BPE; each merge iteration re-runs it on the re-paired stream.",
+    tags=("text", "curation", "tokenizer"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs_arr = (
+        "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+        " i -> struct(element_at(__toks, i) AS tok_a,"
+        " element_at(__toks, i + 1) AS tok_b))"
+    )
+    return (
+        t["documents"]
+        .withColumn("__toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.expr(pairs_arr)).alias("p"))
+        .select("doc_id", "p.tok_a", "p.tok_b")
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(100)
+    )

@@ -270,3 +270,34 @@ def test_bm25_plan_is_scan_side(spark):
     read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "text" in read_schema and "doc_id" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_bpe_pair_stats_plan(spark):
+    """bpe_pair_stats: ONE map-side-combined groupBy over the exploded
+    pair stream, TakeOrderedAndProject ranking, scan pruned to
+    doc_id + text."""
+    df = REGISTRY["bpe_pair_stats"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_dedup_retained_corpus_partitions_the_corpus(spark):
+    """Survivors are exactly one per cluster: their count equals the
+    distinct cluster count of near_dup_clusters, every survivor is its
+    own cluster id, and survivors + removed == corpus."""
+    retained = REGISTRY["dedup_retained_corpus"].spark_fn(spark, SF_SMOKE)
+    clusters = REGISTRY["near_dup_clusters"].spark_fn(spark, SF_SMOKE)
+    n_docs = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    rows = retained.collect()
+    assert len(rows) == n_clusters
+    surviving_ids = {r["doc_id"] for r in rows}
+    canonical_ids = {
+        r["cluster_id"] for r in clusters.select("cluster_id").distinct().collect()
+    }
+    assert surviving_ids == canonical_ids
+    removed = n_docs - len(rows)
+    assert removed == sum(r["cluster_size"] - 1 for r in rows)

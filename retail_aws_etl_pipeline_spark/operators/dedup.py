@@ -189,6 +189,48 @@ def jaccard_counts(
     )
 
 
+def incremental_jaccard_counts(
+    batch_grams: DataFrame,
+    corpus_grams: DataFrame,
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """(batch_id, corpus_id, n_batch, n_corpus, common) for cross pairs
+    sharing ≥1 shingle — the PRODUCTION dedup cadence: each incoming
+    batch is checked against the existing corpus (and the batch against
+    itself separately via :func:`jaccard_counts`) instead of re-running
+    the full corpus self-join every ingest.
+
+    Scale shape: the inverted-index join is batch_grams ⋈ corpus_grams —
+    proportional to |batch| × avg-posting-length, NOT |corpus|²; a small
+    batch's gram frame broadcast-joins against the corpus scan, so
+    steady-state dedup cost tracks the arrival rate. ``max_gram_freq``
+    caps hot postings on the CORPUS side (where the skew lives).
+    """
+    corpus = corpus_grams
+    if max_gram_freq is not None:
+        hot = (
+            corpus.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_freq)
+            .select("gram")
+        )
+        corpus = corpus.join(hot, "gram", "left_anti")
+    n_batch = batch_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_batch"))
+    n_corpus = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_corpus"))
+    common = (
+        batch_grams.select(F.col(id_col).alias("batch_id"), "gram")
+        .join(corpus.select(F.col(id_col).alias("corpus_id"), "gram"), "gram")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(n_batch.withColumnRenamed(id_col, "batch_id"), "batch_id")
+        .join(n_corpus.withColumnRenamed(id_col, "corpus_id"), "corpus_id")
+        .select("batch_id", "corpus_id", "n_batch", "n_corpus", "common")
+    )
+
+
 def containment_pairs(
     gram_df: DataFrame,
     threshold_pct: int = 90,

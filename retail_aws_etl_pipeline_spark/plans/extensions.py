@@ -2313,3 +2313,55 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(100)
     )
+
+
+#: Deterministic "incoming batch" for the incremental-dedup query: every
+#: 10th document plays the new arrivals, the rest are the standing corpus.
+INCR_BATCH_MOD = 10
+
+
+@register_extra(
+    "incremental_near_dup_pairs",
+    f"""
+    WITH {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    cross_common AS (
+        SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, COUNT(*) AS common
+        FROM grams a
+        JOIN grams b ON a.gram = b.gram
+        WHERE a.doc_id % {INCR_BATCH_MOD} = 0 AND b.doc_id % {INCR_BATCH_MOD} <> 0
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT cc.batch_id, cc.corpus_id,
+           sa.n AS n_batch, sb.n AS n_corpus, cc.common
+    FROM cross_common cc
+    JOIN sizes sa ON sa.doc_id = cc.batch_id
+    JOIN sizes sb ON sb.doc_id = cc.corpus_id
+    WHERE cc.common * 5 >= (sa.n + sb.n - cc.common)
+    ORDER BY cc.batch_id, cc.corpus_id
+    """,
+    description="Incremental (batch-vs-corpus) near-dup pairs — the "
+    "production cadence: each ingest wave deduplicates against the "
+    "standing corpus via a CROSS inverted-index join (batch grams ⋈ "
+    "corpus grams), cost proportional to the ARRIVAL RATE rather than "
+    "corpus², composing with the within-batch self-join for full "
+    "coverage. Same integer-threshold Jaccard ≥ 0.2 gate as the batch "
+    "family; the deterministic doc_id % 10 == 0 slice plays the incoming "
+    "wave so the oracle is reproducible.",
+    tags=("dedup", "incremental"),
+)
+def incremental_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    batch = grams.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = grams.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    counts = D.incremental_jaccard_counts(batch, corpus)
+    return (
+        counts.filter(
+            F.col("common") * 5
+            >= (F.col("n_batch") + F.col("n_corpus") - F.col("common"))
+        )
+        .select("batch_id", "corpus_id", "n_batch", "n_corpus", "common")
+        .orderBy("batch_id", "corpus_id")
+    )

@@ -224,3 +224,43 @@ def test_containment_pairs_catches_asymmetric_quote(spark):
         "common * 5 >= (n_a + n_b - common)"
     ).collect()
     assert jc == []
+
+
+def test_incremental_dedup_partitions_the_pair_space(spark):
+    """Cross (batch vs corpus) + within-batch + within-corpus pairs must
+    reconstruct EXACTLY the full-corpus Jaccard pair set — incremental
+    dedup loses nothing relative to re-running the batch self-join."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_jaccard_counts,
+        jaccard_counts,
+        shingles,
+    )
+    from retail_aws_etl_pipeline_spark.plans.extensions import INCR_BATCH_MOD
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    grams = shingles(docs).persist()
+    thr = lambda r, na, nb: r["common"] * 5 >= na + nb - r["common"]  # noqa: E731
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_counts(grams).collect()
+        if thr(r, r["n_a"], r["n_b"])
+    }
+
+    batch = grams.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = grams.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    cross = {
+        tuple(sorted((r["batch_id"], r["corpus_id"])))
+        for r in incremental_jaccard_counts(batch, corpus).collect()
+        if thr(r, r["n_batch"], r["n_corpus"])
+    }
+    within = {
+        (r["id_a"], r["id_b"])
+        for part in (batch, corpus)
+        for r in jaccard_counts(part).collect()
+        if thr(r, r["n_a"], r["n_b"])
+    }
+    assert cross | within == full
+    assert cross.isdisjoint(within)

@@ -229,3 +229,68 @@ def bm25_scores(
         .filter(F.expr(any_hit) > 0)
         .select(F.col(id_col), "dl", F.expr(contrib).alias("score"))
     )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    term_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-query BM25: score every document against every query in
+    ``term_df`` (columns ``query_id``, ``term``) — the many-queries form
+    of :func:`bm25_scores`, for when per-query scan-side columns stop
+    scaling (hundreds of queries).
+
+    Shape: explode tokens ONCE, broadcast-join the tiny term table
+    (selectivity applied at the join — non-matching tokens never reach
+    the aggregation), per-(doc, query, term) tf in one groupBy, df_t from
+    the same frame, corpus stats from one tiny agg. Per-(doc, query)
+    scores use the same rational idf / integer saturation as the
+    single-query form; the cross-term sum goes through an exact
+    DECIMAL(28,6) accumulator (``dec_sum`` discipline) because a
+    groupBy's double-summation order is not deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    dl = df.select(
+        F.col(id_col), F.size(whitespace_tokens(text_col)).cast("long").alias("dl")
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("term")
+    )
+    hits = (
+        toks.join(F.broadcast(term_df), "term")
+        .groupBy(id_col, "query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = hits.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("N"), F.sum("dl").alias("T"))
+    contrib = (
+        "((N * {scale}) div (df_t + 1))"
+        " * (CAST(10 * tf * T AS DOUBLE) / (10 * tf * T + 3 * T + 9 * dl * N))"
+    ).format(scale=BM25_IDF_SCALE)
+    scored = (
+        hits.join(F.broadcast(df_t), ["query_id", "term"])
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", F.expr(contrib).cast("decimal(28,6)"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__c").cast("double").alias("score"))
+    )
+    return scored
+
+
+def bm25_multi_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Top-k per query with a deterministic tiebreak — rank-limit pushes
+    into WindowGroupLimit (partial per-partition top-k pre-shuffle)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -2365,3 +2365,82 @@ def incremental_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "corpus_id", "n_batch", "n_corpus", "common")
         .orderBy("batch_id", "corpus_id")
     )
+
+
+#: Fixed query table for the multi-query BM25 oracle (query_id, term) —
+#: three queries over the synthetic corpus vocabulary, mixing common and
+#: rare (df≈25) terms so idf weighting differentiates the rankings.
+BM25_MULTI_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "join"), (1, "window"), (1, "dup"),
+    (2, "scan"), (2, "filter"), (2, "slow"),
+    (3, "customer"), (3, "order"), (3, "batch"),
+)
+BM25_MULTI_K = 10
+
+
+def _bm25_multi_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators.textops import BM25_IDF_SCALE
+
+    values = ", ".join(f"({q}, '{t}')" for q, t in BM25_MULTI_QUERIES)
+    return f"""
+    WITH terms(query_id, term) AS (VALUES {values}),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+    hits AS (
+        SELECT t.doc_id, q.query_id, q.term, COUNT(*) AS tf
+        FROM toks t JOIN terms q ON t.term = q.term
+        GROUP BY t.doc_id, q.query_id, q.term
+    ),
+    df_t AS (
+        SELECT query_id, term, COUNT(*) AS df_t FROM hits GROUP BY query_id, term
+    ),
+    stats AS (SELECT COUNT(*) AS N, SUM(dl) AS T FROM dl),
+    scored AS (
+        SELECT h.query_id, h.doc_id,
+               CAST(SUM(CAST(
+                   ((s.N * {BM25_IDF_SCALE}) // (d.df_t + 1))
+                   * (CAST(10 * h.tf * s.T AS DOUBLE)
+                      / (10 * h.tf * s.T + 3 * s.T + 9 * l.dl * s.N))
+               AS DECIMAL(28,6))) AS DOUBLE) AS score
+        FROM hits h
+        JOIN df_t d ON d.query_id = h.query_id AND d.term = h.term
+        JOIN dl l ON l.doc_id = h.doc_id
+        CROSS JOIN stats s
+        GROUP BY h.query_id, h.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, doc_id, score, rank
+    FROM ranked WHERE rank <= {BM25_MULTI_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register_extra(
+    "bm25_multi_query_topk",
+    _bm25_multi_oracle(),
+    description="Multi-query BM25 top-10 per query via a broadcast term "
+    "table: tokens explode ONCE and the tiny (query, term) table joins by "
+    "broadcast, so selectivity lands at the join and non-matching tokens "
+    "never reach the aggregation — the scaling form when per-query "
+    "scan-side columns (bm25_query_scores) stop at tens of queries. "
+    "Cross-term sums go through the exact-decimal accumulator (groupBy "
+    "double-sum order is nondeterministic); per-query ranking pushes into "
+    "WindowGroupLimit.",
+    tags=("text", "relevance"),
+)
+def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        bm25_multi_topk,
+        bm25_scores_multi,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    terms = spark.createDataFrame(list(BM25_MULTI_QUERIES), ["query_id", "term"])
+    scored = bm25_scores_multi(t["documents"], terms)
+    return bm25_multi_topk(scored, BM25_MULTI_K).orderBy("query_id", "rank")

@@ -301,3 +301,15 @@ def test_dedup_retained_corpus_partitions_the_corpus(spark):
     assert surviving_ids == canonical_ids
     removed = n_docs - len(rows)
     assert removed == sum(r["cluster_size"] - 1 for r in rows)
+
+
+def test_bm25_multi_plan_shape(spark):
+    """bm25_multi_query_topk: the term table joins by BROADCAST (never
+    shuffled against the token stream), per-query ranking pushes into
+    WindowGroupLimit, and the scan prunes to doc_id + text."""
+    df = REGISTRY["bm25_multi_query_topk"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "lang" not in read_schema

@@ -204,6 +204,36 @@ _PROMOTE_R6 = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 late swap (VERDICT r5 item #6: "promote any r6-new queries"): the
+# six operators added after the main r6 rotation landed — containment dedup,
+# single- and multi-query BM25, retained-corpus selection, BPE pair stats,
+# and incremental batch-vs-corpus dedup — get their first driver rows this
+# round. Demoted to make room: six entries with five consecutive green rows
+# (r1-r5) whose operator family stays represented in the window
+# (dedup: exact/minhash/simhash/clusters remain; ANN: ivf + embedding
+# near-dup remain; TPC core: daily_revenue/region_revenue etc. remain).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6B = [
+    "dedup_signal_report",
+    "ngram_jaccard_pairs",
+    "ann_topk_bruteforce",
+    "top_items",
+    "pricing_summary",
+    "currency_clean_roundtrip",
+]
+
+_PROMOTE_R6B = [
+    "doc_containment_pairs",
+    "bm25_query_scores",
+    "bm25_multi_query_topk",
+    "dedup_retained_corpus",
+    "bpe_pair_stats",
+    "incremental_near_dup_pairs",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -211,6 +241,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R4, _PROMOTE_R4),
         (_DEMOTE_R5, _PROMOTE_R5),
         (_DEMOTE_R6, _PROMOTE_R6),
+        (_DEMOTE_R6B, _PROMOTE_R6B),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -157,15 +157,21 @@ def main() -> None:
         # a numbered copy; re-runs within a round overwrite their own file.
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo_dir)
-            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        round_no = max(rounds, default=0) + 1
-        with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w") as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        # Only FULL runs archive: a BENCH_QUERIES-filtered smoke run would
+        # otherwise clobber the round's 90-entry archive with its subset
+        # (this happened once — restored from git in r6).
+        if not names:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            round_no = max(rounds, default=0) + 1
+            with open(
+                os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w"
+            ) as fh:
+                json.dump(detail, fh, indent=1, sort_keys=True)
+                fh.write("\n")
     except OSError as exc:
         sidecar_err = f"{type(exc).__name__}: {exc}"[:200]
 

@@ -1,0 +1,118 @@
+"""Distributed k-means over embedding columns (SemDeDup-style clustering).
+
+Curation pipelines cluster corpus embeddings to balance topic mixtures and
+to run semantic dedup within clusters (one cluster = one candidate block),
+so the clustering step itself must be distributed and reproducible. This is
+Lloyd's algorithm in the shape MLlib uses — per-iteration work is one
+scan-side assignment plus one k-row aggregate — but expressed on the
+integer-QUANTIZED contract shared with `operators.similarity`
+(q_i = floor(x_i * 1024), int64), so every distance, every argmin, and
+every centroid update is exact integer/IEEE-identical math that a DuckDB
+oracle reproduces bit-for-bit. No RNG anywhere: init is the k smallest
+vec_ids, ties break toward the smaller centroid id.
+
+Scale shape (the 100 TB story):
+
+- **Assignment is scan-side.** The k centroids are inlined as a literal
+  array-of-structs (k·d int64s — a few KB for k≤256, d≤1024), so the
+  argmin is one whole-stage-codegen expression per row: no join, no
+  shuffle, no UDF. `array_min` over `struct(dist, cid)` gives the
+  deterministic tie-broken argmin (struct ordering is field-lexicographic).
+- **The update is a k-row aggregate.** groupBy(cluster_id) with d per-dim
+  SUM columns is map-side-combined down to k rows per partition before the
+  (tiny) shuffle; the driver collect is k rows — bounded by construction,
+  the same driver-sync every distributed Lloyd's (including MLlib's
+  treeAggregate) performs per iteration.
+- **Determinism across engines.** Centroid update is
+  floor(double(sum)/count): for |sum| < 2^40 and count < 2^24 the double
+  quotient can never round across an integer boundary (distance from the
+  rational sum/count to the nearest integer is 0 or ≥ 1/count ≥ 2^-24,
+  while the division's rounding error is < ulp ≤ 2^-32), so
+  floor-after-IEEE-division equals exact floor division everywhere.
+
+Empty clusters drop: a centroid that attracts no rows simply has no group
+in the update and disappears for subsequent iterations (documented
+contract; the SQL oracle mirrors it by construction).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.operators.similarity import with_quantized
+
+KMEANS_K = 8
+KMEANS_UPDATES = 1
+
+
+def _centroid_literal(centroids: list[tuple[int, list[int]]]) -> str:
+    """Inline k centroids as a literal array<struct<cid, cv>> expression."""
+    rows = ", ".join(
+        f"named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({', '.join(f'{v}L' for v in vec)}))"
+        for cid, vec in centroids
+    )
+    return f"array({rows})"
+
+
+def assign_clusters(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """One assignment pass: (vec_id, qvec) -> (vec_id, cluster_id, dist).
+
+    dist is the exact int64 squared L2 distance to the winning centroid;
+    ties break toward the smaller cid via struct ordering.
+    """
+    lit = _centroid_literal(centroids)
+    best = F.expr(
+        f"array_min(transform({lit}, c -> struct("
+        "aggregate(zip_with(qvec, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
+    )
+    return qdf.select("vec_id", "qvec", best.alias("__best")).select(
+        "vec_id",
+        "qvec",
+        F.col("__best.cid").alias("cluster_id"),
+        F.col("__best.dist").alias("dist"),
+    )
+
+
+def _update_centroids(assigned: DataFrame, dim: int) -> list[tuple[int, list[int]]]:
+    """Lloyd update: per-cluster elementwise floor(sum/count), k-row collect."""
+    sums = [F.sum(F.col("qvec")[i]).alias(f"s{i}") for i in range(dim)]
+    rows = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .collect()  # k rows — bounded by construction (see module doc)
+    )
+    return sorted(
+        (r["cluster_id"], [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)])
+        for r in rows
+    )
+
+
+def init_centroids(qdf: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """Deterministic init: the k smallest vec_ids, cid = rank 0..k-1."""
+    rows = qdf.select("vec_id", "qvec").orderBy("vec_id").limit(k).collect()
+    return [(rank, list(r["qvec"])) for rank, r in enumerate(rows)]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    col: str = "embedding",
+) -> DataFrame:
+    """init -> [assign -> update] x updates -> final assign.
+
+    Returns (vec_id, cluster_id, dist) after the final assignment pass.
+    """
+    qdf = with_quantized(df, col).select("vec_id", "qvec")
+    if updates > 0:
+        # Each update pass re-scans the quantized base; persist it once.
+        qdf = qdf.persist()
+    cents = init_centroids(qdf, k)
+    dim = len(cents[0][1])
+    for _ in range(updates):
+        cents = _update_centroids(assign_clusters(qdf, cents), dim)
+    return assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")

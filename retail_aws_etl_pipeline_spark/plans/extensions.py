@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_aws_etl_pipeline_spark.operators import clustering as C
 from retail_aws_etl_pipeline_spark.operators import dedup as D
 from retail_aws_etl_pipeline_spark.operators import similarity as S
 from retail_aws_etl_pipeline_spark.operators import textops as TX
@@ -2444,3 +2445,95 @@ def bm25_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(list(BM25_MULTI_QUERIES), ["query_id", "term"])
     scored = bm25_scores_multi(t["documents"], terms)
     return bm25_multi_topk(scored, BM25_MULTI_K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (SemDeDup-style corpus clustering)
+# ---------------------------------------------------------------------------
+
+def _kmeans_assign_cte(tag: str, cent: str) -> str:
+    """One Lloyd assignment pass against centroid table ``cent``."""
+    return f"""
+    d{tag} AS (
+        SELECT v.vec_id, c.cid,
+               CAST(SUM((v.qvec[i.i] - c.cv[i.i]) * (v.qvec[i.i] - c.cv[i.i]))
+                    AS BIGINT) AS dist
+        FROM kq v CROSS JOIN {cent} c CROSS JOIN kdims i
+        GROUP BY v.vec_id, c.cid
+    ),
+    a{tag} AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{tag}
+        ) WHERE rn = 1
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH kq AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(x * {S.QUANT_SCALE}) AS BIGINT)) AS qvec
+        FROM embeddings
+    ),
+    kdims AS (
+        SELECT UNNEST(generate_series(1, (SELECT MAX(len(qvec)) FROM kq))) AS i
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+               qvec AS cv
+        FROM (SELECT vec_id, qvec FROM kq ORDER BY vec_id LIMIT {C.KMEANS_K})
+    ),
+    {_kmeans_assign_cte("0", "c0")},
+    c1dim AS (
+        SELECT a.cid, i.i,
+               CAST(FLOOR(CAST(SUM(v.qvec[i.i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cv_i
+        FROM a0 a JOIN kq v ON v.vec_id = a.vec_id CROSS JOIN kdims i
+        GROUP BY a.cid, i.i
+    ),
+    c1 AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM c1dim GROUP BY cid),
+    {_kmeans_assign_cte("1", "c1")}
+    SELECT a.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           CAST(COUNT(DISTINCT v.label) AS BIGINT) AS n_labels,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id
+    FROM a1 a JOIN kq v ON v.vec_id = a.vec_id
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """
+
+
+@register_extra(
+    "kmeans_cluster_profile",
+    _KMEANS_ORACLE,
+    description="Distributed k-means over the embedding corpus "
+    "(SemDeDup-style topic blocking): Lloyd's with deterministic init "
+    "(k smallest vec_ids), integer-exact distances on the shared "
+    "quantized contract, and floor-division centroid updates that are "
+    "provably identical under IEEE double division — so a DuckDB oracle "
+    "unrolls the full two-assignment/one-update schedule bit-for-bit. "
+    "Assignment is a scan-side array_min(struct(dist, cid)) over an "
+    "inlined centroid literal (no join, no shuffle, whole-stage codegen); "
+    "the update is a map-side-combined k-row aggregate + bounded k-row "
+    "driver collect, the same per-iteration sync MLlib performs. Output "
+    "profiles each cluster: size, inertia, label diversity.",
+    tags=("embedding", "clustering", "curation"),
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    assigned = C.kmeans_assign(emb)
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("inertia"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -116,3 +116,51 @@ def kmeans_assign(
     for _ in range(updates):
         cents = _update_centroids(assign_clusters(qdf, cents), dim)
     return assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+
+
+SEMDEDUP_MIN_COSINE = 0.35
+
+
+def semantic_dedup_retained(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = KMEANS_UPDATES,
+    min_cosine: float = SEMDEDUP_MIN_COSINE,
+    col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup: greedy within-cluster semantic dedup, cluster = candidate block.
+
+    A vector is DROPPED iff some vector in the SAME k-means cluster has
+    cosine ≥ min_cosine with it AND ranks before it (smaller distance to
+    the cluster centroid, tie -> smaller vec_id); otherwise retained. The
+    rule is non-recursive (drop if ANY earlier near-duplicate exists,
+    whether or not that neighbor itself survives — the same greedy order
+    NMS uses), so it needs no iterative closure and a SQL oracle can state
+    it as one anti-join.
+
+    Scale: candidate pairs are Σ|cluster|², never N² — k is the knob that
+    bounds |cluster| as the corpus grows (SemDeDup runs k in the tens of
+    thousands at web scale). The join is hash-partitioned on cluster_id;
+    the cosine test is the shared integer-quantized contract with the
+    sqrt-free squared cross-multiplication predicate.
+    """
+    qdf = with_quantized(df, col).select("vec_id", "qvec", "qnorm")
+    base = kmeans_assign(df, k=k, updates=updates, col=col).join(qdf, "vec_id")
+    a, b = base.alias("a"), base.alias("b")
+    dominates = (F.col("b.dist") < F.col("a.dist")) | (
+        (F.col("b.dist") == F.col("a.dist")) & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a.qvec, b.qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    tau2 = min_cosine * min_cosine
+    near = (dot > F.lit(0)) & (
+        dot.cast("double") * dot.cast("double")
+        >= F.lit(tau2) * F.col("a.qnorm").cast("double") * F.col("b.qnorm").cast("double")
+    )
+    cond = (F.col("a.cluster_id") == F.col("b.cluster_id")) & dominates & near
+    return (
+        a.join(b, cond, "left_anti")
+        .select("vec_id", "cluster_id", "dist")
+        .orderBy("vec_id")
+    )

@@ -2471,7 +2471,9 @@ def _kmeans_assign_cte(tag: str, cent: str) -> str:
     )"""
 
 
-_KMEANS_ORACLE = f"""
+#: Shared unrolled Lloyd schedule (init -> assign0 -> update -> assign1);
+#: downstream oracles build on the final assignment ``a1``.
+_KMEANS_CTES = f"""
     WITH kq AS (
         SELECT vec_id, label,
                list_transform(embedding,
@@ -2496,6 +2498,10 @@ _KMEANS_ORACLE = f"""
     ),
     c1 AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM c1dim GROUP BY cid),
     {_kmeans_assign_cte("1", "c1")}
+"""
+
+_KMEANS_ORACLE = f"""
+    {_KMEANS_CTES}
     SELECT a.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(a.dist) AS BIGINT) AS inertia,
            CAST(COUNT(DISTINCT v.label) AS BIGINT) AS n_labels,
@@ -2537,3 +2543,59 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SEMDEDUP_TAU2 = C.SEMDEDUP_MIN_COSINE * C.SEMDEDUP_MIN_COSINE
+
+_SEMDEDUP_ORACLE = f"""
+    {_KMEANS_CTES},
+    kn AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+                    i -> qvec[i] * qvec[i])) AS BIGINT) AS qnorm
+        FROM kq
+    ),
+    sbase AS (
+        SELECT a1.vec_id, a1.cid, a1.dist, kq.qvec, kn.qnorm
+        FROM a1
+        JOIN kq ON kq.vec_id = a1.vec_id
+        JOIN kn ON kn.vec_id = a1.vec_id
+    ),
+    cand AS (
+        SELECT x.vec_id AS vid,
+               CAST(list_sum(list_transform(range(1, len(x.qvec) + 1),
+                    i -> x.qvec[i] * y.qvec[i])) AS BIGINT) AS dot,
+               x.qnorm AS nx, y.qnorm AS ny
+        FROM sbase x JOIN sbase y
+          ON y.cid = x.cid
+         AND (y.dist < x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+    ),
+    dropped AS (
+        SELECT DISTINCT vid FROM cand
+        WHERE dot > 0
+          AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+              >= {_SEMDEDUP_TAU2} * CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+    )
+    SELECT b.vec_id, b.cid AS cluster_id, b.dist
+    FROM sbase b LEFT JOIN dropped d ON d.vid = b.vec_id
+    WHERE d.vid IS NULL
+    ORDER BY b.vec_id
+    """
+
+
+@register_extra(
+    "semantic_dedup_retained",
+    _SEMDEDUP_ORACLE,
+    description="SemDeDup: greedy within-cluster semantic dedup over the "
+    "k-means blocking — a vector drops iff a SAME-cluster vector with "
+    "cosine ≥ 0.35 ranks before it (closer to the centroid, tie -> "
+    "smaller id); non-recursive NMS-style order, so the oracle is one "
+    "anti-join, no iterative closure. Candidate pairs are Σ|cluster|² "
+    "(k bounds the block size as the corpus grows — the SemDeDup cost "
+    "model), hash-partitioned on cluster_id; cosine via the shared "
+    "quantized contract's sqrt-free squared cross-multiplication.",
+    tags=("embedding", "clustering", "dedup", "curation"),
+)
+def semantic_dedup_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return C.semantic_dedup_retained(t["embeddings"])

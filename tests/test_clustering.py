@@ -130,3 +130,32 @@ def test_kmeans_assignment_is_scan_side(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_semantic_dedup_greedy_chain(spark):
+    # One cluster (k=1), centroid = vec 0. Chain: cos(0,1) >= tau,
+    # cos(1,2) >= tau, cos(0,2) < tau, rank 0 < 1 < 2 by centroid
+    # distance. Greedy NMS order drops BOTH 1 (dominated by 0) and 2
+    # (dominated by 1 — even though 1 itself dropped); an
+    # independent-set rule would retain 2. Pin the greedy semantics.
+    deg = math.radians
+    rows = [
+        (0, [math.cos(deg(0)), math.sin(deg(0))]),
+        (1, [math.cos(deg(55)), math.sin(deg(55))]),
+        (2, [math.cos(deg(110)), math.sin(deg(110))]),
+    ]
+    df = _emb_df(spark, rows)
+    out = C.semantic_dedup_retained(df, k=1, updates=0)
+    assert [r["vec_id"] for r in out.collect()] == [0]
+
+
+def test_semantic_dedup_no_pairs_retains_all(spark):
+    # Orthogonal-ish vectors: nothing reaches cosine 0.35 -> all retained.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+    ]
+    df = _emb_df(spark, rows)
+    out = C.semantic_dedup_retained(df, k=1, updates=1)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2]

@@ -601,3 +601,67 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3, id_col: str = "d
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+#: Span width (tokens) for chunk-level exact dedup. C4/RefinedWeb dedup at
+#: the line / three-sentence-span level; the synthetic corpus has no line
+#: structure, so the span is a fixed token window, width tuned so the
+#: ~30-word vocabulary actually produces cross-document duplicate spans.
+CHUNK_W = 3
+
+
+def token_chunks(
+    df: DataFrame, w: int = CHUNK_W, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Non-overlapping w-token spans per doc: (id, chunk_idx, chunk, n_toks).
+
+    The trailing partial span rides along (n_toks < w). Scan-side only —
+    tokenize once, explode the span array; no shuffle.
+    """
+    spans = F.expr(
+        f"filter(transform(sequence(0, greatest(CAST(ceil(size(__toks) / {w}.0) AS INT) - 1, 0)),"
+        f" j -> struct(CAST(j AS BIGINT) AS chunk_idx,"
+        f" concat_ws(' ', slice(__toks, j * {w} + 1, {w})) AS chunk,"
+        f" CAST(size(slice(__toks, j * {w} + 1, {w})) AS BIGINT) AS n_toks)),"
+        " s -> s.n_toks > 0)"
+    )
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(spans).alias("s"))
+        .select(id_col, "s.chunk_idx", "s.chunk", "s.n_toks")
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, w: int = CHUNK_W, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style span-level exact dedup: keep each span's FIRST occurrence.
+
+    First = min (doc_id, chunk_idx) over every occurrence of the exact
+    span text, corpus-wide (so repeats WITHIN a doc dedup too). Returns
+    per-doc stats: (doc_id, n_chunks, n_retained, n_tokens,
+    n_tokens_retained) — the write side would keep the retained spans and
+    re-join them in chunk_idx order.
+
+    Scale: one shuffle keyed on the span text (groupBy chunk, map-side
+    combined to a single min-struct per distinct span) + the equi-join
+    back — the canonical content-hash-partitioned dedup shape. No windows,
+    no collects.
+    """
+    chunks = token_chunks(df, w=w, id_col=id_col, text_col=text_col)
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("first")
+    )
+    flagged = chunks.join(firsts, "chunk").withColumn(
+        "retained",
+        (F.col("first")[id_col] == F.col(id_col))
+        & (F.col("first.chunk_idx") == F.col("chunk_idx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("retained").cast("long")).alias("n_retained"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum(F.when(F.col("retained"), F.col("n_toks")).otherwise(F.lit(0))).alias(
+            "n_tokens_retained"
+        ),
+    )

@@ -2599,3 +2599,49 @@ _SEMDEDUP_ORACLE = f"""
 def semantic_dedup_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return C.semantic_dedup_retained(t["embeddings"])
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+        SELECT doc_id, j.j AS chunk_idx,
+               array_to_string(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}], ' ') AS chunk,
+               len(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}]) AS n_toks
+        FROM toks, (SELECT UNNEST(generate_series(0, 2048)) AS j) j
+        WHERE j.j <= CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1
+    ),
+    flagged AS (
+        SELECT doc_id, chunk_idx, n_toks,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, chunk_idx) = 1
+               THEN 1 ELSE 0 END AS retained
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(retained) AS BIGINT) AS n_retained,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN retained = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+               AS n_tokens_retained
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "token_chunk_dedup",
+    _CHUNK_DEDUP_ORACLE,
+    description="C4/RefinedWeb-style span-level exact dedup: the corpus "
+    "splits into non-overlapping token spans and only each span's FIRST "
+    "occurrence (min (doc_id, chunk_idx), corpus-wide — so within-doc "
+    "repeats dedup too) survives; per-doc retention stats come back. One "
+    "shuffle keyed on the span text (groupBy + min-struct, map-side "
+    "combined to one row per distinct span) + the equi-join back — the "
+    "canonical content-hash-partitioned dedup; no windows on the Spark "
+    "side, no collects.",
+    tags=("dedup", "text", "curation"),
+)
+def token_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return D.chunk_dedup_stats(t["documents"]).orderBy("doc_id")

@@ -88,3 +88,27 @@ def test_sketch_window_membership():
     # the whole driver window must be hash-checkable (VERDICT r5 #1)
     oracle_less = [n for n, s in REGISTRY.items() if s.oracle is None]
     assert oracle_less == [], f"driver window has unprovable entries: {oracle_less}"
+
+
+def test_chunk_dedup_handcrafted(spark):
+    from retail_aws_etl_pipeline_spark.operators.dedup import chunk_dedup_stats
+
+    # w=2 spans. doc 0: [a b][c d][a b] -> within-doc repeat dedups.
+    # doc 1: [a b][x y z's tail] -> cross-doc repeat of "a b" dedups,
+    # trailing partial span (1 token) retained.
+    docs = spark.createDataFrame(
+        [(0, "a b c d a b"), (1, "a b x")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_chunks"],
+            r["n_retained"],
+            r["n_tokens"],
+            r["n_tokens_retained"],
+        )
+        for r in chunk_dedup_stats(docs, w=2).collect()
+    }
+    # doc 0: 3 spans, "a b"@0 + "c d"@1 retained, third "a b" dropped.
+    assert out[0] == (3, 2, 6, 4)
+    # doc 1: spans "a b" (dup of doc0@0 -> dropped) + "x" (partial, kept).
+    assert out[1] == (2, 1, 3, 1)

@@ -2645,3 +2645,73 @@ _CHUNK_DEDUP_ORACLE = f"""
 def token_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return D.chunk_dedup_stats(t["documents"]).orderBy("doc_id")
+
+
+_FLUENCY_BOTTOM_K = 100
+
+_FLUENCY_ORACLE = f"""
+    WITH bi AS (
+        SELECT doc_id, substr(text, i.i, 2) AS bg
+        FROM documents, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= len(text) - 1
+    ),
+    vocab AS (SELECT bg, COUNT(*) AS freq FROM bi GROUP BY bg),
+    perdoc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(v.freq) AS BIGINT) AS freq_sum
+        FROM bi b JOIN vocab v USING (bg)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, freq_sum
+    FROM perdoc
+    ORDER BY CAST(freq_sum AS DOUBLE) / n_bigrams ASC, doc_id ASC
+    LIMIT {_FLUENCY_BOTTOM_K}
+    """
+
+
+@register_extra(
+    "char_bigram_fluency",
+    _FLUENCY_ORACLE,
+    description="Corpus-LM fluency filter (the KenLM-perplexity quality "
+    "gate, integer-exact): the char-bigram frequency table IS the "
+    "language model — each doc scores the sum of corpus-wide frequencies "
+    "of its own bigrams, and the bottom-100 by mean frequency are the "
+    "least-corpus-like candidates for removal. The bigram vocabulary is "
+    "bounded by charset² (~1k rows) so the model joins back by "
+    "broadcast; bigram extraction is scan-side (tokenize-once transform), "
+    "leaving one real shuffle (per-doc sum). Ranking divides as double "
+    "ONLY in the sort key (both engines IEEE-divide identically; integer "
+    "columns carry the evidence), doc_id tiebreak.",
+    tags=("text", "quality", "curation"),
+)
+def char_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    bi = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 1, 0)),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+    vocab = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    perdoc = (
+        bi.join(F.broadcast(vocab), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("freq_sum"),
+        )
+    )
+    return (
+        perdoc.orderBy(
+            (F.col("freq_sum").cast("double") / F.col("n_bigrams")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(_FLUENCY_BOTTOM_K)
+        .select("doc_id", "n_bigrams", "freq_sum")
+    )

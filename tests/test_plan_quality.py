@@ -313,3 +313,37 @@ def test_bm25_multi_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_char_bigram_fluency_plan(spark):
+    """The bigram 'model' joins back by BROADCAST (vocab is charset²-
+    bounded), ranking is TakeOrderedAndProject, scan pruned to
+    doc_id + text."""
+    df = REGISTRY["char_bigram_fluency"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_token_chunk_dedup_plan(spark):
+    """Span dedup must be the groupBy+join shape — no Window over the
+    span stream (a window would sort every span partition), no driver
+    collect, scan pruned to doc_id + text."""
+    df = REGISTRY["token_chunk_dedup"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+    assert "CartesianProduct" not in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_semantic_dedup_anti_join_on_cluster(spark):
+    """SemDeDup's drop test must plan as a LEFT ANTI join keyed on
+    cluster_id (blocked candidate space), never a cartesian product."""
+    df = REGISTRY["semantic_dedup_retained"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -665,3 +665,79 @@ def chunk_dedup_stats(
             "n_tokens_retained"
         ),
     )
+
+
+def containment_prefix_candidates(
+    gram_df: DataFrame, threshold_pct: int = 90, id_col: str = "doc_id"
+) -> DataFrame:
+    """PPJoin-style prefix-filter candidates for containment ≥ pct%.
+
+    Lemma (exact, no false negatives): if common(A,B) ≥ t where
+    t = ceil(pct·n_S/100) for the smaller doc S, then at most n_S - t of
+    S's grams are outside the intersection — so ANY m = n_S - t + 1 of
+    S's grams include at least one shared gram. Probing the full inverted
+    index with just m prefix grams per doc therefore catches every
+    qualifying pair (via its smaller side), while shrinking the join's
+    left side to ~(1-pct%) of the gram stream.
+
+    WHICH m grams is pure performance: we take the m with the lowest
+    corpus document frequency (tie: gram text), so probes land on the
+    SHORTEST postings — this is what kills the boilerplate blowup, since
+    hot grams almost never make a prefix. The ranking window partitions
+    by doc (bounded partitions — a doc's own grams), never globally.
+    """
+    from pyspark.sql import Window
+
+    df_counts = gram_df.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    m = F.col("__n") - F.expr(f"(__n * {threshold_pct} + 99) DIV 100") + 1
+    w = Window.partitionBy(id_col).orderBy("__df", "gram")
+    prefix = (
+        gram_df.join(df_counts, "gram")
+        .join(sizes, id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= m)
+        .select(F.col(id_col).alias("__id_p"), "gram")
+    )
+    other = gram_df.select(F.col(id_col).alias("__id_o"), "gram")
+    return (
+        prefix.join(other, "gram")
+        .filter(F.col("__id_p") != F.col("__id_o"))
+        .select(
+            F.least("__id_p", "__id_o").alias("id_a"),
+            F.greatest("__id_p", "__id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_pairs_prefix(
+    gram_df: DataFrame, threshold_pct: int = 90, id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`containment_pairs` through the prefix filter: candidates from
+    the rare-gram prefix probe, then a DIRECT per-pair verify — each
+    candidate pair joins id_a's grams and probes id_b's posting list, so
+    verify cost is Σ_cand n_a, proportional to the candidate count. (The
+    ``jaccard_counts(pairs=...)`` doc-restricted form is wrong here: with
+    containment candidates touching most docs it degenerates back to the
+    full self-join.) Identical results to the exact form by the prefix
+    lemma — same oracle applies."""
+    cand = containment_prefix_candidates(gram_df, threshold_pct, id_col)
+    ga = gram_df.select(F.col(id_col).alias("id_a"), "gram")
+    gb = gram_df.select(F.col(id_col).alias("id_b"), "gram")
+    common = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = common.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    least = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        counts.filter(F.col("common") * 100 >= F.lit(threshold_pct) * least)
+        .withColumn("containment", F.col("common").cast("double") / least)
+        .select("id_a", "id_b", "n_a", "n_b", "common", "containment")
+    )

@@ -2715,3 +2715,43 @@ def char_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FLUENCY_BOTTOM_K)
         .select("doc_id", "n_bigrams", "freq_sum")
     )
+
+
+@register_extra(
+    "doc_containment_pairs_prefix",
+    # Same semantics as doc_containment_pairs -> the SAME oracle; the
+    # driver row proves the prefix-filtered plan returns identical results.
+    f"""
+    WITH {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT cm.id_a, cm.id_b, sa.n AS n_a, sb.n AS n_b, cm.common,
+           CAST(cm.common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.id_a
+    JOIN sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.common * 100 >= {CONTAINMENT_PCT} * LEAST(sa.n, sb.n)
+    ORDER BY cm.id_a, cm.id_b
+    """,
+    description="doc_containment_pairs through the PPJoin-style prefix "
+    "filter: each doc probes the inverted index with only its "
+    "floor((1-c)·n)+1 LOWEST-document-frequency grams (any such subset of "
+    "the smaller side must hit the intersection — exact, no false "
+    "negatives), then a direct per-candidate verify join. The scale path "
+    "for boilerplate-heavy corpora: brute common-counting grows with "
+    "Σ df², the prefix probe rides the SHORT postings (hot grams never "
+    "make a prefix) — measured 13x candidate reduction and brute 12.5s → "
+    "prefix 7.5s on a 30%%-boilerplate sf0.1 corpus (SCALING.md). Same "
+    "oracle as the exact form, by the prefix lemma.",
+    tags=("dedup", "containment", "prefix-filter"),
+)
+def doc_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    return D.containment_pairs_prefix(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
+        "id_a", "id_b"
+    )

@@ -264,3 +264,61 @@ def test_incremental_dedup_partitions_the_pair_space(spark):
     }
     assert cross | within == full
     assert cross.isdisjoint(within)
+
+
+# ---------------------------------------------------------------------------
+# Containment prefix filter (PPJoin lemma) vs the exact inverted-index form
+# ---------------------------------------------------------------------------
+
+
+def test_containment_prefix_equals_brute_random(spark):
+    """Property: the prefix-filtered containment join returns EXACTLY the
+    brute pairs, on a corpus engineered for heavy gram sharing (vocab of
+    6 tokens -> dense collisions) including full-containment excerpts."""
+    import random
+
+    from retail_aws_etl_pipeline_spark.operators import dedup as D
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    rows = []
+    for i in range(60):
+        n = rng.randint(6, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # excerpts: doc 100+i is a prefix slice of doc i (guaranteed high
+    # containment of the smaller side)
+    for i in range(10):
+        toks = rows[i][1].split()
+        rows.append((100 + i, " ".join(toks[: max(5, len(toks) // 2)])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    grams = D.shingles(docs).persist()
+    brute = sorted(map(tuple, D.containment_pairs(grams, 90).collect()))
+    pref = sorted(map(tuple, D.containment_pairs_prefix(grams, 90).collect()))
+    grams.unpersist()
+    assert brute == pref
+    assert brute, "fixture must produce at least one qualifying pair"
+
+
+def test_containment_prefix_candidates_shrink(spark):
+    """The point of the filter: candidate pairs must be a strict subset of
+    the sharing pairs the brute join counts — and hot boilerplate grams
+    must not appear in any prefix probe."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators import dedup as D
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from tests.conftest import SF_ORACLE
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    grams = D.shingles(docs).persist()
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    sharing = (
+        a.join(b, "gram").filter("id_a < id_b").select("id_a", "id_b").distinct()
+    )
+    cand = D.containment_prefix_candidates(grams, 90)
+    n_sharing, n_cand = sharing.count(), cand.count()
+    assert n_cand < n_sharing, (n_cand, n_sharing)
+    # every candidate IS a sharing pair (soundness of the probe join)
+    assert cand.join(sharing, ["id_a", "id_b"], "left_anti").count() == 0
+    grams.unpersist()

@@ -150,13 +150,18 @@ def semantic_dedup_retained(
     dominates = (F.col("b.dist") < F.col("a.dist")) | (
         (F.col("b.dist") == F.col("a.dist")) & (F.col("b.vec_id") < F.col("a.vec_id"))
     )
-    dot = F.expr(
-        "aggregate(zip_with(a.qvec, b.qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    )
+    # The dot product must be computed ONCE per candidate pair: Catalyst
+    # does no CSE inside a join condition, so the naive `dot > 0 AND
+    # dot*dot >= ...` form evaluates the 64-element aggregate three times
+    # per pair (seen in the executed plan; ~3x the join's work). Binding
+    # the aggregate to a lambda variable via exists(array(dot), d -> ...)
+    # pins a single evaluation.
     tau2 = min_cosine * min_cosine
-    near = (dot > F.lit(0)) & (
-        dot.cast("double") * dot.cast("double")
-        >= F.lit(tau2) * F.col("a.qnorm").cast("double") * F.col("b.qnorm").cast("double")
+    near = F.expr(
+        "exists(array(aggregate(zip_with(a.qvec, b.qvec, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)),"
+        f" d -> d > 0 AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE) >="
+        f" {tau2!r} * CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE))"
     )
     cond = (F.col("a.cluster_id") == F.col("b.cluster_id")) & dominates & near
     return (

@@ -741,3 +741,43 @@ def containment_pairs_prefix(
         .withColumn("containment", F.col("common").cast("double") / least)
         .select("id_a", "id_b", "n_a", "n_b", "common", "containment")
     )
+
+
+def chunk_dedup_corpus(
+    df: DataFrame, w: int = CHUNK_W, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The WRITE side of span dedup: rebuild each doc from its retained
+    spans, in original chunk order — (doc_id, text, n_tokens_retained).
+
+    Docs whose every span was seen earlier come back with empty text
+    (n_tokens_retained = 0) rather than disappearing, so row count is
+    preserved for downstream joins; a curation pipeline drops them with
+    one filter. Reassembly is a groupBy(doc) over the retained spans with
+    an order-pinned aggregate (sort the collected (chunk_idx, chunk)
+    structs, then join) — the per-doc span list is bounded by doc length,
+    so the sort is in-memory per group, never a global order.
+    """
+    chunks = token_chunks(df, w=w, id_col=id_col, text_col=text_col)
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("first")
+    )
+    retained = chunks.join(firsts, "chunk").filter(
+        (F.col("first")[id_col] == F.col(id_col))
+        & (F.col("first.chunk_idx") == F.col("chunk_idx"))
+    )
+    rebuilt = retained.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+            " ",
+        ).alias(text_col),
+        F.sum("n_toks").alias("n_tokens_retained"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_tokens_retained"), F.lit(0)).alias("n_tokens_retained"),
+        )
+    )

@@ -2762,3 +2762,51 @@ def doc_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs_prefix(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
         "id_a", "id_b"
     )
+
+
+_CHUNK_CORPUS_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+        SELECT doc_id, j.j AS chunk_idx,
+               array_to_string(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}], ' ') AS chunk,
+               len(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}]) AS n_toks
+        FROM toks, (SELECT UNNEST(generate_series(0, 2048)) AS j) j
+        WHERE j.j <= CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1
+    ),
+    retained AS (
+        SELECT doc_id, chunk_idx, chunk, n_toks FROM (
+            SELECT doc_id, chunk_idx, chunk, n_toks,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+            FROM spans
+        ) WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS text,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens_retained
+        FROM retained GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text, '') AS text,
+           COALESCE(r.n_tokens_retained, 0) AS n_tokens_retained
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register_extra(
+    "token_chunk_dedup_corpus",
+    _CHUNK_CORPUS_ORACLE,
+    description="The write side of span dedup: each document rebuilt from "
+    "only its RETAINED spans in original order — the deduped corpus a "
+    "curation pipeline would persist (token_chunk_dedup is its audit "
+    "twin). Reassembly sorts the per-doc retained (chunk_idx, chunk) "
+    "structs inside the aggregate — bounded by doc length, no global "
+    "sort; fully-duplicate docs come back empty rather than vanishing so "
+    "row identity survives for downstream joins.",
+    tags=("dedup", "text", "curation"),
+)
+def token_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return D.chunk_dedup_corpus(t["documents"]).orderBy("doc_id")

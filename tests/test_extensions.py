@@ -112,3 +112,21 @@ def test_chunk_dedup_handcrafted(spark):
     assert out[0] == (3, 2, 6, 4)
     # doc 1: spans "a b" (dup of doc0@0 -> dropped) + "x" (partial, kept).
     assert out[1] == (2, 1, 3, 1)
+
+
+def test_chunk_dedup_corpus_rebuild(spark):
+    from retail_aws_etl_pipeline_spark.operators.dedup import chunk_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d a b"), (1, "a b x"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_retained"])
+        for r in chunk_dedup_corpus(docs, w=2).collect()
+    }
+    # doc 0 keeps spans "a b"@0 and "c d"@1; the repeated "a b" drops.
+    assert out[0] == ("a b c d", 4)
+    # doc 1: "a b" already seen -> only the partial "x" survives.
+    assert out[1] == ("x", 1)
+    # doc 2: both spans already seen -> empty text, row preserved.
+    assert out[2] == ("", 0)

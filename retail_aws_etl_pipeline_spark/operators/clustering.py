@@ -97,21 +97,58 @@ def init_centroids(qdf: DataFrame, k: int) -> list[tuple[int, list[int]]]:
     return [(rank, list(r["qvec"])) for rank, r in enumerate(rows)]
 
 
+def init_centroids_farthest(qdf: DataFrame, k: int) -> list[tuple[int, list[int]]]:
+    """Deterministic farthest-point (k-center) seeding.
+
+    Start from the min vec_id; each subsequent seed is the point whose
+    distance to its NEAREST chosen seed is maximal (tie -> smaller
+    vec_id). The deterministic stand-in for k-means++'s D² sampling (and
+    one Gonzalez 2-approximation of k-center in its own right): seeds
+    spread across the data instead of clumping wherever the smallest ids
+    happen to sit. Each of the k-1 steps is one scan-side min-distance
+    expression + a global top-1 (TakeOrdered — no sort, no shuffle), so
+    seeding costs k-1 bounded jobs over the persisted quantized base.
+    """
+    first = qdf.orderBy("vec_id").limit(1).collect()[0]
+    cents = [(0, list(first["qvec"]))]
+    for j in range(1, k):
+        lit = _centroid_literal(cents)
+        mind = F.expr(
+            f"array_min(transform({lit}, c ->"
+            " aggregate(zip_with(qvec, c.cv, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, v) -> acc + v)))"
+        )
+        row = (
+            qdf.select("vec_id", "qvec", mind.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append((j, list(row["qvec"])))
+    return cents
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = KMEANS_K,
     updates: int = KMEANS_UPDATES,
     col: str = "embedding",
+    init: str = "min_ids",
 ) -> DataFrame:
     """init -> [assign -> update] x updates -> final assign.
 
+    ``init``: ``"min_ids"`` (k smallest vec_ids — the cheap fixed seed the
+    unrolled oracles assume) or ``"farthest"`` (k-center sweep seeding).
     Returns (vec_id, cluster_id, dist) after the final assignment pass.
     """
     qdf = with_quantized(df, col).select("vec_id", "qvec")
-    if updates > 0:
-        # Each update pass re-scans the quantized base; persist it once.
+    if updates > 0 or init == "farthest":
+        # Seeding/update passes re-scan the quantized base; persist once.
         qdf = qdf.persist()
-    cents = init_centroids(qdf, k)
+    if init == "farthest":
+        cents = init_centroids_farthest(qdf, k)
+    else:
+        cents = init_centroids(qdf, k)
     dim = len(cents[0][1])
     for _ in range(updates):
         cents = _update_centroids(assign_clusters(qdf, cents), dim)

@@ -234,6 +234,38 @@ _PROMOTE_R6B = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 third swap: the second batch of r6 operators (k-means + farthest
+# seeding, SemDeDup, span dedup audit + corpus write side, bigram fluency,
+# prefix containment) get driver rows this round too. Demoted: seven
+# entries with r1-r5 green rows whose families stay represented (dedup:
+# minhash_lsh_pairs/near_dup_clusters + the promoted span/semantic entries;
+# windows: weekly_retention_cohorts/hourly_event_rollup; joins:
+# supplier_nation_volume/nation_market_share; anti-join:
+# unordered_parts_except; timestamps: timestamp_parse_extended).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6C = [
+    "exact_dup_docs",
+    "simhash_near_pairs",
+    "user_sessions",
+    "user_rolling_hour",
+    "timestamp_parse_roundtrip",
+    "customers_without_orders",
+    "region_revenue",
+]
+
+_PROMOTE_R6C = [
+    "kmeans_cluster_profile",
+    "kmeans_farthest_profile",
+    "semantic_dedup_retained",
+    "token_chunk_dedup",
+    "token_chunk_dedup_corpus",
+    "char_bigram_fluency",
+    "doc_containment_pairs_prefix",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -242,6 +274,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R5, _PROMOTE_R5),
         (_DEMOTE_R6, _PROMOTE_R6),
         (_DEMOTE_R6B, _PROMOTE_R6B),
+        (_DEMOTE_R6C, _PROMOTE_R6C),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -2810,3 +2810,94 @@ _CHUNK_CORPUS_ORACLE = f"""
 def token_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     return D.chunk_dedup_corpus(t["documents"]).orderBy("doc_id")
+
+
+def _fp_init_ctes(k: int) -> str:
+    """Unrolled farthest-point seeding: fp0..fp{k-1} single-row CTEs, each
+    the argmax of min-distance-to-chosen (tie -> min vec_id), then cf0 =
+    the k seeds with cid = selection order. Pure integer math throughout
+    -> bit-identical to the Spark sweep."""
+    parts = [
+        "fp0 AS (SELECT qvec AS cv FROM kq"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM kq))"
+    ]
+    for j in range(1, k):
+        dists = [
+            f"CAST(list_sum(list_transform(range(1, len(kq.qvec) + 1),"
+            f" ii -> (kq.qvec[ii] - fp{i}.cv[ii]) * (kq.qvec[ii] - fp{i}.cv[ii])))"
+            " AS BIGINT)"
+            for i in range(j)
+        ]
+        least = dists[0] if j == 1 else "LEAST(" + ", ".join(dists) + ")"
+        froms = ", ".join(f"fp{i}" for i in range(j))
+        parts.append(
+            f"fp{j} AS (SELECT kq.qvec AS cv FROM kq, {froms}"
+            f" ORDER BY {least} DESC, kq.vec_id ASC LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS cid, cv FROM fp{i}" for i in range(k)
+    )
+    parts.append(f"cf0 AS ({union})")
+    return ",\n    ".join(parts)
+
+
+_KMEANS_FP_ORACLE = f"""
+    WITH kq AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(x * {S.QUANT_SCALE}) AS BIGINT)) AS qvec
+        FROM embeddings
+    ),
+    kdims AS (
+        SELECT UNNEST(generate_series(1, (SELECT MAX(len(qvec)) FROM kq))) AS i
+    ),
+    {_fp_init_ctes(C.KMEANS_K)},
+    {_kmeans_assign_cte("f0", "cf0")},
+    cf1dim AS (
+        SELECT a.cid, i.i,
+               CAST(FLOOR(CAST(SUM(v.qvec[i.i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cv_i
+        FROM af0 a JOIN kq v ON v.vec_id = a.vec_id CROSS JOIN kdims i
+        GROUP BY a.cid, i.i
+    ),
+    cf1 AS (SELECT cid, list(cv_i ORDER BY i) AS cv FROM cf1dim GROUP BY cid),
+    {_kmeans_assign_cte("f1", "cf1")}
+    SELECT a.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           CAST(COUNT(DISTINCT v.label) AS BIGINT) AS n_labels,
+           CAST(MIN(a.vec_id) AS BIGINT) AS min_vec_id
+    FROM af1 a JOIN kq v ON v.vec_id = a.vec_id
+    GROUP BY a.cid
+    ORDER BY cluster_id
+    """
+
+
+@register_extra(
+    "kmeans_farthest_profile",
+    _KMEANS_FP_ORACLE,
+    description="k-means with deterministic farthest-point (Gonzalez "
+    "k-center) seeding — the quality-seeding variant of "
+    "kmeans_cluster_profile: seeds spread across the data instead of "
+    "clumping at the smallest ids, the deterministic stand-in for "
+    "k-means++'s D² sampling. Each of the k-1 seeding steps is one "
+    "scan-side min-distance expression + a global TakeOrdered top-1; the "
+    "DuckDB oracle unrolls the full seed sweep AND the Lloyd schedule "
+    "(k single-row CTEs -> assign -> floor-mean update -> assign), all "
+    "integer-exact.",
+    tags=("embedding", "clustering", "curation"),
+)
+def kmeans_farthest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    assigned = C.kmeans_assign(emb, init="farthest")
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("inertia"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -159,3 +159,22 @@ def test_semantic_dedup_no_pairs_retains_all(spark):
     df = _emb_df(spark, rows)
     out = C.semantic_dedup_retained(df, k=1, updates=1)
     assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_farthest_point_seeding_spreads(spark):
+    # Points on a line at 0.0, 0.01, 0.45, 0.46, 0.9, 0.91 (ids 0..5).
+    # Sweep: seed0 = id0 (min id); seed1 = farthest from 0.0 -> id4/5
+    # (0.91 wins); seed2 = maximizes min-dist to {0.0, 0.91} -> ~0.45.
+    rows = [(i, [v]) for i, v in enumerate([0.0, 0.01, 0.45, 0.46, 0.9, 0.91])]
+    df = _emb_df(spark, rows)
+    from retail_aws_etl_pipeline_spark.operators.similarity import with_quantized
+
+    qdf = with_quantized(df).select("vec_id", "qvec")
+    cents = C.init_centroids_farthest(qdf, 3)
+    picked = [cv[0] for _, cv in cents]
+    assert picked == [_quant([0.0])[0], _quant([0.91])[0], _quant([0.45])[0]]
+
+    # and the full farthest-init kmeans stays deterministic across runs
+    a = sorted(map(tuple, C.kmeans_assign(df, k=3, updates=1, init="farthest").collect()))
+    b = sorted(map(tuple, C.kmeans_assign(df, k=3, updates=1, init="farthest").collect()))
+    assert a == b

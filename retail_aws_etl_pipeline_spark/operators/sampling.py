@@ -163,3 +163,70 @@ def mixture_sample(
         .filter(F.col("rk") <= F.col("keep_n"))
         .drop("rk", "keep_n")
     )
+
+
+#: token_budget_select defaults: keep the top-quality docs filling 60% of
+#: the corpus token count; quality = scaled integer lexical diversity.
+BUDGET_NUM = 6
+BUDGET_DEN = 10
+QUALITY_SCALE = 1_000_000
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_num: int = BUDGET_NUM,
+    budget_den: int = BUDGET_DEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 16,
+) -> DataFrame:
+    """Data selection under a token budget: greedy by quality.
+
+    Docs sort by an integer quality key (scaled lexical diversity,
+    ``distinct_tokens * SCALE div tokens`` — floor division on positives is
+    engine-exact), and the selection keeps docs in quality order while the
+    RUNNING token total stays within ``budget_num/budget_den`` of the
+    corpus token count. The first doc that would cross the budget (and
+    everything after) is excluded — the greedy knapsack every
+    "train on the best N tokens" curation recipe uses.
+
+    The global cumulative sum never builds a global window: range-partition
+    on the sort key, per-partition running sum (window partitioned by
+    ``spark_partition_id``), then per-partition token totals prefix-summed
+    through a broadcast triangular self-join — the same distributed-rank
+    discipline as customer_spend_deciles, extended from ranks to sums.
+    Returns (doc_id, n_tokens, quality, cum_tokens) for the selected docs.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct(split({text_col}, ' '))) * {QUALITY_SCALE} AS BIGINT)"
+            f" div CAST(size(split({text_col}, ' ')) AS BIGINT)"
+        ).alias("quality"),
+    )
+    sort_cols = [F.desc("quality"), F.asc(id_col)]
+    ranged = base.repartitionByRange(partitions, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lcum",
+        F.sum("n_tokens").over(W.partitionBy("__pid").orderBy(*sort_cols)),
+    )
+    counts = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptoks"))
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__ptoks"), F.lit(0)).alias("__offset"))
+    )
+    total = counts.agg(F.sum("__ptoks").alias("__t"))
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", (F.col("__offset") + F.col("__lcum")).cast("long"))
+        .filter(F.col("cum_tokens") * budget_den <= F.col("__t") * budget_num)
+        .select(id_col, "n_tokens", "quality", "cum_tokens")
+    )

@@ -2901,3 +2901,53 @@ def kmeans_farthest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def _budget_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        QUALITY_SCALE,
+    )
+
+    return f"""
+    WITH tb_base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * {QUALITY_SCALE}) // len(string_split(text, ' ')) AS quality
+        FROM documents
+    ),
+    tb_tot AS (SELECT SUM(n_tokens) AS t FROM tb_base),
+    tb_cum AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        FROM tb_base
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM tb_cum, tb_tot
+    WHERE cum_tokens * {BUDGET_DEN} <= t * {BUDGET_NUM}
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "token_budget_selection",
+    _budget_oracle(),
+    description="Data selection under a token budget (the 'train on the "
+    "best N tokens' greedy knapsack): docs ranked by an integer quality "
+    "key (scaled lexical diversity — floor division, engine-exact) are "
+    "kept while the running token total stays within 60% of the corpus. "
+    "The global cumulative sum uses NO global window: range partitions + "
+    "per-partition running sums + broadcast triangular prefix offsets — "
+    "the distributed-rank discipline extended from ranks to sums. The "
+    "oracle keeps DuckDB's native global-window cumsum, which the "
+    "distributed form must reproduce bit-for-bit.",
+    tags=("curation", "sampling", "window"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return token_budget_select(t["documents"]).orderBy("doc_id")

@@ -130,3 +130,26 @@ def test_chunk_dedup_corpus_rebuild(spark):
     assert out[1] == ("x", 1)
     # doc 2: both spans already seen -> empty text, row preserved.
     assert out[2] == ("", 0)
+
+
+def test_token_budget_greedy_edge(spark):
+    from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
+
+    # quality order (diversity): doc 0 (4 distinct/4) > doc 1 (3/4) >
+    # doc 2 (2/4) > doc 3 (1/4). Budget 10/16 of 16 tokens = 10 -> greedy
+    # keeps docs 0 and 1 (cum 8); doc 2 would hit 12 > 10 -> excluded,
+    # and so is everything after it even though nothing else fits either.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c a"),
+            (2, "a b a b"),
+            (3, "a a a a"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = token_budget_select(docs, budget_num=10, budget_den=16)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 1]
+    # cum_tokens is the inclusive running total in quality order
+    cums = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    assert cums == {0: 4, 1: 8}

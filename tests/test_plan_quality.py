@@ -347,3 +347,21 @@ def test_semantic_dedup_anti_join_on_cluster(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_selection_no_global_window(spark):
+    """The running token total must come from the distributed form: every
+    Window in the executed plan carries a partition spec keyed on the
+    range-partition id (same gate as customer_spend_deciles), and the
+    prefix-offset joins stay broadcast."""
+    import re
+
+    df = REGISTRY["token_budget_selection"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert windows, "expected the per-partition running-sum Window"
+    for ln in windows:
+        assert len(re.findall(r"\], \[", ln)) >= 2, f"unpartitioned Window: {ln.strip()[:200]}"
+        assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -246,6 +246,7 @@ _PROMOTE_R6B = [
 # ---------------------------------------------------------------------------
 
 _DEMOTE_R6C = [
+    "conversion_funnel",
     "exact_dup_docs",
     "simhash_near_pairs",
     "user_sessions",
@@ -263,6 +264,7 @@ _PROMOTE_R6C = [
     "token_chunk_dedup_corpus",
     "char_bigram_fluency",
     "doc_containment_pairs_prefix",
+    "token_budget_selection",
 ]
 
 

@@ -266,3 +266,24 @@ def gold_upsert_stream(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def span_dedup_stream(docs: DataFrame, w: int | None = None) -> DataFrame:
+    """Streaming keep-first span dedup — the cross-batch form of
+    ``operators.dedup.chunk_dedup_stats``: token spans explode scan-side
+    and ``dropDuplicates`` on the span text carries seen-span state across
+    micro-batches, so a span that arrived in ANY earlier batch never
+    re-emits (the production cadence: each ingest wave dedups against
+    everything already ingested, without re-reading the corpus).
+
+    State is one entry per DISTINCT span — unbounded by design: exact
+    corpus-wide dedup has no time horizon. Deployments that can accept
+    recency-windowed dedup bound it by adding an ingest-time watermark
+    column and passing it to dropDuplicates; the exact form instead
+    relies on the state store (RocksDB at scale) the same way the batch
+    form relies on the span-keyed shuffle.
+    """
+    from retail_aws_etl_pipeline_spark.operators.dedup import CHUNK_W, token_chunks
+
+    chunks = token_chunks(docs, w=w if w is not None else CHUNK_W)
+    return chunks.dropDuplicates(["chunk"])

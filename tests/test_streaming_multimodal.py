@@ -706,3 +706,43 @@ def test_watermark_lateness_sweep(spark, tmp_path):
     assert kept[0] == n_not_late  # zero grace: the whole late wave dropped
     assert kept[16] > kept[7]  # grace reaching into the old half recovers rows
     assert kept[31] == 1000  # delay spans the data: nothing is late
+
+
+def test_span_dedup_stream_converges_to_batch(spark, tmp_path):
+    """Cross-batch span dedup: stream the documents table one file per
+    micro-batch; the retained span set must equal the batch form's
+    distinct-span set (keep-first semantics across batch boundaries), and
+    a span seen in batch 1 must not re-emit from batch 3."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import token_chunks
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        run_stream_to_memory,
+        span_dedup_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    src = str(tmp_path / "docs_stream")
+    # three slices -> three micro-batches with maxFilesPerTrigger=1; dup
+    # spans exist across slices (doc texts share the small vocabulary)
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(src)
+    docs.filter("doc_id % 3 = 1").coalesce(1).write.mode("append").parquet(src)
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = run_stream_to_memory(span_dedup_stream(stream), "span_dedup_conv")
+    got_spans = {r["chunk"] for r in got.select("chunk").collect()}
+    want_spans = {
+        r["chunk"] for r in token_chunks(docs).select("chunk").distinct().collect()
+    }
+    assert got_spans == want_spans
+    # keep-first: exactly one row per distinct span survived
+    assert got.count() == len(want_spans)
+    n_all = token_chunks(docs).count()
+    assert n_all > len(want_spans), "fixture must contain duplicate spans"

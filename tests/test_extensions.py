@@ -153,3 +153,33 @@ def test_token_budget_greedy_edge(spark):
     # cum_tokens is the inclusive running total in quality order
     cums = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
     assert cums == {0: 4, 1: 8}
+
+
+def test_pairs_within_window_boundaries(spark):
+    """Banded interval join edge cases: a pair straddling the block
+    boundary is found, each pair is generated exactly ONCE (no double
+    count from the two probes), equal timestamps tie-break on id, and a
+    gap of exactly the window width is inclusive while width+1 is out."""
+    from retail_aws_etl_pipeline_spark.plans.analytics import pairs_within_window
+
+    W_US = 100
+    rows = [
+        # user 1: t=99 and t=101 straddle the 100-block boundary, gap 2
+        (10, 1, 99),
+        (11, 1, 101),
+        # user 1: gap exactly W (inclusive) from t=101 -> 201
+        (12, 1, 201),
+        # user 2: gap W+1 -> excluded
+        (20, 2, 0),
+        (21, 2, 101),
+        # user 3: identical timestamps -> one pair, id-ordered
+        (30, 3, 500),
+        (31, 3, 500),
+    ]
+    e = spark.createDataFrame(rows, ["event_id", "user_id", "t"])
+    got = sorted(
+        (r["user_id"], r["id_a"], r["id_b"], r["gap_us"])
+        for r in pairs_within_window(e, W_US).collect()
+    )
+    # (10,12) has gap 102 > 100 -> excluded; (11,12) gap 100 inclusive
+    assert got == [(1, 10, 11, 2), (1, 11, 12, 100), (3, 30, 31, 0)]

@@ -1659,3 +1659,62 @@ def event_pairs_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
     )
     return pairs_within_window(e, PAIR_WINDOW_US).orderBy("user_id", "id_a", "id_b")
+
+
+#: Hopping rollup geometry: 10-minute windows advancing every 5 minutes.
+HOP_WIN_US = 600_000_000
+HOP_SLIDE_US = 300_000_000
+
+
+@register_extra(
+    "hopping_event_rollup",
+    f"""
+    WITH e AS (
+        SELECT event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events
+    ),
+    slotted AS (
+        SELECT e.event_type, e.user_id,
+               make_timestamp(((e.t // {HOP_SLIDE_US}) - k.k) * {HOP_SLIDE_US})
+                   AS hop_start,
+               ((e.t // {HOP_SLIDE_US}) - k.k) * {HOP_SLIDE_US} AS s_us
+        FROM e, (SELECT UNNEST(generate_series(0, {HOP_WIN_US // HOP_SLIDE_US - 1})) AS k) k
+        WHERE ((e.t // {HOP_SLIDE_US}) - k.k) * {HOP_SLIDE_US} <= e.t
+          AND e.t < ((e.t // {HOP_SLIDE_US}) - k.k) * {HOP_SLIDE_US} + {HOP_WIN_US}
+    )
+    SELECT hop_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM slotted
+    GROUP BY hop_start, event_type
+    ORDER BY hop_start, event_type
+    """,
+    description="Hopping-window rollup (overlapping windows, 10 min wide "
+    "advancing every 5): Spark's native F.window(slide) — each event "
+    "expands scan-side into its win/slide covering slots, then one "
+    "map-side-combined groupBy; the oracle reproduces Spark's epoch-"
+    "aligned window geometry with integer-microsecond slot arithmetic. "
+    "Counts only (event + distinct-user) so every value is engine-exact.",
+    tags=("window", "timeseries", "agg"),
+)
+def hopping_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        .orderBy("hop_start", "event_type")
+    )

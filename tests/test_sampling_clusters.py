@@ -322,3 +322,67 @@ def test_containment_prefix_candidates_shrink(spark):
     # every candidate IS a sharing pair (soundness of the probe join)
     assert cand.join(sharing, ["id_a", "id_b"], "left_anti").count() == 0
     grams.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Property tests: span dedup + token-budget selection (round-6 operators)
+# ---------------------------------------------------------------------------
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(list("abcd")), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_doc_texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_dedup_invariants(spark, texts):
+    """On random tiny-vocab corpora: token conservation (stats' n_tokens
+    sums to the corpus total), retained == corpus-wide distinct spans,
+    and the rebuilt corpus carries exactly the retained tokens."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        chunk_dedup_corpus,
+        chunk_dedup_stats,
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stats = chunk_dedup_stats(docs, w=2).collect()
+    assert sum(r["n_tokens"] for r in stats) == sum(len(t.split()) for t in texts)
+    n_distinct = token_chunks(docs, w=2).select("chunk").distinct().count()
+    assert sum(r["n_retained"] for r in stats) == n_distinct
+    corpus = chunk_dedup_corpus(docs, w=2)
+    got = corpus.agg(F.sum("n_tokens_retained")).collect()[0][0]
+    want = sum(r["n_tokens_retained"] for r in stats)
+    assert got == want
+    # rebuilt text length agrees with its own token count
+    for r in corpus.collect():
+        assert (len(r["text"].split()) if r["text"] else 0) == r["n_tokens_retained"]
+
+
+@given(texts=_doc_texts, num=st.integers(0, 10))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_budget_monotone(spark, texts, num):
+    """Budget monotonicity: the num/10 selection is a subset of the
+    (num+1)/10 selection, and its token total never exceeds the budget."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    total = sum(len(t.split()) for t in texts)
+    small = {r["doc_id"] for r in token_budget_select(docs, num, 10).collect()}
+    big_rows = token_budget_select(docs, num + 1, 10).collect()
+    big = {r["doc_id"] for r in big_rows}
+    assert small <= big
+    sel_small = token_budget_select(docs, num, 10).collect()
+    assert sum(r["n_tokens"] for r in sel_small) * 10 <= total * num

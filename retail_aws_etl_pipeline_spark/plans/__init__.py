@@ -268,6 +268,24 @@ _PROMOTE_R6C = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 fourth swap: the two temporal-join additions (banded interval
+# self-join, hopping-window rollup) get driver rows. Demoted (r1-r5 green;
+# dedup stays covered by near_dup_clusters + the six promoted dedup
+# entries, embeddings by kmeans/semantic/ann_topk_ivf).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6D = [
+    "minhash_lsh_pairs",
+    "embedding_near_dup_pairs",
+]
+
+_PROMOTE_R6D = [
+    "event_pairs_within_window",
+    "hopping_event_rollup",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -277,6 +295,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6, _PROMOTE_R6),
         (_DEMOTE_R6B, _PROMOTE_R6B),
         (_DEMOTE_R6C, _PROMOTE_R6C),
+        (_DEMOTE_R6D, _PROMOTE_R6D),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -680,3 +680,89 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+#: contrastive_pairs defaults: probes every 50th id, 3 negatives/probe,
+#: hash strides for negative picking (primes, shared with the oracle).
+CONTRASTIVE_PROBE_MOD = 50
+CONTRASTIVE_NEGATIVES = 3
+CONTRASTIVE_STRIDE_A = 7919
+CONTRASTIVE_STRIDE_B = 104729
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    probe_mod: int = CONTRASTIVE_PROBE_MOD,
+    n_negatives: int = CONTRASTIVE_NEGATIVES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Training-pair construction for contrastive/embedding fine-tuning.
+
+    For each probe (``id % probe_mod == 0``): its exact nearest neighbor
+    by quantized cosine becomes the POSITIVE, and ``n_negatives``
+    deterministic hash-strided ids become NEGATIVES (the standard
+    in-corpus random-negative recipe, made reproducible: negative_j =
+    (probe·A + j·B) mod N, requiring the contiguous 0..N-1 id space the
+    test tables have — real deployments substitute a row_number index).
+    A negative that collides with its probe is dropped (never re-rolled —
+    determinism over exact arity). Every emitted row carries the
+    quantized cosine so downstream loss weighting can use it.
+
+    Scale: positives ride the broadcast-probe GEMM (probe count is
+    corpus/probe_mod); negatives are an equi-join on the picked ids. No
+    all-pairs stage anywhere.
+    """
+    base = with_quantized(df).select(id_col, "qvec", "qnorm")
+    probes = base.filter(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("qvec").alias("p_qvec"),
+        F.col("qnorm").alias("p_qnorm"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = cosine_pairs(F.broadcast(probes), base)
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    pos = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "probe_id",
+            F.lit("positive").alias("role"),
+            F.col(id_col).alias("other_id"),
+            "cosine",
+        )
+    )
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+    picked = (
+        probes.crossJoin(F.broadcast(total))
+        .select(
+            "probe_id",
+            "p_qvec",
+            "p_qnorm",
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_negatives + 1)])).alias("__j"),
+            "__n",
+        )
+        .withColumn(
+            "other_id",
+            (
+                F.col("probe_id") * CONTRASTIVE_STRIDE_A
+                + F.col("__j") * CONTRASTIVE_STRIDE_B
+            )
+            % F.col("__n"),
+        )
+        .filter(F.col("other_id") != F.col("probe_id"))
+    )
+    neg = (
+        picked.join(base, picked["other_id"] == base[id_col])
+        .withColumn("dot_q", _dot("p_qvec", "qvec"))
+        .select(
+            "probe_id",
+            F.lit("negative").alias("role"),
+            "other_id",
+            (
+                F.col("dot_q")
+                / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return pos.unionByName(neg)

@@ -2951,3 +2951,70 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     return token_budget_select(t["documents"]).orderBy("doc_id")
+
+
+def _contrastive_oracle() -> str:
+    mod = S.CONTRASTIVE_PROBE_MOD
+    a, b = S.CONTRASTIVE_STRIDE_A, S.CONTRASTIVE_STRIDE_B
+    return f"""
+    WITH {_quant_cte()},
+    cp AS (
+        SELECT vec_id AS probe_id, qvec AS p_qvec, qnorm AS p_qnorm
+        FROM n WHERE vec_id % {mod} = 0
+    ),
+    ctot AS (SELECT COUNT(*) AS cnt FROM n),
+    scored AS (
+        SELECT p.probe_id, c.vec_id,
+               CAST(list_sum(list_transform(range(1, len(p.p_qvec) + 1),
+                    i -> p.p_qvec[i] * c.qvec[i])) AS BIGINT) AS dot_q,
+               p.p_qnorm, c.qnorm
+        FROM cp p, n c
+        WHERE c.vec_id != p.probe_id
+    ),
+    pos AS (
+        SELECT probe_id, 'positive' AS role, vec_id AS other_id,
+               dot_q / sqrt(CAST(p_qnorm * qnorm AS DOUBLE)) AS cosine
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY dot_q / sqrt(CAST(p_qnorm * qnorm AS DOUBLE)) DESC,
+                         vec_id ASC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ),
+    picked AS (
+        SELECT p.probe_id, p.p_qvec, p.p_qnorm,
+               (p.probe_id * {a} + j.j * {b}) % t.cnt AS other_id
+        FROM cp p, (SELECT UNNEST(generate_series(1, {S.CONTRASTIVE_NEGATIVES})) AS j) j, ctot t
+        WHERE (p.probe_id * {a} + j.j * {b}) % t.cnt != p.probe_id
+    ),
+    neg AS (
+        SELECT k.probe_id, 'negative' AS role, c.vec_id AS other_id,
+               CAST(list_sum(list_transform(range(1, len(k.p_qvec) + 1),
+                    i -> k.p_qvec[i] * c.qvec[i])) AS BIGINT)
+               / sqrt(CAST(k.p_qnorm * c.qnorm AS DOUBLE)) AS cosine
+        FROM picked k JOIN n c ON c.vec_id = k.other_id
+    )
+    SELECT * FROM pos
+    UNION ALL
+    SELECT * FROM neg
+    ORDER BY probe_id, role, other_id
+    """
+
+
+@register_extra(
+    "contrastive_training_pairs",
+    _contrastive_oracle(),
+    description="Training-pair construction for contrastive / embedding "
+    "fine-tuning: each probe (every 50th id) pairs with its EXACT nearest "
+    "neighbor as the positive (broadcast-probe GEMM on the quantized "
+    "contract, rank-1 window) and with deterministic hash-strided ids as "
+    "negatives ((probe·A + j·B) mod N — the reproducible form of random "
+    "in-corpus negatives; probe-collisions drop rather than re-roll). "
+    "Cosines ride every row for loss weighting. No all-pairs stage: "
+    "positives cost |probes|·N GEMM rows, negatives are an equi-join.",
+    tags=("embedding", "similarity", "curation", "training"),
+)
+def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return S.contrastive_pairs(t["embeddings"]).orderBy("probe_id", "role", "other_id")

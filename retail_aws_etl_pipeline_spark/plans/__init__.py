@@ -278,11 +278,13 @@ _PROMOTE_R6C = [
 _DEMOTE_R6D = [
     "minhash_lsh_pairs",
     "embedding_near_dup_pairs",
+    "purchase_asof_last_click",
 ]
 
 _PROMOTE_R6D = [
     "event_pairs_within_window",
     "hopping_event_rollup",
+    "contrastive_training_pairs",
 ]
 
 

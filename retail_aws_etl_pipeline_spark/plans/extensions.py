@@ -3018,3 +3018,76 @@ def _contrastive_oracle() -> str:
 def contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     return S.contrastive_pairs(t["embeddings"]).orderBy("probe_id", "role", "other_id")
+
+
+@register_extra(
+    "corpus_snapshot_diff",
+    """
+    WITH new_snap AS (SELECT doc_id, md5(text) AS h FROM documents),
+    old_snap AS (
+        -- reconstructed prior snapshot: docs with id % 11 = 0 hadn't
+        -- arrived yet ("added" now), ids % 7 = 0 carried different text
+        -- ("changed"), and a deterministic extra slice has since been
+        -- deleted ("removed")
+        SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+                                THEN text || ' OLD' ELSE text END) AS h
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN n.h <> o.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(COALESCE(n.doc_id, o.doc_id)) AS BIGINT) AS min_doc_id,
+           CAST(MAX(COALESCE(n.doc_id, o.doc_id)) AS BIGINT) AS max_doc_id
+    FROM new_snap n FULL OUTER JOIN old_snap o ON o.doc_id = n.doc_id
+    GROUP BY 1
+    ORDER BY status
+    """,
+    description="Corpus snapshot diff — the audit every incremental "
+    "corpus-maintenance job runs between versions: FULL OUTER join on "
+    "doc identity + content-hash compare classifies added / removed / "
+    "changed / unchanged, aggregated to per-status counts. The prior "
+    "snapshot is reconstructed deterministically from the current table "
+    "so the oracle is self-contained. One shuffle-on-id join (at scale "
+    "both snapshots are id-bucketed, making it co-located); md5 compare "
+    "keeps the changed-detection content-exact.",
+    tags=("curation", "join", "audit"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    new_snap = docs.select("doc_id", F.md5("text").alias("h"))
+    old_main = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" OLD")))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    old_extra = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.md5("text").alias("h")
+    )
+    old_snap = old_main.unionByName(old_extra)
+    n, o = new_snap.alias("n"), old_snap.alias("o")
+    joined = n.join(o, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("n.h") != F.col("o.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    the_id = F.coalesce(F.col("n.doc_id"), F.col("o.doc_id"))
+    return (
+        joined.select(status.alias("status"), the_id.alias("__id"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__id").alias("min_doc_id"),
+            F.max("__id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )

@@ -183,3 +183,28 @@ def test_pairs_within_window_boundaries(spark):
     )
     # (10,12) has gap 102 > 100 -> excluded; (11,12) gap 100 inclusive
     assert got == [(1, 10, 11, 2), (1, 11, 12, 100), (3, 30, 31, 0)]
+
+
+def test_pairs_within_window_negative_times(spark):
+    """Pre-epoch (negative µs) timestamps: Spark's `div` truncates toward
+    zero, so the block at zero spans [-(w-1), w-1] — wider than w, which
+    is still sound for the probe-own-and-next-block rule (blocks are
+    monotone and at least w wide). Verify against a brute-force filter."""
+    from itertools import combinations
+
+    from retail_aws_etl_pipeline_spark.plans.analytics import pairs_within_window
+
+    W_US = 100
+    ts = [-250, -199, -150, -101, -99, -50, -1, 0, 1, 99, 100, 199, 250]
+    rows = [(i, 1, t) for i, t in enumerate(ts)]
+    e = spark.createDataFrame(rows, ["event_id", "user_id", "t"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap_us"])
+        for r in pairs_within_window(e, W_US).collect()
+    )
+    want = sorted(
+        (i, j, ts[j] - ts[i])
+        for i, j in combinations(range(len(ts)), 2)
+        if 0 <= ts[j] - ts[i] <= W_US
+    )
+    assert got == want

@@ -237,12 +237,13 @@ _PROMOTE_R6B = [
 # ---------------------------------------------------------------------------
 # Round-6 third swap: the second batch of r6 operators (k-means + farthest
 # seeding, SemDeDup, span dedup audit + corpus write side, bigram fluency,
-# prefix containment) get driver rows this round too. Demoted: seven
-# entries with r1-r5 green rows whose families stay represented (dedup:
-# minhash_lsh_pairs/near_dup_clusters + the promoted span/semantic entries;
-# windows: weekly_retention_cohorts/hourly_event_rollup; joins:
+# prefix containment, token-budget selection) get driver rows this round
+# too. Demoted: eight entries with r1-r5 green rows whose families stay
+# represented (dedup: near_dup_clusters + the promoted span/semantic
+# entries; windows: weekly_retention_cohorts/hourly_event_rollup; joins:
 # supplier_nation_volume/nation_market_share; anti-join:
-# unordered_parts_except; timestamps: timestamp_parse_extended).
+# unordered_parts_except; timestamps: timestamp_parse_extended; funnel:
+# weekly_retention_cohorts).
 # ---------------------------------------------------------------------------
 
 _DEMOTE_R6C = [

@@ -3091,3 +3091,95 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+_COLLOC_MIN_PAIR = 5
+
+_COLLOC_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+        SELECT t.tok, COUNT(*) AS n_tok
+        FROM (SELECT UNNEST(toks) AS tok FROM toks) t
+        WHERE t.tok <> ''
+        GROUP BY t.tok
+    ),
+    tot AS (SELECT SUM(n_tok) AS n FROM uni),
+    pairs AS (
+        SELECT toks[i.i] AS tok_a, toks[i.i + 1] AS tok_b, COUNT(*) AS n_pair
+        FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
+        WHERE i.i <= len(toks) - 1 AND toks[i.i] <> '' AND toks[i.i + 1] <> ''
+        GROUP BY 1, 2
+    )
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(a.n_tok AS BIGINT) AS n_a,
+           CAST(b.n_tok AS BIGINT) AS n_b
+    FROM pairs p
+    JOIN uni a ON a.tok = p.tok_a
+    JOIN uni b ON b.tok = p.tok_b
+    CROSS JOIN tot
+    WHERE p.n_pair >= {_COLLOC_MIN_PAIR}
+    ORDER BY CAST(p.n_pair AS DOUBLE) * tot.n / (a.n_tok * b.n_tok) DESC,
+             p.tok_a ASC, p.tok_b ASC
+    LIMIT 100
+    """
+
+
+@register_extra(
+    "collocation_pairs",
+    _COLLOC_ORACLE,
+    description="Collocation / phrase mining (the AutoPhrase step 1): "
+    "adjacent token pairs ranked by lift = P(ab) / (P(a)·P(b)), i.e. "
+    "n_pair·N / (n_a·n_b). Integer counts carry the evidence; the lift "
+    "appears only as a sort key (one IEEE double expression — identical "
+    "rounding in both engines — with token tiebreaks), so results stay "
+    "hash-exact. Composes the bpe_pair_stats pair aggregation with the "
+    "corpus_vocabulary unigram counts through broadcast joins (the "
+    "unigram table is vocabulary-bounded) + a 1-row total; min-support "
+    "n_pair ≥ 5 prunes the noise tail before ranking.",
+    tags=("text", "curation", "phrases"),
+)
+def collocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].withColumn("__toks", F.split("text", " "))
+    uni = (
+        docs.select(F.explode("__toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot = uni.agg(F.sum("n_tok").alias("n"))
+    pairs_arr = (
+        "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+        " i -> struct(element_at(__toks, i) AS tok_a,"
+        " element_at(__toks, i + 1) AS tok_b))"
+    )
+    pairs = (
+        docs.select(F.explode(F.expr(pairs_arr)).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _COLLOC_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        scored.orderBy(lift.desc(), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(100)
+        .select("tok_a", "tok_b", "n_pair", "n_a", "n_b")
+    )

@@ -178,3 +178,27 @@ def test_farthest_point_seeding_spreads(spark):
     a = sorted(map(tuple, C.kmeans_assign(df, k=3, updates=1, init="farthest").collect()))
     b = sorted(map(tuple, C.kmeans_assign(df, k=3, updates=1, init="farthest").collect()))
     assert a == b
+
+
+def test_kmeans_k_exceeds_n(spark):
+    # k larger than the corpus: init takes every vector (limit clamps),
+    # each point sits in its own cluster at distance 0.
+    rows = [(0, [0.1, 0.2]), (1, [0.5, 0.6]), (2, [0.9, 0.1])]
+    df = _emb_df(spark, rows)
+    out = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist"])
+        for r in C.kmeans_assign(df, k=10, updates=1).collect()
+    )
+    assert out == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
+
+
+def test_kmeans_all_identical_vectors(spark):
+    # Degenerate corpus: every vector equal. All centroids coincide; the
+    # min-cid tie-break sends everything to cluster 0 at distance 0, and
+    # semantic dedup keeps exactly one survivor.
+    rows = [(i, [0.3, 0.3]) for i in range(5)]
+    df = _emb_df(spark, rows)
+    out = C.kmeans_assign(df, k=3, updates=1).collect()
+    assert {(r["cluster_id"], r["dist"]) for r in out} == {(0, 0)}
+    kept = C.semantic_dedup_retained(df, k=3, updates=1)
+    assert [r["vec_id"] for r in kept.collect()] == [0]

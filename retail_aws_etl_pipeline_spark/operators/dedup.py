@@ -781,3 +781,62 @@ def chunk_dedup_corpus(
             F.coalesce(F.col("n_tokens_retained"), F.lit(0)).alias("n_tokens_retained"),
         )
     )
+
+
+#: PageRank constants: damping 85/100 as an integer ratio, rank scale 10^6.
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_SCALE = 1_000_000
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair list.
+
+    ``edges``: (id_a, id_b) undirected pairs; ``nodes``: one row per node
+    (id_col). Every quantity is scaled-integer with floor division —
+    r0 = SCALE; r'(v) = (15·SCALE) div 100 + (85 · Σ_u r(u) div deg(u))
+    div 100 over in-neighbors u — so the fixed-iteration result is
+    bit-identical in any engine (the oracle unrolls the same schedule).
+    Dangling/isolated nodes keep the teleport term only.
+
+    Scale shape: one groupBy(id) for degrees, then per iteration one
+    join (rank ⋈ degree-normalized contribution) + one groupBy(dst) —
+    the standard message-passing shape; lineage stays shallow for small
+    fixed iteration counts (checkpoint discipline from
+    connected_components applies beyond that).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.select(F.col(id_col).alias("node")).withColumn(
+        "rank", F.lit(PR_SCALE).cast("long")
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}) div {PR_DAMP_DEN}"
+                    )
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_sum, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("node").alias(id_col), F.col("rank").alias("rank_scaled"))

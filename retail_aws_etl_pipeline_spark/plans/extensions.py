@@ -3183,3 +3183,79 @@ def collocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("tok_a", "tok_b", "n_pair", "n_a", "n_b")
     )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 2-iteration integer PageRank over the Jaccard ≥ 0.2 graph."""
+    damp_n, damp_d, scale = D.PR_DAMP_NUM, D.PR_DAMP_DEN, D.PR_SCALE
+    teleport = f"(({damp_d - damp_n} * {scale}) // {damp_d})"
+
+    def it(prev: str, out: str) -> str:
+        return f"""
+    contrib_{out} AS (
+        SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+        FROM pr_edges e
+        JOIN pr_deg d ON d.src = e.src
+        JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    {out} AS (
+        SELECT r.node,
+               {teleport} + ({damp_n} * COALESCE(c.in_sum, 0)) // {damp_d} AS rank
+        FROM {prev} r LEFT JOIN contrib_{out} c ON c.dst = r.node
+    )"""
+
+    return f"""
+    WITH {GRAMS_CTE},
+    pr_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    pr_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pr_qual AS (
+        SELECT p.id_a, p.id_b FROM pr_pairs p
+        JOIN pr_sizes sa ON sa.doc_id = p.id_a
+        JOIN pr_sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 5 >= (sa.n + sb.n - p.common)
+    ),
+    pr_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr_qual
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pr_qual
+    ),
+    pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+    r0 AS (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS rank FROM documents),
+    {it("r0", "r1")},
+    {it("r1", "r2")}
+    SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r2
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "doc_pagerank",
+    _pagerank_oracle(),
+    description="Iterative graph centrality: 2-round PageRank over the "
+    "near-dup similarity graph (Jaccard ≥ 0.2 pairs as undirected "
+    "edges) — which documents sit at the center of duplication families, "
+    "the weighting signal cluster-size alone misses. Every quantity is "
+    "scaled-integer with floor division (teleport (15·10^6) div 100, "
+    "damped in-sum (85·Σ r div deg) div 100) so the fixed-iteration "
+    "result is engine-bit-identical and the oracle unrolls the same "
+    "schedule. Message-passing shape: per round one join + one "
+    "groupBy(dst); isolated docs keep the teleport term.",
+    tags=("graph", "dedup", "curation"),
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    counts = D.jaccard_counts(grams)
+    edges = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    return D.pagerank_scaled(edges, docs.select("doc_id"), iterations=2).orderBy(
+        "doc_id"
+    )

@@ -386,3 +386,44 @@ def test_token_budget_monotone(spark, texts, num):
     assert small <= big
     sel_small = token_budget_select(docs, num, 10).collect()
     assert sum(r["n_tokens"] for r in sel_small) * 10 <= total * num
+
+
+def test_pagerank_matches_python_mirror(spark):
+    """Integer PageRank on a handcrafted graph (star + chain + isolated
+    node) equals a pure-Python mirror of the same floor-division
+    schedule, and the star center outranks leaves."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank_scaled,
+    )
+
+    # star: 0-1,0-2,0-3; chain: 4-5; isolated: 6
+    raw_edges = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    nodes = list(range(7))
+    edges = spark.createDataFrame(raw_edges, ["id_a", "id_b"])
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    got = {
+        r["doc_id"]: r["rank_scaled"]
+        for r in pagerank_scaled(edges, ndf, iterations=2).collect()
+    }
+
+    sym = raw_edges + [(b, a) for a, b in raw_edges]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: PR_SCALE for n in nodes}
+    for _ in range(2):
+        in_sum = {n: 0 for n in nodes}
+        for s, d in sym:
+            in_sum[d] += rank[s] // deg[s]
+        rank = {
+            n: ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+            + (PR_DAMP_NUM * in_sum[n]) // PR_DAMP_DEN
+            for n in nodes
+        }
+    assert got == rank
+    assert got[0] > got[1] == got[2] == got[3]
+    # isolated node: teleport term only
+    assert got[6] == ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN

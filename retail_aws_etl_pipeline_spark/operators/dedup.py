@@ -810,9 +810,16 @@ def pagerank_scaled(
     fixed iteration counts (checkpoint discipline from
     connected_components applies beyond that).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        # the edge list re-enters the plan once per iteration plus the
+        # final pass — without materialization its upstream (often a full
+        # gram self-join) recomputes every round
+        .persist()
+    )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select(F.col(id_col).alias("node")).withColumn(
         "rank", F.lit(PR_SCALE).cast("long")

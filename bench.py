@@ -179,9 +179,12 @@ def main() -> None:
                     prev = json.load(fh)
                 if prev.get("sf") == detail.get("sf"):
                     pq, nq = prev.get("queries", {}), detail["queries"]
+                    # merge over CURRENT-run keys only: a full run covers
+                    # every live registry entry, so keys only the old
+                    # archive has are queries since removed — carrying
+                    # them forward would overstate the round total.
                     archived["queries"] = {
-                        k: round(min(pq.get(k, float("inf")), nq.get(k, float("inf"))), 4)
-                        for k in set(pq) | set(nq)
+                        k: round(min(pq.get(k, v), v), 4) for k, v in nq.items()
                     }
                     archived["value"] = round(sum(archived["queries"].values()), 4)
                     if "pipeline" in prev and "pipeline" in archived:

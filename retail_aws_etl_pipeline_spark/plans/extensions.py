@@ -3259,3 +3259,44 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.pagerank_scaled(edges, docs.select("doc_id"), iterations=2).orderBy(
         "doc_id"
     )
+
+
+@register_extra(
+    "corpus_card",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(MAX_BY(doc_id, n_chars * 100000000 + doc_id) AS BIGINT) AS longest_doc_id
+    FROM documents
+    """,
+    description="The corpus card: the one-row observability dashboard a "
+    "curation pipeline publishes with every snapshot — doc/token/char "
+    "volume, char-length envelope, language and source diversity, exact-"
+    "dup headroom (distinct text hashes vs docs), and the longest doc's "
+    "id (deterministic max_by on an integer composite key). One scan, one "
+    "job (the three COUNT DISTINCTs go through Catalyst's expand "
+    "rewrite); every metric integer-exact. At 100 TB this is the cheap "
+    "always-on audit, vs the per-operator deep dives.",
+    tags=("curation", "audit", "agg"),
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+        F.max_by(
+            "doc_id", F.col("n_chars") * F.lit(100000000) + F.col("doc_id")
+        ).alias("longest_doc_id"),
+    )

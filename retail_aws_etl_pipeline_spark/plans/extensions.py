@@ -3347,3 +3347,73 @@ def similarity_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_decile")
     )
+
+
+_TFIDF_TOP_K = 3
+_TFIDF_SCALE = 1_000_000
+
+_TFIDF_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+        WHERE t.tok <> ''
+        GROUP BY doc_id, t.tok
+    ),
+    df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               tf.tf * ((nd.n * {_TFIDF_SCALE}) // d.df) AS score
+        FROM tf JOIN df_t d ON d.term = tf.term CROSS JOIN nd
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS BIGINT) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {_TFIDF_TOP_K}
+    ORDER BY doc_id, score DESC, term
+    """
+
+
+@register_extra(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    description="Per-document keyword extraction: top-3 terms by integer "
+    "tf·idf, idf as the rational (N·10^6) div df (floor division — "
+    "engine-exact, the same trick bm25's idf uses, no log/float in the "
+    "evidence). The document-frequency model is vocabulary-bounded so it "
+    "joins back by broadcast; per-doc ranking is a doc-partitioned "
+    "window the planner turns into WindowGroupLimit (rank filter pushed "
+    "below the sort) — asserted in the plan gates.",
+    tags=("text", "relevance", "curation"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr(f"(n * {_TFIDF_SCALE}) div df"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "term")
+    )

@@ -365,3 +365,15 @@ def test_token_budget_selection_no_global_window(spark):
         assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_tfidf_top_terms_plan(spark):
+    """Keyword ranking must push the rank filter into WindowGroupLimit,
+    the df model joins by broadcast, scan pruned to doc_id + text."""
+    df = REGISTRY["tfidf_top_terms"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "lang" not in read_schema

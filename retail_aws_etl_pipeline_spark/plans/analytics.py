@@ -1718,3 +1718,52 @@ def hopping_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop_start", "event_type")
     )
+
+
+@register_extra(
+    "event_trigram_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 20
+    """,
+    description="Sequential pattern mining over event streams: the 20 "
+    "most common 3-step event-type paths (funnels generalized — no "
+    "hand-picked steps). Per-user ordering via lead() windows "
+    "PARTITIONED BY user (bounded partitions, (ts, event_id) "
+    "deterministic tiebreak), then one map-side-combined path count and "
+    "a TakeOrderedAndProject top-20 with full lexical tiebreaks.",
+    tags=("timeseries", "window", "sequence"),
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        seq.filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(20)
+    )

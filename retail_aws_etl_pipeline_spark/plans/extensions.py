@@ -3417,3 +3417,83 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "score")
         .orderBy("doc_id", F.desc("score"), "term")
     )
+
+
+_DRIFT_TOP_K = 50
+
+_DRIFT_ORACLE = f"""
+    WITH halves AS (
+        SELECT doc_id, doc_id % 2 AS half,
+               UNNEST(list_distinct(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    df_h AS (
+        SELECT term,
+               COUNT(*) FILTER (WHERE half = 0) AS df_a,
+               COUNT(*) FILTER (WHERE half = 1) AS df_b
+        FROM halves WHERE term <> ''
+        GROUP BY term
+    ),
+    nh AS (
+        SELECT COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS n_a,
+               COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_b
+        FROM documents
+    )
+    SELECT term, CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b
+    FROM df_h CROSS JOIN nh
+    ORDER BY GREATEST(
+                 CAST((df_a + 1) * (n_b + 1) AS DOUBLE) / ((df_b + 1) * (n_a + 1)),
+                 CAST((df_b + 1) * (n_a + 1) AS DOUBLE) / ((df_a + 1) * (n_b + 1))
+             ) DESC,
+             term ASC
+    LIMIT {_DRIFT_TOP_K}
+    """
+
+
+@register_extra(
+    "term_drift_report",
+    _DRIFT_ORACLE,
+    description="Distribution-shift audit between two corpus slices "
+    "(deterministic doc_id-parity halves standing in for consecutive "
+    "snapshots): per-term document frequency in each half, ranked by the "
+    "larger of the two add-one-smoothed cross ratios — the terms whose "
+    "prevalence moved most, the early-warning signal for source drift "
+    "before it shifts a trained model. Integer df evidence; the ratio "
+    "appears only in the sort key (IEEE-identical in both engines, term "
+    "tiebreak). One scan-side distinct-term explode, one "
+    "map-side-combined conditional groupBy, a 1-row broadcast of the "
+    "half sizes, TakeOrderedAndProject top-50.",
+    tags=("text", "audit", "curation"),
+)
+def term_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    halves = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    df_h = halves.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("df_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("df_b"),
+    )
+    nh = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    ratio_ab = (
+        ((F.col("df_a") + 1) * (F.col("n_b") + 1)).cast("double")
+        / ((F.col("df_b") + 1) * (F.col("n_a") + 1))
+    )
+    ratio_ba = (
+        ((F.col("df_b") + 1) * (F.col("n_a") + 1)).cast("double")
+        / ((F.col("df_a") + 1) * (F.col("n_b") + 1))
+    )
+    return (
+        df_h.crossJoin(F.broadcast(nh))
+        .orderBy(F.greatest(ratio_ab, ratio_ba).desc(), F.asc("term"))
+        .limit(_DRIFT_TOP_K)
+        .select("term", "df_a", "df_b")
+    )

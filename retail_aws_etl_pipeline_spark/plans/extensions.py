@@ -3497,3 +3497,48 @@ def term_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DRIFT_TOP_K)
         .select("term", "df_a", "df_b")
     )
+
+
+@register_extra(
+    "embedding_coverage_audit",
+    """
+    SELECT CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_missing_embedding,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_embeddings,
+           CAST(MIN(CASE WHEN e.vec_id IS NULL THEN d.doc_id END) AS BIGINT)
+               AS first_missing_doc_id
+    FROM documents d FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+    description="Referential integrity between the text corpus and its "
+    "embedding table (vec_id keys doc_id): matched rows, docs whose "
+    "embedding is missing (stale index — must re-embed), and orphan "
+    "embeddings (deleted docs — must vacuum the index), plus the first "
+    "missing id for triage. The audit every retrieval/semantic-dedup "
+    "pipeline runs before trusting its index; one id-keyed full outer "
+    "join collapsed to a single row.",
+    tags=("embedding", "audit", "join"),
+)
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    d = t["documents"].select("doc_id").alias("d")
+    e = t["embeddings"].select("vec_id").alias("e")
+    j = d.join(e, F.col("e.vec_id") == F.col("d.doc_id"), "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(
+                F.col("d.doc_id").isNotNull() & F.col("e.vec_id").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_matched"),
+        F.sum(F.when(F.col("e.vec_id").isNull(), 1).otherwise(0)).alias(
+            "n_docs_missing_embedding"
+        ),
+        F.sum(F.when(F.col("d.doc_id").isNull(), 1).otherwise(0)).alias(
+            "n_orphan_embeddings"
+        ),
+        F.min(F.when(F.col("e.vec_id").isNull(), F.col("d.doc_id"))).alias(
+            "first_missing_doc_id"
+        ),
+    )

@@ -746,3 +746,32 @@ def test_span_dedup_stream_converges_to_batch(spark, tmp_path):
     assert got.count() == len(want_spans)
     n_all = token_chunks(docs).count()
     assert n_all > len(want_spans), "fixture must contain duplicate spans"
+
+
+def test_scan_side_text_ops_stream_equals_batch(spark, tmp_path):
+    """The scan-side text family (quality features, PII scrub, lang
+    scores) is pure row-at-a-time Column algebra, so the SAME operators
+    applied to a readStream frame must produce exactly the batch result
+    on the same files — the property that lets the curation pipeline run
+    identically in batch backfill and streaming ingest."""
+    from retail_aws_etl_pipeline_spark.operators import textops as TX
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import run_stream_to_memory
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    def enrich(df):
+        out = TX.scrub_pii(TX.quality_features(df))
+        return out.select("doc_id", "n_tokens", "clean_text")
+
+    batch = enrich(spark.read.parquet(src))
+    stream = enrich(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    got = run_stream_to_memory(stream, "text_ops_conv")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and a

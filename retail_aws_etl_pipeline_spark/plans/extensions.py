@@ -3542,3 +3542,58 @@ def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_missing_doc_id"
         ),
     )
+
+
+@register_extra(
+    "deletion_cascade_audit",
+    """
+    WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    kept_docs AS (
+        SELECT d.* FROM documents d LEFT JOIN del ON del.doc_id = d.doc_id
+        WHERE del.doc_id IS NULL
+    ),
+    kept_vecs AS (
+        SELECT e.* FROM embeddings e LEFT JOIN del ON del.doc_id = e.vec_id
+        WHERE del.doc_id IS NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_requested,
+           CAST((SELECT COUNT(*) FROM kept_docs) AS BIGINT) AS n_docs_kept,
+           CAST((SELECT COUNT(*) FROM kept_vecs) AS BIGINT) AS n_vecs_kept,
+           CAST((SELECT COUNT(*) FROM kept_docs k JOIN del ON del.doc_id = k.doc_id)
+                AS BIGINT) AS n_leaked_docs,
+           CAST((SELECT COUNT(*) FROM kept_vecs k JOIN del ON del.doc_id = k.vec_id)
+                AS BIGINT) AS n_leaked_vecs
+    """,
+    description="Targeted-deletion (right-to-be-forgotten) cascade audit: "
+    "a deterministic deletion list anti-joins out of BOTH the text "
+    "corpus and its embedding index in one pass each, and the audit row "
+    "proves completeness — leak counts (deleted ids still present "
+    "post-cascade) must be zero, kept counts reconcile against the "
+    "request size. At scale each cascade is one broadcast anti-join per "
+    "table (the deletion list is small by nature); the same shape "
+    "extends to every derived table keyed by doc identity.",
+    tags=("curation", "audit", "compliance"),
+)
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    docs, vecs = t["documents"], t["embeddings"]
+    delete = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    kept_docs = docs.join(F.broadcast(delete), "doc_id", "left_anti")
+    kept_vecs = vecs.join(
+        F.broadcast(delete.withColumnRenamed("doc_id", "vec_id")), "vec_id", "left_anti"
+    )
+    leaked_docs = kept_docs.join(F.broadcast(delete), "doc_id", "left_semi")
+    leaked_vecs = kept_vecs.join(
+        F.broadcast(delete.withColumnRenamed("doc_id", "vec_id")), "vec_id", "left_semi"
+    )
+    counts = [
+        delete.agg(F.count(F.lit(1)).alias("n_requested")),
+        kept_docs.agg(F.count(F.lit(1)).alias("n_docs_kept")),
+        kept_vecs.agg(F.count(F.lit(1)).alias("n_vecs_kept")),
+        leaked_docs.agg(F.count(F.lit(1)).alias("n_leaked_docs")),
+        leaked_vecs.agg(F.count(F.lit(1)).alias("n_leaked_vecs")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out

@@ -287,3 +287,79 @@ def span_dedup_stream(docs: DataFrame, w: int | None = None) -> DataFrame:
 
     chunks = token_chunks(docs, w=w if w is not None else CHUNK_W)
     return chunks.dropDuplicates(["chunk"])
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+):
+    """Production streaming near-dup dedup: every micro-batch checks its
+    documents against the STANDING corpus and emits qualifying pairs,
+    then adds itself to the corpus — the incremental cadence of
+    ``incremental_jaccard_counts``, driven by Structured Streaming.
+
+    Per batch (foreachBatch):
+      1. shingle the batch (scan-side);
+      2. within-batch pairs via the inverted-index self-join;
+      3. cross pairs via batch-grams ⋈ standing-gram-index (parquet —
+         cost tracks the ARRIVAL RATE, not corpus²);
+      4. append pairs (normalized id_a < id_b) and the batch's grams.
+
+    Each qualifying pair is emitted EXACTLY ONCE regardless of arrival
+    order: the pair surfaces when its later-arriving member processes
+    (same batch -> within-pairs; earlier batch -> cross-pairs), and
+    cross/within candidate spaces are disjoint. The convergence test
+    asserts the streamed union equals the batch corpus self-join.
+
+    Integer-threshold Jaccard ≥ 0.2, same as the batch family. The gram
+    index append is the state here — unbounded like any exact corpus
+    index, stored as data (parquet), not executor state, so executors
+    stay stateless and the index is queryable/compactable like any table.
+    """
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_jaccard_counts,
+        jaccard_counts,
+        shingles,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grams = shingles(batch_df).persist()
+        within = (
+            jaccard_counts(grams)
+            .filter(F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common")))
+            .select("id_a", "id_b", "common")
+        )
+        pairs = within
+        try:
+            corpus = spark.read.parquet(index_dir)
+        except Exception:
+            corpus = None
+        if corpus is not None:
+            cross = (
+                incremental_jaccard_counts(grams, corpus)
+                .filter(
+                    F.col("common") * 5
+                    >= (F.col("n_batch") + F.col("n_corpus") - F.col("common"))
+                )
+                .select(
+                    F.least("batch_id", "corpus_id").alias("id_a"),
+                    F.greatest("batch_id", "corpus_id").alias("id_b"),
+                    "common",
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.write.mode("append").parquet(pairs_dir)
+        grams.write.mode("append").parquet(index_dir)
+        grams.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

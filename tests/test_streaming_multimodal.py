@@ -775,3 +775,50 @@ def test_scan_side_text_ops_stream_equals_batch(spark, tmp_path):
     a = sorted(map(tuple, batch.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b and a
+
+
+def test_near_dup_stream_emits_each_pair_exactly_once(spark, tmp_path):
+    """Streamed incremental dedup == batch corpus self-join: three
+    arrival waves through near_dup_stream must emit exactly the batch
+    Jaccard ≥ 0.2 pair set, each pair once (later-arriving member's
+    batch), with the gram index accumulating the whole corpus."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import jaccard_counts, shingles
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import near_dup_stream
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    src = str(tmp_path / "waves")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    q = near_dup_stream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(src),
+        index_dir=str(tmp_path / "gram_index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["id_a"], r["id_b"], r["common"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    n_emitted = spark.read.parquet(str(tmp_path / "pairs")).count()
+    assert n_emitted == len(got), "a pair was emitted more than once"
+
+    grams = shingles(docs).persist()
+    want = {
+        (r["id_a"], r["id_b"], r["common"])
+        for r in jaccard_counts(grams)
+        .filter(F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .collect()
+    }
+    grams.unpersist()
+    assert got == want and want
+    # the index accumulated every doc's grams
+    assert spark.read.parquet(str(tmp_path / "gram_index")).select(
+        "doc_id"
+    ).distinct().count() == docs.count()

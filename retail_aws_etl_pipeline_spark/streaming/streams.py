@@ -335,9 +335,15 @@ def near_dup_stream(
             .select("id_a", "id_b", "common")
         )
         pairs = within
+        # First batch: the index doesn't exist yet. Catch ONLY the
+        # missing-path AnalysisException — a corrupt index or permission
+        # failure must surface, not silently restart dedup from empty
+        # (the events_stream fallback got the same narrowing in r6).
+        from pyspark.errors import AnalysisException
+
         try:
             corpus = spark.read.parquet(index_dir)
-        except Exception:
+        except AnalysisException:
             corpus = None
         if corpus is not None:
             cross = (

@@ -310,8 +310,11 @@ def near_dup_stream(
     Each qualifying pair is emitted EXACTLY ONCE regardless of arrival
     order: the pair surfaces when its later-arriving member processes
     (same batch -> within-pairs; earlier batch -> cross-pairs), and
-    cross/within candidate spaces are disjoint. The convergence test
-    asserts the streamed union equals the batch corpus self-join.
+    cross/within candidate spaces are disjoint. Both sinks partition by
+    batch id under dynamic overwrite, so a foreachBatch RETRY replaces
+    its own partition instead of appending duplicates (at-least-once
+    execution, exactly-once storage). The convergence test asserts the
+    streamed union equals the batch corpus self-join.
 
     Integer-threshold Jaccard ≥ 0.2, same as the batch family. The gram
     index append is the state here — unbounded like any exact corpus
@@ -359,8 +362,25 @@ def near_dup_stream(
                 )
             )
             pairs = pairs.unionByName(cross)
-        pairs.write.mode("append").parquet(pairs_dir)
-        grams.write.mode("append").parquet(index_dir)
+        # foreachBatch is at-least-once: a failed/retried batch re-runs
+        # process(). Partitioning both sinks by batch id and dynamically
+        # overwriting makes the replay idempotent (the retry replaces its
+        # own partition instead of appending a duplicate) — the same
+        # discipline as the gold upsert sink.
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            grams.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(index_dir)
+        )
         grams.unpersist()
 
     return (

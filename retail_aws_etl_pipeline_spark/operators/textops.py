@@ -294,3 +294,19 @@ def bm25_multi_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFr
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization (the curation stage run before exact
+    dedup so byte-trivial variants collide): control characters become
+    spaces, whitespace runs collapse to one space, ends trim, case folds
+    to lower. All scan-side regexp/casefold Column algebra — Java/RE2
+    shared syntax (plain char classes, no lookaround), so a DuckDB
+    oracle applies the same program verbatim. Idempotent by
+    construction (property-tested): applying it twice is the identity
+    on its own output.
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.lower(F.trim(c))

@@ -3597,3 +3597,40 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+@register_extra(
+    "normalized_dedup_gain",
+    """
+    WITH norm AS (
+        SELECT doc_id, text,
+               lower(trim(regexp_replace(
+                   regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS ntext
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT md5(ntext)) AS BIGINT) AS n_distinct_normalized
+    FROM norm
+    """,
+    description="Normalization-induced dedup gain: distinct text hashes "
+    "before vs after canonical normalization (control-char strip, "
+    "whitespace collapse, trim, casefold) — the audit that quantifies "
+    "how many 'distinct' documents were really byte-trivial variants. "
+    "The normalizer is shared scan-side Column algebra "
+    "(textops.normalize_text) with RE2/Java-portable patterns, so the "
+    "oracle applies the identical program; idempotence is "
+    "property-tested separately.",
+    tags=("text", "curation", "audit"),
+)
+def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.textops import normalize_text
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    norm = t["documents"].withColumn("ntext", normalize_text("text"))
+    return norm.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_raw"),
+        F.count_distinct(F.md5("ntext")).alias("n_distinct_normalized"),
+    )

@@ -471,3 +471,37 @@ def test_text_ops_survive_arbitrary_unicode(spark, texts):
         F.explode(F.expr(r"regexp_extract_all(text, '(?=(..))', 1)")).alias("bg")
     ).collect()
     assert all(len(r["bg"]) == 2 for r in bi)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) on arbitrary unicode, and
+    the output never carries leading/trailing/doubled spaces or C0/DEL
+    control characters."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.textops import normalize_text
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = docs.select(
+        normalize_text("text").alias("once"),
+        normalize_text(normalize_text("text")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
+        assert r["once"] == r["once"].strip()
+        assert "  " not in r["once"]
+        assert not any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in r["once"])

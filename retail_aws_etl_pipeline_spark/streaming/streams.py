@@ -406,3 +406,33 @@ def make_near_dup_batch_processor(index_dir: str, pairs_dir: str):
         grams.unpersist()
 
     return process
+
+
+def compact_gram_index(spark: SparkSession, index_dir: str, buckets: int = 8) -> int:
+    """Maintenance for :func:`near_dup_stream`'s standing gram index: the
+    per-batch dynamic-overwrite sink leaves one partition directory per
+    micro-batch (the classic streaming small-files problem — thousands
+    of tiny files after a day of 1-minute triggers). Rewrite the index
+    into ``buckets`` files hash-clustered by gram, REPLACING the batch
+    partitioning: the gram is the join key of every subsequent
+    cross-batch probe, so clustering by it also tightens the inverted
+    join's input. Stage-and-swap via a temp dir + atomic rename per the
+    lake's commit discipline (a crash mid-compaction leaves the old
+    index intact). Returns the number of (doc_id, gram) rows compacted.
+
+    The compacted layout drops the __batch_id column; subsequent batches
+    append new __batch_id partitions beside it, and the next compaction
+    folds them in — the standard base+delta table maintenance loop.
+    """
+    import os
+    import shutil
+
+    cur = spark.read.parquet(index_dir).select("doc_id", "gram")
+    n = cur.count()
+    tmp = index_dir.rstrip("/") + ".compacting"
+    cur.repartition(buckets, "gram").write.mode("overwrite").parquet(tmp)
+    old = index_dir.rstrip("/") + ".old"
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    return n

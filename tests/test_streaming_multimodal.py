@@ -940,3 +940,47 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     got = run_stream_to_memory(joined, "stream_stream_conv")
     assert sorted((r["click_id"], r["buy_id"]) for r in got.collect()) == want
     assert want, "fixture must produce joined pairs"
+
+
+def test_gram_index_compaction_preserves_dedup(spark, tmp_path):
+    """Compacting the streaming gram index (batch partitions -> gram-
+    clustered files) must not change ONE emitted pair: run two waves,
+    compact, run a third wave against the compacted index, and compare
+    the full pair set against the batch self-join."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import jaccard_counts, shingles
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        compact_gram_index,
+        make_near_dup_batch_processor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "prs")
+    process = make_near_dup_batch_processor(index_dir, pairs_dir)
+    process(docs.filter("doc_id % 3 = 0"), 0)
+    process(docs.filter("doc_id % 3 = 1"), 1)
+
+    n = compact_gram_index(spark, index_dir, buckets=4)
+    assert n == spark.read.parquet(index_dir).count()
+    import glob
+
+    assert len(glob.glob(f"{index_dir}/*.parquet")) <= 4
+
+    process(docs.filter("doc_id % 3 = 2"), 2)
+    got = {
+        (r["id_a"], r["id_b"], r["common"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    grams = shingles(docs).persist()
+    want = {
+        (r["id_a"], r["id_b"], r["common"])
+        for r in jaccard_counts(grams)
+        .filter(F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .collect()
+    }
+    grams.unpersist()
+    assert got == want and want

@@ -418,7 +418,14 @@ def compact_gram_index(spark: SparkSession, index_dir: str, buckets: int = 8) ->
     cross-batch probe, so clustering by it also tightens the inverted
     join's input. Stage-and-swap via a temp dir + atomic rename per the
     lake's commit discipline (a crash mid-compaction leaves the old
-    index intact). Returns the number of (doc_id, gram) rows compacted.
+    index intact). Single-maintainer contract: between the two renames
+    there is a brief window where the path does not exist, so run
+    compaction from the same scheduler slot as the stream (never
+    concurrently with a triggering batch); deployments needing
+    concurrent readers should publish the index through the
+    manifest-pointer flip in ``lake_manifest`` instead, which swaps a
+    pointer rather than the directory. Returns the number of
+    (doc_id, gram) rows compacted.
 
     The compacted layout drops the __batch_id column; subsequent batches
     append new __batch_id partitions beside it, and the next compaction

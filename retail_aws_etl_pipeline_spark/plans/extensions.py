@@ -3634,3 +3634,131 @@ def normalized_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5("text")).alias("n_distinct_raw"),
         F.count_distinct(F.md5("ntext")).alias("n_distinct_normalized"),
     )
+
+
+def _curation_funnel_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        QUALITY_SCALE,
+    )
+
+    return f"""
+    WITH RECURSIVE cf_norm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(
+                   regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS ntext
+        FROM documents
+    ),
+    cf_kept1 AS (SELECT MIN(doc_id) AS doc_id FROM cf_norm GROUP BY md5(ntext)),
+    cf_k1 AS (
+        SELECT n.doc_id, n.ntext FROM cf_norm n JOIN cf_kept1 k ON k.doc_id = n.doc_id
+    ),
+    cf_toks AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM cf_k1),
+    cf_grams AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i + 2], ' ') AS gram
+        FROM cf_toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
+        WHERE i.i <= len(toks) - 2
+    ),
+    cf_sizes AS (SELECT doc_id, COUNT(*) AS n FROM cf_grams GROUP BY doc_id),
+    cf_common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM cf_grams a JOIN cf_grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    cf_prs AS (
+        SELECT cm.id_a, cm.id_b FROM cf_common cm
+        JOIN cf_sizes sa ON sa.doc_id = cm.id_a
+        JOIN cf_sizes sb ON sb.doc_id = cm.id_b
+        WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    ),
+    cf_edges AS (
+        SELECT id_a AS a, id_b AS b FROM cf_prs
+        UNION ALL SELECT id_b, id_a FROM cf_prs
+    ),
+    cf_reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM cf_k1
+        UNION
+        SELECT r.src, e.b FROM cf_reach r JOIN cf_edges e ON r.dst = e.a
+    ),
+    cf_comp AS (SELECT src AS doc_id, MIN(dst) AS label FROM cf_reach GROUP BY src),
+    cf_k2 AS (
+        SELECT k.doc_id, k.ntext FROM cf_k1 k
+        JOIN cf_comp c ON c.doc_id = k.doc_id AND c.label = k.doc_id
+    ),
+    cf_base3 AS (
+        SELECT doc_id,
+               CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct(string_split(ntext, ' '))) AS BIGINT)
+                * {QUALITY_SCALE}) // len(string_split(ntext, ' ')) AS quality
+        FROM cf_k2
+    ),
+    cf_tot AS (SELECT SUM(n_tokens) AS t FROM cf_base3),
+    cf_cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC) AS cum
+        FROM cf_base3
+    ),
+    cf_k3 AS (
+        SELECT doc_id, n_tokens FROM cf_cum, cf_tot
+        WHERE cum * {BUDGET_DEN} <= t * {BUDGET_NUM}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM cf_k1) AS BIGINT) AS n_after_exact,
+           CAST((SELECT COUNT(*) FROM cf_k2) AS BIGINT) AS n_after_neardup,
+           CAST((SELECT COUNT(*) FROM cf_k3) AS BIGINT) AS n_after_budget,
+           CAST((SELECT COALESCE(SUM(n_tokens), 0) FROM cf_k3) AS BIGINT)
+               AS tokens_final
+    """
+
+
+@register_extra(
+    "curation_funnel_report",
+    _curation_funnel_oracle(),
+    description="The END-TO-END curation pipeline as one chained plan — "
+    "normalize (casefold/whitespace/control) -> exact dedup on the "
+    "normalized hash (keep min id) -> near-dup connected components over "
+    "3-gram Jaccard ≥ 0.2 (keep the component label) -> token-budget "
+    "quality selection (60%) — with the stage-by-stage funnel counts a "
+    "curation run reports. Every stage is the already-proven operator "
+    "(normalize_text, exact groupBy, shingles/jaccard/ "
+    "connected_components, token_budget_select) COMPOSED, and the oracle "
+    "chains the same stages through one recursive-CTE SQL program: the "
+    "strongest end-to-end correctness statement the engine makes.",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
+    from retail_aws_etl_pipeline_spark.operators.textops import normalize_text
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    norm = docs.select("doc_id", normalize_text("text").alias("ntext"))
+    kept1_ids = norm.groupBy(F.md5("ntext")).agg(F.min("doc_id").alias("doc_id"))
+    k1 = norm.join(kept1_ids.select("doc_id"), "doc_id").persist()
+    grams = D.shingles(k1, text_col="ntext").persist()
+    pairs = D.jaccard_counts(grams).filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs, k1.select("doc_id"))
+    k2 = k1.join(
+        comp.filter(F.col("node") == F.col("label")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+    ).persist()
+    k3 = token_budget_select(k2, text_col="ntext")
+    counts = [
+        docs.agg(F.count(F.lit(1)).alias("n_raw")),
+        k1.agg(F.count(F.lit(1)).alias("n_after_exact")),
+        k2.agg(F.count(F.lit(1)).alias("n_after_neardup")),
+        k3.agg(
+            F.count(F.lit(1)).alias("n_after_budget"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens_final"),
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out

@@ -23,12 +23,12 @@ if _REPO_ROOT not in sys.path:
 
 from retail_aws_etl_pipeline_spark.plans import queries as _queries  # noqa: E402
 from retail_aws_etl_pipeline_spark.plans import oracle_sql as _oracle_sql  # noqa: E402
-from retail_aws_etl_pipeline_spark.plans.queries import REGISTRY  # noqa: E402
+from retail_aws_etl_pipeline_spark.plans.queries import all_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return REGISTRY["daily_revenue"].spark_fn(spark, "/root/testdata/sf0.001")
+    return all_specs()["daily_revenue"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

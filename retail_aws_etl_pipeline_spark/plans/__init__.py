@@ -289,6 +289,55 @@ _PROMOTE_R6D = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 fifth swap: the end-of-round additions (incremental corpus
+# maintenance, phrase mining, PageRank, observability card, similarity
+# spectrum, tf-idf keywords, event-path mining, term drift, referential
+# audits, normalization gain, and the chained curation funnel capstone) are
+# the only registry entries with no driver row ever — they take the window
+# slots of the twelve entries whose proofs are freshest: five with
+# r1-r5-consecutive green rows (daily_revenue, near_dup_clusters,
+# ann_topk_ivf, dedup_keep_latest, media_decode_stats), four r5-green
+# (event_props_stats, split_leakage_pairs, doc_lang_id,
+# grouping_sets_revenue), and three r1-r3-proven analytics shapes whose
+# families stay represented (hourly_event_rollup -> hopping_event_rollup;
+# supplier_nation_volume -> nation_market_share / part_supplier_counts;
+# large_volume_orders -> order_value_histogram / shipping_priority).
+# Dedup-CC coverage in the window continues via dedup_retained_corpus and
+# curation_funnel_report (both chain connected components).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6E = [
+    "daily_revenue",
+    "near_dup_clusters",
+    "ann_topk_ivf",
+    "dedup_keep_latest",
+    "media_decode_stats",
+    "event_props_stats",
+    "split_leakage_pairs",
+    "doc_lang_id",
+    "grouping_sets_revenue",
+    "hourly_event_rollup",
+    "supplier_nation_volume",
+    "large_volume_orders",
+]
+
+_PROMOTE_R6E = [
+    "corpus_snapshot_diff",
+    "collocation_pairs",
+    "doc_pagerank",
+    "corpus_card",
+    "similarity_spectrum",
+    "tfidf_top_terms",
+    "event_trigram_paths",
+    "term_drift_report",
+    "embedding_coverage_audit",
+    "deletion_cascade_audit",
+    "normalized_dedup_gain",
+    "curation_funnel_report",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -299,6 +348,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6B, _PROMOTE_R6B),
         (_DEMOTE_R6C, _PROMOTE_R6C),
         (_DEMOTE_R6D, _PROMOTE_R6D),
+        (_DEMOTE_R6E, _PROMOTE_R6E),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -847,3 +847,78 @@ def pagerank_scaled(
             )
         )
     return ranks.select(F.col("node").alias(id_col), F.col("rank").alias("rank_scaled"))
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as (id_a < id_b).
+
+    Degree-ordered orientation (compact-forward): every edge points from
+    its lower-(degree, id) endpoint to the higher one, so wedge
+    enumeration costs Sum(outdeg^2) with outdeg bounded by sqrt(m) — the
+    O(m^1.5) textbook bound — instead of Sum(deg^2) on the raw adjacency,
+    which one hub vertex turns quadratic. A triangle {u, v, w} ordered by
+    (deg, id) is generated exactly once: as the wedge (u->v, u->w) closed
+    by the oriented edge v->w (orientation is transitive, so the closing
+    edge necessarily points v->w). Returns ONE row, all integer-exact:
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm) where n_wedges is
+    Sum C(deg, 2) over undirected degrees (open+closed length-2 paths)
+    and gcc_ppm = 3 * T * 10^6 div n_wedges — the global clustering
+    coefficient (transitivity) in floor-divided parts-per-million.
+
+    Scale shape: one groupBy for degrees, one equi-join on src for
+    wedges, one semi-join for closure — no global structure, every
+    shuffle keyed. The two tiny count frames broadcast into the final
+    one-row crossJoin.
+    """
+    # The edge list re-enters the plan four times (degree union x2, the
+    # degree-attach join, the edge count); its upstream is typically the
+    # full gram self-join, so materialize it once.
+    e = edges.select("id_a", "id_b").persist()
+    both = e.select(F.col("id_a").alias("node")).unionByName(
+        e.select(F.col("id_b").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
+    withdeg = e.join(
+        deg.select(F.col("node").alias("id_a"), F.col("deg").alias("deg_a")), "id_a"
+    ).join(deg.select(F.col("node").alias("id_b"), F.col("deg").alias("deg_b")), "id_b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(fwd, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    ).persist()
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("deg_v"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("deg_w"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        base.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CAST(CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE (3 * n_triangles * 1000000) div n_wedges END AS BIGINT)"
+            ).alias("gcc_ppm"),
+        )
+    )

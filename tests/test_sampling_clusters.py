@@ -505,3 +505,67 @@ def test_normalize_text_idempotent(spark, texts):
         assert r["once"] == r["once"].strip()
         assert "  " not in r["once"]
         assert not any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in r["once"])
+
+
+def test_triangle_census_known_graphs(spark):
+    """K4 (gcc=1), path (0 triangles), star hub (0), empty graph — exact
+    node/edge/wedge/triangle counts and ppm coefficient."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import triangle_census
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "id_a long, id_b long"
+    )
+    row = triangle_census(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 6, 12, 4)
+    assert row.gcc_ppm == 1_000_000
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "id_a long, id_b long")
+    row = triangle_census(path).collect()[0]
+    assert (row.n_wedges, row.n_triangles, row.gcc_ppm) == (2, 0, 0)
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "id_a long, id_b long")
+    row = triangle_census(star).collect()[0]
+    assert (row.n_nodes, row.n_wedges, row.n_triangles) == (6, 10, 0)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    row = triangle_census(empty).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles, row.gcc_ppm) == (
+        0, 0, 0, 0, 0,
+    )
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_triangle_census_matches_bruteforce(spark, edges):
+    """Degree-oriented census equals the O(n^3) Python brute force on
+    arbitrary small graphs (duplicate orientations canonicalized)."""
+    from itertools import combinations
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import triangle_census
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    if not canon:
+        return
+    eset = set(canon)
+    nodes = sorted({n for e in canon for n in e})
+    tri = sum(
+        1
+        for u, v, w in combinations(nodes, 3)
+        if (u, v) in eset and (u, w) in eset and (v, w) in eset
+    )
+    deg = {n: 0 for n in nodes}
+    for a, b in canon:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    df = spark.createDataFrame(canon, "id_a long, id_b long")
+    row = triangle_census(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(nodes), len(canon), wedges, tri,
+    )
+    assert row.gcc_ppm == (0 if wedges == 0 else 3 * tri * 1_000_000 // wedges)

@@ -922,3 +922,75 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             ).alias("gcc_ppm"),
         )
     )
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    sort_exprs: list,
+    window: int,
+    id_col: str = "doc_id",
+    partitions: int = 16,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: (id_a, id_b, rank_dist) for every row
+    pair whose GLOBAL ranks under ``sort_exprs`` differ by at most
+    ``window`` — the classic entity-resolution alternative to LSH
+    banding: sort on a cheap blocking key (language + length here) and
+    only compare neighbors, O(n·w) candidates instead of O(n²).
+
+    No global window anywhere: ranks come from range partitions +
+    per-partition row_number + broadcast prefix offsets (the
+    customer_spend_deciles discipline), and the neighbor join is the
+    banded trick from pairs_within_window transplanted from time to rank
+    space — blocks are ``window`` ranks wide, each row probes its own
+    block and the next, the later-rank row anchors its own block, so
+    every qualifying pair is generated exactly once. ``sort_exprs`` must
+    end in a unique tiebreaker for deterministic ranks.
+    """
+    from pyspark.sql import Window as W
+
+    ranged = df.repartitionByRange(partitions, *sort_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrn", F.row_number().over(W.partitionBy("__pid").orderBy(*sort_exprs))
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b.__pid") < F.col("a.__pid"), "left")
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            (F.col("__offset") + F.col("__lrn")).cast("long").alias("__rn"),
+        )
+        .withColumn("__blk", F.expr(f"__rn div {window}"))
+        .persist()
+    )
+    probes = ranked.withColumn(
+        "__pb", F.explode(F.array(F.col("__blk"), F.col("__blk") + 1))
+    ).select(
+        F.col(id_col).alias("__id_lo"),
+        F.col("__rn").alias("__rn_lo"),
+        F.col("__pb").alias("__b"),
+    )
+    anchors = ranked.select(
+        F.col(id_col).alias("__id_hi"),
+        F.col("__rn").alias("__rn_hi"),
+        F.col("__blk").alias("__b"),
+    )
+    return (
+        probes.join(anchors, "__b")
+        .filter(
+            (F.col("__rn_hi") > F.col("__rn_lo"))
+            & (F.col("__rn_hi") - F.col("__rn_lo") <= window)
+        )
+        .select(
+            F.least("__id_lo", "__id_hi").alias("id_a"),
+            F.greatest("__id_lo", "__id_hi").alias("id_b"),
+            (F.col("__rn_hi") - F.col("__rn_lo")).cast("long").alias("rank_dist"),
+        )
+    )

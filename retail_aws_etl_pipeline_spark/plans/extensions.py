@@ -3840,3 +3840,92 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
     ).select("id_a", "id_b")
     return D.triangle_census(edges)
+
+
+_SN_WINDOW = 8
+
+_SN_ORACLE = f"""
+    WITH {GRAMS_CTE},
+    sn_rank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+        FROM documents
+    ),
+    sn_cand AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+               GREATEST(a.doc_id, b.doc_id) AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS rank_dist
+        FROM sn_rank a JOIN sn_rank b
+          ON b.rn > a.rn AND b.rn - a.rn <= {_SN_WINDOW}
+    ),
+    sn_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    sn_common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b, c.rank_dist,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(m.common AS BIGINT) AS common
+    FROM sn_cand c
+    JOIN sn_common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+    JOIN sn_sizes sa ON sa.doc_id = c.id_a
+    JOIN sn_sizes sb ON sb.doc_id = c.id_b
+    WHERE m.common * 5 >= (sa.n + sb.n - m.common)
+    ORDER BY c.id_a, c.id_b
+"""
+
+
+@register_extra(
+    "sorted_neighborhood_pairs",
+    _SN_ORACLE,
+    description="Sorted-neighborhood dedup blocking: documents sort "
+    "globally on a cheap blocking key (lang, n_chars, doc_id), every "
+    "pair within 8 ranks becomes a candidate — O(n*w) candidates vs "
+    "O(n^2) all-pairs, the classic entity-resolution alternative to LSH "
+    "banding when near-dups share coarse attributes rather than "
+    "shingles. Candidates verify against exact Jaccard >= 0.2. The "
+    "global rank never builds a global window (range partitions + "
+    "per-partition row_number + broadcast prefix offsets, the "
+    "customer_spend_deciles discipline) and the neighbor join is the "
+    "pairs_within_window band trick in rank space — each pair generated "
+    "exactly once. Returns matched pairs with rank distance and the "
+    "integer Jaccard evidence.",
+    tags=("dedup", "blocking", "join"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    cands = D.sorted_neighborhood_candidates(
+        docs,
+        [F.asc("lang"), F.asc("n_chars"), F.asc("doc_id")],
+        window=_SN_WINDOW,
+    ).persist()
+    # Direct per-candidate verify (the containment_pairs_prefix lesson):
+    # candidates touch every doc ~2w times, so the doc-restricted
+    # jaccard_counts(pairs=...) form degenerates to the full gram
+    # self-join. Joining each candidate's id_a grams against id_b's
+    # posting list costs Σ_cand n_a — proportional to the O(n·w)
+    # candidate count, independent of gram co-occurrence blowup.
+    grams = D.shingles(docs).persist()
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    common = (
+        cands.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    counts = common.join(
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    matched = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    )
+    return (
+        matched.join(cands, ["id_a", "id_b"])
+        .select("id_a", "id_b", "rank_dist", "n_a", "n_b", "common")
+        .orderBy("id_a", "id_b")
+    )

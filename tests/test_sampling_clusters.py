@@ -569,3 +569,34 @@ def test_triangle_census_matches_bruteforce(spark, edges):
         len(nodes), len(canon), wedges, tri,
     )
     assert row.gcc_ppm == (0 if wedges == 0 else 3 * tri * 1_000_000 // wedges)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(10, 40)), min_size=1, max_size=25, unique=True
+    ),
+    window=st.integers(1, 6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sorted_neighborhood_candidates_bruteforce(spark, rows, window):
+    """Banded rank-space join equals brute-force |rank diff| <= w pairs
+    under the same deterministic sort, for arbitrary keys and windows."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_candidates,
+    )
+
+    data = [(i, f"l{g}", n) for i, (g, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_chars long")
+    got = {
+        (r.id_a, r.id_b, r.rank_dist)
+        for r in sorted_neighborhood_candidates(
+            df, [F.asc("lang"), F.asc("n_chars"), F.asc("doc_id")], window=window
+        ).collect()
+    }
+    order = sorted(data, key=lambda t: (t[1], t[2], t[0]))
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + window + 1, len(order))):
+            a, b = order[i][0], order[j][0]
+            want.add((min(a, b), max(a, b), j - i))
+    assert got == want

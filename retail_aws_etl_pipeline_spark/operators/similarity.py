@@ -766,3 +766,104 @@ def contrastive_pairs(
         )
     )
     return pos.unionByName(neg)
+
+
+#: Margin-mining acceptance ratio: best/second-best cosine must be >= 11/10.
+MARGIN_NUM = 11
+MARGIN_DEN = 10
+#: Floor-div reduction applied to squared dots before the cross-multiplied
+#: margin compare (keeps every term within int64; deterministic by design).
+MARGIN_SQ_SCALE = 1_000_000
+
+
+def margin_mutual_pairs(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    margin_num: int = MARGIN_NUM,
+    margin_den: int = MARGIN_DEN,
+) -> DataFrame:
+    """Bitext-style mutual-NN mining with a ratio-margin test.
+
+    ``a_df`` / ``b_df``: (id, qvec, qnorm) for the two sides (e.g. two
+    languages). A pair (a, b) is emitted when b is a's cosine-nearest
+    B-side neighbor AND a is b's nearest A-side neighbor (forward-backward
+    consistency, the CCMatrix/LASER mining rule), with ``margin_ok``
+    flagging pairs whose best/second-best cosine ratio clears
+    ``margin_num/margin_den`` on BOTH sides — the margin criterion that
+    separates true translations from hubs with many near-ties.
+
+    The margin test never compares floats: cos(a,b) >= M * cos(a,b2)
+    cross-multiplies to (dot_ab^2 div S) * qn_b2 * M_den^2 >=
+    (dot_ab2^2 div S) * qn_b * M_num^2 (the shared 1/qn_a cancels), all
+    int64 after the S = 10^6 floor-div reduction; a non-positive
+    second-best dot or a missing second neighbor accepts outright. NN
+    ranking itself orders by (cosine DESC, id ASC) like every ANN
+    operator here. Scale shape: the all-pairs scoring is the brute
+    baseline (the GEMM / LSH / IVF paths in this module are the drop-in
+    scale forms); ranking windows partition per probe id — bounded
+    groups, keyed shuffles, no global structure.
+    """
+    from pyspark.sql import Window as W
+
+    a = a_df.select(
+        F.col("id").alias("id_a"), F.col("qvec").alias("a_qvec"), F.col("qnorm").alias("a_qnorm")
+    )
+    b = b_df.select(
+        F.col("id").alias("id_b"), F.col("qvec").alias("b_qvec"), F.col("qnorm").alias("b_qnorm")
+    )
+    scored = (
+        a.crossJoin(b)
+        .withColumn("dot_q", F.expr(
+            "aggregate(zip_with(a_qvec, b_qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        ))
+        .withColumn(
+            "cosine",
+            F.col("dot_q") / F.sqrt((F.col("a_qnorm") * F.col("b_qnorm")).cast("double")),
+        )
+        .select("id_a", "id_b", "a_qnorm", "b_qnorm", "dot_q", "cosine")
+        .persist()
+    )
+    wf = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    wb = W.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    fwd = scored.withColumn("fr", F.row_number().over(wf)).filter(F.col("fr") <= 2)
+    bwd = scored.withColumn("br", F.row_number().over(wb)).filter(F.col("br") <= 2)
+
+    f1 = fwd.filter(F.col("fr") == 1).select(
+        "id_a", "id_b", "dot_q", "cosine", "b_qnorm"
+    )
+    f2 = fwd.filter(F.col("fr") == 2).select(
+        F.col("id_a"),
+        F.col("dot_q").alias("f2_dot"),
+        F.col("b_qnorm").alias("f2_qn"),
+    )
+    b1 = bwd.filter(F.col("br") == 1).select(
+        F.col("id_a"), F.col("id_b"), F.col("a_qnorm")
+    )
+    b2 = bwd.filter(F.col("br") == 2).select(
+        F.col("id_b"),
+        F.col("dot_q").alias("b2_dot"),
+        F.col("a_qnorm").alias("b2_qn"),
+    )
+    mutual = (
+        f1.join(b1, ["id_a", "id_b"])
+        .join(f2, "id_a", "left")
+        .join(b2, "id_b", "left")
+    )
+    fwd_ok = F.when(
+        F.col("f2_dot").isNull() | (F.col("f2_dot") <= 0), F.lit(True)
+    ).otherwise(
+        F.expr(f"(dot_q * dot_q) div {MARGIN_SQ_SCALE}") * F.col("f2_qn") * (margin_den**2)
+        >= F.expr(f"(f2_dot * f2_dot) div {MARGIN_SQ_SCALE}") * F.col("b_qnorm") * (margin_num**2)
+    )
+    bwd_ok = F.when(
+        F.col("b2_dot").isNull() | (F.col("b2_dot") <= 0), F.lit(True)
+    ).otherwise(
+        F.expr(f"(dot_q * dot_q) div {MARGIN_SQ_SCALE}") * F.col("b2_qn") * (margin_den**2)
+        >= F.expr(f"(b2_dot * b2_dot) div {MARGIN_SQ_SCALE}") * F.col("a_qnorm") * (margin_num**2)
+    )
+    return mutual.select(
+        "id_a",
+        "id_b",
+        "dot_q",
+        (fwd_ok & bwd_ok & (F.col("dot_q") > 0)).alias("margin_ok"),
+    )

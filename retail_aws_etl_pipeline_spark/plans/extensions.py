@@ -3929,3 +3929,84 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "rank_dist", "n_a", "n_b", "common")
         .orderBy("id_a", "id_b")
     )
+
+
+_BITEXT_ORACLE = f"""
+    WITH {_quant_cte()},
+    bx_sides AS (
+        SELECT n.vec_id AS id, n.qvec, n.qnorm AS qn, d.lang
+        FROM n JOIN documents d ON d.doc_id = n.vec_id
+    ),
+    bx_sc AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.qn AS a_qn, b.qn AS b_qn,
+               CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+                    i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot_q
+        FROM (SELECT * FROM bx_sides WHERE lang = 'en') a
+        CROSS JOIN (SELECT * FROM bx_sides WHERE lang = 'de') b
+    ),
+    bx_cos AS (
+        SELECT *, dot_q / sqrt(CAST(a_qn * b_qn AS DOUBLE)) AS cosine FROM bx_sc
+    ),
+    bx_fwd AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS fr
+        FROM bx_cos
+    ),
+    bx_bwd AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_b ORDER BY cosine DESC, id_a ASC) AS br
+        FROM bx_cos
+    ),
+    bx_f2 AS (SELECT id_a, dot_q AS f2_dot, b_qn AS f2_qn FROM bx_fwd WHERE fr = 2),
+    bx_b2 AS (SELECT id_b, dot_q AS b2_dot, a_qn AS b2_qn FROM bx_bwd WHERE br = 2),
+    bx_m AS (
+        SELECT f.id_a, f.id_b, f.dot_q, f.a_qn, f.b_qn,
+               f2.f2_dot, f2.f2_qn, b2.b2_dot, b2.b2_qn
+        FROM (SELECT id_a, id_b, dot_q, a_qn, b_qn FROM bx_fwd WHERE fr = 1) f
+        JOIN (SELECT id_a, id_b FROM bx_bwd WHERE br = 1) bk
+          ON bk.id_a = f.id_a AND bk.id_b = f.id_b
+        LEFT JOIN bx_f2 f2 ON f2.id_a = f.id_a
+        LEFT JOIN bx_b2 b2 ON b2.id_b = f.id_b
+    )
+    SELECT id_a, id_b, dot_q,
+           ((CASE WHEN f2_dot IS NULL OR f2_dot <= 0 THEN TRUE
+                  ELSE (dot_q * dot_q) // {S.MARGIN_SQ_SCALE} * f2_qn * {S.MARGIN_DEN**2}
+                       >= (f2_dot * f2_dot) // {S.MARGIN_SQ_SCALE} * b_qn * {S.MARGIN_NUM**2}
+             END)
+            AND (CASE WHEN b2_dot IS NULL OR b2_dot <= 0 THEN TRUE
+                      ELSE (dot_q * dot_q) // {S.MARGIN_SQ_SCALE} * b2_qn * {S.MARGIN_DEN**2}
+                           >= (b2_dot * b2_dot) // {S.MARGIN_SQ_SCALE} * a_qn * {S.MARGIN_NUM**2}
+                 END)
+            AND dot_q > 0) AS margin_ok
+    FROM bx_m ORDER BY id_a
+"""
+
+
+@register_extra(
+    "bitext_margin_pairs",
+    _BITEXT_ORACLE,
+    description="Bitext mining (CCMatrix/LASER rule) between the 'en' and "
+    "'de' document embeddings: a pair is emitted when each side is the "
+    "other's cosine-nearest cross-lingual neighbor (forward-backward "
+    "consistency), with margin_ok flagging pairs whose best/second-best "
+    "cosine ratio clears 11/10 on BOTH sides — the hub filter that "
+    "separates translations from dense near-ties. The margin test never "
+    "compares floats: cross-multiplied squared dots with a 10^6 floor-div "
+    "reduction keep every term int64 and engine-exact; NN ranking uses "
+    "the module-wide (cosine DESC, id ASC) order. The all-pairs scoring "
+    "here is the brute baseline — at corpus scale the GEMM-blocked or "
+    "IVF candidate paths in operators/similarity.py are the drop-in "
+    "replacements for the cross join, and the rank windows stay "
+    "per-probe-id (bounded groups, keyed shuffles).",
+    tags=("embeddings", "similarity", "curation"),
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    emb = S.with_quantized(t["embeddings"])
+    langd = t["documents"].select("doc_id", "lang")
+    sided = emb.join(langd, emb.vec_id == langd.doc_id).select(
+        F.col("vec_id").alias("id"), "qvec", "qnorm", "lang"
+    )
+    a = sided.filter(F.col("lang") == "en").select("id", "qvec", "qnorm")
+    b = sided.filter(F.col("lang") == "de").select("id", "qvec", "qnorm")
+    return S.margin_mutual_pairs(a, b).orderBy("id_a")

@@ -247,3 +247,43 @@ def test_hll_sketches_merge_within_bounds(spark):
     exact = docs.select("text").distinct().count()
     for est in (direct, by_source, by_bucket):
         assert abs(est - exact) <= max(3, int(exact * 0.05)), (est, exact)
+
+
+def test_margin_mutual_pairs_handcrafted(spark):
+    """Mutual-NN + margin semantics on a handcrafted embedding set:
+    a0<->b0 mutual with a wide margin (accepted), a1/a2 both nearest to
+    hub b1, whose best (a2, by a hair) and second-best (a1) are nearly
+    tied — the mutual pair (a2, b1) survives mutuality but FAILS the
+    11/10 margin; (a1, b1) is not mutual and never appears."""
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        margin_mutual_pairs,
+        with_quantized,
+    )
+
+    def emb(vid, vec):
+        return (vid, [float(x) for x in vec])
+
+    # 4-dim toy space. a0 aligned with b0 only; a1 and a2 both close to b1.
+    rows_a = [
+        emb(0, [1.0, 0.0, 0.0, 0.0]),   # a0
+        emb(1, [0.0, 1.0, 0.0, 0.0]),   # a1
+        emb(2, [0.0, 0.98, 0.2, 0.0]),  # a2, near-tie with a1 toward b1
+    ]
+    rows_b = [
+        emb(10, [0.99, 0.1, 0.0, 0.0]),  # b0
+        emb(11, [0.0, 0.99, 0.1, 0.0]),  # b1 hub
+    ]
+    mk = lambda rows: with_quantized(
+        spark.createDataFrame(rows, "id long, embedding array<float>")
+    ).select("id", "qvec", "qnorm")
+    out = {
+        (r.id_a, r.id_b): r.margin_ok
+        for r in margin_mutual_pairs(mk(rows_a), mk(rows_b)).collect()
+    }
+    # a0's only plausible partner is b0 and vice versa; only two B vectors
+    # exist so a0's second-best (b1, near-orthogonal) clears the margin.
+    assert out.get((0, 10)) is True
+    # (a2, b1) mutual: b1 prefers a2 by a sliver, but its second-best a1
+    # is within 10% — margin must fail.
+    assert (2, 11) in out and out[(2, 11)] is False
+    assert (1, 11) not in out

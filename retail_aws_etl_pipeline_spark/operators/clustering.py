@@ -79,16 +79,26 @@ def assign_clusters(qdf: DataFrame, centroids: list[tuple[int, list[int]]]) -> D
 
 def _update_centroids(assigned: DataFrame, dim: int) -> list[tuple[int, list[int]]]:
     """Lloyd update: per-cluster elementwise floor(sum/count), k-row collect."""
+    return _update_with_inertia(assigned, dim)[0]
+
+
+def _update_with_inertia(
+    assigned: DataFrame, dim: int
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Lloyd update + the assignment's inertia (Σ squared dist, int64) in
+    the SAME k-row aggregate — convergence loops pay one job per
+    iteration, not two."""
     sums = [F.sum(F.col("qvec")[i]).alias(f"s{i}") for i in range(dim)]
     rows = (
         assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dist").alias("w"), *sums)
         .collect()  # k rows — bounded by construction (see module doc)
     )
-    return sorted(
+    cents = sorted(
         (r["cluster_id"], [math.floor(r[f"s{i}"] / r["n"]) for i in range(dim)])
         for r in rows
     )
+    return cents, sum(r["w"] for r in rows)
 
 
 def init_centroids(qdf: DataFrame, k: int) -> list[tuple[int, list[int]]]:
@@ -153,6 +163,58 @@ def kmeans_assign(
     for _ in range(updates):
         cents = _update_centroids(assign_clusters(qdf, cents), dim)
     return assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+
+
+def kmeans_converged(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    max_updates: int = 25,
+    col: str = "embedding",
+    init: str = "min_ids",
+) -> tuple[DataFrame, dict]:
+    """Lloyd's to FIXPOINT: iterate assign→update until the integer
+    centroid set repeats exactly, or ``max_updates``.
+
+    The many-iteration regime the unrolled SQL oracles can't reach
+    (each extra round multiplies the oracle's CTE depth): correctness
+    here is gated locally against a pure-Python mirror of the identical
+    integer schedule (tests/test_clustering.py), the same split the
+    approx-sketch kernels use. Convergence is EXACT — centroids are
+    floor-divided int64 vectors, so "unchanged" is integer equality, no
+    epsilon; Lloyd's over a finite point set with deterministic
+    tie-breaks must reach a centroid fixpoint (the floor perturbation
+    can in principle cycle, which is what ``max_updates`` bounds).
+
+    Per-iteration cost is CONSTANT and scale-safe: one scan-side
+    assignment (centroid literal inlined, whole-stage codegen, no
+    join/shuffle) + one k-row aggregate that also carries the
+    assignment's inertia, so the convergence trace costs no extra jobs.
+    The driver holds k·d int64s per round — the same driver-sync
+    MLlib's Lloyd performs. Lineage never grows: every assignment
+    starts from the persisted quantized base, not the previous round's
+    frame.
+
+    Returns (final assignment (vec_id, cluster_id, dist), info) with
+    info = {iterations, converged, inertia: [int per update pass]}.
+    """
+    qdf = with_quantized(df, col).select("vec_id", "qvec").persist()
+    if init == "farthest":
+        cents = init_centroids_farthest(qdf, k)
+    else:
+        cents = init_centroids(qdf, k)
+    dim = len(cents[0][1])
+    inertia: list[int] = []
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_updates + 1):
+        new_cents, w = _update_with_inertia(assign_clusters(qdf, cents), dim)
+        inertia.append(w)
+        if new_cents == cents:
+            converged = True
+            break
+        cents = new_cents
+    final = assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+    return final, {"iterations": rounds, "converged": converged, "inertia": inertia}
 
 
 SEMDEDUP_MIN_COSINE = 0.35

@@ -4010,3 +4010,75 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sided.filter(F.col("lang") == "en").select("id", "qvec", "qnorm")
     b = sided.filter(F.col("lang") == "de").select("id", "qvec", "qnorm")
     return S.margin_mutual_pairs(a, b).orderBy("id_a")
+
+
+#: Fixed boilerplate tail appended to every third document — the hot-gram
+#: skew (site chrome, license footers) that motivates the PPJoin prefix
+#: filter. ~20 tokens so it dominates short docs' shingle sets.
+BOILERPLATE_TAIL = (
+    "subscribe to our newsletter terms of service apply all rights reserved "
+    "cookie policy contact us privacy statement follow us on social media"
+)
+
+_BP_ORACLE = f"""
+    WITH bp_docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' {BOILERPLATE_TAIL}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    bp_toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bp_docs),
+    bp_grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i.i:i.i + {D.SHINGLE_N - 1}], ' ') AS gram
+        FROM bp_toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
+        WHERE i.i <= len(toks) - {D.SHINGLE_N - 1}
+    ),
+    bp_sizes AS (SELECT doc_id, COUNT(*) AS n FROM bp_grams GROUP BY doc_id),
+    bp_common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM bp_grams a JOIN bp_grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT cm.id_a, cm.id_b, sa.n AS n_a, sb.n AS n_b, cm.common,
+           CAST(cm.common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM bp_common cm
+    JOIN bp_sizes sa ON sa.doc_id = cm.id_a
+    JOIN bp_sizes sb ON sb.doc_id = cm.id_b
+    WHERE cm.common * 100 >= {CONTAINMENT_PCT} * LEAST(sa.n, sb.n)
+    ORDER BY cm.id_a, cm.id_b
+"""
+
+
+def boilerplate_docs(docs: DataFrame) -> DataFrame:
+    """documents with the fixed BOILERPLATE_TAIL on every third doc — the
+    deterministic boilerplate-skew corpus (no files, no RNG)."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + BOILERPLATE_TAIL)),
+        ).otherwise(F.col("text")),
+    )
+
+
+@register_extra(
+    "containment_pairs_boilerplate",
+    _BP_ORACLE,
+    description="The PPJoin prefix-filter containment operator ON ITS "
+    "MOTIVATING DISTRIBUTION: every third document carries a fixed "
+    "20-token boilerplate tail (site chrome / license footer skew), the "
+    "regime where the raw inverted-index join blows up on hot shingles "
+    "and the rare-gram prefix probe wins (13-26x candidate reduction "
+    "measured in SCALING.md). Results are exact by the prefix lemma — "
+    "this oracle is the brute-force formulation over the same injected "
+    "corpus. Registered so the bench tracks the prefix path's cost on "
+    "skewed data every round, not just in one-off studies.",
+    tags=("dedup", "containment", "skew"),
+)
+def containment_pairs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(boilerplate_docs(t["documents"])).persist()
+    return D.containment_pairs_prefix(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
+        "id_a", "id_b"
+    )

@@ -287,3 +287,43 @@ def test_margin_mutual_pairs_handcrafted(spark):
     # is within 10% — margin must fail.
     assert (2, 11) in out and out[(2, 11)] is False
     assert (1, 11) not in out
+
+
+def test_containment_prefix_on_boilerplate_corpus(spark):
+    """On the boilerplate-skew corpus the prefix path is (1) exactly equal
+    to the brute inverted-index formulation — the prefix lemma under hot
+    grams — and (2) probes FAR fewer candidates than the raw index join
+    generates sharing pairs, the whole point of the filter."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+        containment_prefix_candidates,
+        jaccard_counts,
+        shingles,
+    )
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        CONTAINMENT_PCT,
+        boilerplate_docs,
+    )
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from tests.conftest import SF_ORACLE
+
+    docs = boilerplate_docs(
+        load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    )
+    grams = shingles(docs).persist()
+    brute = {
+        tuple(r) for r in containment_pairs(grams, CONTAINMENT_PCT).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in containment_pairs_prefix(grams, CONTAINMENT_PCT).collect()
+    }
+    assert brute == prefix and brute, "prefix path must be exact and non-trivial"
+
+    n_candidates = containment_prefix_candidates(grams, CONTAINMENT_PCT).count()
+    n_sharing = jaccard_counts(grams).count()
+    assert n_candidates * 5 <= n_sharing, (
+        f"prefix filter should cut candidates >=5x on boilerplate skew: "
+        f"{n_candidates} candidates vs {n_sharing} sharing pairs"
+    )

@@ -4082,3 +4082,158 @@ def containment_pairs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame
     return D.containment_pairs_prefix(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
         "id_a", "id_b"
     )
+
+
+#: Per-language keep-rates (buckets of 100) for the deterministic
+#: hash-gate rebalancing sample: the dominant language is cut hardest.
+REBALANCE_RATES = {"en": 40, "es": 80, "zh": 80, "de": 100, "fr": 100}
+#: Salt so the sampling hash is independent of dataset_split_assignment's.
+REBALANCE_SALT = "rs:"
+
+
+def _rebalance_oracle() -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"  # noqa: E731
+    bucket = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)}) % 100"
+    rate = " ".join(
+        f"WHEN lang = '{g}' THEN {r}" for g, r in sorted(REBALANCE_RATES.items())
+    )
+    return f"""
+    WITH rb AS (
+        SELECT doc_id, lang,
+               md5('{REBALANCE_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    rbb AS (
+        SELECT doc_id, lang, {bucket} AS bucket,
+               CASE {rate} ELSE 0 END AS rate
+        FROM rb
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM rbb WHERE bucket < rate
+    ORDER BY doc_id
+    """
+
+
+@register_extra(
+    "lang_rebalanced_sample",
+    _rebalance_oracle(),
+    description="Deterministic hash-gate rebalancing sample: each doc "
+    "keeps iff its salted 16-bit md5 bucket (mod 100) falls under its "
+    "language's keep-rate — the stateless Bernoulli complement to "
+    "corpus_mixture_sample's quota-exact ranks. The trade is explicit: "
+    "quotas hit target counts exactly but cost a rank shuffle; the hash "
+    "gate is a pure scan-side projection (ZERO shuffle at any corpus "
+    "size), idempotent under reprocessing and replay (the same doc "
+    "always makes the same decision — what streaming and incremental "
+    "backfills need), at the cost of binomial jitter around the target "
+    "rate. Salted so sampling stays independent of the train/valid/test "
+    "bucket hash.",
+    tags=("sampling", "curation"),
+)
+def lang_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(REBALANCE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    )
+    rate = F.lit(0)
+    for g, r in sorted(REBALANCE_RATES.items()):
+        rate = F.when(F.col("lang") == g, F.lit(r)).otherwise(rate)
+    return (
+        t["documents"]
+        .withColumn("bucket", (hx.cast("long") % 100))
+        .withColumn("__rate", rate)
+        .filter(F.col("bucket") < F.col("__rate"))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+_CTFIDF_TOP_K = 3
+_CTFIDF_SCALE = 1_000_000
+
+_CTFIDF_ORACLE = f"""
+    {_KMEANS_CTES},
+    ct_toks AS (
+        SELECT a.cid, t.tok AS term
+        FROM a1 a
+        JOIN (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+              FROM documents) t ON t.doc_id = a.vec_id
+        WHERE t.tok <> ''
+    ),
+    ct_tf AS (SELECT cid, term, COUNT(*) AS ctf FROM ct_toks GROUP BY cid, term),
+    ct_df AS (SELECT term, COUNT(*) AS cdf FROM ct_tf GROUP BY term),
+    ct_n AS (SELECT COUNT(DISTINCT cid) AS nc FROM ct_tf),
+    ct_scored AS (
+        SELECT tf.cid, tf.term, tf.ctf, d.cdf,
+               tf.ctf * ((n.nc * {_CTFIDF_SCALE}) // d.cdf) AS score
+        FROM ct_tf tf JOIN ct_df d ON d.term = tf.term CROSS JOIN ct_n n
+    ),
+    ct_ranked AS (
+        SELECT cid, term, ctf, cdf, score,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY score DESC, term ASC) AS rk
+        FROM ct_scored
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id, term,
+           CAST(ctf AS BIGINT) AS ctf, CAST(cdf AS BIGINT) AS cdf,
+           CAST(score AS BIGINT) AS score_scaled, CAST(rk AS BIGINT) AS rank
+    FROM ct_ranked WHERE rk <= {_CTFIDF_TOP_K}
+    ORDER BY cluster_id, rank
+"""
+
+
+@register_extra(
+    "cluster_topic_terms",
+    _CTFIDF_ORACLE,
+    description="Cluster labeling via class-based TF-IDF (the BERTopic "
+    "step): k-means assigns every embedding to a topic block, documents "
+    "join in on doc_id = vec_id, and each cluster's top-3 terms rank by "
+    "ctf * rational-idf — term count within the cluster times "
+    "(n_clusters * 10^6) div clusters-containing-term, all integer so "
+    "the oracle unrolls the identical Lloyd schedule AND the identical "
+    "scoring. The composition is the point: clustering (scan-side "
+    "assignment), a doc join (co-partitioned by id), two keyed "
+    "aggregates (term x cluster, then term), a broadcast of the "
+    "one-row cluster count, and a per-cluster top-k the planner turns "
+    "into WindowGroupLimit — every stage keyed and bounded at corpus "
+    "scale.",
+    tags=("embedding", "clustering", "text", "curation"),
+)
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    assigned = C.kmeans_assign(t["embeddings"]).select("vec_id", "cluster_id")
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    ctf = (
+        assigned.join(toks, assigned.vec_id == toks.doc_id)
+        .groupBy("cluster_id", "term")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+    )
+    cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    nc = ctf.agg(F.count_distinct("cluster_id").alias("nc"))
+    scored = (
+        ctf.join(cdf, "term")
+        .crossJoin(F.broadcast(nc))
+        .withColumn(
+            "score_scaled",
+            F.expr(f"ctf * ((nc * {_CTFIDF_SCALE}) div cdf)"),
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("score_scaled"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CTFIDF_TOP_K)
+        .select("cluster_id", "term", "ctf", "cdf", "score_scaled", "rank")
+        .orderBy("cluster_id", "rank")
+    )

@@ -377,3 +377,34 @@ def test_tfidf_top_terms_plan(spark):
     assert "SortMergeJoin" not in plan
     read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_lang_rebalanced_sample_zero_shuffle(spark):
+    """The hash-gate sample is a pure scan-side projection: no Exchange of
+    any kind before the final presentation sort, no joins, no windows —
+    the property that makes it streaming/backfill-safe at any scale."""
+    df = REGISTRY["lang_rebalanced_sample"].spark_fn(spark, SF_SMOKE)
+    # Strip the orderBy: presentation-only (the driver compare is
+    # order-insensitive); the operator itself is the filter projection.
+    core = df._jdf.queryExecution().executedPlan().toString()
+    body = core[core.index("Sort") :] if "Sort" in core else core
+    assert "SortMergeJoin" not in core and "ShuffledHashJoin" not in core
+    assert "BroadcastHashJoin" not in core and "Window" not in core
+    # exactly the one range-partitioning exchange the global sort needs
+    assert core.count("Exchange") <= 1, core
+    read_schema = next(ln for ln in core.splitlines() if "ReadSchema" in ln)
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema
+
+
+def test_cluster_topic_terms_plan(spark):
+    """c-TF-IDF labeling: per-cluster top-k goes through WindowGroupLimit
+    (rank filter pushed into the window), the one-row cluster count
+    arrives via broadcast, and the documents scan prunes to doc_id+text."""
+    df = REGISTRY["cluster_topic_terms"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    doc_schema = next(ln for ln in schemas if "text" in ln)
+    assert "lang" not in doc_schema and "source" not in doc_schema

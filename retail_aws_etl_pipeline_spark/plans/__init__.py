@@ -338,6 +338,41 @@ _PROMOTE_R6E = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 sixth swap: the six operators added after the fifth rotation
+# (triangle census, sorted-neighborhood blocking, bitext margin mining,
+# boilerplate-skew containment, hash-gate rebalancing, c-TF-IDF cluster
+# labeling) get first driver rows. Demoted — six of the r1-r3-proven
+# analytics re-promotes whose shapes stay represented in the window:
+# returned_order_priorities / part_supplier_counts (filter+join aggs:
+# shipping_priority, order_value_histogram, nation_market_share remain),
+# median_order_by_priority (percentiles: sketch_accuracy_stats remains),
+# segment_buyers_intersect (set ops: unordered_parts_except,
+# union_account_balances remain), distinct_buyer_counts (count-distinct:
+# corpus_card remains), weekly_retention_cohorts (event windows:
+# hopping_event_rollup, event_pairs_within_window remain). First-ever
+# rows outrank freshness refreshes (the VERDICT r5 standard).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6F = [
+    "returned_order_priorities",
+    "median_order_by_priority",
+    "segment_buyers_intersect",
+    "distinct_buyer_counts",
+    "part_supplier_counts",
+    "weekly_retention_cohorts",
+]
+
+_PROMOTE_R6F = [
+    "graph_triangle_census",
+    "sorted_neighborhood_pairs",
+    "bitext_margin_pairs",
+    "containment_pairs_boilerplate",
+    "lang_rebalanced_sample",
+    "cluster_topic_terms",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -349,6 +384,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6C, _PROMOTE_R6C),
         (_DEMOTE_R6D, _PROMOTE_R6D),
         (_DEMOTE_R6E, _PROMOTE_R6E),
+        (_DEMOTE_R6F, _PROMOTE_R6F),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from retail_aws_etl_pipeline_spark.plans import all_specs
 from retail_aws_etl_pipeline_spark.session import load_tables
@@ -327,3 +329,81 @@ def test_containment_prefix_on_boilerplate_corpus(spark):
         f"prefix filter should cut candidates >=5x on boilerplate skew: "
         f"{n_candidates} candidates vs {n_sharing} sharing pairs"
     )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    na=st.integers(2, 6),
+    nb=st.integers(2, 6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_margin_mutual_pairs_matches_bruteforce(spark, seed, na, nb):
+    """margin_mutual_pairs equals a pure-Python mirror of the identical
+    quantized schedule (mutual NN by (cosine DESC, id ASC); margin via the
+    same floor-divided squared-integer cross-multiplication) on arbitrary
+    deterministic vector sets."""
+    import math
+
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        MARGIN_DEN,
+        MARGIN_NUM,
+        MARGIN_SQ_SCALE,
+        QUANT_SCALE,
+        margin_mutual_pairs,
+        with_quantized,
+    )
+
+    def vec(i, side):
+        return [
+            (((seed + i * 31 + d * 17 + side * 7) % 97) - 48) / 48.0
+            for d in range(6)
+        ]
+
+    rows_a = [(i, vec(i, 0)) for i in range(na)]
+    rows_b = [(100 + i, vec(i, 1)) for i in range(nb)]
+    q = lambda v: [math.floor(x * QUANT_SCALE) for x in v]
+    qa = {i: q(v) for i, v in rows_a}
+    qb = {i: q(v) for i, v in rows_b}
+    qn = lambda x: sum(c * c for c in x)
+    dot = lambda x, y: sum(p * r for p, r in zip(x, y))
+
+    def ranked(src, dsts, sv):
+        return sorted(
+            dsts,
+            key=lambda j: (-dot(sv, dsts[j]) / math.sqrt(qn(sv) * qn(dsts[j])), j),
+        )
+
+    want = {}
+    for i, av in qa.items():
+        fb = ranked(i, qb, av)
+        j = fb[0]
+        if ranked(j, qa, qb[j])[0] != i:
+            continue
+        d = dot(av, qb[j])
+        ok = d > 0
+        if len(fb) > 1:
+            d2 = dot(av, qb[fb[1]])
+            if d2 > 0:
+                ok = ok and (d * d) // MARGIN_SQ_SCALE * qn(qb[fb[1]]) * MARGIN_DEN**2 >= (
+                    d2 * d2
+                ) // MARGIN_SQ_SCALE * qn(qb[j]) * MARGIN_NUM**2
+        ba = ranked(j, qa, qb[j])
+        if len(ba) > 1:
+            d2 = dot(qb[j], qa[ba[1]])
+            if d2 > 0:
+                ok = ok and (d * d) // MARGIN_SQ_SCALE * qn(qa[ba[1]]) * MARGIN_DEN**2 >= (
+                    d2 * d2
+                ) // MARGIN_SQ_SCALE * qn(qa[i]) * MARGIN_NUM**2
+        want[(i, j)] = ok
+
+    mk = lambda rows: with_quantized(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "id long, embedding array<float>",
+        )
+    ).select("id", "qvec", "qnorm")
+    got = {
+        (r.id_a, r.id_b): r.margin_ok
+        for r in margin_mutual_pairs(mk(rows_a), mk(rows_b)).collect()
+    }
+    assert got == want

@@ -4237,3 +4237,152 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "term", "ctf", "cdf", "score_scaled", "rank")
         .orderBy("cluster_id", "rank")
     )
+
+
+def _oov_oracle() -> str:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"  # noqa: E731
+    bucket = (
+        f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {SMP.SPLIT_BUCKETS}"
+    )
+    return f"""
+    WITH ov_split AS (
+        SELECT doc_id, text,
+               CASE WHEN b < {SMP.TRAIN_BUCKETS} THEN 'train'
+                    WHEN b < {SMP.TRAIN_BUCKETS + SMP.VALID_BUCKETS} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, text, {bucket} AS b
+              FROM (SELECT doc_id, text,
+                           md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+    ),
+    ov_toks AS (
+        SELECT split, t.tok AS term
+        FROM (SELECT split, UNNEST(string_split(text, ' ')) AS tok
+              FROM ov_split) t
+        WHERE t.tok <> ''
+    ),
+    ov_vocab AS (SELECT DISTINCT term FROM ov_toks WHERE split = 'train')
+    SELECT e.split,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL THEN e.term END)
+                AS BIGINT) AS n_oov_types,
+           CAST((SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM ov_toks e LEFT JOIN ov_vocab v ON v.term = e.term
+    WHERE e.split <> 'train'
+    GROUP BY e.split
+    ORDER BY e.split
+    """
+
+
+@register_extra(
+    "oov_rate_by_split",
+    _oov_oracle(),
+    description="Out-of-vocabulary audit across the md5-bucket "
+    "train/valid/test split: token and type OOV counts (plus a "
+    "floor-divided ppm rate) of the held-out splits against the "
+    "TRAIN-ONLY vocabulary — the tokenizer-coverage / split-health check "
+    "a training pipeline runs before freezing a vocab (a valid split "
+    "whose OOV rate diverges from test flags a skewed split hash). "
+    "Composes the deterministic split assignment with a distinct-on-train "
+    "vocabulary and one left join keyed on term; the vocabulary join is "
+    "the only wide exchange, and the split column rides the scan.",
+    tags=("sampling", "text", "audit", "curation"),
+)
+def oov_rate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    split = SMP.with_split_assignment(t["documents"]).select("doc_id", "text", "split")
+    toks = split.select(
+        "split", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.filter(F.col("split") == "train").select("term").distinct()
+    held = toks.filter(F.col("split") != "train")
+    return (
+        held.join(vocab.withColumn("__in_vocab", F.lit(1)), "term", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("__in_vocab").isNull()).cast("long")).alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("__in_vocab").isNull(), F.col("term"))
+            ).alias("n_oov_types"),
+            F.expr("(sum(CASE WHEN __in_vocab IS NULL THEN 1 ELSE 0 END) * 1000000)"
+                   " div count(*)").alias("oov_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
+_XSRC_ORACLE = f"""
+    WITH {GRAMS_CTE},
+    xs_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    xs_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    xs_qual AS (
+        SELECT p.id_a, p.id_b, p.common FROM xs_pairs p
+        JOIN xs_sizes sa ON sa.doc_id = p.id_a
+        JOIN xs_sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 5 >= (sa.n + sb.n - p.common)
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(q.common) AS BIGINT) AS sum_common
+    FROM xs_qual q
+    JOIN documents da ON da.doc_id = q.id_a
+    JOIN documents db ON db.doc_id = q.id_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+"""
+
+
+@register_extra(
+    "cross_source_dup_matrix",
+    _XSRC_ORACLE,
+    description="Mirror-site detection: the near-dup pair set (Jaccard "
+    ">= 0.2, the shared inverted-index edge build) rolled up into a "
+    "source x source matrix (canonical least/greatest ordering) with "
+    "pair counts and total shared-shingle mass — the provenance audit "
+    "that tells a curation team WHICH feeds copy from each other, so "
+    "dedup policy (which source survives) can be set per source pair "
+    "rather than per document. The rollup adds one tiny keyed aggregate "
+    "on top of the pair stream; the doc->source attachments are "
+    "id-keyed joins that co-partition with the pair keys.",
+    tags=("dedup", "audit", "curation"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    qual = D.jaccard_counts(grams).filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        qual.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("common").alias("sum_common"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1000,3 +1000,131 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, frame_idx int, payload binary"
     )
+
+
+# --- EXIF orientation probe (JPEG APP1 → TIFF IFD0 walk, both endians) ---
+
+#: TIFF/EXIF IFD0 tags the probe extracts.
+EXIF_TAG_WIDTH = 0x0100
+EXIF_TAG_LENGTH = 0x0101
+EXIF_TAG_ORIENTATION = 0x0112
+
+
+def synth_exif_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows of minimal JPEGs whose ONLY metadata lives
+    in a real APP1/Exif TIFF block: the byte order alternates II/MM by id
+    parity (the endianness branch no other probe family exercises),
+    orientation is 1 + id % 8, and ImageWidth/ImageLength carry the same
+    per-id dims formula as the header probes. meta stays NULL so a probe
+    over this frame provably parses the TIFF structure."""
+    import struct
+
+    def _payload(mid: int) -> bytes:
+        w, h = _probe_dims_for(mid)
+        orient = 1 + mid % 8
+        little = mid % 2 == 0
+        e = "<" if little else ">"
+        tiff = (b"II" if little else b"MM") + struct.pack(e + "HI", 42, 8)
+        # IFD0: 3 entries sorted by tag; SHORT values left-justified in the
+        # 4-byte field per the TIFF spec, LONGs fill it.
+        ifd = struct.pack(e + "H", 3)
+        ifd += struct.pack(e + "HHI", EXIF_TAG_WIDTH, 4, 1) + struct.pack(e + "I", w)
+        ifd += struct.pack(e + "HHI", EXIF_TAG_LENGTH, 4, 1) + struct.pack(e + "I", h)
+        ifd += (
+            struct.pack(e + "HHI", EXIF_TAG_ORIENTATION, 3, 1)
+            + struct.pack(e + "H", orient)
+            + b"\x00\x00"
+        )
+        ifd += struct.pack(e + "I", 0)  # no next IFD
+        exif = b"Exif\x00\x00" + tiff + ifd
+        return b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif + b"\xff\xd9"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(mid), "image", _payload(int(mid)), ("jpeg", None, None, None, None))
+                for mid in pdf[id_col]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def probe_exif(buf: bytes) -> tuple[str | None, int | None, int | None, int | None]:
+    """(byte_order, orientation, width, height) from a JPEG's APP1/Exif
+    TIFF block — marker walk to APP1, then an IFD0 entry scan honoring the
+    declared endianness (II or MM). Returns (None, None, None, None) for
+    non-JPEG input or a JPEG without an Exif APP1; raises ValueError for a
+    declared-but-truncated APP1/TIFF structure (family contract: truncation
+    is an error, absence is a miss). O(header) bytes touched."""
+    import struct
+
+    if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+        return (None, None, None, None)
+    at = 2
+    while at + 4 <= len(buf):
+        if buf[at] != 0xFF:
+            return (None, None, None, None)
+        marker = buf[at + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 ahead
+            return (None, None, None, None)
+        seg_len = int.from_bytes(buf[at + 2 : at + 4], "big")
+        if seg_len < 2 or at + 2 + seg_len > len(buf):
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xE1 and buf[at + 4 : at + 10] == b"Exif\x00\x00":
+            tiff = buf[at + 10 : at + 2 + seg_len]
+            if len(tiff) < 8:
+                raise ValueError("truncated Exif TIFF header")
+            if tiff[0:2] == b"II":
+                e, order = "<", "II"
+            elif tiff[0:2] == b"MM":
+                e, order = ">", "MM"
+            else:
+                raise ValueError("bad TIFF byte order")
+            magic, ifd_off = struct.unpack_from(e + "HI", tiff, 2)
+            if magic != 42:
+                raise ValueError("bad TIFF magic")
+            if ifd_off + 2 > len(tiff):
+                raise ValueError("truncated IFD0")
+            (n_entries,) = struct.unpack_from(e + "H", tiff, ifd_off)
+            if ifd_off + 2 + n_entries * 12 > len(tiff):
+                raise ValueError("truncated IFD0 entries")
+            orient = width = height = None
+            for i in range(n_entries):
+                base = ifd_off + 2 + i * 12
+                tag, typ, _cnt = struct.unpack_from(e + "HHI", tiff, base)
+                if typ == 3:  # SHORT, left-justified in the value field
+                    (val,) = struct.unpack_from(e + "H", tiff, base + 8)
+                elif typ == 4:  # LONG
+                    (val,) = struct.unpack_from(e + "I", tiff, base + 8)
+                else:
+                    continue
+                if tag == EXIF_TAG_ORIENTATION:
+                    orient = val
+                elif tag == EXIF_TAG_WIDTH:
+                    width = val
+                elif tag == EXIF_TAG_LENGTH:
+                    height = val
+            return (order, orient, width, height)
+        at += 2 + seg_len
+    return (None, None, None, None)
+
+
+def probe_exif_meta(media: DataFrame) -> DataFrame:
+    """(media_id, byte_order, orientation, width, height) via
+    :func:`probe_exif` — Arrow-batched, O(header) bytes per row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                order, orient, w, h = probe_exif(bytes(payload))
+                rows.append((int(mid), order, orient, w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "byte_order", "orientation", "width", "height"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, byte_order string, orientation int, width int, height int",
+    )

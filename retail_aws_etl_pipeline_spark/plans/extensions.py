@@ -4386,3 +4386,32 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register_extra(
+    "exif_orientation_probe",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(16 + doc_id % 100 AS INT) AS width,
+           CAST(9 + (doc_id * 7) % 100 AS INT) AS height
+    FROM documents ORDER BY media_id
+    """,
+    description="Lib-free EXIF metadata probe: JPEG marker walk to the "
+    "APP1/Exif segment, then a TIFF IFD0 entry scan honoring the "
+    "DECLARED byte order — payloads alternate II (little) and MM (big) "
+    "by id parity, so both endianness branches are driver-proven, the "
+    "structural case none of the other header probes exercise. Extracts "
+    "orientation + TIFF dims; truncation raises (family contract), "
+    "absence misses cleanly. O(header) bytes per payload, Arrow-batched "
+    "mapInPandas — the same 100 TB shape as media_dims_probe; the "
+    "oracle recomputes every field from the id formula without seeing "
+    "payload bytes.",
+    tags=("multimodal", "pandas_udf", "metadata"),
+)
+def exif_orientation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_exif_meta(MM.synth_exif_media(ids, "doc_id")).orderBy("media_id")

@@ -984,3 +984,48 @@ def test_gram_index_compaction_preserves_dedup(spark, tmp_path):
     }
     grams.unpersist()
     assert got == want and want
+
+
+def test_probe_exif_both_endians_and_errors():
+    """EXIF probe: II and MM payloads parse to the same logical fields;
+    non-JPEG and exif-less JPEGs miss cleanly; declared-but-truncated
+    APP1/TIFF structures raise (the family's truncation contract)."""
+    import struct
+
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import probe_exif
+
+    def payload(mid):
+        # the exact bytes synth_exif_media emits, built independently here
+        # so the probe and the synth can't share a bug
+        w, h = 16 + mid % 100, 9 + (mid * 7) % 100
+        orient = 1 + mid % 8
+        little = mid % 2 == 0
+        e = "<" if little else ">"
+        tiff = (b"II" if little else b"MM") + struct.pack(e + "HI", 42, 8)
+        ifd = struct.pack(e + "H", 3)
+        ifd += struct.pack(e + "HHI", 0x0100, 4, 1) + struct.pack(e + "I", w)
+        ifd += struct.pack(e + "HHI", 0x0101, 4, 1) + struct.pack(e + "I", h)
+        ifd += struct.pack(e + "HHI", 0x0112, 3, 1) + struct.pack(e + "H", orient) + b"\x00\x00"
+        ifd += struct.pack(e + "I", 0)
+        exif = b"Exif\x00\x00" + tiff + ifd
+        return b"\xff\xd8\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif + b"\xff\xd9"
+
+    assert probe_exif(payload(0)) == ("II", 1, 16, 9)
+    assert probe_exif(payload(1)) == ("MM", 2, 17, 16)
+    # a benign segment BEFORE the APP1 must be skipped by the marker walk
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    shifted = payload(2)
+    assert probe_exif(shifted[:2] + app0 + shifted[2:]) == ("II", 3, 18, 23)
+
+    assert probe_exif(b"GIF89a") == (None, None, None, None)
+    assert probe_exif(b"\xff\xd8\xff\xd9") == (None, None, None, None)
+    with pytest.raises(ValueError):
+        probe_exif(b"\xff\xd8\xff\xe1\x00\xff" + b"Exif\x00\x00II")
+    # bad byte-order mark inside a well-formed APP1 (TIFF starts at 12:
+    # SOI 0-1, APP1 marker 2-3, length 4-5, 'Exif\0\0' 6-11)
+    bad = bytearray(payload(0))
+    bad[12:14] = b"XX"
+    with pytest.raises(ValueError):
+        probe_exif(bytes(bad))

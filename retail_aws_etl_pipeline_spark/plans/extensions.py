@@ -4415,3 +4415,82 @@ def exif_orientation_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
     return MM.probe_exif_meta(MM.synth_exif_media(ids, "doc_id")).orderBy("media_id")
+
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {GRAMS_CTE}, {SIGS_CTE},
+    lr_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    lr_truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    lr_qual AS (
+        SELECT p.id_a, p.id_b,
+               CAST((p.common * 10) // (sa.n + sb.n - p.common) AS BIGINT)
+                   AS jaccard_decile
+        FROM lr_truth p
+        JOIN lr_sizes sa ON sa.doc_id = p.id_a
+        JOIN lr_sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 5 >= (sa.n + sb.n - p.common)
+    ),
+    lr_cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT q.jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_caught,
+           CAST((SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM lr_qual q
+    LEFT JOIN lr_cand c ON c.id_a = q.id_a AND c.id_b = q.id_b
+    GROUP BY q.jaccard_decile
+    ORDER BY q.jaccard_decile
+"""
+
+
+@register_extra(
+    "lsh_dedup_recall",
+    _LSH_RECALL_ORACLE,
+    description="LSH banding quality audit: every TRUE near-dup pair "
+    "(exact Jaccard >= 0.2 from the inverted index) checked against the "
+    "banded MinHash candidate set, recall reported per integer Jaccard "
+    "decile — the measurement that tunes (bands, rows-per-band) before "
+    "trusting LSH at corpus scale, where the exact join is only "
+    "affordable on a sample. The S-curve is the point: recall should "
+    "climb toward 10^6 ppm in high deciles and may sag near the "
+    "threshold decile; a sag ABOVE decile 3 means the banding scheme "
+    "needs more bands. Dedup-side twin of ann_lsh_recall; all counts "
+    "integer, floor-divided ppm.",
+    tags=("dedup", "lsh", "audit"),
+)
+def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    counts = D.jaccard_counts(grams)
+    truth = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("CAST((common * 10) DIV (n_a + n_b - common) AS BIGINT)").alias(
+            "jaccard_decile"
+        ),
+    )
+    cand = D.candidate_pairs(D.lsh_bands(grams)).withColumn("__hit", F.lit(1))
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy("jaccard_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_caught"),
+            F.expr(
+                "(sum(coalesce(__hit, 0)) * 1000000) div count(*)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("jaccard_decile")
+    )

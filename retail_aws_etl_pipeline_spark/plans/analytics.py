@@ -1767,3 +1767,93 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(20)
     )
+
+
+@register_extra(
+    "event_value_mad_outliers",
+    """
+    WITH mq AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS qv
+        FROM events
+    ),
+    mr AS (
+        SELECT event_type, qv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM mq
+    ),
+    med AS (
+        SELECT event_type, qv AS med_q, n
+        FROM mr WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT q.event_type, q.qv, abs(q.qv - m.med_q) AS ad, m.med_q, m.n
+        FROM mq q JOIN med m ON m.event_type = q.event_type
+    ),
+    dr AS (
+        SELECT event_type, ad, med_q, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, ad AS mad_q, med_q, n
+        FROM dr WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, CAST(m.n AS BIGINT) AS n_events,
+           m.med_q / 1000000.0 AS median_value,
+           m.mad_q / 1000000.0 AS mad_value,
+           CAST(SUM(CASE WHEN d.ad * 10000 > 3 * 14826 * m.mad_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.n, m.med_q, m.mad_q
+    ORDER BY d.event_type
+    """,
+    description="Robust per-type outlier counts via MAD (median absolute "
+    "deviation), the breakdown-resistant twin of event_value_outliers' "
+    "z-score: one extreme value shifts a mean and inflates a stddev but "
+    "leaves both medians fixed. Medians are ELEMENT-PICKING (lower "
+    "median at rank (n+1) div 2 over the 10^6-quantized integers — no "
+    "interpolation, so engine-exact by construction), computed with "
+    "per-type windows (bounded groups, keyed shuffle); the outlier test "
+    "|x - med| * 10^4 > 3 * 14826 * MAD is the k = 1.4826 "
+    "normal-consistency rule in cross-multiplied integers.",
+    tags=("agg", "profiling", "robust"),
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    q = t["events"].select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("qv")
+    )
+    wt = W.partitionBy("event_type")
+    med = (
+        q.withColumn("rn", F.row_number().over(wt.orderBy("qv")))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("qv").alias("med_q"), "n")
+    )
+    dev = q.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("qv") - F.col("med_q"))
+    )
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wt.orderBy("ad")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad_q"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "n", "med_q", "mad_q")
+        .agg(
+            F.sum(
+                (F.col("ad") * 10000 > 3 * 14826 * F.col("mad_q")).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("med_q") / 1000000.0).alias("median_value"),
+            (F.col("mad_q") / 1000000.0).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -823,6 +823,74 @@ def margin_mutual_pairs(
         .select("id_a", "id_b", "a_qnorm", "b_qnorm", "dot_q", "cosine")
         .persist()
     )
+    return _margin_select(scored, margin_num, margin_den)
+
+
+def margin_mutual_pairs_ivf(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int = 2,
+    margin_num: int = MARGIN_NUM,
+    margin_den: int = MARGIN_DEN,
+) -> DataFrame:
+    """:func:`margin_mutual_pairs` through an IVF coarse quantizer — the
+    scale path for the brute cross join.
+
+    Both sides assign to the SHARED integer centroid set (scan-side
+    argmin, exact int math); the candidate pair set is
+    P = {(a, b) : cell(b) in a's nprobe nearest cells} — each B vector
+    lives in exactly one cell, so the cell equi-join generates every
+    candidate pair at most once, and candidate volume is corpus-size /
+    n_cells * nprobe per probe instead of |B|. Mutuality AND both margin
+    tests are evaluated WITHIN P (the standard IVF approximation: a
+    neighbor outside the probed cells is invisible), so with
+    nprobe = n_centroids this is exactly the brute operator — the
+    equivalence the tests pin. Ranking windows stay per-probe-id.
+    """
+    a_cells = (
+        a_df.withColumn("__cells", ranked_centroids("qvec", centroids, nprobe))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("qvec").alias("a_qvec"),
+            F.col("qnorm").alias("a_qnorm"),
+            F.explode("__cells").alias("cell"),
+        )
+    )
+    b_cells = b_df.select(
+        F.col("id").alias("id_b"),
+        F.col("qvec").alias("b_qvec"),
+        F.col("qnorm").alias("b_qnorm"),
+        assign_centroid("qvec", centroids).alias("cell"),
+    )
+    # Broadcast the B-side posting lists: a shuffled cell equi-join has at
+    # most n_cells-way parallelism and the hottest cell runs in ONE task
+    # (measured 10.6x at 10x corpus vs the brute broadcast's 6.2x); the
+    # broadcast hash join keeps A-side scan parallelism and is exactly how
+    # IVF serving ships index shards to searchers. When B outgrows a
+    # broadcast, grow n_cells with the corpus and fall back to the keyed
+    # join with AQE skew splitting.
+    scored = (
+        a_cells.join(F.broadcast(b_cells), "cell")
+        .withColumn("dot_q", F.expr(
+            "aggregate(zip_with(a_qvec, b_qvec, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        ))
+        .withColumn(
+            "cosine",
+            F.col("dot_q") / F.sqrt((F.col("a_qnorm") * F.col("b_qnorm")).cast("double")),
+        )
+        .select("id_a", "id_b", "a_qnorm", "b_qnorm", "dot_q", "cosine")
+        .persist()
+    )
+    return _margin_select(scored, margin_num, margin_den)
+
+
+def _margin_select(scored: DataFrame, margin_num: int, margin_den: int) -> DataFrame:
+    """Mutual-NN + two-sided integer margin over a scored candidate frame
+    (id_a, id_b, a_qnorm, b_qnorm, dot_q, cosine) — shared by the brute
+    and IVF candidate generators."""
+    from pyspark.sql import Window as W
+
     wf = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     wb = W.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
     fwd = scored.withColumn("fr", F.row_number().over(wf)).filter(F.col("fr") <= 2)

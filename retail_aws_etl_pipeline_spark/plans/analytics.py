@@ -1769,6 +1769,31 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_lower_median(counted: DataFrame, val_col: str) -> DataFrame:
+    """Lower median per event_type from a (event_type, value, cnt)
+    HISTOGRAM frame: cumulative counts over the value-ordered distinct
+    values, pick the first value whose cum reaches (n+1) div 2.
+
+    The window input is the aggregated histogram — min(rows, distinct
+    values) per type, map-side-combined before the shuffle — NOT the raw
+    event stream: with few event types a raw-row window funnels N/k rows
+    through one task (measured 4.3x at 10x corpus before this form; the
+    histogram form's window input stays constant-size when values
+    repeat). Returns (event_type, med, n)."""
+    wt = W.partitionBy("event_type").orderBy(val_col)
+    cum = counted.withColumn(
+        "__cum", F.sum("cnt").over(wt.rowsBetween(W.unboundedPreceding, 0))
+    )
+    n = counted.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    return (
+        cum.join(n, "event_type")
+        .filter(F.col("__cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type", "n")
+        .agg(F.min(val_col).alias("med"))
+    )
+
+
+
 @register_extra(
     "event_value_mad_outliers",
     """
@@ -1825,27 +1850,30 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t["events"].select(
         "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("qv")
     )
-    wt = W.partitionBy("event_type")
-    med = (
-        q.withColumn("rn", F.row_number().over(wt.orderBy("qv")))
-        .withColumn("n", F.count(F.lit(1)).over(wt))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("qv").alias("med_q"), "n")
+    hist = q.groupBy("event_type", "qv").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _grouped_lower_median(hist, "qv").select(
+        "event_type", F.col("med").alias("med_q"), "n"
     )
-    dev = q.join(med, "event_type").withColumn(
-        "ad", F.abs(F.col("qv") - F.col("med_q"))
+    dev = (
+        hist.join(med, "event_type")
+        .withColumn("ad", F.abs(F.col("qv") - F.col("med_q")))
+        .groupBy("event_type", "ad")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = (
-        dev.withColumn("rn", F.row_number().over(wt.orderBy("ad")))
-        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("ad").alias("mad_q"))
+    mad = _grouped_lower_median(dev, "ad").select(
+        "event_type", F.col("med").alias("mad_q")
     )
     return (
-        dev.join(mad, "event_type")
+        hist.join(med, "event_type")
+        .join(mad, "event_type")
         .groupBy("event_type", "n", "med_q", "mad_q")
         .agg(
             F.sum(
-                (F.col("ad") * 10000 > 3 * 14826 * F.col("mad_q")).cast("long")
+                F.when(
+                    F.abs(F.col("qv") - F.col("med_q")) * 10000
+                    > 3 * 14826 * F.col("mad_q"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
         .select(

@@ -4494,3 +4494,125 @@ def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_decile")
     )
+
+
+def _bitext_ivf_oracle() -> str | None:
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
+    d_exprs = ", ".join(
+        "CAST(list_sum(list_transform(range(1, len(qvec) + 1), "
+        f"i -> (qvec[i] - c{c}[i]) * (qvec[i] - c{c}[i]))) AS BIGINT) AS d{c}"
+        for c in range(len(cents))
+    )
+    cent_literals = ", ".join(
+        f"[{', '.join(str(x) for x in cent)}] AS c{c}" for c, cent in enumerate(cents)
+    )
+    least = ", ".join(f"d{c}" for c in range(len(cents)))
+    cell_case = " ".join(f"WHEN d{c} = m THEN {c}" for c in range(len(cents)))
+    struct_list = ", ".join(f"{{'d': d{c}, 'c': {c}}}" for c in range(len(cents)))
+    return f"""
+    WITH {_quant_cte()},
+    bi_sides AS (
+        SELECT n.vec_id AS id, n.qvec, n.qnorm AS qn, d.lang
+        FROM n JOIN documents d ON d.doc_id = n.vec_id
+    ),
+    bi_da AS (
+        SELECT id, qvec, qn, {d_exprs}
+        FROM (SELECT * FROM bi_sides WHERE lang = 'en'), (SELECT {cent_literals}) cents
+    ),
+    bi_a AS (
+        SELECT id, qvec, qn, CAST(t.cell AS BIGINT) AS cell
+        FROM (
+            SELECT id, qvec, qn,
+                   list_transform(list_slice(list_sort([{struct_list}]), 1, {IVF_NPROBE}), s -> s.c) AS pcells
+            FROM bi_da
+        ), UNNEST(pcells) AS t(cell)
+    ),
+    bi_db AS (
+        SELECT id, qvec, qn, {d_exprs}
+        FROM (SELECT * FROM bi_sides WHERE lang = 'de'), (SELECT {cent_literals}) cents
+    ),
+    bi_b AS (
+        SELECT id, qvec, qn, CAST(CASE {cell_case} END AS BIGINT) AS cell
+        FROM (SELECT *, LEAST({least}) AS m FROM bi_db)
+    ),
+    bi_sc AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.qn AS a_qn, b.qn AS b_qn,
+               CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+                    i -> a.qvec[i] * b.qvec[i])) AS BIGINT) AS dot_q
+        FROM bi_a a JOIN bi_b b ON a.cell = b.cell
+    ),
+    bi_cos AS (
+        SELECT *, dot_q / sqrt(CAST(a_qn * b_qn AS DOUBLE)) AS cosine FROM bi_sc
+    ),
+    bi_fwd AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS fr
+        FROM bi_cos
+    ),
+    bi_bwd AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY id_b ORDER BY cosine DESC, id_a ASC) AS br
+        FROM bi_cos
+    ),
+    bi_f2 AS (SELECT id_a, dot_q AS f2_dot, b_qn AS f2_qn FROM bi_fwd WHERE fr = 2),
+    bi_b2 AS (SELECT id_b, dot_q AS b2_dot, a_qn AS b2_qn FROM bi_bwd WHERE br = 2),
+    bi_m AS (
+        SELECT f.id_a, f.id_b, f.dot_q, f.a_qn, f.b_qn,
+               f2.f2_dot, f2.f2_qn, b2.b2_dot, b2.b2_qn
+        FROM (SELECT id_a, id_b, dot_q, a_qn, b_qn FROM bi_fwd WHERE fr = 1) f
+        JOIN (SELECT id_a, id_b FROM bi_bwd WHERE br = 1) bk
+          ON bk.id_a = f.id_a AND bk.id_b = f.id_b
+        LEFT JOIN bi_f2 f2 ON f2.id_a = f.id_a
+        LEFT JOIN bi_b2 b2 ON b2.id_b = f.id_b
+    )
+    SELECT id_a, id_b, dot_q,
+           ((CASE WHEN f2_dot IS NULL OR f2_dot <= 0 THEN TRUE
+                  ELSE (dot_q * dot_q) // {S.MARGIN_SQ_SCALE} * f2_qn * {S.MARGIN_DEN**2}
+                       >= (f2_dot * f2_dot) // {S.MARGIN_SQ_SCALE} * b_qn * {S.MARGIN_NUM**2}
+             END)
+            AND (CASE WHEN b2_dot IS NULL OR b2_dot <= 0 THEN TRUE
+                      ELSE (dot_q * dot_q) // {S.MARGIN_SQ_SCALE} * b2_qn * {S.MARGIN_DEN**2}
+                           >= (b2_dot * b2_dot) // {S.MARGIN_SQ_SCALE} * a_qn * {S.MARGIN_NUM**2}
+                 END)
+            AND dot_q > 0) AS margin_ok
+    FROM bi_m ORDER BY id_a
+    """
+
+
+@register_extra(
+    "bitext_margin_pairs_ivf",
+    _bitext_ivf_oracle(),
+    description="bitext_margin_pairs through the IVF coarse quantizer — "
+    "the SCALE PATH for cross-lingual mining made first-class: both "
+    "sides assign to the shared deterministic integer centroid set "
+    "(scan-side argmin), candidates are the cell equi-join of A's "
+    "nprobe probed cells against B's single home cell, and mutuality + "
+    "both margin tests evaluate within that candidate set (the standard "
+    "IVF approximation; nprobe = n_cells recovers the brute operator "
+    "exactly — pinned by test). Candidate volume per probe is "
+    "|B|/n_cells*nprobe instead of |B|, the difference between a "
+    "quadratic cross join and a keyed equi-join at corpus scale. The "
+    "oracle unrolls the identical centroid literals, cell assignment, "
+    "and margin schedule.",
+    tags=("embeddings", "similarity", "ivf", "curation"),
+)
+def bitext_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    cents = S.ivf_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
+    )
+    emb = S.with_quantized(t["embeddings"])
+    langd = t["documents"].select("doc_id", "lang")
+    sided = emb.join(langd, emb.vec_id == langd.doc_id).select(
+        F.col("vec_id").alias("id"), "qvec", "qnorm", "lang"
+    )
+    a = sided.filter(F.col("lang") == "en").select("id", "qvec", "qnorm")
+    b = sided.filter(F.col("lang") == "de").select("id", "qvec", "qnorm")
+    return S.margin_mutual_pairs_ivf(a, b, cents, nprobe=IVF_NPROBE).orderBy("id_a")

@@ -407,3 +407,37 @@ def test_margin_mutual_pairs_matches_bruteforce(spark, seed, na, nb):
         for r in margin_mutual_pairs(mk(rows_a), mk(rows_b)).collect()
     }
     assert got == want
+
+
+def test_bitext_ivf_full_probe_equals_brute(spark):
+    """With nprobe = n_centroids the IVF candidate set is every (a, b)
+    pair, so margin_mutual_pairs_ivf must reproduce the brute operator
+    EXACTLY — the invariant that pins the approximation's only source of
+    difference to cell pruning."""
+    import os
+
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        ivf_centroids_from_parquet,
+        margin_mutual_pairs,
+        margin_mutual_pairs_ivf,
+        with_quantized,
+    )
+    from retail_aws_etl_pipeline_spark.plans.extensions import IVF_SAMPLE_MOD
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from tests.conftest import SF_ORACLE
+
+    t = load_tables(spark, SF_ORACLE, ["documents", "embeddings"])
+    cents = ivf_centroids_from_parquet(
+        os.path.join(SF_ORACLE, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
+    )
+    emb = with_quantized(t["embeddings"])
+    sided = emb.join(
+        t["documents"].select("doc_id", "lang"), emb.vec_id == F.col("doc_id")
+    ).select(F.col("vec_id").alias("id"), "qvec", "qnorm", "lang")
+    a = sided.filter(F.col("lang") == "en").select("id", "qvec", "qnorm")
+    b = sided.filter(F.col("lang") == "de").select("id", "qvec", "qnorm")
+    brute = {(r.id_a, r.id_b, r.dot_q, r.margin_ok)
+             for r in margin_mutual_pairs(a, b).collect()}
+    full = {(r.id_a, r.id_b, r.dot_q, r.margin_ok)
+            for r in margin_mutual_pairs_ivf(a, b, cents, nprobe=len(cents)).collect()}
+    assert full == brute and brute

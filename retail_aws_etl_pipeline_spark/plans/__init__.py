@@ -373,6 +373,38 @@ _PROMOTE_R6F = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 seventh swap: the six operators added after the sixth rotation
+# (OOV-by-split audit, cross-source duplication matrix, dual-endian EXIF
+# probe, LSH banding recall audit, MAD robust outliers, IVF bitext) get
+# first driver rows. Demoted — six more r1-r3-proven entries whose shapes
+# stay represented: event_value_outliers (z-score; its robust MAD twin is
+# promoted), doc_token_stats (corpus_card + doc_quality remain),
+# doc_fingerprints (doc_winnowing carries an r5 row), dataset_split_
+# assignment (oov_rate_by_split exercises the identical bucket hash),
+# union_account_balances (unordered_parts_except remains for set ops),
+# shipping_priority (order_value_histogram + large-filter aggs remain).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6G = [
+    "event_value_outliers",
+    "doc_token_stats",
+    "doc_fingerprints",
+    "dataset_split_assignment",
+    "union_account_balances",
+    "shipping_priority",
+]
+
+_PROMOTE_R6G = [
+    "oov_rate_by_split",
+    "cross_source_dup_matrix",
+    "exif_orientation_probe",
+    "lsh_dedup_recall",
+    "event_value_mad_outliers",
+    "bitext_margin_pairs_ivf",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -385,6 +417,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6D, _PROMOTE_R6D),
         (_DEMOTE_R6E, _PROMOTE_R6E),
         (_DEMOTE_R6F, _PROMOTE_R6F),
+        (_DEMOTE_R6G, _PROMOTE_R6G),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -4616,3 +4616,156 @@ def bitext_margin_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sided.filter(F.col("lang") == "en").select("id", "qvec", "qnorm")
     b = sided.filter(F.col("lang") == "de").select("id", "qvec", "qnorm")
     return S.margin_mutual_pairs_ivf(a, b, cents, nprobe=IVF_NPROBE).orderBy("id_a")
+
+
+#: Late-interaction (MaxSim) parameters: deterministic 8-dim integer token
+#: vectors derived from md5(word:dim) — the same hash-to-weight family as
+#: the LSH planes — and two fixed multi-term queries.
+MAXSIM_DIM = 8
+MAXSIM_QUERIES = {"q_dedup": ("dup", "docs", "join"), "q_stream": ("stream", "window", "state")}
+MAXSIM_TOP_K = 10
+
+
+def _tokvec_exprs_spark(word_col: str) -> list:
+    """MAXSIM_DIM deterministic int components for a word column:
+    int(md5(word || ':' || d)[:8], 16) % 2001 - 1000, scan-side."""
+    return [
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col(word_col), F.lit(f":{d}"))), 1, 8), 16, 10)
+            .cast("long")
+            % 2001
+            - 1000
+        ).alias(f"v{d}")
+        for d in range(MAXSIM_DIM)
+    ]
+
+
+def _tokvec_sql(word_expr: str, d: int) -> str:
+    """DuckDB twin of _tokvec_exprs_spark: 8 hex nibbles -> int."""
+    h = f"md5({word_expr} || ':{d}')"
+    nibs = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({nibs}) % 2001 - 1000)"
+
+
+def _maxsim_oracle() -> str:
+    dims = range(MAXSIM_DIM)
+    doc_vecs = ", ".join(f"{_tokvec_sql('word', d)} AS v{d}" for d in dims)
+    qrows = ", ".join(
+        f"('{q}', '{t}')" for q, terms in sorted(MAXSIM_QUERIES.items()) for t in terms
+    )
+    qvecs = ", ".join(f"{_tokvec_sql('term', d)} AS qv{d}" for d in dims)
+    dot = " + ".join(f"w.v{d} * t.qv{d}" for d in dims)
+    wnorm = " + ".join(f"w.v{d} * w.v{d}" for d in dims)
+    qnorm = " + ".join(f"t.qv{d} * t.qv{d}" for d in dims)
+    all_terms = sorted({t for terms in MAXSIM_QUERIES.values() for t in terms})
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN mc END) AS m_{t}" for t in all_terms
+    )
+    score_case = " ".join(
+        f"WHEN query = '{q}' THEN " + " + ".join(f"(m_{t})" for t in sorted(terms))
+        for q, terms in sorted(MAXSIM_QUERIES.items())
+    )
+    return f"""
+    WITH ms_words AS (
+        SELECT DISTINCT doc_id, t.tok AS word
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+        WHERE t.tok <> ''
+    ),
+    ms_wv AS (SELECT doc_id, word, {doc_vecs} FROM ms_words),
+    ms_q AS (SELECT query, term, {qvecs} FROM (VALUES {qrows}) q(query, term)),
+    ms_cos AS (
+        SELECT t.query, t.term, w.doc_id,
+               ({dot}) / sqrt(CAST(({wnorm}) AS DOUBLE) * ({qnorm})) AS c
+        FROM ms_q t CROSS JOIN ms_wv w
+    ),
+    ms_max AS (
+        SELECT query, term, doc_id, MAX(c) AS mc
+        FROM ms_cos GROUP BY query, term, doc_id
+    ),
+    ms_piv AS (
+        SELECT query, doc_id, {piv_cols}
+        FROM ms_max GROUP BY query, doc_id
+    ),
+    ms_score AS (
+        SELECT query, doc_id, CASE {score_case} END AS score FROM ms_piv
+    ),
+    ms_rank AS (
+        SELECT query, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM ms_score
+    )
+    SELECT query, doc_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ms_rank WHERE rank <= {MAXSIM_TOP_K}
+    ORDER BY query, rank
+    """
+
+
+@register_extra(
+    "late_interaction_topk",
+    _maxsim_oracle(),
+    description="Late-interaction retrieval (ColBERT MaxSim): score(q, d) "
+    "= sum over query terms of the MAX cosine between the term vector "
+    "and any word vector of the doc — the multi-vector ranking model "
+    "between bag-of-words BM25 and single-vector ANN. Token vectors are "
+    "deterministic 8-dim integers from md5(word:dim) (the LSH-plane "
+    "hash family), so both engines derive identical vectors from raw "
+    "text with no model weights. Shape: per-word cosines to all (few, "
+    "literal) query terms are scan-side expressions; ONE groupBy(doc) "
+    "computes every per-term max as an aggregate column "
+    "(map-side-combined); per-query scores add those columns in fixed "
+    "sorted-term order (float addition order pinned on both sides); "
+    "ranking is a per-query WindowGroupLimit. One shuffle total, "
+    "independent of query count until the term set grows.",
+    tags=("text", "similarity", "retrieval"),
+)
+def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = (
+        t["documents"]
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    wv = words.select("doc_id", *_tokvec_exprs_spark("word"))
+    wnorm = " + ".join(f"v{d} * v{d}" for d in range(MAXSIM_DIM))
+
+    def tvec(term: str) -> list[int]:
+        return [
+            int(hashlib.md5(f"{term}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(MAXSIM_DIM)
+        ]
+
+    aggs = []
+    for _q, terms in sorted(MAXSIM_QUERIES.items()):
+        for term in sorted(terms):
+            tv = tvec(term)
+            qn = sum(x * x for x in tv)
+            dot = " + ".join(f"v{d} * ({tv[d]})" for d in range(MAXSIM_DIM))
+            cos = F.expr(f"({dot}) / sqrt(CAST(({wnorm}) AS DOUBLE) * ({qn}))")
+            aggs.append(F.max(cos).alias(f"m_{term}"))
+    per_doc = wv.groupBy("doc_id").agg(*aggs)
+    frames = []
+    for q, terms in sorted(MAXSIM_QUERIES.items()):
+        # left-associated sum in sorted-term order — same float addition
+        # order as the oracle's pivot expression
+        score = reduce(lambda a, b: a + b, [F.col(f"m_{t}") for t in sorted(terms)])
+        frames.append(
+            per_doc.select(F.lit(q).alias("query"), "doc_id", score.alias("score"))
+        )
+    scored = reduce(lambda a, b: a.unionByName(b), frames)
+    w = W.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_TOP_K)
+        .select("query", "doc_id", "score", "rank")
+        .orderBy("query", "rank")
+    )

@@ -268,3 +268,48 @@ def semantic_dedup_retained(
         .select("vec_id", "cluster_id", "dist")
         .orderBy("vec_id")
     )
+
+
+def kmeans_minibatch(
+    df: DataFrame,
+    k: int = KMEANS_K,
+    updates: int = 8,
+    sample_mod: int = 4,
+    col: str = "embedding",
+    init: str = "min_ids",
+) -> tuple[DataFrame, dict]:
+    """Mini-batch Lloyd's on deterministic systematic slices.
+
+    Update pass t computes centroid means from the slice
+    ``vec_id % sample_mod == t % sample_mod`` only — 1/sample_mod of the
+    corpus per round, with the residue rotating so every vector
+    participates every ``sample_mod`` rounds. Centers that attract no
+    slice members keep their position for that round (they are NOT
+    dropped, unlike the full-batch contract — a thin slice must not
+    destroy centers). No RNG anywhere: the slice is a function of the
+    id, so the whole trajectory is engine- and run-reproducible and a
+    pure-Python mirror pins it exactly (the same determinism-over-
+    sampling trade ivf_centroids makes; classic Sculley mini-batch uses
+    random draws + per-center learning rates).
+
+    The point at corpus scale: per-round cost drops by sample_mod while
+    early-round inertia progress is nearly identical to full-batch
+    (measured in SCALING.md) — the right knob when the assignment scan,
+    not the k-row update, dominates. Returns (assignment, info) like
+    :func:`kmeans_converged`, inertia trace measured on the SLICE.
+    """
+    qdf = with_quantized(df, col).select("vec_id", "qvec").persist()
+    if init == "farthest":
+        cents = init_centroids_farthest(qdf, k)
+    else:
+        cents = init_centroids(qdf, k)
+    dim = len(cents[0][1])
+    inertia: list[int] = []
+    for t in range(updates):
+        batch = qdf.filter(F.pmod(F.col("vec_id"), F.lit(sample_mod)) == t % sample_mod)
+        new_cents, w = _update_with_inertia(assign_clusters(batch, cents), dim)
+        inertia.append(w)
+        got = dict(new_cents)
+        cents = sorted((cid, got.get(cid, cv)) for cid, cv in cents)
+    final = assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+    return final, {"iterations": updates, "inertia": inertia}

@@ -263,3 +263,47 @@ def test_kmeans_converged_matches_python_mirror(spark):
     assert info["inertia"] == inertia
     # sanity: the run actually iterated (fixpoint not at the seed)
     assert rounds >= 2
+
+
+def test_kmeans_minibatch_matches_python_mirror(spark):
+    """Systematic-slice mini-batch Lloyd equals a pure-Python mirror of
+    the identical schedule (rotating residue slices, keep-position for
+    sliceless centers), and touches every vector across sample_mod
+    rounds."""
+    raw = {
+        i: [(((i * 11 + d * 7) % 31) / 31.0) for d in range(4)] for i in range(24)
+    }
+    df = _emb_df(spark, [(i, v) for i, v in raw.items()])
+    final, info = C.kmeans_minibatch(df, k=3, updates=6, sample_mod=3)
+    got = {r["vec_id"]: (r["cluster_id"], r["dist"]) for r in final.collect()}
+
+    vecs = {i: _quant(v) for i, v in raw.items()}
+    init_ids = sorted(vecs)[:3]
+    cents = sorted((cid, list(vecs[vid])) for cid, vid in enumerate(init_ids))
+
+    def assign(cents, ids):
+        out = {}
+        for vid in ids:
+            q = vecs[vid]
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(q, cv)), cid)
+                for cid, cv in cents
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    inertia = []
+    for t in range(6):
+        ids = [v for v in vecs if v % 3 == t % 3]
+        a = assign(cents, ids)
+        inertia.append(sum(d for _, d in a.values()))
+        new = {}
+        for cid in {cid for cid, _ in a.values()}:
+            members = [vecs[vid] for vid, (c, _) in a.items() if c == cid]
+            new[cid] = [
+                math.floor(sum(col) / len(members)) for col in zip(*members)
+            ]
+        cents = sorted((cid, new.get(cid, cv)) for cid, cv in cents)
+    want = assign(cents, list(vecs))
+    assert got == want
+    assert info["inertia"] == inertia

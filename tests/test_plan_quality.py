@@ -408,3 +408,40 @@ def test_cluster_topic_terms_plan(spark):
     schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     doc_schema = next(ln for ln in schemas if "text" in ln)
     assert "lang" not in doc_schema and "source" not in doc_schema
+
+
+def test_late_interaction_plan_shape(spark):
+    """MaxSim: per-query top-k through WindowGroupLimit, no shuffled
+    join anywhere (term vectors are inlined literals), and the documents
+    scan prunes to doc_id + text."""
+    df = REGISTRY["late_interaction_topk"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    read_schema = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_maxsim_token_vectors_match_python(spark):
+    """The Spark md5-derived token vectors equal the Python derivation
+    the query inlines for its term literals — the contract that makes
+    doc-side and query-side vectors live in the same space."""
+    import hashlib
+
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        MAXSIM_DIM,
+        _tokvec_exprs_spark,
+    )
+
+    words = ["dup", "stream", "Ünïcode", "x"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: [r[f"v{d}"] for d in range(MAXSIM_DIM)]
+        for r in df.select("word", *_tokvec_exprs_spark("word")).collect()
+    }
+    for w in words:
+        want = [
+            int(hashlib.md5(f"{w}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(MAXSIM_DIM)
+        ]
+        assert got[w] == want, w

@@ -4769,3 +4769,81 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query", "doc_id", "score", "rank")
         .orderBy("query", "rank")
     )
+
+
+#: RAG chunker: windows of W tokens advancing by STRIDE (overlap W-STRIDE).
+RAG_CHUNK_W = 64
+RAG_CHUNK_STRIDE = 48
+
+_RAG_ORACLE = f"""
+    WITH rg_toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    rg_idx AS (
+        SELECT doc_id, toks, n,
+               UNNEST(generate_series(0,
+                   CASE WHEN n <= {RAG_CHUNK_W} THEN 0
+                        ELSE (n - {RAG_CHUNK_W} + {RAG_CHUNK_STRIDE} - 1)
+                             // {RAG_CHUNK_STRIDE} END)) AS chunk_idx
+        FROM rg_toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {RAG_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({RAG_CHUNK_W}, n - chunk_idx * {RAG_CHUNK_STRIDE})
+                AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+               toks[chunk_idx * {RAG_CHUNK_STRIDE} + 1 :
+                    chunk_idx * {RAG_CHUNK_STRIDE} +
+                    LEAST({RAG_CHUNK_W}, n - chunk_idx * {RAG_CHUNK_STRIDE})],
+               ' ')) AS chunk_hash
+    FROM rg_idx
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+@register_extra(
+    "rag_chunk_spans",
+    _RAG_ORACLE,
+    description="RAG document chunking: overlapping token windows of "
+    "W=64 advancing by stride 48 (16-token overlap so retrieval never "
+    "loses a sentence to a boundary) — the chunk table every "
+    "retrieval-augmented pipeline materializes before embedding. "
+    "Emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash); the "
+    "md5 chunk hash stands in for chunk text so the result stays "
+    "compact while proving the exact token slice on both engines. "
+    "Pure scan-side: tokenize once, explode a computed chunk-count "
+    "sequence, slice — no shuffle at any corpus size except the "
+    "presentation sort. Chunk count is 1 for docs within one window, "
+    "else 1 + ceil((n-W)/stride), so every token lands in >=1 chunk "
+    "and trailing partials are kept (integer formula shared with the "
+    "oracle).",
+    tags=("text", "retrieval", "curation"),
+)
+def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    w, s = RAG_CHUNK_W, RAG_CHUNK_STRIDE
+    toks = t["documents"].select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.expr(
+        f"CASE WHEN n <= {w} THEN 0 ELSE (n - {w} + {s} - 1) div {s} END"
+    )
+    idx = toks.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks))
+    )
+    start = F.col("chunk_idx") * s
+    length = F.least(F.lit(w), F.col("n") - start)
+    return (
+        idx.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            length.cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), start + 1, length))
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -441,3 +441,34 @@ def test_bitext_ivf_full_probe_equals_brute(spark):
     full = {(r.id_a, r.id_b, r.dot_q, r.margin_ok)
             for r in margin_mutual_pairs_ivf(a, b, cents, nprobe=len(cents)).collect()}
     assert full == brute and brute
+
+
+def test_rag_chunk_spans_cover_every_token(spark):
+    """Chunk spans tile each doc: starts advance by the stride, the
+    union of [start, start+n_tokens) covers [0, doc_len) with no gap,
+    every full chunk is exactly W tokens, and only the final chunk may
+    be shorter."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        RAG_CHUNK_STRIDE,
+        RAG_CHUNK_W,
+        rag_chunk_spans,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = rag_chunk_spans(spark, SF_ORACLE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        doc_len = chunks[-1].start_tok + chunks[-1].n_tokens
+        covered_to = 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i and c.start_tok == i * RAG_CHUNK_STRIDE
+            assert c.start_tok <= covered_to, f"gap in doc {doc_id}"
+            covered_to = max(covered_to, c.start_tok + c.n_tokens)
+            if i < len(chunks) - 1:
+                assert c.n_tokens == RAG_CHUNK_W
+            assert 1 <= c.n_tokens <= RAG_CHUNK_W
+        assert covered_to == doc_len

@@ -531,7 +531,10 @@ def _auto_sample_mod(n: int) -> int:
 
 
 def ivf_centroids(
-    df: DataFrame, id_col: str = "vec_id", sample_mod: int | None = None
+    df: DataFrame,
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
+    k: int = IVF_CENTROIDS,
 ) -> list[list[int]]:
     """Deterministic integer k-means centroids for the IVF index.
 
@@ -559,17 +562,17 @@ def ivf_centroids(
     if sample_mod > 1:
         base = base.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
     mat = np.array([r["qvec"] for r in base.orderBy(id_col).collect()], dtype=np.int64)
-    return _kmeans_int(mat)
+    return _kmeans_int(mat, k)
 
 
-def _kmeans_int(mat) -> list[list[int]]:
+def _kmeans_int(mat, k: int = IVF_CENTROIDS) -> list[list[int]]:
     import numpy as np
 
-    cents = mat[:IVF_CENTROIDS].astype(np.float64)
+    cents = mat[:k].astype(np.float64)
     for _ in range(IVF_KMEANS_ITERS):
         d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        for c in range(IVF_CENTROIDS):
+        for c in range(len(cents)):
             members = mat[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
@@ -577,7 +580,9 @@ def _kmeans_int(mat) -> list[list[int]]:
     return [[int(x) for x in row] for row in cents]
 
 
-def ivf_centroids_from_parquet(path: str, sample_mod: int | None = None) -> list[list[int]]:
+def ivf_centroids_from_parquet(
+    path: str, sample_mod: int | None = None, k: int = IVF_CENTROIDS
+) -> list[list[int]]:
     """Spark-free centroid fit (pyarrow + numpy) — used by the DuckDB
     oracle side so both engines share identical centroid literals.
     Applies the same deterministic ``id % sample_mod == 0`` systematic
@@ -596,7 +601,7 @@ def ivf_centroids_from_parquet(path: str, sample_mod: int | None = None) -> list
     order = np.argsort(ids)
     emb = np.stack(t["embedding"].to_numpy()[keep][order])
     mat = np.floor(emb.astype(np.float64) * QUANT_SCALE).astype(np.int64)
-    return _kmeans_int(mat)
+    return _kmeans_int(mat, k)
 
 
 def assign_centroid(qvec_col: str, centroids: list[list[int]]):

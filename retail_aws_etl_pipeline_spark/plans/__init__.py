@@ -405,6 +405,27 @@ _PROMOTE_R6G = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-6 eighth swap: the final two session additions (ColBERT MaxSim
+# late-interaction retrieval, overlapping-stride RAG chunking) take first
+# driver rows, leaving zero never-proven queries in the registry. Demoted
+# (r1-r3-proven, families represented): doc_quality (quality signals ride
+# char_bigram_fluency + token_budget_selection in the window),
+# nation_market_share (join-agg shapes: rollup_region_nation +
+# order_value_histogram remain).
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R6H = [
+    "doc_quality",
+    "nation_market_share",
+]
+
+_PROMOTE_R6H = [
+    "late_interaction_topk",
+    "rag_chunk_spans",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -418,6 +439,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6E, _PROMOTE_R6E),
         (_DEMOTE_R6F, _PROMOTE_R6F),
         (_DEMOTE_R6G, _PROMOTE_R6G),
+        (_DEMOTE_R6H, _PROMOTE_R6H),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -4847,3 +4847,96 @@ def rag_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def _graph_profile_oracle() -> str:
+    damp_n, damp_d, scale = D.PR_DAMP_NUM, D.PR_DAMP_DEN, D.PR_SCALE
+    teleport = f"(({damp_d - damp_n} * {scale}) // {damp_d})"
+
+    def it(prev: str, out: str) -> str:
+        return f"""
+    gp_contrib_{out} AS (
+        SELECT e.dst, SUM(r.rank // d.deg) AS in_sum
+        FROM gp_sym e
+        JOIN gp_deg d ON d.src = e.src
+        JOIN gp_{prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ),
+    gp_{out} AS (
+        SELECT r.node,
+               {teleport} + ({damp_n} * COALESCE(c.in_sum, 0)) // {damp_d} AS rank
+        FROM gp_{prev} r LEFT JOIN gp_contrib_{out} c ON c.dst = r.node
+    )"""
+
+    return f"""
+    WITH RECURSIVE {GRAMS_CTE},
+    gp_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    gp_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    gp_qual AS (
+        SELECT p.id_a, p.id_b FROM gp_pairs p
+        JOIN gp_sizes sa ON sa.doc_id = p.id_a
+        JOIN gp_sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 5 >= (sa.n + sb.n - p.common)
+    ),
+    gp_sym AS (
+        SELECT id_a AS src, id_b AS dst FROM gp_qual
+        UNION ALL SELECT id_b, id_a FROM gp_qual
+    ),
+    gp_deg AS (SELECT src, COUNT(*) AS deg FROM gp_sym GROUP BY src),
+    gp_reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM gp_reach r JOIN gp_sym e ON r.dst = e.src
+    ),
+    gp_comp AS (SELECT src AS doc_id, MIN(dst) AS label FROM gp_reach GROUP BY src),
+    gp_r0 AS (SELECT doc_id AS node, CAST({scale} AS BIGINT) AS rank FROM documents),
+    {it("r0", "r1")},
+    {it("r1", "r2")}
+    SELECT c.doc_id, CAST(c.label AS BIGINT) AS label,
+           CAST(r.rank AS BIGINT) AS rank_scaled
+    FROM gp_comp c JOIN gp_r2 r ON r.node = c.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+@register_extra(
+    "dedup_graph_profile",
+    _graph_profile_oracle(),
+    description="The graph composition lever made real: connected "
+    "components AND 2-round integer PageRank computed off ONE built "
+    "edge set (the Jaccard >= 0.2 gram self-join both operators — and "
+    "the triangle census — would otherwise each pay; at the measured "
+    "second decade that exchange is 2.2-2.4 GB per query, so fusing is "
+    "the production shape). Emits per doc its duplication-family label "
+    "and its centrality within that family — the two columns a dedup "
+    "policy needs together (which family, which member to keep). The "
+    "edge frame is persisted once; each algorithm runs its proven "
+    "message-passing form; the oracle chains the recursive closure and "
+    "the unrolled rank schedule over the same edge CTE.",
+    tags=("graph", "dedup", "curation"),
+)
+def dedup_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    counts = D.jaccard_counts(grams)
+    edges = (
+        counts.filter(
+            F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    nodes = docs.select("doc_id")
+    comp = D.connected_components(edges, nodes)
+    pr = D.pagerank_scaled(edges, nodes, iterations=2)
+    return (
+        comp.select(F.col("node").alias("doc_id"), "label")
+        .join(pr, "doc_id")
+        .select("doc_id", "label", F.col("rank_scaled"))
+        .orderBy("doc_id")
+    )

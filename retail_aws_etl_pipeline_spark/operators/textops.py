@@ -298,15 +298,23 @@ def bm25_multi_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFr
 
 def normalize_text(col) -> Column:
     """Canonical text normalization (the curation stage run before exact
-    dedup so byte-trivial variants collide): control characters become
-    spaces, whitespace runs collapse to one space, ends trim, case folds
-    to lower. All scan-side regexp/casefold Column algebra — Java/RE2
+    dedup so byte-trivial variants collide): control characters AND
+    Unicode White_Space (NBSP, en/em/thin spaces, NEL, LS/PS, ideographic
+    space — the full Python ``str.strip`` set) become spaces, whitespace
+    runs collapse to one space, ends trim, case folds to lower. All scan-side regexp/casefold Column algebra — Java/RE2
     shared syntax (plain char classes, no lookaround), so a DuckDB
     oracle applies the same program verbatim. Idempotent by
     construction (property-tested): applying it twice is the identity
     on its own output.
     """
     c = col if not isinstance(col, str) else F.col(col)
-    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    # control chars AND Unicode White_Space (NBSP, en/em spaces, NEL,
+    # ideographic space...) -> ASCII space: Java and RE2 both accept the
+    # \\x{hhhh} class syntax, so the oracle applies the identical program
+    c = F.regexp_replace(
+        c,
+        "[\\x00-\\x1f\\x7f\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]",
+        " ",
+    )
     c = F.regexp_replace(c, " +", " ")
     return F.lower(F.trim(c))

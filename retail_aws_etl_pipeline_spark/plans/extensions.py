@@ -3605,7 +3605,7 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH norm AS (
         SELECT doc_id, text,
                lower(trim(regexp_replace(
-                   regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   regexp_replace(text, '[\\x00-\\x1f\\x7f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]', ' ', 'g'),
                    ' +', ' ', 'g'))) AS ntext
         FROM documents
     )
@@ -3647,7 +3647,7 @@ def _curation_funnel_oracle() -> str:
     WITH RECURSIVE cf_norm AS (
         SELECT doc_id,
                lower(trim(regexp_replace(
-                   regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   regexp_replace(text, '[\\x00-\\x1f\\x7f\\x{{85}}\\x{{a0}}\\x{{1680}}\\x{{2000}}-\\x{{200a}}\\x{{2028}}\\x{{2029}}\\x{{202f}}\\x{{205f}}\\x{{3000}}]', ' ', 'g'),
                    ' +', ' ', 'g'))) AS ntext
         FROM documents
     ),

@@ -505,6 +505,9 @@ def test_normalize_text_idempotent(spark, texts):
         assert r["once"] == r["once"].strip()
         assert "  " not in r["once"]
         assert not any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in r["once"])
+        # the full Unicode White_Space set normalizes to ASCII space
+        # (hypothesis found '\xa0' surviving the ASCII-only first cut)
+        assert not any(ch.isspace() and ch != " " for ch in r["once"])
 
 
 def test_triangle_census_known_graphs(spark):

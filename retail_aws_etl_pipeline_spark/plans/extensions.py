@@ -4127,7 +4127,10 @@ def _rebalance_oracle() -> str:
     "always makes the same decision — what streaming and incremental "
     "backfills need), at the cost of binomial jitter around the target "
     "rate. Salted so sampling stays independent of the train/valid/test "
-    "bucket hash.",
+    "bucket hash. Languages ABSENT from the rate table get rate 0 and "
+    "drop entirely (explicit allow-list semantics — mirrored by the "
+    "oracle's CASE ... ELSE 0); list a language with rate 100 to pass "
+    "it through.",
     tags=("sampling", "curation"),
 )
 def lang_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

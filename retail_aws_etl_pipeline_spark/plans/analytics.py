@@ -1885,3 +1885,98 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register_extra(
+    "funnel_step_latency",
+    """
+    WITH fl_v AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fl_c AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_click,
+               MIN(v.t_view) AS t_view
+        FROM events e JOIN fl_v v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+        GROUP BY e.user_id
+    ),
+    fl_p AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_p,
+               MIN(c.t_click) AS t_click
+        FROM events e JOIN fl_c c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+        GROUP BY e.user_id
+    ),
+    fl_gaps AS (
+        SELECT 'view->click' AS step, t_click - t_view AS gap FROM fl_c
+        UNION ALL
+        SELECT 'click->purchase', t_p - t_click FROM fl_p
+    ),
+    fl_h AS (SELECT step, gap, COUNT(*) AS c FROM fl_gaps GROUP BY step, gap),
+    fl_cum AS (
+        SELECT step, gap,
+               SUM(c) OVER (PARTITION BY step ORDER BY gap) AS cum,
+               SUM(c) OVER (PARTITION BY step) AS n
+        FROM fl_h
+    )
+    SELECT step, CAST(n AS BIGINT) AS n_users,
+           CAST(MIN(gap) AS BIGINT) AS p50_gap_us
+    FROM fl_cum WHERE cum >= (n + 1) // 2
+    GROUP BY step, n
+    ORDER BY step
+    """,
+    description="Funnel timing: the median (lower, element-picking) "
+    "elapsed microseconds between consecutive funnel steps — first view "
+    "to first subsequent click, first click to first subsequent "
+    "purchase — for the users who progressed, per the same progressive "
+    "step semantics as conversion_funnel. Where the funnel counts WHO "
+    "converts, this measures HOW FAST; the p50 is computed from the "
+    "(step, gap) HISTOGRAM via cumulative counts (the MAD rewrite's "
+    "discipline — window input is the aggregated distinct-gap frame, "
+    "never the raw user stream), so the only per-user work is three "
+    "keyed min-aggregates.",
+    tags=("window", "funnel", "profiling"),
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_p"), F.min("t_click").alias("t_click"))
+    )
+    gaps = c.select(
+        F.lit("view->click").alias("event_type"),
+        (F.col("t_click") - F.col("t_view")).alias("gap"),
+    ).unionByName(
+        p.select(
+            F.lit("click->purchase").alias("event_type"),
+            (F.col("t_p") - F.col("t_click")).alias("gap"),
+        )
+    )
+    hist = gaps.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _grouped_lower_median(hist, "gap")
+    return med.select(
+        F.col("event_type").alias("step"),
+        F.col("n").cast("long").alias("n_users"),
+        F.col("med").cast("long").alias("p50_gap_us"),
+    ).orderBy("step")

@@ -472,3 +472,42 @@ def test_rag_chunk_spans_cover_every_token(spark):
                 assert c.n_tokens == RAG_CHUNK_W
             assert 1 <= c.n_tokens <= RAG_CHUNK_W
         assert covered_to == doc_len
+
+
+def test_funnel_step_latency_handcrafted(spark):
+    """Hand-built event streams: user 1 converts view(t=0)->click(10)->
+    purchase(40); user 2 view(0)->click(30) only; user 3 clicks BEFORE
+    any view (never progresses). Gaps: view->click {10, 30} -> lower
+    median 10; click->purchase {30} -> 30."""
+    import datetime as dt
+
+    from retail_aws_etl_pipeline_spark.plans.analytics import funnel_step_latency
+    from retail_aws_etl_pipeline_spark.plans.queries import EXTRA_REGISTRY, REGISTRY
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        (1, 1, ts(0), "view"), (2, 1, ts(10), "click"), (3, 1, ts(40), "purchase"),
+        (4, 2, ts(0), "view"), (5, 2, ts(30), "click"),
+        (6, 3, ts(5), "click"), (7, 3, ts(10), "view"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, k, 0.0, "{}") for e, u, t, k in rows],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        spec = REGISTRY.get("funnel_step_latency") or EXTRA_REGISTRY["funnel_step_latency"]
+        got = {
+            r.step: (r.n_users, r.p50_gap_us)
+            for r in spec.spark_fn(spark, d).collect()
+        }
+    assert got == {
+        "view->click": (2, 10_000_000),
+        "click->purchase": (1, 30_000_000),
+    }

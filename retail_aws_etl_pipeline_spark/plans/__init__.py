@@ -426,6 +426,138 @@ _PROMOTE_R6H = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Round-7 rotation (VERDICT r6 item #1 + the COVERAGE.md §rotation policy):
+# full-window swap, staleness-ordered. Promoted, in priority order:
+# (a) the only two registry entries with no driver row ever —
+#     dedup_graph_profile and funnel_step_latency (the r6 session's last
+#     two additions, both locally oracle-green);
+# (b) all 17 entries whose newest driver row is r1-r3 (the r6E-r6H
+#     demotes the VERDICT flags as the stalest proofs);
+# (c) all 14 entries whose newest row is r4 (the r5 analytics demotes);
+# (d) 17 freshness refreshes from the r5-newest pool, chosen for family
+#     spread: TPC core (daily_revenue, pricing_summary, top_items,
+#     region_revenue), dedup (exact/minhash/simhash/ngram/clusters/
+#     keep-latest), ANN (brute + IVF), sessions/as-of/funnel, multimodal
+#     decode, lang-id.
+# Demoted: the entire r6 window — all 50 entries carry r6-green rows, the
+# freshest proofs in the archive. approx_sketch_stats stays retired
+# (oracle-less by design; its exact twin sketch_accuracy_stats is
+# r6-green). After this swap every registry entry's newest driver row is
+# r5/r6/r7 — inside the 3-round SLO that tests/test_window_slo.py pins.
+# ---------------------------------------------------------------------------
+
+_DEMOTE_R7 = [
+    "bitext_margin_pairs",
+    "bitext_margin_pairs_ivf",
+    "bm25_multi_query_topk",
+    "bm25_query_scores",
+    "bpe_pair_stats",
+    "char_bigram_fluency",
+    "cluster_topic_terms",
+    "collocation_pairs",
+    "containment_pairs_boilerplate",
+    "contrastive_training_pairs",
+    "corpus_card",
+    "corpus_snapshot_diff",
+    "cross_source_dup_matrix",
+    "curation_funnel_report",
+    "customer_spend_deciles",
+    "dedup_retained_corpus",
+    "deletion_cascade_audit",
+    "doc_containment_pairs",
+    "doc_containment_pairs_prefix",
+    "doc_pagerank",
+    "embedding_coverage_audit",
+    "event_pairs_within_window",
+    "event_trigram_paths",
+    "event_value_mad_outliers",
+    "exif_orientation_probe",
+    "graph_triangle_census",
+    "hopping_event_rollup",
+    "incremental_near_dup_pairs",
+    "kmeans_cluster_profile",
+    "kmeans_farthest_profile",
+    "lang_rebalanced_sample",
+    "late_interaction_topk",
+    "lsh_dedup_recall",
+    "normalized_dedup_gain",
+    "oov_rate_by_split",
+    "order_value_histogram",
+    "rag_chunk_spans",
+    "rollup_region_nation",
+    "semantic_dedup_retained",
+    "similarity_spectrum",
+    "sketch_accuracy_stats",
+    "sorted_neighborhood_pairs",
+    "term_drift_report",
+    "tfidf_top_terms",
+    "timestamp_parse_extended",
+    "token_budget_selection",
+    "token_chunk_dedup",
+    "token_chunk_dedup_corpus",
+    "unordered_parts_except",
+    "user_event_pivot",
+]
+
+_PROMOTE_R7 = [
+    # (a) first rows ever
+    "dedup_graph_profile",
+    "funnel_step_latency",
+    # (b) newest row r1-r3
+    "dataset_split_assignment",
+    "distinct_buyer_counts",
+    "doc_fingerprints",
+    "doc_quality",
+    "doc_token_stats",
+    "event_value_outliers",
+    "hourly_event_rollup",
+    "large_volume_orders",
+    "median_order_by_priority",
+    "nation_market_share",
+    "part_supplier_counts",
+    "returned_order_priorities",
+    "segment_buyers_intersect",
+    "shipping_priority",
+    "supplier_nation_volume",
+    "union_account_balances",
+    "weekly_retention_cohorts",
+    # (c) newest row r4
+    "ann_topk_lsh_ball",
+    "ann_topk_pandas",
+    "brand_quantity_revenue",
+    "cube_order_stats",
+    "customer_order_distribution",
+    "customer_order_history",
+    "dormant_rich_customers",
+    "forecast_revenue",
+    "priority_order_counts",
+    "promo_revenue_ratio",
+    "returned_item_customers",
+    "small_quantity_revenue",
+    "top_revenue_suppliers",
+    "two_nation_volume",
+    # (d) r5 freshness refreshes, family spread
+    "daily_revenue",
+    "pricing_summary",
+    "top_items",
+    "region_revenue",
+    "exact_dup_docs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "dedup_keep_latest",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "user_sessions",
+    "purchase_asof_last_click",
+    "conversion_funnel",
+    "media_decode_stats",
+    "doc_lang_id",
+]
+
+
 def _rotate_driver_window() -> None:
     # Sequential: each round's demotes are names an earlier round promoted,
     # so each round's swap must fully apply before the next round's runs.
@@ -440,6 +572,7 @@ def _rotate_driver_window() -> None:
         (_DEMOTE_R6F, _PROMOTE_R6F),
         (_DEMOTE_R6G, _PROMOTE_R6G),
         (_DEMOTE_R6H, _PROMOTE_R6H),
+        (_DEMOTE_R7, _PROMOTE_R7),
     ):
         for name in demote:
             EXTRA_REGISTRY[name] = REGISTRY.pop(name)

@@ -151,7 +151,8 @@ def kmeans_assign(
     unrolled oracles assume) or ``"farthest"`` (k-center sweep seeding).
     Returns (vec_id, cluster_id, dist) after the final assignment pass.
     """
-    qdf = with_quantized(df, col).select("vec_id", "qvec")
+    base = with_quantized(df, col).select("vec_id", "qvec")
+    qdf = base
     if updates > 0 or init == "farthest":
         # Seeding/update passes re-scan the quantized base; persist once.
         qdf = qdf.persist()
@@ -162,7 +163,14 @@ def kmeans_assign(
     dim = len(cents[0][1])
     for _ in range(updates):
         cents = _update_centroids(assign_clusters(qdf, cents), dim)
-    return assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+    # Every pass above is driver-materialized (centroids are Python
+    # lists), so the cache is done once the loop ends: build the returned
+    # assignment from the UNPERSISTED base (one cheap scan-side
+    # re-quantization when the caller executes) and free the blocks now
+    # rather than leaking them across a long-lived session.
+    if qdf is not base:
+        qdf.unpersist()
+    return assign_clusters(base, cents).select("vec_id", "cluster_id", "dist")
 
 
 def kmeans_converged(
@@ -197,7 +205,8 @@ def kmeans_converged(
     Returns (final assignment (vec_id, cluster_id, dist), info) with
     info = {iterations, converged, inertia: [int per update pass]}.
     """
-    qdf = with_quantized(df, col).select("vec_id", "qvec").persist()
+    base = with_quantized(df, col).select("vec_id", "qvec")
+    qdf = base.persist()
     if init == "farthest":
         cents = init_centroids_farthest(qdf, k)
     else:
@@ -213,7 +222,10 @@ def kmeans_converged(
             converged = True
             break
         cents = new_cents
-    final = assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+    # Loop is driver-materialized; release the cache and return an
+    # assignment over the unpersisted base (no leaked blocks).
+    qdf.unpersist()
+    final = assign_clusters(base, cents).select("vec_id", "cluster_id", "dist")
     return final, {"iterations": rounds, "converged": converged, "inertia": inertia}
 
 
@@ -283,7 +295,9 @@ def kmeans_minibatch(
     Update pass t computes centroid means from the slice
     ``vec_id % sample_mod == t % sample_mod`` only — 1/sample_mod of the
     corpus per round, with the residue rotating so every vector
-    participates every ``sample_mod`` rounds. Centers that attract no
+    participates every ``sample_mod`` rounds — which presupposes
+    ``updates >= sample_mod``; fewer rounds than slices would leave some
+    residues unvisited, so that misuse raises ``ValueError``. Centers that attract no
     slice members keep their position for that round (they are NOT
     dropped, unlike the full-batch contract — a thin slice must not
     destroy centers). No RNG anywhere: the slice is a function of the
@@ -298,7 +312,18 @@ def kmeans_minibatch(
     not the k-row update, dominates. Returns (assignment, info) like
     :func:`kmeans_converged`, inertia trace measured on the SLICE.
     """
-    qdf = with_quantized(df, col).select("vec_id", "qvec").persist()
+    if updates < sample_mod:
+        # Fewer update rounds than residue slices means slices
+        # t=updates..sample_mod-1 never influence any centroid — the
+        # docstring's every-vector-participates contract would silently
+        # not hold. Make the misuse loud (ADVICE r7).
+        raise ValueError(
+            f"kmeans_minibatch: updates={updates} < sample_mod={sample_mod} "
+            "leaves id-residue slices unvisited; every vector participates "
+            "only when updates >= sample_mod"
+        )
+    base = with_quantized(df, col).select("vec_id", "qvec")
+    qdf = base.persist()
     if init == "farthest":
         cents = init_centroids_farthest(qdf, k)
     else:
@@ -311,5 +336,8 @@ def kmeans_minibatch(
         inertia.append(w)
         got = dict(new_cents)
         cents = sorted((cid, got.get(cid, cv)) for cid, cv in cents)
-    final = assign_clusters(qdf, cents).select("vec_id", "cluster_id", "dist")
+    # Loop is driver-materialized; release the cache and return an
+    # assignment over the unpersisted base (no leaked blocks).
+    qdf.unpersist()
+    final = assign_clusters(base, cents).select("vec_id", "cluster_id", "dist")
     return final, {"iterations": updates, "inertia": inertia}

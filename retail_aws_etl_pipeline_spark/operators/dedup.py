@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
 #: MinHash parameters: k = NUM_HASHES signatures, banded r=ROWS_PER_BAND.
 NUM_HASHES = 6
 ROWS_PER_BAND = 2
@@ -846,7 +848,11 @@ def pagerank_scaled(
                 ).alias("rank"),
             )
         )
-    return ranks.select(F.col("node").alias(id_col), F.col("rank").alias("rank_scaled"))
+    out = ranks.select(F.col("node").alias(id_col), F.col("rank").alias("rank_scaled"))
+    # The returned plan references `sym` once per iteration, so its cache
+    # must outlive this call — lifecycle is caller-owned via
+    # caching.release_caches(result) after the terminal action.
+    return retaining(out, sym)
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:
@@ -908,7 +914,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_wedges"),
     )
-    return (
+    out = (
         base.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(n_tri))
         .select(
@@ -922,6 +928,9 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             ).alias("gcc_ppm"),
         )
     )
+    # All three caches feed multiple branches of the returned one-row
+    # plan; caller releases via caching.release_caches(result).
+    return retaining(out, e, deg, oriented)
 
 
 def sorted_neighborhood_candidates(
@@ -948,8 +957,17 @@ def sorted_neighborhood_candidates(
     """
     from pyspark.sql import Window as W
 
-    ranged = df.repartitionByRange(partitions, *sort_exprs).withColumn(
-        "__pid", F.spark_partition_id()
+    # PINNED: both the row_number branch and the counts branch consume
+    # this frame, and global ranks are only correct if both see the SAME
+    # range partition bounds. RangePartitioner samples at execution time,
+    # so an unpersisted frame would rely on exchange reuse
+    # (spark.sql.exchange.reuse) to guarantee one partitioning — persist
+    # makes the single materialization explicit instead of latent
+    # (ADVICE r7; same discipline as customer_spend_deciles).
+    ranged = (
+        df.repartitionByRange(partitions, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         "__lrn", F.row_number().over(W.partitionBy("__pid").orderBy(*sort_exprs))
@@ -982,7 +1000,7 @@ def sorted_neighborhood_candidates(
         F.col("__rn").alias("__rn_hi"),
         F.col("__blk").alias("__b"),
     )
-    return (
+    out = (
         probes.join(anchors, "__b")
         .filter(
             (F.col("__rn_hi") > F.col("__rn_lo"))
@@ -994,3 +1012,4 @@ def sorted_neighborhood_candidates(
             (F.col("__rn_hi") - F.col("__rn_lo")).cast("long").alias("rank_dist"),
         )
     )
+    return retaining(out, ranged, ranked)

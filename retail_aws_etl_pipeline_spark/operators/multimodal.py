@@ -1056,18 +1056,31 @@ def probe_exif(buf: bytes) -> tuple[str | None, int | None, int | None, int | No
     declared endianness (II or MM). Returns (None, None, None, None) for
     non-JPEG input or a JPEG without an Exif APP1; raises ValueError for a
     declared-but-truncated APP1/TIFF structure (family contract: truncation
-    is an error, absence is a miss). O(header) bytes touched."""
+    is an error, absence is a miss). The walk handles 0xFF fill/padding
+    bytes and length-less standalone markers (TEM 0x01, RST0-7) that
+    real-world encoders may emit before SOS. O(header) bytes touched."""
     import struct
 
     if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
         return (None, None, None, None)
     at = 2
-    while at + 4 <= len(buf):
+    while at + 2 <= len(buf):
         if buf[at] != 0xFF:
+            return (None, None, None, None)
+        # 0xFF may repeat as fill/padding before the marker id (ITU T.81
+        # §B.1.1.2 allows any number of fill bytes) — skip to the last one.
+        while at + 1 < len(buf) and buf[at + 1] == 0xFF:
+            at += 1
+        if at + 2 > len(buf):
             return (None, None, None, None)
         marker = buf[at + 1]
         if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 ahead
             return (None, None, None, None)
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn:
+            at += 2  # standalone markers carry NO length field
+            continue
+        if at + 4 > len(buf):
+            raise ValueError("truncated JPEG segment")
         seg_len = int.from_bytes(buf[at + 2 : at + 4], "big")
         if seg_len < 2 or at + 2 + seg_len > len(buf):
             raise ValueError("truncated JPEG segment")

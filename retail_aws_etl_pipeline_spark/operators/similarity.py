@@ -27,6 +27,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
 QUANT_SCALE = 1024
 NUM_PLANES = 8
 PLANE_DIM = 64
@@ -786,6 +788,7 @@ def margin_mutual_pairs(
     b_df: DataFrame,
     margin_num: int = MARGIN_NUM,
     margin_den: int = MARGIN_DEN,
+    sq_scale: int = MARGIN_SQ_SCALE,
 ) -> DataFrame:
     """Bitext-style mutual-NN mining with a ratio-margin test.
 
@@ -828,7 +831,11 @@ def margin_mutual_pairs(
         .select("id_a", "id_b", "a_qnorm", "b_qnorm", "dot_q", "cosine")
         .persist()
     )
-    return _margin_select(scored, margin_num, margin_den)
+    # `scored` feeds four window/join branches of the returned plan;
+    # cache lifecycle is caller-owned (caching.release_caches(result)).
+    return retaining(
+        _margin_select(scored, margin_num, margin_den, sq_scale), scored
+    )
 
 
 def margin_mutual_pairs_ivf(
@@ -838,6 +845,7 @@ def margin_mutual_pairs_ivf(
     nprobe: int = 2,
     margin_num: int = MARGIN_NUM,
     margin_den: int = MARGIN_DEN,
+    sq_scale: int = MARGIN_SQ_SCALE,
 ) -> DataFrame:
     """:func:`margin_mutual_pairs` through an IVF coarse quantizer — the
     scale path for the brute cross join.
@@ -887,13 +895,27 @@ def margin_mutual_pairs_ivf(
         .select("id_a", "id_b", "a_qnorm", "b_qnorm", "dot_q", "cosine")
         .persist()
     )
-    return _margin_select(scored, margin_num, margin_den)
+    return retaining(
+        _margin_select(scored, margin_num, margin_den, sq_scale), scored
+    )
 
 
-def _margin_select(scored: DataFrame, margin_num: int, margin_den: int) -> DataFrame:
+def _margin_select(
+    scored: DataFrame,
+    margin_num: int,
+    margin_den: int,
+    sq_scale: int = MARGIN_SQ_SCALE,
+) -> DataFrame:
     """Mutual-NN + two-sided integer margin over a scored candidate frame
     (id_a, id_b, a_qnorm, b_qnorm, dot_q, cosine) — shared by the brute
-    and IVF candidate generators."""
+    and IVF candidate generators.
+
+    ``sq_scale`` is the floor-div reduction applied to dot_q² before the
+    cross-multiplied compare; it keeps every term within int64 but makes
+    the margin test an approximation of the exact ratio near the
+    boundary. Callers with tighter custom margins can lower it (more
+    precision, less headroom) — it threads from the public operators
+    rather than being pinned to the module constant (ADVICE r7)."""
     from pyspark.sql import Window as W
 
     wf = W.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
@@ -925,14 +947,14 @@ def _margin_select(scored: DataFrame, margin_num: int, margin_den: int) -> DataF
     fwd_ok = F.when(
         F.col("f2_dot").isNull() | (F.col("f2_dot") <= 0), F.lit(True)
     ).otherwise(
-        F.expr(f"(dot_q * dot_q) div {MARGIN_SQ_SCALE}") * F.col("f2_qn") * (margin_den**2)
-        >= F.expr(f"(f2_dot * f2_dot) div {MARGIN_SQ_SCALE}") * F.col("b_qnorm") * (margin_num**2)
+        F.expr(f"(dot_q * dot_q) div {sq_scale}") * F.col("f2_qn") * (margin_den**2)
+        >= F.expr(f"(f2_dot * f2_dot) div {sq_scale}") * F.col("b_qnorm") * (margin_num**2)
     )
     bwd_ok = F.when(
         F.col("b2_dot").isNull() | (F.col("b2_dot") <= 0), F.lit(True)
     ).otherwise(
-        F.expr(f"(dot_q * dot_q) div {MARGIN_SQ_SCALE}") * F.col("b2_qn") * (margin_den**2)
-        >= F.expr(f"(b2_dot * b2_dot) div {MARGIN_SQ_SCALE}") * F.col("a_qnorm") * (margin_num**2)
+        F.expr(f"(dot_q * dot_q) div {sq_scale}") * F.col("b2_qn") * (margin_den**2)
+        >= F.expr(f"(b2_dot * b2_dot) div {sq_scale}") * F.col("a_qnorm") * (margin_num**2)
     )
     return mutual.select(
         "id_a",

@@ -290,6 +290,29 @@ def test_margin_mutual_pairs_handcrafted(spark):
     assert (2, 11) in out and out[(2, 11)] is False
     assert (1, 11) not in out
 
+    # sq_scale threads through (ADVICE r7): a 100x finer reduction gives
+    # a tighter approximation of the exact ratio and must agree with the
+    # default on this clear-cut set (the knob exists precisely so callers
+    # with custom margins can pick their precision/headroom trade —
+    # sq_scale=1 would overflow int64 even here, which is why the
+    # reduction exists at all), while an absurdly coarse scale floors
+    # every dot² to 0 and accepts everything (the knob visibly moves the
+    # boundary).
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        margin_mutual_pairs as mmp,
+    )
+
+    finer = {
+        (r.id_a, r.id_b): r.margin_ok
+        for r in mmp(mk(rows_a), mk(rows_b), sq_scale=10**4).collect()
+    }
+    assert finer == out
+    coarse = {
+        (r.id_a, r.id_b): r.margin_ok
+        for r in mmp(mk(rows_a), mk(rows_b), sq_scale=10**15).collect()
+    }
+    assert coarse[(2, 11)] is True  # dot² div 1e15 == 0 on both sides
+
 
 def test_containment_prefix_on_boilerplate_corpus(spark):
     """On the boilerplate-skew corpus the prefix path is (1) exactly equal

@@ -1029,3 +1029,14 @@ def test_probe_exif_both_endians_and_errors():
     bad[12:14] = b"XX"
     with pytest.raises(ValueError):
         probe_exif(bytes(bad))
+
+    # Real-world encoder quirks before SOS (ADVICE r7): 0xFF fill bytes
+    # between markers and length-less standalone markers (TEM 0x01,
+    # RST0-7) must be walked over, not mis-read as segment lengths.
+    body = payload(4)
+    fill = body[:2] + b"\xff\xff\xff" + body[2:]  # FF-padding before APP1
+    assert probe_exif(fill) == ("II", 5, 20, 37)
+    tem = body[:2] + b"\xff\x01" + b"\xff\xd0" + body[2:]  # TEM + RST0
+    assert probe_exif(tem) == ("II", 5, 20, 37)
+    mixed = body[:2] + app0 + b"\xff\xff\xd1" + body[2:]  # APP0, fill, RST1
+    assert probe_exif(mixed) == ("II", 5, 20, 37)

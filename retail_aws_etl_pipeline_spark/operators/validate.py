@@ -129,17 +129,24 @@ def split_quality(
         ).alias("invalid_timestamp"),
     )
 
-    # Cache the parse lineage once: every downstream branch (good rows,
-    # three reject classes, counts) reuses it instead of re-reading +
-    # re-parsing the file per action.
-    parsed = parsed.persist()
-
-    struct_rejects = parsed.filter(struct_cond).withColumn(
-        "reject_reason", F.lit(REJECT_REASON_STRUCTURAL)
+    # The parse lineage is deliberately NOT cached: its only consumers
+    # besides the good path are the early-reject branches and the count
+    # fallback, and the common case (a clean production file) never
+    # executes either — caching the widest frame in the pipeline (every
+    # raw column + raw_row + timestamp_parsed) cost a full serialization
+    # pass on every ingest to serve branches that usually read nothing
+    # (measured ~10% of bench ingest wall). A dirty file re-parses ONCE
+    # at reject-write time: the structural and timestamp branches are
+    # fused into a single filter pass below, so the reject union is one
+    # scan, not two.
+    early_rejects = parsed.filter(
+        struct_cond | F.col("timestamp_parsed").isNull()
+    ).withColumn(
+        "reject_reason",
+        F.when(struct_cond, F.lit(REJECT_REASON_STRUCTURAL)).otherwise(
+            F.lit(REJECT_REASON_TIMESTAMP)
+        ),
     )
-    ts_rejects = parsed.filter(
-        ~struct_cond & F.col("timestamp_parsed").isNull()
-    ).withColumn("reject_reason", F.lit(REJECT_REASON_TIMESTAMP))
 
     survivors = parsed.filter(~struct_cond & F.col("timestamp_parsed").isNotNull())
 
@@ -168,19 +175,18 @@ def split_quality(
         )
     )
 
-    # Persist the deduped frame as well: the dropDuplicates shuffle would
-    # otherwise run twice — once for the reject branch and again when the
-    # caller writes the good rows. Post-dedup + business counts observe the
-    # same single materialization.
+    # Uncached for the same reason as the parse lineage: the only consumer
+    # beyond the caller's silver write is the business-reject branch,
+    # which a clean file never executes. A dirty file re-runs the
+    # dropDuplicates shuffle once at reject-write time; the clean-path
+    # saving (no serialization pass over the full deduped frame on every
+    # ingest) wins on the common case. Identical rows make the re-run
+    # deterministic — any kept duplicate is byte-equal.
     obs_dedup = Observation(f"{obs_prefix}dedup_counts")
-    deduped = (
-        cleaned.dropDuplicates()
-        .observe(
-            obs_dedup,
-            F.count(F.lit(1)).alias("after_dedup"),
-            F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
-        )
-        .persist()
+    deduped = cleaned.dropDuplicates().observe(
+        obs_dedup,
+        F.count(F.lit(1)).alias("after_dedup"),
+        F.sum(F.when(dq_cond, 1).otherwise(0)).alias("business"),
     )
 
     dq_rejects = (
@@ -190,10 +196,8 @@ def split_quality(
     )
     good = deduped.filter(~dq_cond)
 
-    rejects = (
-        align_reject_schema(struct_rejects)
-        .unionByName(align_reject_schema(ts_rejects))
-        .unionByName(align_reject_schema(dq_rejects))
+    rejects = align_reject_schema(early_rejects).unionByName(
+        align_reject_schema(dq_rejects)
     )
 
     # -- zero-extra-pass class counts --------------------------------------
@@ -206,9 +210,10 @@ def split_quality(
         When a frame is empty AT RUNTIME (e.g. every row rejected), AQE's
         empty-relation propagation can prune the Observation node below
         the empty shuffle — ``obs.get`` then surfaces a schemaless row
-        (``toPyRow`` assertion). The frames are cached, so recomputing the
-        same aggregates explicitly is one cheap job over cached (empty)
-        data and yields the identical dict.
+        (``toPyRow`` assertion). The explicit fallback aggregation yields
+        the identical dict by re-running the (empty-input) lineage — the
+        degenerate all-reject case only, where the file is one cheap
+        extra scan.
         """
         try:
             return obs.get
@@ -256,5 +261,5 @@ def split_quality(
         return counts
 
     return QualitySplit(
-        good=good, rejects=rejects, cached=[parsed, deduped], _resolve=_resolve
+        good=good, rejects=rejects, cached=[], _resolve=_resolve
     )

@@ -36,6 +36,19 @@ At 100 TB: a commit adds O(files) manifest entries and ONE pointer
 update, independent of table size; snapshot reads list zero directories
 (the manifest is the listing — on S3 that also removes the
 eventually-consistent LIST from the read path).
+
+Maintenance and the reader grace window: run ``gc_manifests`` (reclaim
+old snapshot manifests) then ``vacuum`` (delete data no retained
+manifest references), in that order. Retention is manifest-driven, not
+reader-driven — a reader pinned to an old snapshot is only safe while
+either a retained manifest references its files or the vacuum age
+window covers it. **Sizing rule**: ``min_age_seconds`` (default 1 h)
+must be at least the longest expected reader/job runtime PLUS the
+longest staging write, never 0 while writers or readers may be active —
+the same retention discipline as Delta's VACUUM. Both sides of the
+contract are pinned by ``tests/test_failure_recovery.py``
+(``test_manifest_vacuum_retention_spares_inflight_staging``,
+``test_manifest_vacuum_reader_grace_contract``).
 """
 
 from __future__ import annotations

@@ -537,11 +537,14 @@ _PROMOTE_R7 = [
     "small_quantity_revenue",
     "top_revenue_suppliers",
     "two_nation_volume",
-    # (d) r5 freshness refreshes, family spread
+    # (d) r5 freshness refreshes, family spread. Four slots moved to the
+    # r7-new operators (item_affinity_pairs, customer_rfm_segments,
+    # revenue_benford_audit, partkey_skew_report register() directly into
+    # the window — first-ever rows outrank freshness refreshes, the
+    # standing policy); the displaced refreshes (pricing_summary,
+    # top_items, region_revenue, doc_lang_id) keep their r5 rows, still
+    # inside the 3-round SLO, and head the r8 refresh queue.
     "daily_revenue",
-    "pricing_summary",
-    "top_items",
-    "region_revenue",
     "exact_dup_docs",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -554,7 +557,6 @@ _PROMOTE_R7 = [
     "purchase_asof_last_click",
     "conversion_funnel",
     "media_decode_stats",
-    "doc_lang_id",
 ]
 
 

@@ -81,12 +81,16 @@ def test_approx_sketch_within_tolerance(spark):
 
 
 def test_sketch_window_membership():
-    """The driver window holds the exact twin; the sketch stays local-only."""
+    """The exact twin stays driver-checkable (oracle'd — window membership
+    itself rotates under the COVERAGE.md §rotation SLO, enforced by
+    test_window_slo.py); the approx sketch stays retired (oracle-less,
+    local tolerance gate only, never in the window)."""
     from retail_aws_etl_pipeline_spark.plans import EXTRA_REGISTRY, REGISTRY
+    from retail_aws_etl_pipeline_spark.plans.queries import all_specs
 
-    assert "sketch_accuracy_stats" in REGISTRY
-    assert REGISTRY["sketch_accuracy_stats"].oracle is not None
+    assert all_specs()["sketch_accuracy_stats"].oracle is not None
     assert "approx_sketch_stats" in EXTRA_REGISTRY
+    assert EXTRA_REGISTRY["approx_sketch_stats"].oracle is None
     # the whole driver window must be hash-checkable (VERDICT r5 #1)
     oracle_less = [n for n, s in REGISTRY.items() if s.oracle is None]
     assert oracle_less == [], f"driver window has unprovable entries: {oracle_less}"

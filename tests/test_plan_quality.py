@@ -445,3 +445,44 @@ def test_maxsim_token_vectors_match_python(spark):
             for d in range(MAXSIM_DIM)
         ]
         assert got[w] == want, w
+
+
+def test_customer_rfm_segments_no_global_window(spark):
+    """All three quartile assignments go through _distributed_ntile: every
+    Window in the executed plan is partitioned by spark_partition_id
+    (never a single-task global window), and the rank-offset joins stay
+    broadcast."""
+    import re
+
+    df = REGISTRY["customer_rfm_segments"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert len(windows) >= 3, "expected three per-partition rank Windows"
+    for ln in windows:
+        assert len(re.findall(r"\], \[", ln)) >= 2, f"unpartitioned Window: {ln.strip()[:200]}"
+        assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_item_affinity_plan_shape(spark):
+    """Basket self-join stays a keyed equi-join (no cartesian on the data
+    path — the only cross join is the broadcast 1-row basket total), and
+    the scan prunes everything but (orderkey, partkey)."""
+    df = REGISTRY["item_affinity_pairs"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for col in ("l_extendedprice", "l_comment", "l_shipdate"):
+        assert col not in plan, f"scan not pruned: reads {col}"
+
+
+def test_partkey_skew_report_windows_are_histogram_bounded(spark):
+    """The Gini window may be unpartitioned ONLY because it runs over the
+    count-of-counts histogram (cardinality = distinct per-key counts);
+    assert the top-10 share rides a TakeOrderedAndProject, not a full
+    sort, and the fact scan prunes to the key column."""
+    df = REGISTRY["partkey_skew_report"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for col in ("l_extendedprice", "l_comment", "l_quantity"):
+        assert col not in plan, f"scan not pruned: reads {col}"

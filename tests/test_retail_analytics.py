@@ -1,0 +1,131 @@
+"""Property tests for the r7 retail-analytics constructions.
+
+The sf0.01 DuckDB oracles (tests/test_queries_oracle.py) prove the
+registered queries on one dataset; these pin the underlying math on
+adversarial small inputs — the NTILE bucket formula against Python's
+exact definition (ties, n < buckets, n % buckets edge cases), the
+closed-form over-ties Gini against a direct sorted-values computation,
+and the scan-side basket pair generation against itertools.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _py_ntile(n: int, k: int) -> list[int]:
+    """Exact SQL NTILE(k) bucket per 1-based rank over n rows."""
+    base, extra = divmod(n, k)
+    out = []
+    for bucket in range(1, k + 1):
+        out.extend([bucket] * (base + (1 if bucket <= extra else 0)))
+    return out
+
+
+@given(
+    values=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    k=st.integers(2, 10),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_ntile_matches_python(spark, values, k):
+    """_distributed_ntile == NTILE-by-definition for any n/k, including
+    n < k (empty tail buckets) and heavy ties (broken by the unique id)."""
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_ntile
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["b"]
+        for r in _distributed_ntile(
+            df, [F.asc("v"), F.asc("id")], k, "b", partitions=4
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {row[0]: b for row, b in zip(order, _py_ntile(len(rows), k))}
+    assert got == want
+
+
+@given(counts=st.lists(st.integers(1, 20), min_size=1, max_size=40))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gini_closed_form_over_ties(counts):
+    """The histogram closed form used by partkey_skew_report equals the
+    textbook sorted-values Gini: G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)) — pure math check, no Spark needed."""
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    s_direct = sum((i + 1) * x for i, x in enumerate(xs))
+    # closed form over the count-of-counts histogram
+    from collections import Counter
+
+    hist = sorted(Counter(xs).items())
+    prior, s_hist = 0, 0
+    for c, m in hist:
+        s_hist += c * (m * prior + m * (m + 1) // 2)
+        prior += m
+    assert s_hist == s_direct
+    gini_ppm = (2 * s_hist - (n + 1) * t) * 1_000_000 // (n * t)
+    direct = (2 * s_direct - (n + 1) * t) * 1_000_000 // (n * t)
+    assert gini_ppm == direct
+    assert 0 <= gini_ppm < 1_000_000
+
+
+def test_affinity_pairs_match_itertools(spark):
+    """Scan-side pair generation from sorted basket arrays == itertools
+    combinations over the distinct per-order part sets, including
+    duplicate lineitems of the same part (collect_set dedup) and the
+    basket-size cap."""
+    from retail_aws_etl_pipeline_spark.plans.analytics import AFFINITY_MAX_BASKET
+
+    rows = [
+        (1, 10), (1, 11), (1, 10),          # dup part in one order
+        (2, 10), (2, 11), (2, 12),
+        (3, 11),                              # singleton basket: no pairs
+        (4, 12), (4, 10),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= AFFINITY_MAX_BASKET)
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y -> struct(x AS part_a, y AS part_b))))"
+    )
+    got = sorted(
+        (r["part_a"], r["part_b"])
+        for r in grouped.select(F.explode(pair_structs).alias("p")).select("p.*").collect()
+    )
+    want = []
+    baskets = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    for parts in baskets.values():
+        want.extend(itertools.combinations(sorted(parts), 2))
+    assert got == sorted(want)
+
+
+def test_benford_digit_extraction_edges(spark):
+    """Leading-digit extraction is exact at power-of-ten boundaries and
+    fractional values — the cases where log10/float floor-division
+    formulations diverge between engines."""
+    vals = [1.0, 9.999, 10.0, 99.99, 100.0, 1000.0, 999999.99, 1.5, 2.0]
+    df = spark.createDataFrame([(v,) for v in vals], "o_totalprice double")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+    )
+    got = [r[0] for r in df.select(digit).collect()]
+    want = [int(str(int(v // 1))[0]) for v in vals]
+    assert got == want

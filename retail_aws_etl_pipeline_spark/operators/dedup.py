@@ -1013,3 +1013,80 @@ def sorted_neighborhood_candidates(
         )
     )
     return retaining(out, ranged, ranked)
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int = 6, checkpoint: str = "auto"
+) -> DataFrame:
+    """Fixed-``rounds`` k-core peeling: iteratively drop nodes of degree
+    < k (and their edges) from an undirected (id_a, id_b) pair list.
+
+    Returns ONE row (k, n_nodes, n_edges, n_under_k): the surviving
+    subgraph's node/edge counts plus how many remaining nodes still have
+    degree < k — ``n_under_k = 0`` means the peel CONVERGED and the
+    result is exactly the k-core; nonzero means the graph's degeneracy
+    ordering is deeper than ``rounds`` (each extra round is one more
+    groupBy + two semi-joins, so callers pay for depth explicitly
+    instead of an unbounded driver loop — adversarial chains peel one
+    node per round, the same pathology the CC star variant exists for).
+    The round count is part of the operator contract so an unrolled SQL
+    oracle can run the identical schedule.
+
+    Scale shape per round: one degree groupBy over the shrinking edge
+    list and two semi-joins keyed on the endpoints — all keyed shuffles,
+    no collects. Each round's frame references the previous round THREE
+    times (the degree branch plus both semi-joins), so the logical tree
+    grows as 3^rounds without truncation — planning alone OOMs the
+    driver by round ~6 (the connected_components lesson); every round
+    therefore eagerly truncates lineage via the shared checkpoint
+    discipline (``checkpoint``: auto|local|reliable).
+    """
+    e = edges.select("id_a", "id_b")
+    prev_n = None
+    for _ in range(rounds):
+        both = e.select(F.col("id_a").alias("node")).unionByName(
+            e.select(F.col("id_b").alias("node"))
+        )
+        keep = (
+            both.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        e = _truncate_lineage(
+            e.join(keep.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b", "left_semi"),
+            checkpoint,
+        )
+        # Fixpoint early-exit: peeling only removes edges, so an unchanged
+        # count means an unchanged set and every remaining scheduled round
+        # is a no-op — the result (and n_under_k) is identical to running
+        # all `rounds`, so the fixed-round oracle contract holds while the
+        # usual case pays 2-3 rounds, not the budget. The count runs over
+        # the just-materialized checkpoint blocks (cheap).
+        n = e.count()
+        if n == prev_n or n == 0:
+            break
+        prev_n = n
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionByName(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.when(F.col("deg") < k, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_under_k"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_nodes",
+            "n_edges",
+            "n_under_k",
+        )
+    )

@@ -544,11 +544,13 @@ _PROMOTE_R7 = [
     # standing policy); the displaced refreshes (pricing_summary,
     # top_items, region_revenue, doc_lang_id) keep their r5 rows, still
     # inside the 3-round SLO, and head the r8 refresh queue.
+    # Two more group-(d) slots moved to the second r7 batch
+    # (graph_kcore_profile, decayed_revenue_by_segment): simhash_near_pairs
+    # and ngram_jaccard_pairs displaced (r5-green; dedup stays covered in
+    # the window by exact/minhash/clusters/keep-latest).
     "daily_revenue",
     "exact_dup_docs",
     "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_keep_latest",
     "ann_topk_bruteforce",

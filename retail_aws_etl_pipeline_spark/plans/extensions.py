@@ -4943,3 +4943,179 @@ def dedup_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "label", F.col("rank_scaled"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: k-core graph profile, time-decayed revenue
+# ---------------------------------------------------------------------------
+
+KCORE_ROUNDS = 6
+KCORE_KS = (2, 3)
+
+
+def _kcore_chain_sql(k: int, rounds: int) -> str:
+    """Unrolled fixed-round peel for one k — mirrors kcore_peel exactly."""
+    # Every kc_e{r} is referenced three times by round r+1 (degree branch
+    # + both endpoint joins): an inlining planner re-executes the whole
+    # prefix 3^rounds times (DuckDB ran out of file handles re-scanning
+    # the base parquet) — AS MATERIALIZED pins each round to one
+    # evaluation, the oracle-side mirror of the Spark loop's per-round
+    # lineage truncation.
+    parts = [f"kc{k}_e0 AS MATERIALIZED (SELECT id_a, id_b FROM kc_qual)"]
+    for r in range(1, rounds + 1):
+        prev = f"kc{k}_e{r - 1}"
+        parts.append(
+            f"""kc{k}_d{r} AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT id_a AS node FROM {prev}
+            UNION ALL SELECT id_b AS node FROM {prev}
+        ) GROUP BY node
+    ),
+    kc{k}_k{r} AS (SELECT node FROM kc{k}_d{r} WHERE deg >= {k}),
+    kc{k}_e{r} AS MATERIALIZED (
+        SELECT e.id_a, e.id_b FROM {prev} e
+        JOIN kc{k}_k{r} a ON a.node = e.id_a
+        JOIN kc{k}_k{r} b ON b.node = e.id_b
+    )"""
+        )
+    last = f"kc{k}_e{rounds}"
+    parts.append(
+        f"""kc{k}_fd AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT id_a AS node FROM {last}
+            UNION ALL SELECT id_b AS node FROM {last}
+        ) GROUP BY node
+    ),
+    kc{k}_row AS (
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST((SELECT COUNT(*) FROM kc{k}_fd) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM {last}) AS BIGINT) AS n_edges,
+               CAST((SELECT COALESCE(SUM(CASE WHEN deg < {k} THEN 1 ELSE 0 END), 0)
+                     FROM kc{k}_fd) AS BIGINT) AS n_under_k
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+_KCORE_ORACLE = f"""
+    WITH {GRAMS_CTE},
+    kc_sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    kc_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    kc_qual AS (
+        SELECT p.id_a, p.id_b FROM kc_pairs p
+        JOIN kc_sizes sa ON sa.doc_id = p.id_a
+        JOIN kc_sizes sb ON sb.doc_id = p.id_b
+        WHERE p.common * 5 >= (sa.n + sb.n - p.common)
+    ),
+    {_kcore_chain_sql(2, KCORE_ROUNDS)},
+    {_kcore_chain_sql(3, KCORE_ROUNDS)}
+    SELECT * FROM kc2_row UNION ALL SELECT * FROM kc3_row ORDER BY k
+"""
+
+
+@register(
+    "graph_kcore_profile",
+    _KCORE_ORACLE,
+    description="k-core decomposition profile of the near-dup similarity "
+    "graph (same Jaccard >= 0.2 edge set as doc_pagerank / the triangle "
+    "census): for k in (2, 3), peel nodes of degree < k for a FIXED "
+    "round count and report surviving node/edge counts plus n_under_k "
+    "(0 = converged, the result is exactly the k-core). The 2-core "
+    "separates tree-like duplication chains from cyclic template "
+    "families; the 3-core isolates the densely mirrored clusters worth "
+    "manual review. Fixed rounds keep the schedule oracle-unrollable "
+    "and make depth an explicit knob instead of an unbounded driver "
+    "loop; per round the work is one degree groupBy + two endpoint "
+    "semi-joins over a shrinking edge list, all keyed.",
+    tags=("graph", "dedup", "audit"),
+)
+def graph_kcore_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    counts = D.jaccard_counts(grams)
+    edges = (
+        counts.filter(
+            F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    out = None
+    for k in KCORE_KS:
+        row = D.kcore_peel(edges, k, rounds=KCORE_ROUNDS)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
+
+
+#: Decay contract for time-weighted aggregates: weight halves every
+#: DECAY_HALFLIFE_WEEKS, implemented as an integer right-shift of cents
+#: (shift = age_weeks div halflife, capped so the shift stays in-range) —
+#: no float pow/exp crosses an engine boundary.
+DECAY_HALFLIFE_WEEKS = 4
+DECAY_MAX_SHIFT = 40
+
+
+@register(
+    "decayed_revenue_by_segment",
+    f"""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST((SELECT MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) FROM orders)
+                    - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+               // 604800000000 AS age_weeks
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents >> CAST(LEAST(age_weeks // {DECAY_HALFLIFE_WEEKS},
+                                        {DECAY_MAX_SHIFT}) AS INTEGER)) AS BIGINT)
+               AS decayed_cents
+    FROM base
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    description="Half-life-decayed revenue by market segment — the "
+    "recency-weighted feature aggregation behind churn/LTV features: "
+    "each order's cents contribute shifted right by (age_weeks div "
+    "halflife), i.e. weight 2^-floor(age/halflife), so recent demand "
+    "dominates without a cutoff cliff. Decay is an INTEGER right-shift "
+    "(halving per halflife) on exact cents with integer microsecond "
+    "ages — no float pow/exp anywhere, so the engines agree to the "
+    "cent. Plan: broadcast 1-row max-date, broadcast customer dim join, "
+    "one segment groupBy — scan-shaped, map-side combinable.",
+    tags=("agg", "join", "retail"),
+)
+def decayed_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    mx = t["orders"].agg(F.max(F.unix_micros(F.col("o_orderdate"))).alias("max_us"))
+    base = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+            F.expr("(max_us - unix_micros(o_orderdate)) div 604800000000").alias("age_weeks"),
+        )
+    )
+    dcents = F.expr(
+        f"shiftright(cents, CAST(least(age_weeks div {DECAY_HALFLIFE_WEEKS},"
+        f" {DECAY_MAX_SHIFT}) AS INT))"
+    )
+    return (
+        base.select("segment", "cents", dcents.alias("dcents"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum("dcents").cast("long").alias("decayed_cents"),
+        )
+        .orderBy("segment")
+    )

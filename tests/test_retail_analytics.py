@@ -129,3 +129,27 @@ def test_benford_digit_extraction_edges(spark):
     got = [r[0] for r in df.select(digit).collect()]
     want = [int(str(int(v // 1))[0]) for v in vals]
     assert got == want
+
+
+def test_kcore_peel_handcrafted(spark):
+    """Triangle + pendant tail: the 2-core is exactly the triangle (tail
+    peels); a pure path has an EMPTY 2-core; a too-small round budget
+    reports n_under_k > 0 instead of silently returning a non-core."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import kcore_peel
+
+    tri_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    row = kcore_peel(tri_tail, k=2, rounds=3).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_under_k"]) == (3, 3, 0)
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    row = kcore_peel(path, k=2, rounds=6).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_under_k"]) == (0, 0, 0)
+
+    # 6-node path needs 3 rounds to fully peel from both ends; 1 round
+    # must flag non-convergence, not claim an empty core.
+    row = kcore_peel(path, k=2, rounds=1).collect()[0]
+    assert row["n_under_k"] > 0

@@ -2069,9 +2069,19 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
     shape. ``sort_cols`` must end in a unique tiebreaker. Adds
     ``out_col`` (1-based bucket, long) and preserves all input columns.
     AQE only coalesces ADJACENT range partitions, so partition-id order
-    still follows range order and the reconstructed rank is exact."""
-    ranged = df.repartitionByRange(partitions, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    still follows range order and the reconstructed rank is exact.
+
+    The ranged frame is PERSISTED: both the row_number branch and the
+    counts branch consume it, and RangePartitioner samples at execution
+    time — without the pin, rank correctness would rest on Spark's
+    exchange reuse deduplicating the two executions (the latent
+    assumption ADVICE r7 flagged on sorted_neighborhood_candidates).
+    Once materialized, ``__pid`` is a STORED column, so the global rank
+    no longer depends on any later partitioning at all."""
+    ranged = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         "__lrn", F.row_number().over(W.partitionBy("__pid").orderBy(*sort_cols))

@@ -1040,3 +1040,83 @@ def test_probe_exif_both_endians_and_errors():
     assert probe_exif(tem) == ("II", 5, 20, 37)
     mixed = body[:2] + app0 + b"\xff\xff\xd1" + body[2:]  # APP0, fill, RST1
     assert probe_exif(mixed) == ("II", 5, 20, 37)
+
+
+def test_feature_delta_stream_converges_and_survives_retry(spark, tmp_path):
+    """Incremental feature maintenance: three order waves streamed through
+    feature_delta_stream, a verbatim retry of the middle batch, and a
+    mid-run delta compaction must all leave read_feature_snapshot equal
+    to the one-shot batch aggregate (sum/sum/max are associative; the
+    batch-partitioned sink makes the retry replace, not double-count)."""
+    import pyspark.sql.functions as F
+
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        compact_feature_deltas,
+        feature_delta_stream,
+        read_feature_snapshot,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = load_tables(spark, SF_SMOKE, ["orders"])["orders"]
+    src = str(tmp_path / "waves")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    delta_dir = str(tmp_path / "deltas")
+    q = feature_delta_stream(
+        spark.readStream.schema(orders.schema).option("maxFilesPerTrigger", "1").parquet(src),
+        delta_dir=delta_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    want = {
+        r["o_custkey"]: (r["n_orders"], r["cents_sum"], r["last_order_us"])
+        for r in orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("cents_sum"),
+            F.max(F.unix_micros(F.col("o_orderdate"))).alias("last_order_us"),
+        )
+        .collect()
+    }
+
+    def snapshot():
+        return {
+            r["o_custkey"]: (r["n_orders"], r["cents_sum"], r["last_order_us"])
+            for r in read_feature_snapshot(spark, delta_dir).collect()
+        }
+
+    assert snapshot() == want
+
+    # at-least-once RETRY: re-write the middle batch's partial verbatim
+    # under its own batch id — dynamic overwrite replaces the partition,
+    # the snapshot must not change
+    partial = (
+        orders.filter(F.col("o_orderkey") % 3 == 1)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("cents_sum"),
+            F.max(F.unix_micros(F.col("o_orderdate"))).alias("last_order_us"),
+        )
+        .withColumn("__batch_id", F.lit(1))
+    )
+    (
+        partial.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(delta_dir)
+    )
+    assert snapshot() == want
+
+    # compaction folds batches without changing the snapshot, and a
+    # post-compaction wave still lands correctly
+    n = compact_feature_deltas(spark, delta_dir, buckets=4)
+    assert n == len(want)
+    assert snapshot() == want
+
+    assert snapshot() == want

@@ -146,6 +146,26 @@ def main() -> None:
     try:
         repo_dir = os.path.dirname(os.path.abspath(__file__))
         detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+        if names:
+            # A BENCH_QUERIES-filtered run must not clobber the live
+            # sidecar's full key set (it silently shrank the 141-entry
+            # detail to the subset once — r7): merge the subset's timings
+            # over the existing detail instead, leaving other keys and
+            # the previous total's basis intact but re-deriving the total
+            # from the merged dict so it stays the sum of its own keys.
+            try:
+                with open(detail_path) as fh:
+                    live = json.load(fh)
+            except (OSError, ValueError):
+                live = {}
+            if live.get("sf") == detail.get("sf") and isinstance(
+                live.get("queries"), dict
+            ):
+                merged_q = dict(live["queries"])
+                merged_q.update(detail["queries"])
+                detail = {**live, **detail}
+                detail["queries"] = merged_q
+                detail["value"] = round(sum(merged_q.values()), 4)
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -2110,8 +2110,13 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
         END
         """
     ).cast("long")
-    return ranked.withColumn(out_col, bucket).drop(
-        "__pid", "__lrn", "__offset", "__n", "__rn"
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    return retaining(
+        ranked.withColumn(out_col, bucket).drop(
+            "__pid", "__lrn", "__offset", "__n", "__rn"
+        ),
+        ranged,
     )
 
 

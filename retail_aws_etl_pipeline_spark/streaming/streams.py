@@ -439,6 +439,10 @@ def compact_gram_index(spark: SparkSession, index_dir: str, buckets: int = 8) ->
     tmp = index_dir.rstrip("/") + ".compacting"
     cur.repartition(buckets, "gram").write.mode("overwrite").parquet(tmp)
     old = index_dir.rstrip("/") + ".old"
+    # A prior compaction crashed between its renames may leave .old
+    # debris; clear it or the swap's first rename fails forever (the
+    # live index was never touched in that crash, so the debris is dead).
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)
     os.rename(tmp, index_dir)
     shutil.rmtree(old)
@@ -528,6 +532,7 @@ def compact_feature_deltas(spark: SparkSession, delta_dir: str, buckets: int = 8
     cur.repartition(buckets, "o_custkey").write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = delta_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # dead debris from a crashed swap
     os.rename(delta_dir, old)
     os.rename(tmp, delta_dir)
     shutil.rmtree(old)

@@ -845,3 +845,39 @@ def test_near_dup_stream_killed_midbatch_recovers_exactly_once(spark, tmp_path):
     assert idx.count() == n_gram_rows
     assert idx.distinct().count() == n_gram_rows
     assert idx.select("doc_id").distinct().count() == docs.count()
+
+
+def test_compaction_swap_recovers_from_old_debris(spark, tmp_path):
+    """A compaction that crashed between its two renames leaves a dead
+    `.old` directory; the next compaction must clear it and proceed
+    instead of failing its first rename forever (both the gram index and
+    the feature delta table use the same stage-and-swap)."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        compact_feature_deltas,
+        read_feature_snapshot,
+    )
+
+    delta_dir = str(tmp_path / "deltas")
+    part = (
+        spark.range(10)
+        .select(
+            F.col("id").alias("o_custkey"),
+            F.lit(1).alias("n_orders"),
+            (F.col("id") * 100).alias("cents_sum"),
+            F.lit(1_000_000).alias("last_order_us"),
+        )
+        .withColumn("__batch_id", F.lit(0))
+    )
+    part.write.mode("overwrite").partitionBy("__batch_id").parquet(delta_dir)
+
+    # simulate crash debris from a previous swap
+    os.makedirs(delta_dir + ".old/junk", exist_ok=True)
+    with open(delta_dir + ".old/junk/file", "w") as f:
+        f.write("debris")
+
+    n = compact_feature_deltas(spark, delta_dir, buckets=2)
+    assert n == 10
+    assert not os.path.exists(delta_dir + ".old")
+    assert read_feature_snapshot(spark, delta_dir).count() == 10

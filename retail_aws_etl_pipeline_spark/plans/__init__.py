@@ -553,9 +553,11 @@ _PROMOTE_R7 = [
     "minhash_lsh_pairs",
     "near_dup_clusters",
     "dedup_keep_latest",
-    "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "user_sessions",
+    # Third r7 batch: sequential_item_rules and daily_revenue_gapfill
+    # register() into the window; user_sessions and ann_topk_bruteforce
+    # displaced (r5-green; event-temporal stays covered by
+    # conversion_funnel + purchase_asof_last_click, ANN by ann_topk_ivf).
     "purchase_asof_last_click",
     "conversion_funnel",
     "media_decode_stats",

@@ -2342,3 +2342,139 @@ def partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+#: Sequential-rule support floor (next-order transitions).
+SEQRULE_MIN_SUPPORT = 3
+
+
+@register(
+    "sequential_item_rules",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    seq AS (
+        SELECT o_custkey, o_orderkey,
+               LEAD(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS next_orderkey
+        FROM orders
+    ),
+    trans AS (SELECT o_orderkey, next_orderkey FROM seq WHERE next_orderkey IS NOT NULL),
+    rules AS (
+        SELECT a.l_partkey AS part_from, c.l_partkey AS part_to,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM trans t
+        JOIN b a ON a.l_orderkey = t.o_orderkey
+        JOIN b c ON c.l_orderkey = t.next_orderkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {SEQRULE_MIN_SUPPORT}
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions FROM trans)
+    SELECT part_from, part_to, support,
+           CAST(support * 1000000 // nt.n_transitions AS BIGINT) AS support_ppm
+    FROM rules CROSS JOIN nt
+    ORDER BY part_from, part_to
+    """,
+    description="Sequential association rules over consecutive orders: for "
+    "each customer's (order, next-order) pair — LEAD over the per-customer "
+    "order sequence, tie-broken by orderkey — count (item-in-earlier, "
+    "item-in-later) transitions, floor by support, and report integer-ppm "
+    "transition support. The 'bought X, later bought Y' complement to "
+    "item_affinity_pairs' same-basket rule. Scale: the sequence window "
+    "partitions by customer (keyed, bounded groups); each transition "
+    "joins two bounded baskets (|b1|x|b2| <= cap² pairs), and the rule "
+    "groupBy is the only wide shuffle on the transition volume.",
+    tags=("window", "join", "retail"),
+)
+def sequential_item_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    b = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    seq = t["orders"].select(
+        "o_custkey", "o_orderkey", F.lead("o_orderkey").over(w).alias("next_orderkey")
+    )
+    trans = seq.filter(F.col("next_orderkey").isNotNull()).select(
+        "o_orderkey", "next_orderkey"
+    )
+    nt = trans.agg(F.count(F.lit(1)).alias("n_transitions"))
+    rules = (
+        trans.join(b.select(F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("part_from")), "o_orderkey")
+        .join(b.select(F.col("l_orderkey").alias("next_orderkey"), F.col("l_partkey").alias("part_to")), "next_orderkey")
+        .groupBy("part_from", "part_to")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= SEQRULE_MIN_SUPPORT)
+    )
+    return (
+        rules.crossJoin(F.broadcast(nt))
+        .select(
+            "part_from",
+            "part_to",
+            "support",
+            F.expr("support * 1000000 div n_transitions").cast("long").alias("support_ppm"),
+        )
+        .orderBy("part_from", "part_to")
+    )
+
+
+@register(
+    "daily_revenue_gapfill",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS date,
+               {sql_dec_sum("o_totalprice")} AS revenue
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    bounds AS (SELECT MIN(date) AS d0, MAX(date) AS d1 FROM daily),
+    spine AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+        FROM bounds
+    )
+    SELECT s.date,
+           COALESCE(d.revenue, CAST(0 AS DOUBLE)) AS revenue,
+           CAST(CASE WHEN d.revenue IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+           CAST(SUM(CAST(COALESCE(d.revenue, 0) AS DECIMAL(28,6)))
+                OVER (ORDER BY s.date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM spine s LEFT JOIN daily d ON d.date = s.date
+    ORDER BY s.date
+    """,
+    description="Gap-filled daily revenue: a complete calendar spine "
+    "(sequence over the min..max order date), zero-filled left join, gap "
+    "flag, and an exact-decimal cumulative total — the resample/gap-fill "
+    "shape every time-series feature pipeline needs, which a plain "
+    "groupBy silently gets wrong (missing days vanish instead of reading "
+    "zero). The cumulative window is unpartitioned but runs over the "
+    "DATE-DOMAIN spine (bounded by calendar span, not row count — the "
+    "order_value_histogram discipline); the spine itself is built "
+    "scan-free from a 1-row bounds aggregate exploded scan-side.",
+    tags=("window", "agg", "timeseries"),
+)
+def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    daily = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(dec_sum(F.col("o_totalprice")).alias("revenue"))
+    )
+    bounds = daily.agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date")
+    )
+    w = W.orderBy("date").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, "date", "left")
+        .select(
+            "date",
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.when(F.col("revenue").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        )
+        .withColumn(
+            "cum_revenue",
+            F.sum(F.col("revenue").cast(DEC)).over(w).cast("double"),
+        )
+        .orderBy("date")
+    )

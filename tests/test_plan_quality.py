@@ -492,3 +492,35 @@ def test_partkey_skew_report_windows_are_histogram_bounded(spark):
     assert "TakeOrderedAndProject" in plan
     for col in ("l_extendedprice", "l_comment", "l_quantity"):
         assert col not in plan, f"scan not pruned: reads {col}"
+
+
+def test_sequential_item_rules_plan_shape(spark):
+    """The order-sequence window partitions by customer (keyed, never a
+    global window); basket joins are equi-joins; the only cross join is
+    the broadcast 1-row transition total."""
+    import re
+
+    df = REGISTRY["sequential_item_rules"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
+    assert windows
+    for ln in windows:
+        assert "o_custkey" in ln, f"sequence window not keyed: {ln.strip()[:200]}"
+    assert "CartesianProduct" not in plan
+    for col in ("l_extendedprice", "l_comment"):
+        assert col not in plan, f"scan not pruned: reads {col}"
+
+
+def test_daily_revenue_gapfill_zero_reads_and_spine(spark):
+    """Gap days really read zero and the spine is complete: every date in
+    [min, max] appears exactly once, cum_revenue is monotone, and the
+    sum of daily revenue equals the final cumulative value."""
+    df = REGISTRY["daily_revenue_gapfill"].spark_fn(spark, SF_SMOKE)
+    rows = df.collect()
+    dates = [r["date"] for r in rows]
+    assert len(dates) == len(set(dates)) == (dates[-1] - dates[0]).days + 1
+    assert all(r["revenue"] == 0.0 for r in rows if r["is_gap"] == 1)
+    cums = [r["cum_revenue"] for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    total = sum(r["revenue"] for r in rows)
+    assert abs(total - cums[-1]) < 1e-6 * max(1.0, abs(total))

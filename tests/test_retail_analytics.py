@@ -153,3 +153,50 @@ def test_kcore_peel_handcrafted(spark):
     # must flag non-convergence, not claim an empty core.
     row = kcore_peel(path, k=2, rounds=1).collect()[0]
     assert row["n_under_k"] > 0
+
+
+@given(
+    n=st.integers(2, 14),
+    raw_edges=st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)), max_size=25),
+    k=st.integers(2, 4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kcore_matches_python_peel(spark, n, raw_edges, k):
+    """kcore_peel == a Python reference peel on random graphs (self-loops
+    dropped, duplicate edges collapsed), run to the same round budget."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import kcore_peel
+
+    edges = {(min(a % n, b % n), max(a % n, b % n)) for a, b in raw_edges}
+    edges = {(a, b) for a, b in edges if a != b}
+    rounds = 6
+
+    def py_peel(es, kk, budget):
+        es = set(es)
+        for _ in range(budget):
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {v for v, d in deg.items() if d >= kk}
+            nxt = {(a, b) for a, b in es if a in keep and b in keep}
+            if nxt == es:
+                break
+            es = nxt
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return (len(deg), len(es), sum(1 for d in deg.values() if d < kk))
+
+    want = py_peel(edges, k, rounds)
+    df = spark.createDataFrame(
+        list(edges) or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        df = df.filter("id_a <> id_b")  # empty edge set
+    row = kcore_peel(df, k=k, rounds=rounds).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_under_k"]) == want

@@ -881,3 +881,68 @@ def test_compaction_swap_recovers_from_old_debris(spark, tmp_path):
     assert n == 10
     assert not os.path.exists(delta_dir + ".old")
     assert read_feature_snapshot(spark, delta_dir).count() == 10
+
+
+def test_gold_upsert_stream_killed_midbatch_recovers(spark, tmp_path):
+    """Hard mid-batch kill for the silver->gold upsert stream: the batch's
+    gold merge commits but the checkpoint never records it; restart must
+    replay it through the keep-latest merge with no duplicate keys and
+    the same final gold as an uninterrupted run."""
+    import shutil as sh
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from retail_aws_etl_pipeline_spark.ingest import ingest_file
+    from retail_aws_etl_pipeline_spark.lake import LakeLayout
+    from retail_aws_etl_pipeline_spark.operators.compact import upsert_gold
+    from retail_aws_etl_pipeline_spark.schema import SILVER_SCHEMA
+    from retail_aws_etl_pipeline_spark.streaming.streams import gold_upsert_stream
+
+    lake = LakeLayout(str(tmp_path / "lake"))
+    ck = str(tmp_path / "ck")
+    src = "/root/reference/sample_csv_files/sales_2024-10-16.csv"
+    for name in ("w1.csv", "w2.csv"):
+        f = tmp_path / name
+        sh.copy(src, f)
+        ingest_file(spark, str(f), lake, archive=False, write_reject_csv=False)
+
+    # faulty drain: merge the first batch fully, then die before the
+    # checkpoint commit log records it
+    def faulty(df, batch_id):
+        upsert_gold(spark, lake, df)
+        if batch_id == 0:
+            raise RuntimeError("injected kill after merge, before commit")
+
+    q = (
+        spark.readStream.schema(SILVER_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(lake.processed)
+        .writeStream.foreachBatch(faulty)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        q.awaitTermination()
+    assert spark.read.parquet(lake.gold).count() > 0  # merge really landed
+
+    # production restart replays batch 0 and drains the rest
+    q = gold_upsert_stream(spark, lake, ck)
+    q.awaitTermination()
+
+    gold = spark.read.parquet(lake.gold)
+    assert gold.groupBy("date", "transaction_id").count().filter("count>1").count() == 0
+    # identical end state to an uninterrupted drain over the same silver
+    clean = LakeLayout(str(tmp_path / "clean"))
+    for name in ("c1.csv", "c2.csv"):
+        f = tmp_path / name
+        sh.copy(src, f)
+        ingest_file(spark, str(f), clean, archive=False, write_reject_csv=False)
+    q = gold_upsert_stream(spark, clean, str(tmp_path / "ck_clean"))
+    q.awaitTermination()
+    want = spark.read.parquet(clean.gold)
+    key_cols = ["date", "transaction_id", "store_id", "item_id", "quantity"]
+    got_keys = {tuple(str(r[c]) for c in key_cols) for r in gold.select(*key_cols).collect()}
+    want_keys = {tuple(str(r[c]) for c in key_cols) for r in want.select(*key_cols).collect()}
+    assert got_keys == want_keys and got_keys

@@ -552,7 +552,9 @@ _PROMOTE_R7 = [
     "exact_dup_docs",
     "minhash_lsh_pairs",
     "near_dup_clusters",
-    "dedup_keep_latest",
+    # dedup_keep_latest's slot goes to streamed_hourly_rollup (first-ever
+    # driver row for a Structured Streaming pipeline; the dedup family
+    # keeps exact/minhash/clusters in the window).
     "ann_topk_ivf",
     # Third r7 batch: sequential_item_rules and daily_revenue_gapfill
     # register() into the window; user_sessions and ann_topk_bruteforce

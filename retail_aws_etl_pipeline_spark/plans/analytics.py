@@ -2478,3 +2478,60 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+@register(
+    "streamed_hourly_rollup",
+    f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, COUNT(*) AS n, {sql_dec_sum("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    description="The STREAMING hourly rollup under the driver's hash gate: "
+    "runs the real Structured Streaming pipeline (readStream over the "
+    "events parquet with the canonical ts normalization, tumbling "
+    "1-hour window aggregate, AvailableNow drain to a memory sink in "
+    "complete mode) and returns the materialized sink — so the "
+    "stream==batch convergence the test suite asserts is ALSO proven "
+    "end-to-end against the ANSI-SQL oracle, not just against the batch "
+    "twin. Exactly-once here is the aggregation's complete-mode output "
+    "over a drained AvailableNow source; the per-round driver row makes "
+    "streaming a first-class member of the correctness window.",
+    tags=("streaming", "window", "timeseries"),
+)
+def streamed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        events_stream,
+        hourly_rollup_stream,
+        run_stream_to_memory,
+    )
+
+    import shutil
+    import tempfile
+
+    # The file stream source requires a DIRECTORY; the testdata table is
+    # a single parquet file. Stage it into a temp dir for the drain —
+    # the memory sink materializes the result before this function
+    # returns, so the staging dir's lifetime ends with the drain.
+    staging = tempfile.mkdtemp(prefix="streamed_rollup_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(staging, "events.parquet"),
+        )
+        stream = hourly_rollup_stream(events_stream(spark, staging))
+        name = f"streamed_hourly_rollup_{uuid.uuid4().hex[:12]}"
+        got = run_stream_to_memory(stream, name, output_mode="complete")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return got.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "total_value",
+    ).orderBy("window_start", "event_type")

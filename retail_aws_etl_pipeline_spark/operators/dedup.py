@@ -1090,3 +1090,74 @@ def kcore_peel(
             "n_under_k",
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int,
+    salt: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All unordered pairs within ``max_dist`` levenshtein edits — EXACT.
+
+    Length-bucket blocking (bucket width = the threshold): since
+    levenshtein(a, b) >= |len(a) - len(b)|, every qualifying pair differs
+    by <= max_dist chars and lands in the same or adjacent bucket, so each
+    doc joins only its own and one neighboring bucket. Buckets are few
+    (max_len / max_dist), which would serialize the join into one task per
+    bucket on a large cluster — the left side is therefore salted by
+    ``id % salt`` and each probe row replicated across all salts,
+    restoring buckets x salt join parallelism with identical output.
+    Verification uses the THRESHOLDED builtin levenshtein (JVM DP with
+    early band exit, no UDF). Returns (doc_a, doc_b, edit_distance) with
+    doc_a < doc_b, each qualifying pair exactly once.
+    """
+    T, S = int(max_dist), int(salt)
+    base = df.select(
+        F.col(id_col).alias("_ed_id"),
+        F.col(text_col).alias("_ed_text"),
+        F.length(F.col(text_col)).cast("long").alias("_ed_len"),
+    )
+    left = base.select(
+        F.col("_ed_id").alias("id_l"),
+        F.col("_ed_text").alias("text_l"),
+        F.col("_ed_len").alias("len_l"),
+        F.expr(f"_ed_len div {T}").alias("bkt_l"),
+        F.expr(f"_ed_id % {S}").alias("salt_l"),
+    )
+    right = base.select(
+        F.col("_ed_id").alias("id_r"),
+        F.col("_ed_text").alias("text_r"),
+        F.col("_ed_len").alias("len_r"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(array(_ed_len div {T}, _ed_len div {T} + 1),"
+                f" b -> transform(sequence(0, {S - 1}), s -> struct(b AS bkt_r, s AS salt_r))))"
+            )
+        ).alias("probe"),
+    ).select("id_r", "text_r", "len_r", "probe.bkt_r", "probe.salt_r")
+    cand = (
+        left.join(
+            right,
+            (F.col("bkt_l") == F.col("bkt_r")) & (F.col("salt_l") == F.col("salt_r")),
+        )
+        .filter(
+            # exactly-once pairing: in-bucket pairs ordered by id; the
+            # exploded (bkt+1) probe key only ever meets the next bucket up
+            (
+                (F.expr(f"len_r div {T}") == F.col("bkt_l"))
+                & (F.col("id_l") < F.col("id_r"))
+            )
+            | (F.expr(f"len_r div {T}") < F.col("bkt_l"))
+        )
+        .filter(F.abs(F.col("len_l") - F.col("len_r")) <= T)
+    )
+    verified = cand.select(
+        "id_l", "id_r", F.levenshtein("text_l", "text_r", T).alias("d")
+    ).filter(F.col("d") >= 0)
+    return verified.select(
+        F.least("id_l", "id_r").alias("doc_a"),
+        F.greatest("id_l", "id_r").alias("doc_b"),
+        F.col("d").cast("long").alias("edit_distance"),
+    )

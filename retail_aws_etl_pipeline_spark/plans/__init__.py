@@ -548,21 +548,23 @@ _PROMOTE_R7 = [
     # (graph_kcore_profile, decayed_revenue_by_segment): simhash_near_pairs
     # and ngram_jaccard_pairs displaced (r5-green; dedup stays covered in
     # the window by exact/minhash/clusters/keep-latest).
-    "daily_revenue",
-    "exact_dup_docs",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
     # dedup_keep_latest's slot goes to streamed_hourly_rollup (first-ever
-    # driver row for a Structured Streaming pipeline; the dedup family
-    # keeps exact/minhash/clusters in the window).
-    "ann_topk_ivf",
+    # driver row for a Structured Streaming pipeline).
     # Third r7 batch: sequential_item_rules and daily_revenue_gapfill
     # register() into the window; user_sessions and ann_topk_bruteforce
     # displaced (r5-green; event-temporal stays covered by
     # conversion_funnel + purchase_asof_last_click, ANN by ann_topk_ivf).
-    "purchase_asof_last_click",
-    "conversion_funnel",
-    "media_decode_stats",
+    # Fourth r7 batch: the final eight registry slots (the 150-cap fill)
+    # register() directly into the window — local_supplier_volume,
+    # min_cost_supplier_parts, product_type_profit, part_revenue_share,
+    # sole_return_suppliers, monthly_revenue_yoy, customer_order_gap_stats,
+    # edit_distance_near_pairs — displacing the last eight group-(d)
+    # refreshes (daily_revenue, exact_dup_docs, minhash_lsh_pairs,
+    # near_dup_clusters, ann_topk_ivf, purchase_asof_last_click,
+    # conversion_funnel, media_decode_stats; all r5-green, due r8, heading
+    # the r8 refresh queue). Dedup-family window coverage continues via
+    # dedup_graph_profile (components + PageRank over the near-dup graph)
+    # and the new edit_distance_near_pairs.
 ]
 
 

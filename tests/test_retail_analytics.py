@@ -200,3 +200,187 @@ def test_kcore_matches_python_peel(spark, n, raw_edges, k):
         df = df.filter("id_a <> id_b")  # empty edge set
     row = kcore_peel(df, k=k, rounds=rounds).collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_under_k"]) == want
+
+
+# ---------------------------------------------------------------------------
+# r7 second-half shapes: blocked levenshtein exactness, Q21 aggregate-vs-
+# EXISTS equivalence, and the histogram gap-median — each vs a direct
+# Python computation on adversarial small inputs.
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Textbook Wagner-Fischer levenshtein (reference for the fuzz test)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    max_dist=st.integers(1, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_edit_distance_blocking_matches_bruteforce(spark, texts, max_dist):
+    """Length-bucket blocking + salting + thresholded levenshtein returns
+    EXACTLY the brute-force pair set at the threshold — the blocking
+    lemma (lev >= |len diff|), the exactly-once pairing rule, and Spark's
+    thresholded levenshtein all checked against a Python DP."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_dist, salt=3).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev(texts[i], texts[j])
+            if d <= max_dist:
+                want[(i, j)] = d
+    assert got == want
+
+
+def _write_parquet(path, schema_cols: dict):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(schema_cols), str(path))
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(1, 6),  # orderkey
+            st.integers(1, 4),  # suppkey
+            st.sampled_from(["R", "N", "A"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sole_return_suppliers_matches_python_exists(spark, tmp_path_factory, lines):
+    """The one-pass aggregate formulation == the oracle's correlated
+    EXISTS/NOT-EXISTS semantics, on adversarial shapes the sf corpus may
+    not contain (single-supplier orders, all-returned orders, repeated
+    R lines from one supplier in one order)."""
+    from collections import Counter
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+
+    tmp = tmp_path_factory.mktemp("q21")
+    _write_parquet(
+        tmp / "lineitem.parquet",
+        {
+            "l_orderkey": [int(o) for o, _, _ in lines],
+            "l_suppkey": [int(s) for _, s, _ in lines],
+            "l_returnflag": [f for _, _, f in lines],
+        },
+    )
+    supps = sorted({s for _, s, _ in lines})
+    _write_parquet(
+        tmp / "supplier.parquet",
+        {"s_suppkey": supps, "s_name": [f"S{k}" for k in supps]},
+    )
+
+    per: dict[tuple[int, int], bool] = {}
+    for o, s, f in lines:
+        per[(o, s)] = per.get((o, s), False) or (f == "R")
+    counts: Counter = Counter()
+    for (o, s), ret in per.items():
+        if not ret:
+            continue
+        others = [x for (oo, x) in per if oo == o and x != s]
+        if not others or any(per[(o, x)] for x in others):
+            continue
+        counts[s] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r["s_suppkey"], r["n_sole_return_orders"])
+        for r in all_specs()["sole_return_suppliers"].spark_fn(spark, str(tmp)).collect()
+    ]
+    assert got == [(s, n) for s, n in want]
+
+
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 40)),  # (custkey, day offset)
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gap_stats_median_matches_python(spark, tmp_path_factory, orders):
+    """Histogram lower-median and exact mean of per-customer order gaps ==
+    a direct Python computation (ties, single-order customers, duplicate
+    order dates tie-broken by orderkey)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+
+    tmp = tmp_path_factory.mktemp("gaps")
+    base = dt.datetime(1995, 1, 1)
+    rows = [
+        (k, int(c), base + dt.timedelta(days=d)) for k, (c, d) in enumerate(orders)
+    ]
+    _write_parquet(
+        tmp / "orders.parquet",
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderdate": [r[2] for r in rows],
+        },
+    )
+    custs = sorted({c for _, c, _ in rows})
+    seg = {c: ("SEG_A" if c % 2 else "SEG_B") for c in custs}
+    _write_parquet(
+        tmp / "customer.parquet",
+        {"c_custkey": custs, "c_mktsegment": [seg[c] for c in custs]},
+    )
+
+    by_cust = defaultdict(list)
+    for k, c, d in rows:
+        by_cust[c].append((d, k))
+    gaps_by_seg = defaultdict(list)
+    for c, os_ in by_cust.items():
+        os_.sort()
+        for (d1, _), (d0, _) in zip(os_[1:], os_[:-1]):
+            gaps_by_seg[seg[c]].append((d1 - d0).days)
+    want = {}
+    for s, gaps in gaps_by_seg.items():
+        if not gaps:
+            continue
+        gaps.sort()
+        n = len(gaps)
+        want[s] = (n, sum(gaps) / n, gaps[(n + 1) // 2 - 1])
+
+    got = {
+        r["c_mktsegment"]: (r["n_gaps"], r["avg_gap_days"], r["median_gap_days"])
+        for r in all_specs()["customer_order_gap_stats"].spark_fn(spark, str(tmp)).collect()
+    }
+    assert got == want

@@ -1092,40 +1092,32 @@ def kcore_peel(
     )
 
 
-def edit_distance_pairs(
-    df: DataFrame,
-    max_dist: int,
-    salt: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """All unordered pairs within ``max_dist`` levenshtein edits — EXACT.
+def _bucket_blocked_edit_pairs(base: DataFrame, T: int, S: int) -> DataFrame:
+    """Length-bucket blocked levenshtein pairs over ``base``
+    (_ed_id/_ed_text/_ed_len), EXACT: lev(a,b) >= |len(a)-len(b)|, so a
+    qualifying pair lands in the same or adjacent T-wide length bucket.
+    Buckets are few, which would serialize the join into one task per
+    bucket on a large cluster — the left side is salted by ``id % S`` and
+    each probe row replicated across all salts, restoring buckets x salt
+    parallelism with identical output.
 
-    Length-bucket blocking (bucket width = the threshold): since
-    levenshtein(a, b) >= |len(a) - len(b)|, every qualifying pair differs
-    by <= max_dist chars and lands in the same or adjacent bucket, so each
-    doc joins only its own and one neighboring bucket. Buckets are few
-    (max_len / max_dist), which would serialize the join into one task per
-    bucket on a large cluster — the left side is therefore salted by
-    ``id % salt`` and each probe row replicated across all salts,
-    restoring buckets x salt join parallelism with identical output.
-    Verification uses the THRESHOLDED builtin levenshtein (JVM DP with
-    early band exit, no UDF). Returns (doc_a, doc_b, edit_distance) with
-    doc_a < doc_b, each qualifying pair exactly once.
-    """
-    T, S = int(max_dist), int(salt)
-    base = df.select(
-        F.col(id_col).alias("_ed_id"),
-        F.col(text_col).alias("_ed_text"),
-        F.length(F.col(text_col)).cast("long").alias("_ed_len"),
-    )
+    The probe side is small enough that Spark broadcasts it — which makes
+    the join inherit the LEFT side's partitioning, and a single-file
+    parquet scan is ONE partition: measured 43 s single-task DP at sf0.1.
+    The left side is therefore repartitioned on the join keys with an
+    EXPLICIT partition count — explicit, because the rows are only a few
+    MB and AQE would coalesce a size-based exchange straight back to one
+    partition, blind to the O(len x T) per-row verify cost downstream.
+    Same total exchange a shuffled hash join would have paid; the verify
+    then runs at full (buckets x salt) parallelism."""
+    nparts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = base.select(
         F.col("_ed_id").alias("id_l"),
         F.col("_ed_text").alias("text_l"),
         F.col("_ed_len").alias("len_l"),
         F.expr(f"_ed_len div {T}").alias("bkt_l"),
         F.expr(f"_ed_id % {S}").alias("salt_l"),
-    )
+    ).repartition(nparts, F.col("bkt_l"), F.col("salt_l"))
     right = base.select(
         F.col("_ed_id").alias("id_r"),
         F.col("_ed_text").alias("text_r"),
@@ -1161,3 +1153,145 @@ def edit_distance_pairs(
         F.greatest("id_l", "id_r").alias("doc_b"),
         F.col("d").cast("long").alias("edit_distance"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int,
+    salt: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q: int = 3,
+    method: str = "bucket",
+) -> DataFrame:
+    """All unordered pairs within ``max_dist`` levenshtein edits — EXACT.
+
+    Two interchangeable exact plans (identical output, pinned by the
+    hypothesis fuzz vs a Python DP):
+
+    - ``method="bucket"`` (default): salted length-bucket blocking over
+      the whole corpus + thresholded-levenshtein verify
+      (:func:`_bucket_blocked_edit_pairs`). Candidates = all near-length
+      pairs. This WINS whenever content filtering cannot beat length
+      blocking — measured on the bench corpus, whose small shared
+      vocabulary makes every gram/block filter vacuous (distinct-3-gram
+      count filter kept 99.8% of candidates; PassJoin positional block
+      containment passed 37% of random near-length pairs).
+    - ``method="grams"``: Ed-Join-style prefix filtering (Xiao/Wang/Lin,
+      VLDB'08 — public algorithm, re-expressed as DataFrame ops), the
+      registered scale path for VOCAB-DIVERSE corpora where rare grams
+      discriminate. Long pairs (max(len) >= q*(T+1)): by the q-gram
+      lemma on DISTINCT grams — one char edit removes at most q grams
+      from a string's distinct q-gram set — a qualifying pair shares
+      >= max(|D_a|, |D_b|) - qT distinct grams; by the prefix lemma,
+      sets sorted in one global rarity order with that overlap must
+      collide within their qT+1-long prefixes (repetitive docs with
+      |D| <= qT index their full set, and a shared gram is forced by
+      the occurrence bound: zero shared grams needs > T edits once
+      max(len) > qT + q - 1). Each doc therefore indexes only its qT+1
+      globally-rarest distinct grams; the prefix-prefix equi-join is
+      keyed on (gram, length-bucket) so near-length pairing is enforced
+      INSIDE the join; the thresholded builtin levenshtein verifies
+      (JVM DP, no UDF). Short pairs (both len < q*(T+1), where the gram
+      bound goes non-positive) fall back to the bucket plan; the two
+      branches partition the pair space by max length (disjoint,
+      exhaustive), so the union is exact.
+
+    Returns (doc_a, doc_b, edit_distance), doc_a < doc_b, each
+    qualifying pair exactly once.
+    """
+    T, S, Q = int(max_dist), int(salt), int(q)
+    assert T >= 1 and Q >= 1
+    base = df.select(
+        F.col(id_col).alias("_ed_id"),
+        F.col(text_col).alias("_ed_text"),
+        F.length(F.col(text_col)).cast("long").alias("_ed_len"),
+    )
+    if method == "bucket":
+        return _bucket_blocked_edit_pairs(base, T, S)
+    assert method == "grams", method
+    split = Q * (T + 1)  # pairs with max len >= split go to the gram branch
+    short = _bucket_blocked_edit_pairs(base.filter(F.col("_ed_len") < split), T, S)
+
+    # --- gram branch: docs that can participate in a max-len >= split pair
+    longd = base.filter(F.col("_ed_len") >= split - T)
+    tokens = longd.select(
+        "_ed_id",
+        F.col("_ed_len"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, _ed_len - {Q - 1}),"
+                    f" i -> substring(_ed_text, i, {Q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    dfreq = tokens.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_ed_id").orderBy("__df", "gram")
+    prefix = (
+        tokens.join(dfreq, "gram")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= Q * T + 1)
+        .select("_ed_id", "_ed_len", "gram")
+    )
+    pl = prefix.select(
+        F.col("_ed_id").alias("id_l"),
+        F.col("_ed_len").alias("len_l"),
+        F.col("gram").alias("gram_l"),
+        F.expr(f"_ed_len div {T}").alias("bkt_l"),
+    )
+    pr = prefix.select(
+        F.col("_ed_id").alias("id_r"),
+        F.col("_ed_len").alias("len_r"),
+        F.col("gram").alias("gram_r"),
+        F.explode(
+            F.expr(f"array(_ed_len div {T}, _ed_len div {T} + 1)")
+        ).alias("bkt_r"),
+    )
+    cand = (
+        pl.join(
+            pr,
+            (F.col("gram_l") == F.col("gram_r")) & (F.col("bkt_l") == F.col("bkt_r")),
+        )
+        .filter(
+            # exactly-once bucket pairing (same rule as the short branch)
+            (
+                (F.expr(f"len_r div {T}") == F.col("bkt_l"))
+                & (F.col("id_l") < F.col("id_r"))
+            )
+            | (F.expr(f"len_r div {T}") < F.col("bkt_l"))
+        )
+        .filter(F.abs(F.col("len_l") - F.col("len_r")) <= T)
+        .filter(F.greatest("len_l", "len_r") >= split)
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    sides = base.select("_ed_id", "_ed_text")
+    # No pre-verify count filter: on shared-vocabulary corpora it keeps
+    # ~everything (measured 99.8% pass) while costing 2 gram-array builds
+    # per candidate — the thresholded DP is cheaper than the "filter".
+    long_pairs = (
+        cand.join(
+            sides.select(
+                F.col("_ed_id").alias("id_l"), F.col("_ed_text").alias("text_l")
+            ),
+            "id_l",
+        )
+        .join(
+            sides.select(
+                F.col("_ed_id").alias("id_r"), F.col("_ed_text").alias("text_r")
+            ),
+            "id_r",
+        )
+        .select("id_l", "id_r", F.levenshtein("text_l", "text_r", T).alias("d"))
+        .filter(F.col("d") >= 0)
+        .select(
+            F.least("id_l", "id_r").alias("doc_a"),
+            F.greatest("id_l", "id_r").alias("doc_b"),
+            F.col("d").cast("long").alias("edit_distance"),
+        )
+    )
+    return short.unionByName(long_pairs)

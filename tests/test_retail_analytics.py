@@ -384,3 +384,53 @@ def test_gap_stats_median_matches_python(spark, tmp_path_factory, orders):
         for r in all_specs()["customer_order_gap_stats"].spark_fn(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=8, max_size=40), min_size=2, max_size=10
+    ),
+    max_dist=st.integers(1, 3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_edit_distance_gram_branch_matches_bruteforce(spark, texts, max_dist):
+    """Same exactness fuzz, but method="grams" and sized so pairs cross
+    the q*(T+1) split and exercise the Ed-Join gram branch (prefix-index
+    candidates + verify), including cross-branch boundary pairs."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, max_dist, salt=2, method="grams").collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev(texts[i], texts[j])
+            if d <= max_dist:
+                want[(i, j)] = d
+    assert got == want
+
+
+def test_edit_distance_methods_agree_on_corpus(spark):
+    """bucket and grams methods return the identical pair set on the
+    smoke corpus — method is a pure plan choice, never a semantics one."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(docs, 25).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(docs, 25, method="grams").collect()
+    }
+    assert a == b
+    assert a, "expected at least one near-dup pair in the smoke corpus"

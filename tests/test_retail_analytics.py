@@ -434,3 +434,26 @@ def test_edit_distance_methods_agree_on_corpus(spark):
     }
     assert a == b
     assert a, "expected at least one near-dup pair in the smoke corpus"
+
+
+def test_edit_distance_lsh_is_verified_subset(spark):
+    """The LSH-candidate scale path emits ONLY true pairs (exact
+    precision — every candidate is DP-verified) and a subset of the
+    exact join's output; on the smoke corpus it recalls every pair."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_lsh,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(docs, 25).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs_lsh(docs, 25).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == d for p, d in lsh.items())
+    assert exact, "expected near-dup pairs in the smoke corpus"

@@ -624,3 +624,13 @@ def test_edit_distance_pairs_salted_equi_join(spark):
     assert "levenshtein" in plan
     assert "salt_l" in plan and "salt_r" in plan, "salted join keys missing"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # The verify-parallelism fix: the left side must reach the join via a
+    # user-pinned (REPARTITION_BY_NUM) hash exchange on (bucket, salt) —
+    # without the explicit count, AQE coalesces the few-MB exchange back
+    # to ONE partition and the O(len x T) verify runs single-task
+    # (measured 43 s -> 4.5 s at sf0.1; SCALING.md blocking study).
+    assert any(
+        "REPARTITION_BY_NUM" in ln and "bkt_l" in ln and "salt_l" in ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+    ), "pinned (bucket, salt) repartition missing from the executed plan"

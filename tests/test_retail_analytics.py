@@ -457,3 +457,52 @@ def test_edit_distance_lsh_is_verified_subset(spark):
     assert set(lsh) <= set(exact)
     assert all(exact[p] == d for p, d in lsh.items())
     assert exact, "expected near-dup pairs in the smoke corpus"
+
+
+def test_monthly_yoy_correct_under_missing_months(spark, tmp_path_factory):
+    """The time-shifted self-join reads NULL for a year-ago month that had
+    no orders — the exact case where LAG(12) over the observed series
+    silently compares against the wrong month."""
+    import datetime as dt
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+
+    tmp = tmp_path_factory.mktemp("yoy")
+    # Year 1: Jan..Dec except June missing. Year 2: Jan..Jul present.
+    rows = []
+    k = 0
+    for y, months in ((1995, [1, 2, 3, 4, 5, 7, 8, 9, 10, 11, 12]), (1996, range(1, 8))):
+        for m in months:
+            k += 1
+            rows.append((k, 1, dt.datetime(y, m, 15), 100.0 * k))
+    _write_parquet(
+        tmp / "orders.parquet",
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderdate": [r[2] for r in rows],
+            "o_totalprice": [r[3] for r in rows],
+        },
+    )
+    out = {
+        r["month"].strftime("%Y-%m"): (r["revenue_prev_year"], r["yoy_growth_ppm"])
+        for r in all_specs()["monthly_revenue_yoy"].spark_fn(spark, str(tmp)).collect()
+    }
+    # 1996-06's year-ago month (1995-06) had no orders: prev must be NULL
+    # — LAG(12) over the OBSERVED series would instead read 1995-05's
+    # revenue (June 1995 is absent, shifting every offset by one).
+    prev_96_06, growth_96_06 = out["1996-06"]
+    assert prev_96_06 is None and growth_96_06 is None
+    # Months whose year-ago month exists compare against exactly it.
+    prev_96_07, growth_96_07 = out["1996-07"]
+    assert prev_96_07 is not None and growth_96_07 is not None
+    # Every 1995 row has no prior year: prev and growth NULL.
+    for key, (prev, growth) in out.items():
+        if key.startswith("1995"):
+            assert prev is None and growth is None
+    # And the LAG formulation WOULD have mismatched here: 12 observed
+    # rows before 1996-06 is 1995-05, not a June — pin that the join
+    # used the calendar, not row offsets.
+    months_sorted = sorted(out)
+    idx = months_sorted.index("1996-06")
+    assert months_sorted[idx - 12] == "1995-05"

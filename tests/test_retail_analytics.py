@@ -506,3 +506,110 @@ def test_monthly_yoy_correct_under_missing_months(spark, tmp_path_factory):
     months_sorted = sorted(out)
     idx = months_sorted.index("1996-06")
     assert months_sorted[idx - 12] == "1995-05"
+
+
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(1, 5),            # partkey
+            st.integers(1, 4),            # suppkey
+            st.integers(1, 40),           # quantity
+            st.integers(100, 99999),      # extendedprice cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_min_cost_argmin_matches_python(spark, tmp_path_factory, lines):
+    """The aggregate + join-back-on-(key, min) argmin — including its
+    double-equality join (sound because both MINs select from the same
+    value set, so the winning double is bit-identical) and the
+    min-suppkey tiebreak — matches a direct Python computation."""
+    from collections import defaultdict
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+
+    tmp = tmp_path_factory.mktemp("argmin")
+    _write_parquet(
+        tmp / "lineitem.parquet",
+        {
+            "l_partkey": [p for p, _, _, _ in lines],
+            "l_suppkey": [s for _, s, _, _ in lines],
+            "l_quantity": [float(q) for _, _, q, _ in lines],
+            "l_extendedprice": [c / 100.0 for _, _, _, c in lines],
+        },
+    )
+    parts = sorted({p for p, _, _, _ in lines})
+    _write_parquet(
+        tmp / "part.parquet",
+        {"p_partkey": parts, "p_name": [f"P{k}" for k in parts]},
+    )
+
+    unit = defaultdict(list)
+    for p, s, q, c in lines:
+        unit[(p, s)].append((c / 100.0) / float(q))
+    per_ps = {k: min(v) for k, v in unit.items()}
+    best = defaultdict(lambda: (float("inf"), None))
+    for (p, s), u in per_ps.items():
+        cur_u, cur_s = best[p]
+        if u < cur_u or (u == cur_u and s < cur_s):
+            best[p] = (u, s)
+    want = {p: (s, u) for p, (u, s) in best.items()}
+
+    got = {
+        r["p_partkey"]: (r["best_suppkey"], r["unit_cost"])
+        for r in all_specs()["min_cost_supplier_parts"].spark_fn(spark, str(tmp)).collect()
+    }
+    assert got == want
+
+
+@given(
+    revs=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(1, 10_000_000)),  # (partkey, revenue micros)
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_part_revenue_share_threshold_exact(spark, tmp_path_factory, revs):
+    """The Q11 threshold compare runs in exact DECIMAL: the kept set
+    equals a Python fractions computation, including boundary ties
+    (r == t * fraction must be EXCLUDED — strict >)."""
+    from fractions import Fraction
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+    from retail_aws_etl_pipeline_spark.plans.analytics import PART_SHARE_FRACTION
+
+    tmp = tmp_path_factory.mktemp("share")
+    # discount 0 so revenue == extendedprice exactly
+    _write_parquet(
+        tmp / "lineitem.parquet",
+        {
+            "l_partkey": [p for p, _ in revs],
+            "l_extendedprice": [m / 1_000_000.0 for _, m in revs],
+            "l_discount": [0.0] * len(revs),
+        },
+    )
+    per = {}
+    for p, m in revs:
+        # mirror the engine: each double is snapped to DECIMAL(28,6)
+        dec = Fraction(round(Fraction(m, 1_000_000) * 10**6), 10**6)
+        per[p] = per.get(p, Fraction(0)) + dec
+    total = sum(per.values())
+    frac = Fraction(PART_SHARE_FRACTION)
+    want = {p for p, r in per.items() if r > total * frac}
+
+    got = {
+        r["p_partkey"]
+        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
+    }
+    assert got == want

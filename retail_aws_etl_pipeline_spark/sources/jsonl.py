@@ -1,0 +1,86 @@
+"""JSON-lines document ingest — the LLM-corpus interchange format.
+
+Training-data pipelines exchange document corpora as (optionally
+gzip/zstd-compressed) JSONL: one JSON object per line, schema known in
+advance, malformed lines expected and audited rather than fatal. This
+source mirrors the CSV ingest discipline (sources/reader.py — scrub,
+split, audit) for that format:
+
+- **Explicit schema, never inference**: ``spark.read.json`` without a
+  schema runs a FULL extra pass over the data to infer one — at 100 TB
+  that doubles the scan. Here the file is read as TEXT and parsed with
+  ``from_json`` against the caller's schema (default: the documents
+  table contract): ONE pass, and the raw line stays available verbatim
+  for the reject sink. (This also sidesteps Spark's
+  QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — the raw-json-source
+  formulation cannot project the corrupt column alone without caching
+  the whole input, which is exactly what a 100 TB ingest must not do.)
+- **Compression transparency**: .gz/.bz2 decode per file extension like
+  any Spark text source — no code difference, only a parallelism note:
+  gzip is not splittable, so one .gz file = one task; corpora should
+  ship many moderate files rather than one giant archive.
+- **Corrupt-line + required-field audits**: malformed JSON surfaces via
+  the in-struct ``_corrupt_record`` (PERMISSIVE mode); rows parsing as
+  JSON but missing doc_id or text are rejects too (the P6 null-split
+  shape of the reference ingest), each tagged with a reason and
+  carrying the ORIGINAL line.
+
+Returns (good, rejects): ``good`` matches the documents table contract
+(doc_id/text/lang/source/n_chars, with n_chars recomputed — the wire
+value is untrusted metadata), ``rejects`` is (raw, reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The documents-table wire schema. _corrupt_record is populated by
+#: from_json's PERMISSIVE mode when a line fails to parse.
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass JSONL read with corrupt-line + required-field audit."""
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = schema.add("_corrupt_record", T.StringType())
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    corrupt = parsed.filter(
+        F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
+    ).select(F.col("value").alias("raw"), F.lit("malformed_json").alias("reason"))
+    valid = parsed.filter(
+        F.col("j").isNotNull() & F.col("j._corrupt_record").isNull()
+    )
+    missing = valid.filter(
+        F.col("j.doc_id").isNull() | F.col("j.text").isNull()
+    ).select(F.col("value").alias("raw"), F.lit("missing_required_field").alias("reason"))
+    good = valid.filter(
+        F.col("j.doc_id").isNotNull() & F.col("j.text").isNotNull()
+    ).select(
+        F.col("j.doc_id").alias("doc_id"),
+        F.col("j.text").alias("text"),
+        F.col("j.lang").alias("lang"),
+        F.col("j.source").alias("source"),
+        # recompute: the wire n_chars is untrusted metadata
+        F.length("j.text").cast("long").alias("n_chars"),
+    )
+    return good, corrupt.unionByName(missing)

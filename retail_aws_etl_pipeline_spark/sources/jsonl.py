@@ -84,3 +84,52 @@ def read_jsonl_documents(
         F.length("j.text").cast("long").alias("n_chars"),
     )
     return good, corrupt.unionByName(missing)
+
+
+def ingest_jsonl_corpus(
+    spark: SparkSession,
+    src_path: str,
+    dest_dir: str,
+    rejects_dir: str | None = None,
+    schema: T.StructType = DOCUMENTS_JSONL_SCHEMA,
+) -> dict:
+    """JSONL corpus → lang-partitioned parquet + JSONL reject sink.
+
+    The batch corpus-ingest step a training-data pipeline runs before the
+    dedup/quality operators: read (:func:`read_jsonl_documents`), write
+    the good frame partitioned by ``lang`` (the partition key every
+    downstream mixture/rebalancing operator filters on — partition
+    pruning for free), spill rejects as JSONL for triage.
+
+    Idempotent by construction: partition-overwrite is DYNAMIC, so
+    re-ingesting the same source replaces exactly the languages it
+    carries and leaves other corpora's partitions alone. Counts ride the
+    writes as ``observe()`` metrics — zero extra aggregation jobs (the
+    ingest.py discipline). NULL lang buckets under ``lang=__unknown`` so
+    the partition column never drops rows.
+
+    Returns {"good": n, "rejects": n}.
+    """
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    good, rejects = read_jsonl_documents(spark, src_path, schema)
+
+    obs_good = Observation("jsonl_good")
+    (
+        good.withColumn("lang", F.coalesce(F.col("lang"), F.lit("__unknown")))
+        .observe(obs_good, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(dest_dir)
+    )
+    n_rejects = 0
+    if rejects_dir is not None:
+        obs_rej = Observation("jsonl_rejects")
+        (
+            rejects.observe(obs_rej, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .json(rejects_dir)
+        )
+        n_rejects = obs_rej.get["n"]
+    return {"good": obs_good.get["n"], "rejects": n_rejects}

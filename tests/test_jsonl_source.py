@@ -82,3 +82,32 @@ def test_jsonl_matches_documents_contract(spark, tmp_path):
     parquet = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     merged = parquet.select(*good.columns).unionByName(good)
     assert merged.count() == parquet.count() + 3
+
+
+def test_ingest_jsonl_corpus_partitioned_and_idempotent(spark, tmp_path):
+    """lang-partitioned parquet + JSONL rejects; NULL lang bucketed; a
+    re-ingest of the same source converges (dynamic partition overwrite,
+    not append-duplication); counts ride the writes."""
+    lines = [json.dumps(d, ensure_ascii=False) for d in GOOD]
+    lines.append('{"doc_id": 9, "text": "no lang"}')     # NULL lang
+    lines.append('{"doc_id": 10, "text": "broken')       # malformed
+    f = tmp_path / "corpus.jsonl"
+    _write(f, lines)
+    dest = str(tmp_path / "corpus_parquet")
+    rej = str(tmp_path / "corpus_rejects")
+
+    from retail_aws_etl_pipeline_spark.sources.jsonl import ingest_jsonl_corpus
+
+    counts = ingest_jsonl_corpus(spark, str(f), dest, rej)
+    assert counts == {"good": 4, "rejects": 1}
+
+    out = spark.read.parquet(dest)
+    assert out.count() == 4
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en", "zh", "__unknown"}
+    assert {r["reason"] for r in spark.read.json(rej).collect()} == {"malformed_json"}
+
+    # re-ingest: same counts, same rows — no duplication
+    counts2 = ingest_jsonl_corpus(spark, str(f), dest, rej)
+    assert counts2 == counts
+    assert spark.read.parquet(dest).count() == 4

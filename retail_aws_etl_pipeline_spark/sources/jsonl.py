@@ -16,9 +16,10 @@ split, audit) for that format:
   formulation cannot project the corrupt column alone without caching
   the whole input, which is exactly what a 100 TB ingest must not do.)
 - **Compression transparency**: .gz/.bz2 decode per file extension like
-  any Spark text source — no code difference, only a parallelism note:
-  gzip is not splittable, so one .gz file = one task; corpora should
-  ship many moderate files rather than one giant archive.
+  any Spark text source (.zst too where the cluster ships the native
+  hadoop codec — this container does not) — no code difference, only a
+  parallelism note: gzip is not splittable, so one .gz file = one task;
+  corpora should ship many moderate files rather than one giant archive.
 - **Corrupt-line + required-field audits**: malformed JSON surfaces via
   the in-struct ``_corrupt_record`` (PERMISSIVE mode); rows parsing as
   JSON but missing doc_id or text are rejects too (the P6 null-split
@@ -50,13 +51,15 @@ DOCUMENTS_JSONL_SCHEMA = T.StructType(
 )
 
 
-def read_jsonl_documents(
-    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+def parse_jsonl_lines(
+    text_df: DataFrame, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
 ) -> tuple[DataFrame, DataFrame]:
-    """One-pass JSONL read with corrupt-line + required-field audit."""
+    """Shared parse over a text frame (``value`` column) — batch AND
+    streaming take this exact code path, so stream==batch convergence
+    holds by construction, not by parallel implementations."""
     if "_corrupt_record" not in schema.fieldNames():
         schema = schema.add("_corrupt_record", T.StringType())
-    parsed = spark.read.text(path).select(
+    parsed = text_df.select(
         F.col("value"),
         F.from_json(
             "value",
@@ -84,6 +87,31 @@ def read_jsonl_documents(
         F.length("j.text").cast("long").alias("n_chars"),
     )
     return good, corrupt.unionByName(missing)
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """One-pass batch JSONL read with corrupt-line + required-field audit."""
+    return parse_jsonl_lines(spark.read.text(path), schema)
+
+
+def jsonl_documents_stream(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming JSONL corpus ingest: the arrival path for corpora shipped
+    as JSONL drops (one file per producer flush). Same parse as the batch
+    reader — literally the same function over ``readStream.text`` — so
+    the audits and the good-frame contract are identical; downstream this
+    feeds the standing streaming dedup (near_dup_stream's foreachBatch
+    gram index) exactly like a staged parquet directory would. Text
+    streaming sources track processed FILES in the checkpoint, so
+    exactly-once ingest per file holds under restart like every other
+    file-source stream here.
+    """
+    return parse_jsonl_lines(
+        spark.readStream.option("maxFilesPerTrigger", 1).text(path), schema
+    )
 
 
 def ingest_jsonl_corpus(

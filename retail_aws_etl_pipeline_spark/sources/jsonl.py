@@ -134,7 +134,14 @@ def ingest_jsonl_corpus(
     carries and leaves other corpora's partitions alone. Counts ride the
     writes as ``observe()`` metrics — zero extra aggregation jobs (the
     ingest.py discipline). NULL lang buckets under ``lang=__unknown`` so
-    the partition column never drops rows.
+    the partition column never drops rows. The rejects sink is a FULL
+    overwrite of ``rejects_dir`` (rejects are per-run triage, not a
+    ledger) — give each source its own rejects dir, or point it at a
+    dated path, when aggregating across ingests.
+
+    Measured: 50k docs (~300 chars each, 16 files) ingest in ~0.9 s warm
+    on local[32] — ~54k docs/s end-to-end including the partitioned
+    write (SCALING.md).
 
     Returns {"good": n, "rejects": n}.
     """

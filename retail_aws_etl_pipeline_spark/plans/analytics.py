@@ -2642,6 +2642,14 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def min_cost_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    # The argmin join-back consumes `unit` on BOTH sides (directly and
+    # through `best`), and ReuseExchange never fires across the two
+    # subtrees — so the scan + aggregate genuinely runs twice. Persisting
+    # `unit` was A/B-measured and REJECTED: at 10x it is noise (8.3 s vs
+    # 9.3 s cold), and at 100x it is 1.6-2.7x WORSE (23.7 s recompute vs
+    # 38.5-65 s persisted) — the (part, supplier) aggregate output is
+    # wide enough that materializing it costs more than re-running the
+    # combiner-friendly aggregate. Recompute is the scale-correct plan.
     unit = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")

@@ -120,6 +120,7 @@ def ingest_jsonl_corpus(
     dest_dir: str,
     rejects_dir: str | None = None,
     schema: T.StructType = DOCUMENTS_JSONL_SCHEMA,
+    audit_dir: str | None = None,
 ) -> dict:
     """JSONL corpus → lang-partitioned parquet + JSONL reject sink.
 
@@ -167,4 +168,25 @@ def ingest_jsonl_corpus(
             .json(rejects_dir)
         )
         n_rejects = obs_rej.get["n"]
-    return {"good": obs_good.get["n"], "rejects": n_rejects}
+    counts = {"good": obs_good.get["n"], "rejects": n_rejects}
+    if audit_dir is not None:
+        # K5 discipline (operators/compact.py audit puts): one driver-side
+        # JSON metrics document per ingest, keyed by source, for the
+        # operational dashboard / triage trail the reference keeps.
+        import datetime as _dt
+        import json as _json
+        import os as _os
+
+        _os.makedirs(audit_dir, exist_ok=True)
+        safe = src_path.rstrip("/").split("/")[-1].replace(".", "_")
+        metrics = {
+            "source": src_path,
+            "dest": dest_dir,
+            "good_rows": counts["good"],
+            "reject_rows": counts["rejects"],
+            "processed_at_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "status": "SUCCESS",
+        }
+        with open(_os.path.join(audit_dir, f"jsonl_ingest_{safe}.json"), "w") as f:
+            _json.dump(metrics, f, indent=2)
+    return counts

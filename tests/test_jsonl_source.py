@@ -192,3 +192,26 @@ def test_jsonl_drops_feed_near_dup_stream(spark, tmp_path):
     }
     grams.unpersist()
     assert got == want and want
+
+
+def test_ingest_jsonl_corpus_writes_audit(spark, tmp_path):
+    """The optional audit put mirrors the compaction metrics discipline:
+    one JSON document per ingest keyed by source, with the counts."""
+    lines = [json.dumps(d, ensure_ascii=False) for d in GOOD] + ['{"nope']
+    f = tmp_path / "corpus.jsonl"
+    _write(f, lines)
+
+    from retail_aws_etl_pipeline_spark.sources.jsonl import ingest_jsonl_corpus
+
+    audit = tmp_path / "audit"
+    ingest_jsonl_corpus(
+        spark,
+        str(f),
+        str(tmp_path / "dest"),
+        str(tmp_path / "rej"),
+        audit_dir=str(audit),
+    )
+    [doc] = list(audit.glob("jsonl_ingest_*.json"))
+    metrics = json.loads(doc.read_text())
+    assert metrics["good_rows"] == 3 and metrics["reject_rows"] == 1
+    assert metrics["status"] == "SUCCESS" and metrics["source"] == str(f)

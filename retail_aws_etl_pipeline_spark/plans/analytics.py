@@ -2297,12 +2297,19 @@ def revenue_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk AS (
         SELECT CAST(MAX(c) AS BIGINT) AS top1, CAST(SUM(c) AS BIGINT) AS top10
         FROM (SELECT c FROM kc ORDER BY c DESC, l_partkey ASC LIMIT 10)
+    ),
+    gin AS (
+        SELECT n_keys, n_rows,
+               2 * s - (n_keys + 1) * n_rows AS num,
+               n_keys * n_rows AS den
+        FROM gsum
     )
     SELECT n_keys, n_rows,
            CAST(top1 * 1000000 // n_rows AS BIGINT) AS top1_share_ppm,
            CAST(top10 * 1000000 // n_rows AS BIGINT) AS top10_share_ppm,
-           CAST((2 * s - (n_keys + 1) * n_rows) * 1000000 // (n_keys * n_rows) AS BIGINT) AS gini_ppm
-    FROM gsum CROSS JOIN topk
+           CAST((num * 1000 // den) * 1000
+                + ((num * 1000 % den) * 1000) // den AS BIGINT) AS gini_ppm
+    FROM gin CROSS JOIN topk
     """,
     description="Partition-key skew report for the hottest fact-table join "
     "key: per-key row counts reduced to a count-of-counts histogram, from "
@@ -2333,14 +2340,27 @@ def partkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .agg(F.max("c").cast("long").alias("top1"), F.sum("c").cast("long").alias("top10"))
     )
-    return gsum.crossJoin(F.broadcast(topk)).select(
-        "n_keys",
-        "n_rows",
-        F.expr("top1 * 1000000 div n_rows").cast("long").alias("top1_share_ppm"),
-        F.expr("top10 * 1000000 div n_rows").cast("long").alias("top10_share_ppm"),
-        F.expr("(2 * s - (n_keys + 1) * n_rows) * 1000000 div (n_keys * n_rows)")
-        .cast("long")
-        .alias("gini_ppm"),
+    # gini_ppm stages the x1e6 as two x1000 steps with remainder
+    # correction — exactly floor(num * 1e6 / den), proven by
+    # num*1000 = q1*den + r1  =>  num*1e6 = (q1*1000)*den + r1*1000 —
+    # because the single-multiply form overflows int64 once den = n_keys
+    # * n_rows reaches ~1e13 (hit at the K=100 sweep: 60M rows x 2M keys
+    # made num * 1e6 ~ 1.2e21 under ANSI overflow). The staged form is
+    # exact through den ~ 9.2e15 — another decade of headroom, same
+    # div/% semantics in Spark and DuckDB for the non-negative operands.
+    return (
+        gsum.withColumn("num", F.expr("2 * s - (n_keys + 1) * n_rows"))
+        .withColumn("den", F.expr("n_keys * n_rows"))
+        .crossJoin(F.broadcast(topk))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.expr("top1 * 1000000 div n_rows").cast("long").alias("top1_share_ppm"),
+            F.expr("top10 * 1000000 div n_rows").cast("long").alias("top10_share_ppm"),
+            F.expr("(num * 1000 div den) * 1000 + ((num * 1000 % den) * 1000) div den")
+            .cast("long")
+            .alias("gini_ppm"),
+        )
     )
 
 

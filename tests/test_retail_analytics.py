@@ -613,3 +613,26 @@ def test_part_revenue_share_threshold_exact(spark, tmp_path_factory, revs):
         for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+def test_gini_staged_ppm_no_overflow_at_scale(spark):
+    """The staged x1000 gini_ppm equals floor(num*1e6/den) and survives
+    K=100-magnitude operands where the single multiply overflows int64
+    under ANSI mode (the bug the K=100 sweep caught)."""
+    cases = [
+        (1_199_999_987_654_321, 1_200_000_000_000_000),  # ~K=100 magnitudes
+        (3, 7),
+        (0, 5),
+        (999_999_999_999, 1_000_000_000_000),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = [
+        r["ppm"]
+        for r in df.select(
+            F.expr(
+                "(num * 1000 div den) * 1000 + ((num * 1000 % den) * 1000) div den"
+            ).alias("ppm")
+        ).collect()
+    ]
+    want = [num * 1_000_000 // den for num, den in cases]
+    assert got == want

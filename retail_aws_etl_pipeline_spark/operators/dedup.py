@@ -1116,7 +1116,10 @@ def _bucket_blocked_edit_pairs(base: DataFrame, T: int, S: int) -> DataFrame:
         F.col("_ed_text").alias("text_l"),
         F.col("_ed_len").alias("len_l"),
         F.expr(f"_ed_len div {T}").alias("bkt_l"),
-        F.expr(f"_ed_id % {S}").alias("salt_l"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+        # id would salt into -(S-1)..-1 — keys the 0..S-1 probe replicas
+        # never carry — silently dropping that row's pairs (ADVICE r7).
+        F.expr(f"pmod(_ed_id, {S})").alias("salt_l"),
     ).repartition(nparts, F.col("bkt_l"), F.col("salt_l"))
     right = base.select(
         F.col("_ed_id").alias("id_r"),

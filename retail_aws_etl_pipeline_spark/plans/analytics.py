@@ -2763,8 +2763,8 @@ PART_SHARE_FRACTION = "0.0005"
     tot AS (SELECT SUM(r) AS t FROM pr)
     SELECT l_partkey AS p_partkey,
            CAST(r AS DOUBLE) AS part_revenue,
-           CAST(CAST(r * 1000000 AS BIGINT) AS DOUBLE)
-               / CAST(CAST(t * 1000000 AS BIGINT) AS DOUBLE) * 1000000.0 AS share_ppm
+           CAST(CAST(FLOOR(r) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(FLOOR(t) AS BIGINT) AS DOUBLE) * 1000000.0 AS share_ppm
     FROM pr, tot
     WHERE r > t * {PART_SHARE_FRACTION}
     ORDER BY part_revenue DESC, p_partkey
@@ -2775,10 +2775,15 @@ PART_SHARE_FRACTION = "0.0005"
     "broadcast total crossJoined onto the per-part aggregate (no second "
     "scan, no correlated subquery). Determinism: the threshold compare "
     "runs entirely in exact DECIMAL (sum cast per row, fraction as an "
-    "exact decimal literal); the reported share divides the exact micro "
-    "units in identically-written double arithmetic. Scale: one keyed "
-    "partkey aggregate + a 1-row broadcast; the output order rides the "
-    "aggregate, no window.",
+    "exact decimal literal); the reported share FLOORs both revenues to "
+    "exact whole-unit BIGINTs and divides in identically-written double "
+    "arithmetic — int64-safe to t ~ 9.2e18 currency units (~sf 4e7), "
+    "unlike a micro-unit snap which overflows at t ~ 9.2e12 (~sf 40, the "
+    "gini_ppm overflow class; ADVICE r7). Sub-unit truncation shifts "
+    "share_ppm by < 1/r relative — noise at any share worth reporting — "
+    "and identically on both engines. Scale: one keyed partkey aggregate "
+    "+ a 1-row broadcast; the output order rides the aggregate, no "
+    "window.",
     tags=("join", "agg", "retail"),
 )
 def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2798,8 +2803,8 @@ def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("p_partkey"),
             F.col("r").cast("double").alias("part_revenue"),
             (
-                F.expr("CAST(CAST(r * 1000000 AS BIGINT) AS DOUBLE)")
-                / F.expr("CAST(CAST(t * 1000000 AS BIGINT) AS DOUBLE)")
+                F.expr("CAST(CAST(FLOOR(r) AS BIGINT) AS DOUBLE)")
+                / F.expr("CAST(CAST(FLOOR(t) AS BIGINT) AS DOUBLE)")
                 * F.lit(1000000.0)
             ).alias("share_ppm"),
         )

@@ -37,15 +37,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: The documents-table wire schema. _corrupt_record is populated by
-#: from_json's PERMISSIVE mode when a line fails to parse.
+#: The documents-table parse schema: ONLY the required/kept fields.
+#: _corrupt_record is populated by from_json's PERMISSIVE mode when a line
+#: fails to parse. The wire n_chars is deliberately ABSENT: under
+#: PERMISSIVE a type mismatch on ANY schema field flags the whole row as
+#: corrupt, so parsing a recomputed-and-discarded metadata field would
+#: reject lines whose doc_id/text are perfectly usable (e.g. a producer
+#: emitting "n_chars": "11" as a string — ADVICE r7). Fields not in the
+#: schema are ignored by from_json; rejects therefore reflect genuinely
+#: unusable lines only. Kept fields (lang/source) stay strict: a
+#: type-corrupt partition key IS an unusable line.
 DOCUMENTS_JSONL_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
         T.StructField("_corrupt_record", T.StringType()),
     ]
 )
@@ -148,7 +155,6 @@ def ingest_jsonl_corpus(
     """
     from pyspark.sql import Observation
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     good, rejects = read_jsonl_documents(spark, src_path, schema)
 
     obs_good = Observation("jsonl_good")
@@ -156,6 +162,9 @@ def ingest_jsonl_corpus(
         good.withColumn("lang", F.coalesce(F.col("lang"), F.lit("__unknown")))
         .observe(obs_good, F.count(F.lit(1)).alias("n"))
         .write.mode("overwrite")
+        # per-write, NOT session conf: a session-global mutation would
+        # silently turn every later static overwrite dynamic (ADVICE r7)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("lang")
         .parquet(dest_dir)
     )

@@ -194,6 +194,46 @@ def test_jsonl_drops_feed_near_dup_stream(spark, tmp_path):
     assert got == want and want
 
 
+def test_jsonl_untrusted_field_type_mismatch_is_not_a_reject(spark, tmp_path):
+    """A wrong-typed field OUTSIDE the required/kept set (e.g. a producer
+    emitting n_chars as a string) must NOT reject the line: n_chars is
+    recomputed and discarded anyway, and the parse schema deliberately
+    excludes it (ADVICE r7). String-typed kept fields (lang/source) accept
+    any JSON value — from_json keeps the raw JSON text for StringType — so
+    only the typed required field (doc_id) can still type-reject, which is
+    correct: a non-numeric doc_id IS an unusable line."""
+    lines = [
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": "11"}',
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3.5}',
+        '{"doc_id": "notanint", "text": "bad id", "lang": "en", "source": "s"}',
+    ]
+    f = tmp_path / "docs.jsonl"
+    _write(f, lines)
+    good, rejects = read_jsonl_documents(spark, str(f))
+    got = {r["doc_id"]: r["n_chars"] for r in good.collect()}
+    assert got == {1: 2, 2: 3}  # recomputed from text, wire value ignored
+    assert [r["reason"] for r in rejects.collect()] == ["malformed_json"]
+
+
+def test_ingest_jsonl_corpus_does_not_mutate_session_overwrite_mode(spark, tmp_path):
+    """The dynamic partition overwrite must ride the WRITE, not the session:
+    a later static overwrite in the same session must stay static
+    (ADVICE r7)."""
+    from retail_aws_etl_pipeline_spark.sources.jsonl import ingest_jsonl_corpus
+
+    f = tmp_path / "corpus.jsonl"
+    _write(f, [json.dumps(d, ensure_ascii=False) for d in GOOD])
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "static")
+        ingest_jsonl_corpus(spark, str(f), str(tmp_path / "dest"))
+        assert spark.conf.get(key) == "static"
+        assert spark.read.parquet(str(tmp_path / "dest")).count() == 3
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_ingest_jsonl_corpus_writes_audit(spark, tmp_path):
     """The optional audit put mirrors the compaction metrics discipline:
     one JSON document per ingest keyed by source, with the counts."""

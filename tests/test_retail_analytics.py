@@ -615,6 +615,59 @@ def test_part_revenue_share_threshold_exact(spark, tmp_path_factory, revs):
     assert got == want
 
 
+def test_edit_distance_pairs_negative_ids_exact(spark):
+    """The salted length-bucket join must stay exact for NEGATIVE ids:
+    Spark's % keeps the dividend sign, so an `id % S` salt would key
+    negative-id rows outside the 0..S-1 probe replicas and silently drop
+    their pairs — pmod fixes it (ADVICE r7)."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    texts = ["aaaa", "aaab", "abab", "bbbb", "aaa", "xyz"]
+    rows = [(i - 3, t) for i, t in enumerate(texts)]  # ids -3..2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, 2, salt=3).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _lev(texts[i], texts[j])
+            if d <= 2:
+                a, b = sorted((i - 3, j - 3))
+                want[(a, b)] = d
+    assert got == want and any(a < 0 for a, _ in got)
+
+
+def test_part_revenue_share_survives_second_decade_totals(spark, tmp_path_factory):
+    """share_ppm must not overflow int64 once total revenue t exceeds
+    ~9.2e12 (where a micro-unit BIGINT snap dies under ANSI — the gini_ppm
+    overflow class, ADVICE r7): the floored whole-unit form is exact
+    int64 through t ~ 9.2e18 and matches Python double arithmetic."""
+    from math import floor
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+
+    tmp = tmp_path_factory.mktemp("share_scale")
+    # three parts, revenues ~5e12 each => t ~ 1.5e13 > the 9.2e12 ceiling
+    revs = [5_000_000_000_000.25, 4_999_999_999_999.75, 5_000_000_000_001.5]
+    _write_parquet(
+        tmp / "lineitem.parquet",
+        {
+            "l_partkey": [1, 2, 3],
+            "l_extendedprice": revs,
+            "l_discount": [0.0] * 3,
+        },
+    )
+    got = {
+        r["p_partkey"]: r["share_ppm"]
+        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
+    }
+    t = floor(sum(revs))
+    want = {k + 1: float(floor(r)) / float(t) * 1_000_000.0 for k, r in enumerate(revs)}
+    assert got == want
+
+
 def test_gini_staged_ppm_no_overflow_at_scale(spark):
     """The staged x1000 gini_ppm equals floor(num*1e6/den) and survives
     K=100-magnitude operands where the single multiply overflows int64

@@ -169,16 +169,27 @@ def main() -> None:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
-        # Per-round archive (VERDICT r5 #3): BENCH_DETAIL.json is
-        # overwritten every run, so cross-round per-query diffs were
-        # limited to the slowest-8 in the driver's BENCH_r0N.json summary.
-        # Infer the in-flight round as max(existing BENCH_r*.json) + 1
-        # (the driver writes BENCH_r0N.json AFTER this bench run) and keep
-        # a numbered copy; re-runs within a round overwrite their own file.
+        # Per-round archive (VERDICT r5 #3, protocol fixed per VERDICT r7
+        # #2): BENCH_DETAIL.json is overwritten every run, so cross-round
+        # per-query diffs need a numbered copy. Infer the in-flight round
+        # as max(existing BENCH_r*.json) + 1 (the driver writes
+        # BENCH_r0N.json AFTER this bench run).
+        #
+        # PROTOCOL (r8): BENCH_DETAIL_r0N.json is ALWAYS the same single
+        # run whose headline went to stdout — so the driver's BENCH_r0N
+        # and the archived detail describe one coherent measurement, and
+        # round-over-round totals compare like for like. The r7 archive
+        # mixed protocols (merged per-query mins across runs vs one final
+        # run, 160.2s vs 228.5s for the same code) which made the round
+        # comparison ambiguous. Cross-run best-observation merging still
+        # has a job — separating "the query got slower" from "the host
+        # was loaded" — but it now lives in a separate, explicitly
+        # labeled sidecar (BENCH_BEST_r0N.json) that nothing treats as a
+        # run.
         import re as _re
 
         # Only FULL runs archive: a BENCH_QUERIES-filtered smoke run would
-        # otherwise clobber the round's 90-entry archive with its subset
+        # otherwise clobber the round's archive with its subset
         # (this happened once — restored from git in r6).
         if not names:
             rounds = [
@@ -188,35 +199,44 @@ def main() -> None:
             ]
             round_no = max(rounds, default=0) + 1
             arch_path = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
-            # Re-runs within a round MERGE per-query mins rather than
-            # overwrite: cross-round comparison is defined on per-query
-            # MINS (host load spikes inflate whole runs ~1.3x), so the
-            # archive should hold the round's best observation of each
-            # query, and its total should be the sum of those mins.
             archived = dict(detail)
+            archived["protocol"] = (
+                "single run; per query min of "
+                f"{repeats} back-to-back repeats in that run"
+            )
+            with open(arch_path, "w") as fh:
+                json.dump(archived, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            best_path = os.path.join(repo_dir, f"BENCH_BEST_r{round_no:02d}.json")
+            best = dict(detail)
+            best["protocol"] = (
+                "merged per-query minima across every full run this round — "
+                "a per-query best-observation table for load-spike triage, "
+                "NOT a run; totals here are not comparable to BENCH_r*.json"
+            )
             try:
-                with open(arch_path) as fh:
+                with open(best_path) as fh:
                     prev = json.load(fh)
                 if prev.get("sf") == detail.get("sf"):
                     pq, nq = prev.get("queries", {}), detail["queries"]
                     # merge over CURRENT-run keys only: a full run covers
                     # every live registry entry, so keys only the old
-                    # archive has are queries since removed — carrying
-                    # them forward would overstate the round total.
-                    archived["queries"] = {
+                    # file has are queries since removed — carrying them
+                    # forward would overstate the total.
+                    best["queries"] = {
                         k: round(min(pq.get(k, v), v), 4) for k, v in nq.items()
                     }
-                    archived["value"] = round(sum(archived["queries"].values()), 4)
-                    if "pipeline" in prev and "pipeline" in archived:
-                        pp, np_ = prev["pipeline"], dict(archived["pipeline"])
+                    best["value"] = round(sum(best["queries"].values()), 4)
+                    if "pipeline" in prev and "pipeline" in best:
+                        pp, np_ = prev["pipeline"], dict(best["pipeline"])
                         for key in ("ingest_rows_per_sec", "compact_rows_per_sec"):
                             if key in pp and key in np_:
                                 np_[key] = max(pp[key], np_[key])
-                        archived["pipeline"] = np_
+                        best["pipeline"] = np_
             except (OSError, ValueError):
                 pass
-            with open(arch_path, "w") as fh:
-                json.dump(archived, fh, indent=1, sort_keys=True)
+            with open(best_path, "w") as fh:
+                json.dump(best, fh, indent=1, sort_keys=True)
                 fh.write("\n")
     except OSError as exc:
         sidecar_err = f"{type(exc).__name__}: {exc}"[:200]
@@ -321,18 +341,18 @@ def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
         # quick run) is honored as-is.
         env_repeats = os.environ.get("BENCH_REPEATS")
         repeats = max(1, int(env_repeats)) if env_repeats is not None else 3
-        t_ingest = t_compact = None
+        ingest_times: list[float] = []
+        compact_times: list[float] = []
         for i in range(repeats):
             lake = LakeLayout(os.path.join(tmp, f"lake{i}"))
             t0 = time.perf_counter()
             result = ingest_file(spark, raw, lake, archive=False, write_reject_csv=False)
-            e_ingest = time.perf_counter() - t0
+            ingest_times.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             compact_pending(spark, lake, max_partitions=100_000, write_audit=False)
-            e_compact = time.perf_counter() - t0
+            compact_times.append(time.perf_counter() - t0)
             shutil.rmtree(os.path.join(tmp, f"lake{i}"), ignore_errors=True)
-            t_ingest = e_ingest if t_ingest is None else min(t_ingest, e_ingest)
-            t_compact = e_compact if t_compact is None else min(t_compact, e_compact)
+        t_ingest, t_compact = min(ingest_times), min(compact_times)
 
         timings["ingest_raw_to_silver"] = round(t_ingest, 4)
         timings["compact_silver_to_gold"] = round(t_compact, 4)
@@ -340,6 +360,13 @@ def bench_pipeline(spark, sf_dir: str, timings: dict) -> dict:
             "rows": n_rows,
             "ingest_rows_per_sec": round(n_rows / t_ingest),
             "compact_rows_per_sec": round(result.counts["good_rows"] / t_compact),
+            # every repeat, not just the min: the r7 archive showed a 1.7x
+            # run-to-run pipeline spread — the raw repeats make each run's
+            # artifact show WHETHER the spread was a one-repeat spike
+            # (min-filterable) or sustained across all repeats (a real
+            # environment/state effect), without re-running anything.
+            "ingest_repeats_sec": [round(t, 3) for t in ingest_times],
+            "compact_repeats_sec": [round(t, 3) for t in compact_times],
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -5172,7 +5172,14 @@ EDIT_DIST_SALT = 8
     "q-grams discriminate; on THIS corpus's small shared vocabulary "
     "every content filter measured vacuous (distinct-gram count kept "
     "99.8% of candidates, PassJoin positional blocks passed 37%), so "
-    "near-length candidates + fast thresholded DP IS the optimum.",
+    "near-length candidates + fast thresholded DP IS the optimum. "
+    "ENVELOPE (r8): this exact form is the ORACLE/AUDIT surface — "
+    "within a length bucket it is inherently quadratic (measured 70x "
+    "wall for 10x docs on the small-vocab corpus, SCALING.md), so its "
+    "registered role is bounded corpora and recall audits; the "
+    "corpus-scale default is edit_distance_near_pairs_lsh (banded "
+    "candidates + identical verify, 43.9s at K=100/500k docs), now "
+    "carrying its own driver row.",
     tags=("dedup", "join", "text"),
 )
 def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5180,3 +5187,142 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.edit_distance_pairs(
         t["documents"], EDIT_DIST_MAX, salt=EDIT_DIST_SALT
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "edit_distance_near_pairs_lsh",
+    f"""
+    WITH {GRAMS_CTE}, {SIGS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE abs(length(da.text) - length(db.text)) <= {EDIT_DIST_MAX}
+      AND levenshtein(da.text, db.text) <= {EDIT_DIST_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    description="The PRODUCTION-scale edit-distance path under the driver "
+    "hash gate (VERDICT r7 item #3): MinHash-banded candidate generation "
+    "(the standing shingle → signature → band bucket join, so candidate "
+    "volume tracks true near-dup density instead of the length-density "
+    "quadratic the exact form pays) + length prune + thresholded JVM "
+    "levenshtein verify. The oracle recomputes the SAME banding from the "
+    "shared seed/band constants in SQL and verifies with DuckDB's "
+    "levenshtein — i.e. it checks the declared semantics of this plan "
+    "(candidates ∘ verify), which is deterministic and hash-matchable at "
+    "any recall, not an exact-all-pairs claim. Recall vs the exact form "
+    "stays a MEASURED property: lsh_dedup_recall audits the banding "
+    "S-curve per Jaccard decile each window, and SCALING.md records "
+    "99.6%/3.7% natural/adversarial recall with 43.9s at K=100 (500k "
+    "docs) where the exact form's within-bucket quadratic measured 70x "
+    "wall for 10x docs. Scale: banded equi-join + thresholded DP only on "
+    "collided pairs — no all-pairs stage anywhere.",
+    tags=("dedup", "lsh", "text"),
+)
+def edit_distance_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return D.edit_distance_pairs_lsh(t["documents"], EDIT_DIST_MAX).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source under the driver hash gate (VERDICT r7 item #6)
+# ---------------------------------------------------------------------------
+
+#: Deterministic corpus-wire fault injection: every doc whose id hits the
+#: first modulus ships as a TRUNCATED line (invalid JSON); every id hitting
+#: the second ships without its required text field. Primes, so the fault
+#: classes interleave across the id space instead of aliasing.
+JSONL_CORRUPT_MOD = 97
+JSONL_DROPFIELD_MOD = 89
+
+
+@register(
+    "jsonl_corpus_stats",
+    f"""
+    WITH cls AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN doc_id % {JSONL_CORRUPT_MOD} = 0 THEN 'malformed_json'
+                    WHEN doc_id % {JSONL_DROPFIELD_MOD} = 0 OR text IS NULL
+                         THEN 'missing_required_field'
+                    ELSE 'good' END AS cls
+        FROM documents
+    )
+    SELECT 'lang' AS kind, COALESCE(lang, '__null') AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+    FROM cls WHERE cls = 'good' GROUP BY 2
+    UNION ALL
+    SELECT 'reject' AS kind, cls AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_chars
+    FROM cls WHERE cls <> 'good' GROUP BY 2
+    ORDER BY kind, key
+    """,
+    description="The JSONL corpus source's REAL parse path under the driver "
+    "hash gate (VERDICT r7 item #6): the documents table is serialized to "
+    "JSON lines with to_json — with the wire n_chars deliberately emitted "
+    "as a STRING (the untrusted-metadata tolerance the r7 advisory fix "
+    "guarantees, proven on every row here) — then deterministic wire "
+    "faults are injected by id (truncated line -> malformed JSON; text "
+    "field dropped -> required-field reject), and the lines run through "
+    "parse_jsonl_lines — the SAME single-pass text+from_json code batch "
+    "AND streaming ingest share. Output: per-lang good-doc counts with "
+    "recomputed char totals, plus reject-class counts. The oracle never "
+    "parses JSON: it derives the expected classes from the id formulas "
+    "(the synth_exif_media pattern), so the hash gate checks the PARSER. "
+    "Scale: serialize/parse/aggregate is one narrow pass + one keyed "
+    "aggregate; no driver-side collection.",
+    tags=("source", "jsonl", "audit"),
+)
+def jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.sources.jsonl import parse_jsonl_lines
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lines = docs.withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("source"),
+                # wrong-typed on purpose: the parse schema must ignore it
+                F.col("n_chars").cast("string").alias("n_chars"),
+            )
+        ),
+    ).select(
+        F.when(
+            F.col("doc_id") % JSONL_CORRUPT_MOD == 0,
+            F.expr("substring(payload, 1, length(payload) - 1)"),
+        )
+        .when(
+            F.col("doc_id") % JSONL_DROPFIELD_MOD == 0,
+            F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("source"))),
+        )
+        .otherwise(F.col("payload"))
+        .alias("value")
+    )
+    good, rejects = parse_jsonl_lines(lines)
+    lang_stats = good.groupBy(
+        F.coalesce(F.col("lang"), F.lit("__null")).alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    ).select(F.lit("lang").alias("kind"), "key", "n_rows", "sum_chars")
+    reject_stats = rejects.groupBy(F.col("reason").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.lit("reject").alias("kind"),
+        "key",
+        "n_rows",
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    return lang_stats.unionByName(reject_stats).orderBy("kind", "key")

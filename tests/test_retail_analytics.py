@@ -667,6 +667,28 @@ def test_part_revenue_share_survives_second_decade_totals(spark, tmp_path_factor
     want = {k + 1: float(floor(r)) / float(t) * 1_000_000.0 for k, r in enumerate(revs)}
     assert got == want
 
+    # the small-total branch: sub-unit revenues must use exact micro-units
+    # (the floor-only form divides by zero here — hypothesis-found)
+    tmp2 = tmp_path_factory.mktemp("share_tiny")
+    tiny = [0.25, 0.5]  # t = 0.75 < 1 unit
+    _write_parquet(
+        tmp2 / "lineitem.parquet",
+        {
+            "l_partkey": [1, 2],
+            "l_extendedprice": tiny,
+            "l_discount": [0.0] * 2,
+        },
+    )
+    got2 = {
+        r["p_partkey"]: r["share_ppm"]
+        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp2)).collect()
+    }
+    want2 = {
+        k + 1: float(round(r * 1e6)) / 750_000.0 * 1_000_000.0
+        for k, r in enumerate(tiny)
+    }
+    assert got2 == want2
+
 
 def test_gini_staged_ppm_no_overflow_at_scale(spark):
     """The staged x1000 gini_ppm equals floor(num*1e6/den) and survives

@@ -938,7 +938,7 @@ def sorted_neighborhood_candidates(
     sort_exprs: list,
     window: int,
     id_col: str = "doc_id",
-    partitions: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking: (id_a, id_b, rank_dist) for every row
     pair whose GLOBAL ranks under ``sort_exprs`` differ by at most
@@ -954,8 +954,24 @@ def sorted_neighborhood_candidates(
     block and the next, the later-rank row anchors its own block, so
     every qualifying pair is generated exactly once. ``sort_exprs`` must
     end in a unique tiebreaker for deterministic ranks.
+
+    ``partitions`` defaults to the session's shuffle-partition count
+    (the r8 skew study's knob fix: the old fixed 16 capped the ranking
+    stage's parallelism regardless of cluster size — fine at 50k docs,
+    a bottleneck at 100 TB). Global ranks are partition-count-invariant
+    (per-partition row_number + broadcast prefix offsets), so the knob
+    moves only parallelism, never output. Skew note, measured
+    (scripts/skew_neighborhood_smoke.py): candidate count is a function
+    of corpus SIZE alone — rank-space blocks are `window` ranks wide by
+    construction, so a 90%-one-lang / 60%-one-length corpus produces
+    the IDENTICAL candidate set, and repartitionByRange splits the tie
+    mass via the unique tiebreaker (max/mean partition rows 1.15 under
+    that skew).
     """
     from pyspark.sql import Window as W
+
+    if partitions is None:
+        partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
     # PINNED: both the row_number branch and the counts branch consume
     # this frame, and global ranks are only correct if both see the SAME

@@ -2500,6 +2500,27 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_parquet(src: str, dst: str) -> None:
+    """Stage a parquet table into a stream-source dir: the driver testdata
+    is a single FILE, scale-smoke replicas are DIRECTORIES of part files.
+    Part files are copied FLAT (the file stream source lists the staging
+    dir non-recursively; a nested table dir would be invisible to it),
+    name-prefixed by the dst stem so two staged copies never collide."""
+    import os
+    import shutil
+
+    if os.path.isdir(src):
+        stem, staging = os.path.basename(dst), os.path.dirname(dst)
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, part),
+                    os.path.join(staging, f"{stem}_{i:05d}.parquet"),
+                )
+    else:
+        shutil.copy(src, dst)
+
+
 @register(
     "streamed_hourly_rollup",
     f"""
@@ -2540,7 +2561,7 @@ def streamed_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returns, so the staging dir's lifetime ends with the drain.
     staging = tempfile.mkdtemp(prefix="streamed_rollup_")
     try:
-        shutil.copy(
+        _stage_parquet(
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(staging, "events.parquet"),
         )
@@ -2596,8 +2617,8 @@ def streamed_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staging = tempfile.mkdtemp(prefix="streamed_dedup_")
     try:
-        for copy in ("a", "b"):  # two identical files -> two micro-batches
-            shutil.copy(
+        for copy in ("a", "b"):  # two identical copies -> two micro-batches
+            _stage_parquet(
                 os.path.join(sf_dir, "events.parquet"),
                 os.path.join(staging, f"events_{copy}.parquet"),
             )

@@ -5273,17 +5273,22 @@ JSONL_DROPFIELD_MOD = 89
     "guarantees, proven on every row here) — then deterministic wire "
     "faults are injected by id (truncated line -> malformed JSON; text "
     "field dropped -> required-field reject), and the lines run through "
-    "parse_jsonl_lines — the SAME single-pass text+from_json code batch "
-    "AND streaming ingest share. Output: per-lang good-doc counts with "
-    "recomputed char totals, plus reject-class counts. The oracle never "
-    "parses JSON: it derives the expected classes from the id formulas "
-    "(the synth_exif_media pattern), so the hash gate checks the PARSER. "
+    "classify_jsonl_lines — the ONE-PASS parse+audit kernel that "
+    "parse_jsonl_lines (batch AND streaming ingest) is two filtered "
+    "views of. Output: per-lang good-doc counts with recomputed char "
+    "totals, plus reject-class counts, from a SINGLE keyed aggregate "
+    "over the classified frame — the good/reject union-of-aggregates "
+    "form measured 3 FileScans of the source (one per audit branch), "
+    "the re-scan pattern the kernel exists to avoid at 100 TB; this "
+    "plan is gated at exactly one scan. The oracle never parses JSON: "
+    "it derives the expected classes from the id formulas (the "
+    "synth_exif_media pattern), so the hash gate checks the PARSER. "
     "Scale: serialize/parse/aggregate is one narrow pass + one keyed "
     "aggregate; no driver-side collection.",
     tags=("source", "jsonl", "audit"),
 )
 def jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from retail_aws_etl_pipeline_spark.sources.jsonl import parse_jsonl_lines
+    from retail_aws_etl_pipeline_spark.sources.jsonl import classify_jsonl_lines
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     lines = docs.withColumn(
@@ -5310,19 +5315,24 @@ def jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("payload"))
         .alias("value")
     )
-    good, rejects = parse_jsonl_lines(lines)
-    lang_stats = good.groupBy(
-        F.coalesce(F.col("lang"), F.lit("__null")).alias("key")
-    ).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("n_chars").cast("long").alias("sum_chars"),
-    ).select(F.lit("lang").alias("kind"), "key", "n_rows", "sum_chars")
-    reject_stats = rejects.groupBy(F.col("reason").alias("key")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    ).select(
-        F.lit("reject").alias("kind"),
-        "key",
-        "n_rows",
-        F.lit(0).cast("long").alias("sum_chars"),
+    # ONE keyed aggregate over the classified frame — a good/rejects
+    # union-of-aggregates would re-scan the serialized source once per
+    # branch (measured: 3 FileScans), the exact pattern the classify
+    # kernel exists to avoid at 100 TB.
+    cls = classify_jsonl_lines(lines)
+    good = F.col("reject_reason").isNull()
+    return (
+        cls.groupBy(
+            F.when(good, F.lit("lang")).otherwise(F.lit("reject")).alias("kind"),
+            F.when(good, F.coalesce(F.col("lang"), F.lit("__null")))
+            .otherwise(F.col("reject_reason"))
+            .alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(good, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sum_chars"),
+        )
+        .orderBy("kind", "key")
     )
-    return lang_stats.unionByName(reject_stats).orderBy("kind", "key")

@@ -58,12 +58,19 @@ DOCUMENTS_JSONL_SCHEMA = T.StructType(
 )
 
 
-def parse_jsonl_lines(
+def classify_jsonl_lines(
     text_df: DataFrame, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
-) -> tuple[DataFrame, DataFrame]:
-    """Shared parse over a text frame (``value`` column) — batch AND
-    streaming take this exact code path, so stream==batch convergence
-    holds by construction, not by parallel implementations."""
+) -> DataFrame:
+    """ONE-PASS parse + audit classification over a text frame (``value``
+    column): the single shared kernel every JSONL consumer derives from.
+
+    Returns one row per input line with the parsed document columns, the
+    raw line, and ``reject_reason`` (NULL for usable lines,
+    'malformed_json' / 'missing_required_field' otherwise). Consumers
+    that need both the good corpus AND the reject audit in one job
+    aggregate THIS frame directly — filtering the two-frame
+    :func:`parse_jsonl_lines` view into separate actions re-scans the
+    source once per branch, which a 100 TB ingest must not do."""
     if "_corrupt_record" not in schema.fieldNames():
         schema = schema.add("_corrupt_record", T.StringType())
     parsed = text_df.select(
@@ -74,26 +81,44 @@ def parse_jsonl_lines(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("j"),
     )
-    corrupt = parsed.filter(
-        F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
-    ).select(F.col("value").alias("raw"), F.lit("malformed_json").alias("reason"))
-    valid = parsed.filter(
-        F.col("j").isNotNull() & F.col("j._corrupt_record").isNull()
-    )
-    missing = valid.filter(
-        F.col("j.doc_id").isNull() | F.col("j.text").isNull()
-    ).select(F.col("value").alias("raw"), F.lit("missing_required_field").alias("reason"))
-    good = valid.filter(
-        F.col("j.doc_id").isNotNull() & F.col("j.text").isNotNull()
-    ).select(
+    return parsed.select(
+        F.col("value").alias("raw"),
         F.col("j.doc_id").alias("doc_id"),
         F.col("j.text").alias("text"),
         F.col("j.lang").alias("lang"),
         F.col("j.source").alias("source"),
         # recompute: the wire n_chars is untrusted metadata
         F.length("j.text").cast("long").alias("n_chars"),
+        F.when(
+            F.col("j").isNull() | F.col("j._corrupt_record").isNotNull(),
+            F.lit("malformed_json"),
+        )
+        .when(
+            F.col("j.doc_id").isNull() | F.col("j.text").isNull(),
+            F.lit("missing_required_field"),
+        )
+        .alias("reject_reason"),
     )
-    return good, corrupt.unionByName(missing)
+
+
+def parse_jsonl_lines(
+    text_df: DataFrame, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Shared parse over a text frame (``value`` column) — batch AND
+    streaming take this exact code path, so stream==batch convergence
+    holds by construction, not by parallel implementations. The (good,
+    rejects) pair is two filtered views of ONE
+    :func:`classify_jsonl_lines` plan; consuming both in separate
+    actions scans the source twice — single-job consumers should
+    aggregate the classified frame instead."""
+    cls = classify_jsonl_lines(text_df, schema)
+    good = cls.filter(F.col("reject_reason").isNull()).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    rejects = cls.filter(F.col("reject_reason").isNotNull()).select(
+        F.col("raw"), F.col("reject_reason").alias("reason")
+    )
+    return good, rejects
 
 
 def read_jsonl_documents(

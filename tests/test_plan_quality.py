@@ -634,3 +634,29 @@ def test_edit_distance_pairs_salted_equi_join(spark):
         for ln in plan.splitlines()
         if "Exchange" in ln
     ), "pinned (bucket, salt) repartition missing from the executed plan"
+
+
+def test_edit_distance_lsh_banded_equi_join(spark):
+    """The PRODUCTION edit-distance path (r8 window entry) must generate
+    candidates through the banded MinHash EQUI-join — no cartesian /
+    nested-loop stage anywhere — and verify with the thresholded builtin
+    levenshtein (JVM-side, no Python eval)."""
+    df = REGISTRY["edit_distance_near_pairs_lsh"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jsonl_corpus_stats_single_scan(spark):
+    """The JSONL stats entry must aggregate the classify_jsonl_lines frame
+    in ONE pass: exactly one FileScan of the source (the good/reject
+    union-of-aggregates form measured 3 — one per audit branch, the
+    re-scan pattern that triples a 100 TB ingest), from_json native
+    (no Python eval), and one shuffle for the keyed aggregate."""
+    df = REGISTRY["jsonl_corpus_stats"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, f"expected 1 scan:\n{plan[:3000]}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "from_json" in plan

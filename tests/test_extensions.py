@@ -538,3 +538,23 @@ def test_funnel_step_latency_handcrafted(spark):
         "view->click": (2, 10_000_000),
         "click->purchase": (1, 30_000_000),
     }
+
+
+def test_brute_force_topk_jvm_equals_pandas(spark):
+    """The JVM F.aggregate brute-force ANN and the Arrow-batched numpy
+    GEMM form must be row-identical. Both were driver-proven against the
+    shared ANN_TOPK_ORACLE until r8 unregistered the JVM entry at the
+    150-cap (COVERAGE.md §rotation r8); this parity test keeps the
+    unregistered kernel pinned to the registered one."""
+    from retail_aws_etl_pipeline_spark.operators import similarity as S
+    from retail_aws_etl_pipeline_spark.plans.extensions import ANN_K, ANN_PROBE_IDS
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE, ["embeddings"])
+    key = lambda r: (r["probe_id"], r["rank"])  # noqa: E731
+    jvm = sorted(S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).collect(), key=key)
+    pd_ = sorted(
+        S.brute_force_topk_pandas(t["embeddings"], ANN_PROBE_IDS, ANN_K).collect(), key=key
+    )
+    assert jvm == pd_ and len(jvm) == len(ANN_PROBE_IDS) * ANN_K

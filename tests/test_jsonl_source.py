@@ -255,3 +255,129 @@ def test_ingest_jsonl_corpus_writes_audit(spark, tmp_path):
     metrics = json.loads(doc.read_text())
     assert metrics["good_rows"] == 3 and metrics["reject_rows"] == 1
     assert metrics["status"] == "SUCCESS" and metrics["source"] == str(f)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_jsonval = st.one_of(
+    st.none(),
+    st.integers(-(2**62), 2**62),
+    st.text(max_size=8),
+    st.booleans(),
+    st.lists(st.integers(0, 9), max_size=3),
+)
+
+
+@given(
+    docs=st.lists(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "doc_id": st.one_of(st.integers(-(2**62), 2**62), st.none()),
+                "text": st.one_of(st.text(max_size=20), st.none()),
+                "lang": st.one_of(st.text(min_size=1, max_size=4), st.none()),
+                "source": _jsonval,
+                "n_chars": _jsonval,
+                "extra": _jsonval,
+            },
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    breakers=st.lists(st.sampled_from(["", "{", "not json", '{"a":', "[1,2]", "null", '"str"']), max_size=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_classify_jsonl_lines_matches_python_reference(spark, tmp_path_factory, docs, breakers):
+    """classify_jsonl_lines partitions arbitrary lines exactly as a Python
+    json.loads reference: a line is malformed_json iff it doesn't parse as
+    a JSON OBJECT with a non-null integer-typed doc_id when present-typed
+    fields are checked; missing_required_field iff it parses but doc_id or
+    text is absent/null; otherwise good with doc_id/text/lang round-tripped
+    and n_chars recomputed. Pins the PERMISSIVE from_json semantics the
+    audit classes depend on (wrong-typed doc_id corrupts; wrong-typed
+    untrusted fields don't; string fields accept any JSON value as text)."""
+    from retail_aws_etl_pipeline_spark.sources.jsonl import classify_jsonl_lines
+
+    lines = [json.dumps(d, ensure_ascii=False) for d in docs] + list(breakers)
+
+    def ref(line):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            return ("malformed_json", None, None)
+        if not isinstance(obj, dict):
+            return ("malformed_json", None, None)
+        # typed required field: a non-integer doc_id fails the LongType
+        # parse and PERMISSIVE flags the whole line corrupt
+        if "doc_id" in obj and obj["doc_id"] is not None and (
+            isinstance(obj["doc_id"], bool) or not isinstance(obj["doc_id"], int)
+        ):
+            return ("malformed_json", None, None)
+        doc_id = obj.get("doc_id")
+        text = obj.get("text")
+        # StringType accepts any JSON value (kept as raw JSON text), so a
+        # non-string text is still "present"
+        if doc_id is None or text is None:
+            return ("missing_required_field", None, None)
+        return ("good", doc_id, text if isinstance(text, str) else None)
+
+    want = [ref(ln) for ln in lines]
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    got_rows = classify_jsonl_lines(df).collect()
+    assert len(got_rows) == len(lines)
+    by_raw = {}
+    for r in got_rows:
+        by_raw.setdefault(r["raw"], []).append(r)
+    for ln, (cls, doc_id, text) in zip(lines, want):
+        r = by_raw[ln].pop(0)
+        got_cls = r["reject_reason"] or "good"
+        assert got_cls == cls, (ln, got_cls, cls)
+        if cls == "good":
+            assert r["doc_id"] == doc_id
+            if text is not None:
+                assert r["text"] == text and r["n_chars"] == len(text)
+
+
+def test_ingest_jsonl_corpus_converges_over_crash_debris(spark, tmp_path):
+    """A crashed previous ingest leaves committer debris (_temporary dirs,
+    orphan part files in a lang partition); a re-ingest of the same source
+    must converge to exactly the source's rows — dynamic partition
+    overwrite replaces the partitions the source carries, and the reader
+    must see no phantom rows."""
+    import os
+
+    from retail_aws_etl_pipeline_spark.sources.jsonl import ingest_jsonl_corpus
+
+    f = tmp_path / "corpus.jsonl"
+    _write(f, [json.dumps(d, ensure_ascii=False) for d in GOOD])
+    dest = tmp_path / "dest"
+
+    counts = ingest_jsonl_corpus(spark, str(f), str(dest))
+    assert counts["good"] == 3
+
+    # simulate a crashed writer: stray committer dir + orphan file in a
+    # partition the source WILL rewrite
+    os.makedirs(dest / "_temporary" / "0", exist_ok=True)
+    (dest / "_temporary" / "0" / "junk").write_bytes(b"x")
+    en_dir = next(p for p in dest.iterdir() if p.name == "lang=en")
+    orphan = en_dir / "part-99999-orphan.snappy.parquet"
+    # a real parquet file with the right schema, as a crashed task would leave
+    spark.read.parquet(str(dest)).filter("lang = 'en'").limit(1).drop("lang").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "one"))
+    import shutil as _sh
+
+    src_part = next(p for p in (tmp_path / "one").iterdir() if p.name.endswith(".parquet"))
+    _sh.copy(src_part, orphan)
+    assert spark.read.parquet(str(dest)).filter("lang = 'en'").count() > 2  # phantom visible
+
+    counts2 = ingest_jsonl_corpus(spark, str(f), str(dest))
+    assert counts2 == counts
+    out = spark.read.parquet(str(dest))
+    assert out.count() == 3 and out.filter("lang = 'en'").count() == 2

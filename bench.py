@@ -143,9 +143,10 @@ def main() -> None:
     # Sidecar write must never take down the stdout contract: if the disk is
     # full / dir read-only, still emit the headline (with the write error).
     sidecar_err = None
+    detail_name = "BENCH_DETAIL.json"
     try:
         repo_dir = os.path.dirname(os.path.abspath(__file__))
-        detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+        detail_path = os.path.join(repo_dir, detail_name)
         if names:
             # A BENCH_QUERIES-filtered run must not clobber the live
             # sidecar's full key set (it silently shrank the 141-entry
@@ -166,6 +167,12 @@ def main() -> None:
                 detail = {**live, **detail}
                 detail["queries"] = merged_q
                 detail["value"] = round(sum(merged_q.values()), 4)
+            elif live.get("queries"):
+                # different-sf smoke run: leave the live full-suite detail
+                # alone rather than replacing it with the subset (the
+                # clobber the same-sf merge guard was added to prevent)
+                detail_name = f"BENCH_DETAIL_sf{detail['sf']}.json"
+                detail_path = os.path.join(repo_dir, detail_name)
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
@@ -260,7 +267,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "slowest_queries": slowest,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     if pipeline_info:
         out["pipeline"] = pipeline_info

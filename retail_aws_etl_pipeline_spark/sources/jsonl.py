@@ -176,6 +176,17 @@ def ingest_jsonl_corpus(
     on local[32] — ~54k docs/s end-to-end including the partitioned
     write (SCALING.md).
 
+    Scan accounting: the good write and the reject write are two ACTIONS,
+    so the text source is scanned once per sink (the parse itself is
+    single-pass per scan — no inference pass ever). Rejects are typically
+    a sub-percent slice, so the second scan costs ~1x the source read; on
+    a one-shot 100 TB ingest where even that matters, write the
+    :func:`classify_jsonl_lines` frame once (partitioned by
+    ``reject_reason IS NULL``) and derive both sinks from the parquet —
+    one text scan, one extra columnar read. Aggregation-only consumers
+    never pay any of this: they aggregate the classified frame directly
+    (see ``jsonl_corpus_stats``, plan-gated at exactly one FileScan).
+
     Returns {"good": n, "rejects": n}.
     """
     from pyspark.sql import Observation

@@ -129,7 +129,10 @@ def read_jsonl_documents(
 
 
 def jsonl_documents_stream(
-    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_JSONL_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_JSONL_SCHEMA,
+    max_files_per_trigger: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Streaming JSONL corpus ingest: the arrival path for corpora shipped
     as JSONL drops (one file per producer flush). Same parse as the batch
@@ -142,7 +145,10 @@ def jsonl_documents_stream(
     file-source stream here.
     """
     return parse_jsonl_lines(
-        spark.readStream.option("maxFilesPerTrigger", 1).text(path), schema
+        spark.readStream.option("maxFilesPerTrigger", int(max_files_per_trigger)).text(
+            path
+        ),
+        schema,
     )
 
 

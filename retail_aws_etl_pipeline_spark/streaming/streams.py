@@ -40,9 +40,20 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
     """Streaming scan of an events parquet directory, ``ts`` normalized to
     TIMESTAMP regardless of the files' physical type.
+
+    ``max_files_per_trigger`` sizes micro-batches: 1 (default) maximizes
+    batch-boundary coverage in tests (every file is its own trigger —
+    the cross-batch state paths run as often as possible); production
+    drains raise it so the per-batch fixed cost (planning + state-store
+    round trip, ~1 s/batch measured on local[32]) amortizes over more
+    input — the r8 K=10 smoke measured the streamed dedup drain 5.7×
+    slower purely from batch COUNT when a 10× corpus arrived as 10×
+    more files (SCALING.md).
 
     A streaming source needs its schema up front; rather than hard-coding
     one physical layout, sniff it from a zero-cost batch footer read and
@@ -70,7 +81,7 @@ def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(events_dir)
     )
     ts_type = schema["ts"].dataType.typeName()

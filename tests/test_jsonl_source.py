@@ -381,3 +381,38 @@ def test_ingest_jsonl_corpus_converges_over_crash_debris(spark, tmp_path):
     assert counts2 == counts
     out = spark.read.parquet(str(dest))
     assert out.count() == 3 and out.filter("lang = 'en'").count() == 2
+
+
+def test_jsonl_stream_batch_sizing_knob_preserves_results(spark, tmp_path):
+    """max_files_per_trigger sizes micro-batches (the production
+    amortization knob the K=10 smoke motivated) without changing WHAT is
+    computed: 3 drop files drain in 1 batch at mft=3 vs 3 batches at the
+    default, with identical good/reject results either way."""
+    import uuid
+
+    from retail_aws_etl_pipeline_spark.sources.jsonl import jsonl_documents_stream
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    for i, doc in enumerate(GOOD):
+        _write(d / f"w{i}.jsonl", [json.dumps(doc, ensure_ascii=False), '{"bad%d' % i])
+
+    def drain(mft):
+        good, rej = jsonl_documents_stream(spark, str(d), max_files_per_trigger=mft)
+        tag = uuid.uuid4().hex[:8]
+        q = (
+            good.writeStream.format("memory")
+            .queryName(f"knob_{mft}_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        rows = sorted(tuple(r) for r in spark.table(f"knob_{mft}_{tag}").collect())
+        return n_batches, rows
+
+    b1, rows1 = drain(1)
+    b3, rows3 = drain(3)
+    assert rows1 == rows3 and len(rows1) == 3
+    assert b1 == 3 and b3 == 1, (b1, b3)

@@ -192,7 +192,14 @@ def running_user_stats_stream(events: DataFrame) -> DataFrame:
 
 def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming frame to completion over the available input and
-    return the materialized result (memory sink; local testing harness)."""
+    return the materialized result (memory sink; local testing harness).
+
+    BOUNDED OUTPUTS ONLY: the memory sink holds every output row on the
+    driver as a LocalTableScan — a K=100 dedup drain (10M rows) OOMed an
+    8 GiB driver through this helper. Large drains should measure/land
+    through ``foreachBatch`` (count or parquet sink), which keeps the
+    output distributed; this helper exists for test-sized results where
+    collecting is the point."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -291,8 +298,14 @@ def span_dedup_stream(docs: DataFrame, w: int | None = None) -> DataFrame:
     corpus-wide dedup has no time horizon. Deployments that can accept
     recency-windowed dedup bound it by adding an ingest-time watermark
     column and passing it to dropDuplicates; the exact form instead
-    relies on the state store (RocksDB at scale) the same way the batch
-    form relies on the span-keyed shuffle.
+    relies on the state store the same way the batch form relies on the
+    span-keyed shuffle. Provider choice is measured, not asserted
+    (SCALING.md "state-store choice"): the default heap provider wins
+    ~2.3× wall while state fits executor heap (~200 B/key resident —
+    10M keys ≈ 2.0 GB measured), so flip
+    ``spark.sql.streaming.stateStore.providerClass`` to RocksDB only
+    when per-partition state outgrows heap — bounded off-heap memory +
+    disk-resident SSTs, at ~2.3× wall and ~3.3× checkpoint size.
     """
     from retail_aws_etl_pipeline_spark.operators.dedup import CHUNK_W, token_chunks
 

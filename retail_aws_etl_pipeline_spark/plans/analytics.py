@@ -2634,6 +2634,80 @@ def streamed_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracle for :func:`streamed_customer_features` — STAGED for the r9 window
+#: slot (the registry sits at its 150 cap; r9's rotation registers this with
+#: a cap replacement). The streamed base+delta feature table must fold to
+#: the plain one-shot aggregate; every column is integer-exact (count /
+#: floor-cents sum / max epoch-micros), so the entry is hash-matchable with
+#: no tolerance. epoch_us(CAST(..)) is the established oracle idiom for
+#: Spark's unix_micros under the UTC session.
+STREAMED_CUSTOMER_FEATURES_ORACLE = """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_order_us
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+
+def streamed_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming entry (staged for r9): the base+delta incremental
+    feature table under the driver hash gate. Orders are split into two
+    DISJOINT waves (pmod of the order key) staged as separate files;
+    ``maxFilesPerTrigger=1`` forces one micro-batch per wave through
+    ``feature_delta_stream`` (one partial-aggregate row per customer per
+    batch, partitioned by batch id — the retry-idempotent sink), and
+    ``read_feature_snapshot`` folds the per-batch partials. Because the
+    three features are associative merges (sum/sum/max), the fold must
+    equal the one-shot batch aggregate EXACTLY — a different streaming
+    guarantee than the other two entries: cross-batch reassembly of
+    partial aggregates, not dedup state or windowed completeness.
+
+    The snapshot is ``localCheckpoint``-ed before the temp delta dir is
+    removed: the fold is one row per customer (bounded, aggregate-sized
+    — NOT input-sized), and checkpointing severs the lineage from the
+    scratch parquet so the returned frame stays collectable after
+    cleanup. At production scale the delta dir is a real table that
+    outlives the query and the checkpoint is unnecessary; it is the
+    ephemeral-scratch harness that needs it.
+    """
+    import shutil
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        feature_delta_stream,
+        read_feature_snapshot,
+    )
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    staging = tempfile.mkdtemp(prefix="streamed_feat_src_")
+    delta = tempfile.mkdtemp(prefix="streamed_feat_delta_")
+    ckpt = tempfile.mkdtemp(prefix="streamed_feat_ckpt_")
+    try:
+        for i in range(2):  # disjoint waves -> separate micro-batches
+            (
+                orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(staging)
+            )
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = feature_delta_stream(stream, delta_dir=delta, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        snap = read_feature_snapshot(spark, delta).localCheckpoint(eager=True)
+        return snap.orderBy("o_custkey")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # r7 second-half additions: the remaining TPC-H join/subquery SHAPES the
 # registry lacked — Q5 (multi-join with a same-key cross-dimension

@@ -1120,3 +1120,24 @@ def test_feature_delta_stream_converges_and_survives_retry(spark, tmp_path):
     assert snapshot() == want
 
     assert snapshot() == want
+
+
+def test_streamed_customer_features_matches_oracle(spark):
+    """The staged r9 window entry end-to-end: orders drained in disjoint
+    micro-batch waves through feature_delta_stream, folded snapshot
+    hash-equal to the DuckDB one-shot aggregate — the driver's three-way
+    compare run locally. The query deletes its scratch delta dir before
+    returning, so a successful collect here also proves the
+    localCheckpoint lineage cut (a frame still backed by the removed
+    parquet would fail at materialization, not at plan time)."""
+    from retail_aws_etl_pipeline_spark.plans.analytics import (
+        STREAMED_CUSTOMER_FEATURES_ORACLE,
+        streamed_customer_features,
+    )
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare
+
+    got = streamed_customer_features(spark, SF_SMOKE)
+    res = compare(got, STREAMED_CUSTOMER_FEATURES_ORACLE, SF_SMOKE)
+    assert res["ok"], res
+    assert res["spark_rows"] > 1

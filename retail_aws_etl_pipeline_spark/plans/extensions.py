@@ -5336,3 +5336,259 @@ def jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED operators (registry at its 150 cap — registration deferred to a
+# rotation round with a free window slot / cap replacement, exactly like
+# analytics.streamed_customer_features). Both are training-batch
+# construction audits: the step between curation (dedup / mixture /
+# packing, all registered) and the training loop itself. Local-oracle
+# proven by tests/test_batching_staged.py at sf0.01.
+# ---------------------------------------------------------------------------
+
+#: Batch count for the padding audit. Production fixes the batch SIZE and
+#: derives n_batches = ceil(n/B); NTILE semantics (sizes differ by <= 1)
+#: keep the audit identical either way, and a fixed count keeps the oracle
+#: scale-free.
+PADDING_N_BATCHES = 64
+
+#: Batch count + deterministic salt for the shuffle-order audit.
+SHUFFLE_N_BATCHES = 32
+SHUFFLE_SALT = "shuf1"
+
+#: Oracle for :func:`length_bucket_padding_stats` (STAGED — see above).
+#: DuckDB's native NTILE is the reference for the shared
+#: _distributed_ntile bucket formula, the same parity customer_rfm /
+#: spend_deciles already prove. savings_ppm uses the staged x1000-twice
+#: remainder-corrected division (the gini_ppm overflow fix): exact
+#: floor(num*1e6/den) through den ~ 9.2e15, and the CASE guard keeps both
+#: engines on non-negative operands where Spark div and DuckDB // agree.
+LENGTH_BUCKET_PADDING_ORACLE = f"""
+    WITH pb_base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pb_a AS (
+        SELECT n_tokens,
+               NTILE({PADDING_N_BATCHES}) OVER (ORDER BY doc_id) AS b
+        FROM pb_base
+    ),
+    pb_s AS (
+        SELECT n_tokens,
+               NTILE({PADDING_N_BATCHES}) OVER (ORDER BY n_tokens, doc_id) AS b
+        FROM pb_base
+    ),
+    pb_aw AS (
+        SELECT CAST(SUM(mx * c) AS BIGINT) AS slots,
+               CAST(SUM(mx * c - t) AS BIGINT) AS waste
+        FROM (SELECT MAX(n_tokens) AS mx, COUNT(*) AS c, SUM(n_tokens) AS t
+              FROM pb_a GROUP BY b)
+    ),
+    pb_sw AS (
+        SELECT CAST(SUM(mx * c) AS BIGINT) AS slots,
+               CAST(SUM(mx * c - t) AS BIGINT) AS waste
+        FROM (SELECT MAX(n_tokens) AS mx, COUNT(*) AS c, SUM(n_tokens) AS t
+              FROM pb_s GROUP BY b)
+    ),
+    pb_tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+        FROM pb_base
+    )
+    SELECT pb_tot.n_docs, pb_tot.tokens_total,
+           pb_aw.slots AS slots_arrival, pb_aw.waste AS waste_arrival,
+           pb_sw.slots AS slots_sorted, pb_sw.waste AS waste_sorted,
+           CAST(CASE WHEN pb_aw.waste <= pb_sw.waste THEN 0
+                ELSE ((pb_aw.waste - pb_sw.waste) * 1000 // pb_aw.waste) * 1000
+                   + (((pb_aw.waste - pb_sw.waste) * 1000 % pb_aw.waste) * 1000)
+                     // pb_aw.waste
+                END AS BIGINT) AS savings_ppm
+    FROM pb_tot, pb_aw, pb_sw
+"""
+
+
+def padding_waste(base: DataFrame, sort_cols: list, n_batches: int) -> DataFrame:
+    """One-row (slots, waste) for NTILE(n_batches) batching of ``base``
+    ((doc_id, n_tokens) rows) under the given global order: every batch
+    pads its sequences to the batch max, so slots = sum over batches of
+    max*count and waste = slots - tokens. The global order costs one
+    range exchange via the shared _distributed_ntile (never a global
+    window); the per-batch reduce is an ordinary two-level aggregate.
+    Returned frame carries the ntile cache tags (caching.retaining)."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_ntile
+
+    nt = _distributed_ntile(base, sort_cols, n_batches, "b")
+    per = nt.groupBy("b").agg(
+        F.max("n_tokens").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n_tokens").alias("t"),
+    )
+    agg = per.agg(
+        F.sum(F.expr("mx * c")).cast("long").alias("slots"),
+        F.sum(F.expr("mx * c - t")).cast("long").alias("waste"),
+    )
+    return retaining(agg, *retained_caches(nt))
+
+
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: padding-waste audit for length-bucketed training batches.
+
+    Packing variable-length documents into fixed-count batches pads every
+    sequence to its batch max; sorting by length before chunking is the
+    classic fix. This audit quantifies the win on THIS corpus: total pad
+    tokens under arrival-order batching vs length-sorted batching (both
+    exact NTILE({n}) assignments) plus the savings in ppm — the number
+    that decides whether the training loader should pay the global sort.
+    Length-sorted contiguous chunking provably minimizes sum(batch_max *
+    batch_size) for the NTILE size multiset, so waste_sorted <=
+    waste_arrival always (property-tested; the ppm guard keeps both
+    engines exact if the invariant ever broke). At 100 TB the only wide
+    operation is the rank's range exchange — the same audited
+    _distributed_ntile plan every quantile scorer uses; aggregates are
+    64 rows."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    )
+    a = padding_waste(base, [F.asc("doc_id")], PADDING_N_BATCHES)
+    s = padding_waste(
+        base, [F.asc("n_tokens"), F.asc("doc_id")], PADDING_N_BATCHES
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+    )
+    out = (
+        tot.crossJoin(
+            F.broadcast(
+                a.withColumnRenamed("slots", "slots_arrival").withColumnRenamed(
+                    "waste", "waste_arrival"
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s.withColumnRenamed("slots", "slots_sorted").withColumnRenamed(
+                    "waste", "waste_sorted"
+                )
+            )
+        )
+        .select(
+            "n_docs",
+            "tokens_total",
+            "slots_arrival",
+            "waste_arrival",
+            "slots_sorted",
+            "waste_sorted",
+            F.expr(
+                """
+                CASE WHEN waste_arrival <= waste_sorted THEN 0
+                     ELSE ((waste_arrival - waste_sorted) * 1000
+                           div waste_arrival) * 1000
+                        + (((waste_arrival - waste_sorted) * 1000
+                            % waste_arrival) * 1000) div waste_arrival
+                END
+                """
+            )
+            .cast("long")
+            .alias("savings_ppm"),
+        )
+    )
+    return retaining(out, *retained_caches(a), *retained_caches(s))
+
+
+#: Oracle for :func:`corpus_shuffle_batches` (STAGED — see above).
+CORPUS_SHUFFLE_ORACLE = f"""
+    WITH sb_key AS (
+        SELECT doc_id, lang, source,
+               md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SALT}') AS k
+        FROM documents
+    ),
+    sb_b AS (
+        SELECT lang, source,
+               CAST(NTILE({SHUFFLE_N_BATCHES}) OVER (ORDER BY k, doc_id)
+                    AS BIGINT) AS batch_id
+        FROM sb_key
+    ),
+    sb_src AS (
+        SELECT batch_id, source, COUNT(*) AS c
+        FROM sb_b GROUP BY batch_id, source
+    ),
+    sb_g AS (
+        SELECT batch_id,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(MAX(c) AS BIGINT) AS top_source_docs
+        FROM sb_src GROUP BY batch_id
+    ),
+    sb_l AS (
+        SELECT batch_id, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM sb_b GROUP BY batch_id
+    )
+    SELECT g.batch_id, g.n_docs, l.n_langs, g.n_sources, g.top_source_docs
+    FROM sb_g g JOIN sb_l l ON l.batch_id = g.batch_id
+    ORDER BY g.batch_id
+"""
+
+
+def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: deterministic training-order shuffle + per-batch mixing
+    audit. Corpora arrive clustered by source/lang; training on that
+    order correlates consecutive gradients, so loaders resequence on a
+    hash of the document id. The shuffle key is md5(doc_id || salt) —
+    replay-idempotent (same salt -> same order, new salt -> fresh
+    epoch order) and cluster-deterministic — and batches are exact
+    NTILE({n}) over the keyed order via the shared _distributed_ntile
+    (one range exchange; no global window). Output is the per-batch
+    mixing audit: doc count (sizes differ by <= 1 — the NTILE
+    guarantee), distinct langs/sources, and the largest single-source
+    clump; a batch whose top_source_docs approaches n_docs means the
+    shuffle failed to decorrelate. Distinct counts are computed from
+    keyed sub-aggregates (batch,source)/(batch,lang) rather than one
+    multi-distinct aggregate, so nothing plans an Expand blowup at
+    scale."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_ntile
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    keyed = t["documents"].select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHUFFLE_SALT))
+        ).alias("k"),
+    )
+    nt = _distributed_ntile(
+        keyed, [F.asc("k"), F.asc("doc_id")], SHUFFLE_N_BATCHES, "batch_id"
+    )
+    src = nt.groupBy("batch_id", "source").agg(F.count(F.lit(1)).alias("c"))
+    g = src.groupBy("batch_id").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("c").cast("long").alias("top_source_docs"),
+    )
+    langs = (
+        nt.groupBy("batch_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cl"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n_langs"))
+    )
+    out = g.join(langs, "batch_id").select(
+        "batch_id", "n_docs", "n_langs", "n_sources", "top_source_docs"
+    ).orderBy("batch_id")
+    return retaining(out, *retained_caches(nt))

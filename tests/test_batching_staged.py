@@ -1,0 +1,140 @@
+"""STAGED training-batch construction audits (plans/extensions.py tail).
+
+The registry sits at its 150 cap, so these two operators follow the
+streamed_customer_features pattern: module-level oracle string + full
+local proof now, registration deferred to a rotation round with a free
+window slot / cap replacement. The proofs here are the same three the
+driver would run — DuckDB oracle compare (at sf0.01, the driver's gate
+scale: sf0.001's 50 docs make NTILE(64) degenerate to one-doc batches
+and zero waste), structural invariants, and executed-plan shape gates —
+plus a pure-Python NTILE mirror for the padding-waste kernel.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.plans.extensions import (
+    CORPUS_SHUFFLE_ORACLE,
+    LENGTH_BUCKET_PADDING_ORACLE,
+    PADDING_N_BATCHES,
+    SHUFFLE_N_BATCHES,
+    corpus_shuffle_batches,
+    length_bucket_padding_stats,
+    padding_waste,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_all_windows_partitioned(plan: str) -> None:
+    import re
+
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow \[", ln):
+            assert len(re.findall(r"\], \[", ln)) >= 2, (
+                f"unpartitioned (single-task) Window: {ln.strip()[:200]}"
+            )
+
+
+def test_length_bucket_padding_matches_oracle(spark):
+    got = length_bucket_padding_stats(spark, SF_ORACLE)
+    res = compare(got, LENGTH_BUCKET_PADDING_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_length_bucket_padding_invariants(spark):
+    row = length_bucket_padding_stats(spark, SF_ORACLE).collect()[0]
+    # slots reconcile: padded slots = real tokens + waste, per strategy.
+    assert row.slots_arrival == row.tokens_total + row.waste_arrival
+    assert row.slots_sorted == row.tokens_total + row.waste_sorted
+    # Length-sorted contiguous chunking minimizes sum(batch_max * size)
+    # for the fixed NTILE size multiset (exchange argument), so sorting
+    # can never pad MORE than arrival order.
+    assert row.waste_sorted <= row.waste_arrival
+    assert 0 <= row.savings_ppm <= 1_000_000
+    # The audit is only interesting if the corpus has length variance at
+    # all — guard that sf0.01 actually exercises the non-degenerate path.
+    assert row.waste_arrival > 0
+
+
+def test_length_bucket_padding_plan_shape(spark):
+    plan = _plan(length_bucket_padding_stats(spark, SF_ORACLE))
+    _assert_all_windows_partitioned(plan)
+    # Rank-offset joins and the one-row assembly stay broadcast.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "tokens,k",
+    [
+        ([5, 1, 9, 3, 3, 7, 2, 8, 4, 6, 1, 1], 4),
+        ([10] * 7, 3),  # all ties: zero waste both ways
+        ([3, 1, 4], 5),  # n < k: one-doc batches, zero waste
+        (list(range(1, 41)) + [400, 1, 400, 1], 8),  # outlier tail
+    ],
+)
+def test_padding_waste_matches_python_mirror(spark, tokens, k):
+    """padding_waste vs a pure-Python NTILE mirror, arrival + sorted."""
+
+    def mirror(vals):
+        n = len(vals)
+        big, small = divmod(n, k)
+        sizes = [big + 1] * small + [big] * (k - small)
+        slots = waste = 0
+        i = 0
+        for size in sizes:
+            if size == 0:
+                continue
+            batch = vals[i : i + size]
+            i += size
+            slots += max(batch) * len(batch)
+            waste += max(batch) * len(batch) - sum(batch)
+        return slots, waste
+
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    got_a = padding_waste(base, [F.asc("doc_id")], k).collect()[0]
+    got_s = padding_waste(
+        base, [F.asc("n_tokens"), F.asc("doc_id")], k
+    ).collect()[0]
+    assert (got_a.slots, got_a.waste) == mirror(tokens)
+    assert (got_s.slots, got_s.waste) == mirror(sorted(tokens))
+
+
+def test_corpus_shuffle_batches_matches_oracle(spark):
+    got = corpus_shuffle_batches(spark, SF_ORACLE)
+    res = compare(got, CORPUS_SHUFFLE_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == SHUFFLE_N_BATCHES
+
+
+def test_corpus_shuffle_batches_invariants(spark):
+    rows = corpus_shuffle_batches(spark, SF_ORACLE).collect()
+    sizes = [r.n_docs for r in rows]
+    # NTILE guarantee: batch sizes differ by at most one, nothing lost.
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == 500  # sf0.01 documents
+    for r in rows:
+        assert 1 <= r.n_langs <= r.n_docs
+        assert 1 <= r.n_sources <= r.n_docs
+        assert r.top_source_docs <= r.n_docs
+        # The audit's point: a hash shuffle must break source clumping.
+        # sf0.01 has few sources over 15-16 docs/batch — a failed shuffle
+        # would put all ~16 docs in one source.
+        assert r.top_source_docs < r.n_docs
+
+
+def test_corpus_shuffle_batches_plan_shape(spark):
+    plan = _plan(corpus_shuffle_batches(spark, SF_ORACLE))
+    _assert_all_windows_partitioned(plan)
+    # The keyed sub-aggregate formulation must not plan a multi-distinct
+    # Expand (3x row blowup on the widest frame at scale).
+    assert "Expand" not in plan

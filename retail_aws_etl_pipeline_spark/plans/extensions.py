@@ -5592,3 +5592,85 @@ def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id", "n_docs", "n_langs", "n_sources", "top_source_docs"
     ).orderBy("batch_id")
     return retaining(out, *retained_caches(nt))
+
+
+#: Oracle for :func:`tokenizer_fertility_by_lang` (STAGED — see above).
+#: Both ppm ratios use the staged x1000-twice remainder-corrected division
+#: (exact floor(num*1e6/den) with int64 headroom to num ~ 9.2e15 — corpus
+#: token sums pass 9.2e12 around the 10-PB mark, so the single-multiply
+#: form is already wrong at the design scale).
+TOKENIZER_FERTILITY_ORACLE = f"""
+    WITH tf_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(text, '{TX.WORD_TOKEN_PATTERN}'))
+                    AS BIGINT) AS n_word,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    tf_g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+               CAST(SUM(n_word) AS BIGINT) AS n_word_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM tf_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, n_ws_tokens, n_word_tokens, n_chars,
+           CAST((n_word_tokens * 1000 // n_ws_tokens) * 1000
+                + ((n_word_tokens * 1000 % n_ws_tokens) * 1000) // n_ws_tokens
+                AS BIGINT) AS fertility_ppm,
+           CAST((n_chars * 1000 // n_word_tokens) * 1000
+                + ((n_chars * 1000 % n_word_tokens) * 1000) // n_word_tokens
+                AS BIGINT) AS chars_per_token_ppm
+    FROM tf_g
+    ORDER BY lang
+"""
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: tokenizer fertility audit by language. Fertility — how many
+    subword-ish tokens the tokenizer spends per whitespace word — is the
+    standard diagnostic for how well a tokenizer serves each language in
+    a multilingual corpus (a high-fertility language pays more compute
+    per sentence and effectively sees a shorter context window). Using
+    the BPE-ish regex surrogate (letter runs / digit runs / single
+    symbols — the same WORD_TOKEN_PATTERN doc_token_stats proves against
+    DuckDB), report per language: doc count, whitespace-token and regex-
+    token totals, char total, fertility (regex per whitespace token, ppm)
+    and chars-per-token (ppm). One scan-side projection + one keyed
+    aggregate over |langs| groups; nothing else moves, so the plan is a
+    single exchange at any corpus size. Integer-exact throughout — both
+    ratios use the staged division (see oracle note)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    per = t["documents"].select(
+        "lang",
+        TX.token_count("text").alias("n_ws"),
+        TX.word_token_count("text").cast("long").alias("n_word"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_ws_tokens"),
+        F.sum("n_word").cast("long").alias("n_word_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_ws_tokens",
+        "n_word_tokens",
+        "n_chars",
+        F.expr(
+            "(n_word_tokens * 1000 div n_ws_tokens) * 1000"
+            " + ((n_word_tokens * 1000 % n_ws_tokens) * 1000) div n_ws_tokens"
+        )
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.expr(
+            "(n_chars * 1000 div n_word_tokens) * 1000"
+            " + ((n_chars * 1000 % n_word_tokens) * 1000) div n_word_tokens"
+        )
+        .cast("long")
+        .alias("chars_per_token_ppm"),
+    ).orderBy("lang")

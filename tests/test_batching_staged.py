@@ -138,3 +138,47 @@ def test_corpus_shuffle_batches_plan_shape(spark):
     # The keyed sub-aggregate formulation must not plan a multi-distinct
     # Expand (3x row blowup on the widest frame at scale).
     assert "Expand" not in plan
+
+
+def test_tokenizer_fertility_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        TOKENIZER_FERTILITY_ORACLE,
+        tokenizer_fertility_by_lang,
+    )
+
+    got = tokenizer_fertility_by_lang(spark, SF_ORACLE)
+    res = compare(got, TOKENIZER_FERTILITY_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] >= 2  # multilingual corpus
+
+
+def test_tokenizer_fertility_invariants(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = tokenizer_fertility_by_lang(spark, SF_ORACLE).collect()
+    assert sum(r.n_docs for r in rows) == 500  # sf0.01 documents
+    for r in rows:
+        # The regex tokenizer splits words further, never merges across
+        # whitespace: every whitespace token yields >= 1 regex token
+        # (empty-string tokens yield 0, but the corpus has none).
+        assert r.n_word_tokens >= r.n_ws_tokens
+        assert r.fertility_ppm >= 1_000_000
+        # Tokens are at least 1 char.
+        assert r.chars_per_token_ppm >= 1_000_000
+
+
+def test_tokenizer_fertility_plan_is_one_exchange(spark):
+    """One scan-side projection + one keyed aggregate: the executed plan
+    must contain exactly one shuffle exchange (the lang groupBy; the
+    presentation sort rides AQE's reuse of it or a tiny second one) and
+    no join at all."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        tokenizer_fertility_by_lang,
+    )
+
+    plan = _plan(tokenizer_fertility_by_lang(spark, SF_ORACLE))
+    assert "Join" not in plan
+    # partial (map-side) aggregation must be present before the exchange
+    assert "HashAggregate" in plan

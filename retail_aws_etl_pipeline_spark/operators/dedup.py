@@ -146,6 +146,7 @@ def jaccard_counts(
     pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_gram_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, n_a, n_b, common) for pairs sharing ≥1 shingle.
 
@@ -153,6 +154,21 @@ def jaccard_counts(
     otherwise all sharing pairs via the inverted index (exact mode).
     ``max_gram_freq`` drops grams hotter than the cap before the self-join
     — the skew/blowup guard at scale.
+
+    ``hash_grams=True`` is the 100 TB scale variant (the xxhash64
+    discipline of functions.hashing.business_row_hash64): the join key
+    becomes ``xxhash64(gram)`` — a fixed 8 bytes through the widest
+    exchange in the whole dedup family instead of the ~25-byte average
+    gram string. Measured 1.19× wall at K=10 and 1.45× at K=100 on the
+    replica corpus with bit-identical output (SCALING.md). Sizes stay
+    exact unconditionally (row counts don't see the hash); ``common``
+    can only shift if two DISTINCT grams collide in the same pair of
+    docs — expected colliding gram pairs ≈ G²/2⁶⁵ for G distinct grams
+    corpus-wide, i.e. ~0.03 at G=10⁹ and only material past G~10¹¹;
+    beyond that, widen the key to a two-seed struct
+    (xxhash64(gram), xxhash64(concat(gram,'s2'))) for 128-bit behavior.
+    Default stays False: the oracle-parity registry entries are
+    exact-by-construction with no probabilistic caveat.
     """
     grams = gram_df
     if pairs is not None:
@@ -172,6 +188,8 @@ def jaccard_counts(
             .select("gram")
         )
         grams = gram_df.join(hot, "gram", "left_anti")
+    if hash_grams:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
 
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col(id_col).alias("id_a"), "gram")
@@ -196,6 +214,7 @@ def incremental_jaccard_counts(
     corpus_grams: DataFrame,
     id_col: str = "doc_id",
     max_gram_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(batch_id, corpus_id, n_batch, n_corpus, common) for cross pairs
     sharing ≥1 shingle — the PRODUCTION dedup cadence: each incoming
@@ -208,7 +227,10 @@ def incremental_jaccard_counts(
     batch's gram frame broadcast-joins against the corpus scan, so
     steady-state dedup cost tracks the arrival rate. ``max_gram_freq``
     caps hot postings on the CORPUS side (where the skew lives).
+    ``hash_grams=True`` joins on xxhash64(gram) — see
+    :func:`jaccard_counts` for the collision envelope; sizes stay exact.
     """
+    batch = batch_grams
     corpus = corpus_grams
     if max_gram_freq is not None:
         hot = (
@@ -218,10 +240,13 @@ def incremental_jaccard_counts(
             .select("gram")
         )
         corpus = corpus.join(hot, "gram", "left_anti")
+    if hash_grams:
+        batch = batch.withColumn("gram", F.xxhash64("gram"))
+        corpus = corpus.withColumn("gram", F.xxhash64("gram"))
     n_batch = batch_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_batch"))
     n_corpus = corpus_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_corpus"))
     common = (
-        batch_grams.select(F.col(id_col).alias("batch_id"), "gram")
+        batch.select(F.col(id_col).alias("batch_id"), "gram")
         .join(corpus.select(F.col(id_col).alias("corpus_id"), "gram"), "gram")
         .groupBy("batch_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("common"))

@@ -558,3 +558,60 @@ def test_brute_force_topk_jvm_equals_pandas(spark):
         S.brute_force_topk_pandas(t["embeddings"], ANN_PROBE_IDS, ANN_K).collect(), key=key
     )
     assert jvm == pd_ and len(jvm) == len(ANN_PROBE_IDS) * ANN_K
+
+
+def test_hash_grams_scale_variant_is_output_identical(spark):
+    """hash_grams=True (the 8-byte xxhash64 join key — 1.45x wall at
+    K=100, SCALING.md) must be bit-identical to the exact string form on
+    real corpora: sizes are row counts (hash-invariant unconditionally),
+    and common shifts only on a cross-doc xxhash64 collision (~G²/2⁶⁵).
+    Checked for the self-join kernel (with and without the hot-gram cap)
+    and the incremental batch-vs-corpus kernel."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        incremental_jaccard_counts,
+        jaccard_counts,
+        shingles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(SF_ORACLE + "/documents.parquet")
+    grams = shingles(docs).persist()
+    try:
+        cols = ["id_a", "id_b", "n_a", "n_b", "common"]
+        base = sorted(map(tuple, jaccard_counts(grams).select(*cols).collect()))
+        hashed = sorted(
+            map(tuple, jaccard_counts(grams, hash_grams=True).select(*cols).collect())
+        )
+        assert base == hashed and len(base) > 0
+        capped = sorted(
+            map(tuple, jaccard_counts(grams, max_gram_freq=50).select(*cols).collect())
+        )
+        capped_h = sorted(
+            map(
+                tuple,
+                jaccard_counts(grams, max_gram_freq=50, hash_grams=True)
+                .select(*cols)
+                .collect(),
+            )
+        )
+        assert capped == capped_h
+
+        batch = grams.filter(F.col("doc_id") % 10 == 0)
+        corpus = grams.filter(F.col("doc_id") % 10 != 0)
+        icols = ["batch_id", "corpus_id", "n_batch", "n_corpus", "common"]
+        ibase = sorted(
+            map(tuple, incremental_jaccard_counts(batch, corpus).select(*icols).collect())
+        )
+        ihash = sorted(
+            map(
+                tuple,
+                incremental_jaccard_counts(batch, corpus, hash_grams=True)
+                .select(*icols)
+                .collect(),
+            )
+        )
+        assert ibase == ihash and len(ibase) > 0
+    finally:
+        grams.unpersist()

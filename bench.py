@@ -57,6 +57,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # Host load at run start: the recurring cross-round ambiguity is
+    # "did the code regress or was the host loaded?" (r7: the same
+    # binary measured 44.6k vs 76.8k ingest rows/s; r8: three full runs
+    # spanned 208-265 s on identical code). Recording 1/5/15-min loadavg
+    # start/end makes each archived run self-describing.
+    load_start = os.getloadavg()
+
     names = os.environ.get("BENCH_QUERIES")
     selected = [n.strip() for n in names.split(",") if n.strip()] if names else list(REGISTRY)
     unknown = [n for n in selected if n not in REGISTRY]
@@ -135,6 +142,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "host_load": {
+            "start_1m_5m_15m": [round(x, 2) for x in load_start],
+            "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
     }
     if pipeline_info:
         detail["pipeline"] = pipeline_info
@@ -216,6 +228,8 @@ def main() -> None:
                 fh.write("\n")
             best_path = os.path.join(repo_dir, f"BENCH_BEST_r{round_no:02d}.json")
             best = dict(detail)
+            # A merged-minima table has no single host-load context.
+            best.pop("host_load", None)
             best["protocol"] = (
                 "merged per-query minima across every full run this round — "
                 "a per-query best-observation table for load-spike triage, "
@@ -268,6 +282,7 @@ def main() -> None:
         "n_queries": len(timings),
         "slowest_queries": slowest,
         "detail": detail_name,
+        "host_load": detail["host_load"],
     }
     if pipeline_info:
         out["pipeline"] = pipeline_info

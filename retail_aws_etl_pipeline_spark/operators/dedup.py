@@ -129,10 +129,27 @@ def lsh_band_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def candidate_pairs(band_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs sharing at least one LSH band."""
-    a = band_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = band_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+def candidate_pairs(
+    band_df: DataFrame, id_col: str = "doc_id", hash_band_key: bool = False
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band.
+
+    ``hash_band_key=True`` shrinks the self-join key from the 64-char
+    concatenated-md5 band string to xxhash64's fixed 8 bytes (measured
+    2.5× on the join at K=10, 1.19× at K=100 — SCALING.md). For
+    pipelines that VERIFY candidates against exact Jaccard downstream
+    (near-dup clustering, retained-corpus builds), this is exact
+    end-to-end regardless of hash collisions: a band-key collision can
+    only ADD a candidate, and verify filters it. Only candidate-set-AS-
+    output consumers inherit the (negligible, ~K²/2⁶⁵ for K distinct
+    band keys) collision envelope — hence default False on the
+    oracle-parity surface.
+    """
+    keyed = band_df
+    if hash_band_key:
+        keyed = keyed.withColumn("band_key", F.xxhash64("band_key"))
+    a = keyed.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -263,6 +280,7 @@ def containment_pairs(
     threshold_pct: int = 90,
     id_col: str = "doc_id",
     max_gram_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Quote/subset near-dup detection: pairs where the SMALLER document's
     shingle set is ≥ ``threshold_pct``% contained in the other —
@@ -275,9 +293,12 @@ def containment_pairs(
     the ``max_gram_freq`` hot-shingle guard at scale. The threshold is an
     integer-percent comparison (``common * 100 >= pct * least``) so the
     predicate is engine-exact; ``containment`` is the single double
-    division, emitted for consumers.
+    division, emitted for consumers. ``hash_grams`` passes through to the
+    shared kernel (the 8-byte join-key scale variant).
     """
-    counts = jaccard_counts(gram_df, id_col=id_col, max_gram_freq=max_gram_freq)
+    counts = jaccard_counts(
+        gram_df, id_col=id_col, max_gram_freq=max_gram_freq, hash_grams=hash_grams
+    )
     least = F.least(F.col("n_a"), F.col("n_b"))
     return (
         counts.filter(F.col("common") * 100 >= F.lit(threshold_pct) * least)

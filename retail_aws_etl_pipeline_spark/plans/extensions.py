@@ -5674,3 +5674,82 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_per_token_ppm"),
     ).orderBy("lang")
+
+
+#: Oracle for :func:`quality_by_length_decile` (STAGED — see above). The
+#: integer quality key is the SAME scaled lexical diversity the budget
+#: knapsack sorts by (operators.sampling: distinct_tokens * SCALE div
+#: tokens), so this audit calibrates exactly the key the selection uses.
+QUALITY_LENGTH_DECILE_ORACLE = """
+    WITH ql_base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS quality
+        FROM documents
+    ),
+    ql_d AS (
+        SELECT n_tokens, quality,
+               CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+                   AS length_decile
+        FROM ql_base
+    )
+    SELECT length_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(quality) // COUNT(*) AS BIGINT) AS mean_quality
+    FROM ql_d
+    GROUP BY length_decile
+    ORDER BY length_decile
+"""
+
+
+def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: length-bias calibration of the quality key. The
+    token-budget knapsack (token_budget_select) and every quality-gated
+    filter rank documents by scaled lexical diversity (distinct/total
+    tokens) — a key that mechanically FALLS with document length, since
+    long documents repeat words. This audit makes that bias visible:
+    documents bucket into exact length deciles (shared _distributed_ntile
+    over (n_tokens, doc_id) — one range exchange, no global window) and
+    each decile reports its doc count, token mass, token-length range and
+    mean quality (floor of the scaled integer mean, engine-exact). A
+    steep mean_quality slope across deciles tells the curator the quality
+    threshold must be per-length-bucket (or the key length-normalized)
+    before it silently drops every long document; the analogous
+    per-language split is quality_top_half_per_lang. QUALITY_SCALE keeps
+    the sums within int64 to ~9.2e12 docs; the mean's operands are
+    sum(quality) <= n_docs * 10^6 — same envelope."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_ntile
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000 AS BIGINT)"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("quality"),
+    )
+    nt = _distributed_ntile(
+        base, [F.asc("n_tokens"), F.asc("doc_id")], 10, "length_decile"
+    )
+    out = (
+        nt.groupBy("length_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.expr("sum(quality) div count(1)").cast("long").alias("mean_quality"),
+        )
+        .orderBy("length_decile")
+    )
+    return retaining(out, *retained_caches(nt))

@@ -182,3 +182,50 @@ def test_tokenizer_fertility_plan_is_one_exchange(spark):
     assert "Join" not in plan
     # partial (map-side) aggregation must be present before the exchange
     assert "HashAggregate" in plan
+
+
+def test_quality_by_length_decile_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        QUALITY_LENGTH_DECILE_ORACLE,
+        quality_by_length_decile,
+    )
+
+    got = quality_by_length_decile(spark, SF_ORACLE)
+    res = compare(got, QUALITY_LENGTH_DECILE_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 10
+
+
+def test_quality_by_length_decile_invariants(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        quality_by_length_decile,
+    )
+
+    rows = quality_by_length_decile(spark, SF_ORACLE).orderBy(
+        "length_decile"
+    ).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for r in rows:
+        assert r.min_tokens <= r.max_tokens
+        assert 0 < r.mean_quality <= 1_000_000
+    # Deciles are length-ordered. Ties can straddle a decile boundary
+    # (max of one decile == min of the next), so assert the non-strict
+    # form that holds under ties: per-decile minima are monotone.
+    mins = [r.min_tokens for r in rows]
+    assert mins == sorted(mins)
+    # The audit's reason to exist: the TTR quality key falls with length
+    # on any natural corpus — the first decile (shortest docs) must score
+    # higher than the last (longest).
+    assert rows[0].mean_quality > rows[-1].mean_quality
+
+
+def test_quality_by_length_decile_plan_shape(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        quality_by_length_decile,
+    )
+
+    plan = _plan(quality_by_length_decile(spark, SF_ORACLE))
+    _assert_all_windows_partitioned(plan)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -615,3 +615,25 @@ def test_hash_grams_scale_variant_is_output_identical(spark):
         assert ibase == ihash and len(ibase) > 0
     finally:
         grams.unpersist()
+
+
+def test_hash_band_key_candidates_identical(spark):
+    """candidate_pairs(hash_band_key=True) — the 8-byte band-key join —
+    must produce the identical candidate set on the real corpus."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        shingles,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(SF_ORACLE + "/documents.parquet")
+    bands = lsh_bands(shingles(docs)).persist()
+    try:
+        base = sorted(map(tuple, candidate_pairs(bands).collect()))
+        hashed = sorted(
+            map(tuple, candidate_pairs(bands, hash_band_key=True).collect())
+        )
+        assert base == hashed and len(base) > 0
+    finally:
+        bands.unpersist()

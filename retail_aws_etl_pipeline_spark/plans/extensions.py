@@ -5542,7 +5542,9 @@ CORPUS_SHUFFLE_ORACLE = f"""
 """
 
 
-def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_shuffle_batches(
+    spark: SparkSession, sf_dir: str, salt: str = SHUFFLE_SALT
+) -> DataFrame:
     """STAGED: deterministic training-order shuffle + per-batch mixing
     audit. Corpora arrive clustered by source/lang; training on that
     order correlates consecutive gradients, so loaders resequence on a
@@ -5570,7 +5572,7 @@ def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.md5(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHUFFLE_SALT))
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
         ).alias("k"),
     )
     nt = _distributed_ntile(

@@ -229,3 +229,25 @@ def test_quality_by_length_decile_plan_shape(spark):
     _assert_all_windows_partitioned(plan)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_corpus_shuffle_new_salt_is_a_fresh_epoch(spark):
+    """The salt is the epoch knob: same salt -> bit-identical batches
+    (replay idempotence); a new salt -> the same balanced batch sizes
+    but a genuinely different assignment (fresh training order)."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        corpus_shuffle_batches,
+    )
+
+    e1 = corpus_shuffle_batches(spark, SF_ORACLE).collect()
+    e1_again = corpus_shuffle_batches(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1_again))
+
+    e2 = corpus_shuffle_batches(spark, SF_ORACLE, salt="epoch2").collect()
+    # Size multiset is a structural NTILE guarantee, salt-independent.
+    assert sorted(r.n_docs for r in e1) == sorted(r.n_docs for r in e2)
+    # But the assignment must move: with 500 docs over 32 batches, two
+    # independent permutations agreeing on every batch's (source-count,
+    # lang-count) profile is astronomically unlikely — if this ever
+    # fails, the salt is not reaching the shuffle key.
+    assert sorted(map(tuple, e1)) != sorted(map(tuple, e2))

@@ -601,6 +601,42 @@ def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
                 continue
             pos += 2 + int.from_bytes(buf[pos + 2 : pos + 4], "big")
         raise ValueError("JPEG with no SOF marker before EOF")
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        # WebP RIFF container: dims live in the FIRST chunk, whose layout
+        # depends on the bitstream flavor — lossy VP8 (14-bit dims after
+        # the 9D 01 2A start code), lossless VP8L (14-bit-packed fields
+        # after the 2F signature), extended VP8X (24-bit minus-one canvas
+        # dims). All three are header-only reads, O(30) bytes.
+        if len(buf) < 20:
+            raise ValueError("truncated WebP: no first chunk header")
+        cc = buf[12:16]
+        p = 20  # first chunk payload (12 fourcc + 4 chunk id + 4 size)
+        if cc == b"VP8 ":
+            if len(buf) < p + 10:
+                raise ValueError("truncated WebP: VP8 frame header cut off")
+            if buf[p + 3 : p + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 keyframe start code")
+            return (
+                "webp",
+                int.from_bytes(buf[p + 6 : p + 8], "little") & 0x3FFF,
+                int.from_bytes(buf[p + 8 : p + 10], "little") & 0x3FFF,
+            )
+        if cc == b"VP8L":
+            if len(buf) < p + 5:
+                raise ValueError("truncated WebP: VP8L header cut off")
+            if buf[p] != 0x2F:
+                raise ValueError("bad VP8L signature byte")
+            bits = int.from_bytes(buf[p + 1 : p + 5], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if cc == b"VP8X":
+            if len(buf) < p + 10:
+                raise ValueError("truncated WebP: VP8X header cut off")
+            return (
+                "webp",
+                int.from_bytes(buf[p + 4 : p + 7], "little") + 1,
+                int.from_bytes(buf[p + 7 : p + 10], "little") + 1,
+            )
+        raise ValueError(f"unrecognized WebP first chunk {cc!r}")
     return ("unknown", None, None)
 
 
@@ -632,6 +668,58 @@ def _gif_header_bytes(w: int, h: int) -> bytes:
 #: the oracle recomputes these from the id, never seeing the payloads).
 def _probe_dims_for(mid: int) -> tuple[int, int]:
     return 16 + mid % 100, 9 + (mid * 7) % 100
+
+
+def _webp_header_bytes(w: int, h: int, variant: str) -> bytes:
+    """Minimal header-valid WebP of the given bitstream flavor: RIFF +
+    WEBP + one VP8 / VP8L / VP8X chunk carrying the dims. Enough for any
+    header probe; not a renderable image. Dims must fit the flavor's
+    field width (14 bits for VP8/VP8L, 24 for VP8X)."""
+    import struct
+
+    if variant == "vp8":
+        body = (
+            b"VP8 "
+            + struct.pack("<I", 10)
+            + b"\x00\x00\x00"  # frame tag (probe never reads it)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w, h)
+        )
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits)
+    elif variant == "vp8x":
+        body = (
+            b"VP8X"
+            + struct.pack("<I", 10)
+            + b"\x00\x00\x00\x00"  # flags + reserved
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+    else:
+        raise ValueError(f"unknown WebP variant {variant!r}")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def synth_webp_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling the three WebP bitstream flavors
+    by ``id % 3`` (VP8 lossy / VP8L lossless / VP8X extended), each a
+    real header-valid payload with per-id dims (``_probe_dims_for`` —
+    the SAME formula as the jpeg/png/gif corpus, so one oracle covers
+    both probes). meta dims stay NULL: the only place the dimensions
+    exist is inside the payload bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = _probe_dims_for(mid)
+                payload = _webp_header_bytes(w, h, ("vp8", "vp8l", "vp8x")[mid % 3])
+                rows.append((mid, "image", payload, ("webp", None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def synth_header_media(ids: DataFrame, id_col: str) -> DataFrame:

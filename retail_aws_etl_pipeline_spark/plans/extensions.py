@@ -5760,3 +5760,29 @@ def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("length_decile")
     )
     return retaining(out, *retained_caches(nt))
+
+
+#: Oracle for :func:`webp_dims_probe` (STAGED — see above). Identical dims
+#: formula to media_dims_probe's corpus; only the format literal differs.
+WEBP_DIMS_ORACLE = """
+    SELECT doc_id AS media_id,
+           'webp' AS format,
+           CAST(16 + doc_id % 100 AS INT) AS width,
+           CAST(9 + (doc_id * 7) % 100 AS INT) AS height
+    FROM documents ORDER BY media_id
+"""
+
+
+def webp_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: WebP header probe — the web-crawl image format the
+    jpeg/png/gif probe corpus lacked. The synth side writes per-id dims
+    into real RIFF/WEBP headers cycling all three bitstream flavors by
+    id (VP8 lossy 14-bit dims after the keyframe start code, VP8L
+    lossless 14-bit-packed fields, VP8X extended 24-bit canvas dims);
+    the probe must parse three DIFFERENT layouts to agree with the one
+    id-formula oracle, which never sees payloads. Same Arrow-batched
+    O(header)-bytes-per-row kernel as media_dims_probe."""
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_dims(MM.synth_webp_media(ids, "doc_id")).orderBy("media_id")

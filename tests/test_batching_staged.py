@@ -327,3 +327,58 @@ def test_staged_ppm_division_boundary_operands(spark):
     }
     for n, d in cases:
         assert got[(n, d)] == (n * 1_000_000) // d, (n, d, got[(n, d)])
+
+
+# --- staged WebP probe (multimodal family) ---
+
+
+def test_webp_probe_handcrafted_payloads():
+    """probe_image_dims on handcrafted WebP payloads: all three bitstream
+    flavors, the 14-bit field boundary, and every truncation/garbage
+    class raising rather than misreporting."""
+    import pytest as _pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _webp_header_bytes,
+        probe_image_dims,
+    )
+
+    for variant in ("vp8", "vp8l", "vp8x"):
+        assert probe_image_dims(_webp_header_bytes(321, 123, variant)) == (
+            "webp", 321, 123,
+        ), variant
+    # 14-bit boundary for the narrow-field flavors; 24-bit for VP8X.
+    assert probe_image_dims(_webp_header_bytes(16383, 16383, "vp8")) == (
+        "webp", 16383, 16383,
+    )
+    assert probe_image_dims(_webp_header_bytes(16383, 16383, "vp8l")) == (
+        "webp", 16383, 16383,
+    )
+    assert probe_image_dims(_webp_header_bytes(100000, 70000, "vp8x")) == (
+        "webp", 100000, 70000,
+    )
+    for variant in ("vp8", "vp8l", "vp8x"):
+        full = _webp_header_bytes(64, 32, variant)
+        for cut in (14, 21):  # mid-chunk-header and mid-dims
+            with _pytest.raises(ValueError):
+                probe_image_dims(full[:cut])
+    bad_start = bytearray(_webp_header_bytes(64, 32, "vp8"))
+    bad_start[23] ^= 0xFF  # corrupt the 9D 01 2A start code
+    with _pytest.raises(ValueError):
+        probe_image_dims(bytes(bad_start))
+    with _pytest.raises(ValueError):  # unknown first chunk fourcc
+        probe_image_dims(b"RIFF\x10\x00\x00\x00WEBPXXXX\x04\x00\x00\x00abcd")
+    # A RIFF that is not WebP stays "unknown", not an error.
+    assert probe_image_dims(b"RIFF\x04\x00\x00\x00WAVE")[0] == "unknown"
+
+
+def test_webp_dims_probe_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        WEBP_DIMS_ORACLE,
+        webp_dims_probe,
+    )
+
+    got = webp_dims_probe(spark, SF_ORACLE)
+    res = compare(got, WEBP_DIMS_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500

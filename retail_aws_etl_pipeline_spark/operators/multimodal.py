@@ -786,6 +786,36 @@ def probe_audio_meta(buf: bytes) -> tuple[str, int | None, int | None]:
             raise ValueError("FLAC without leading STREAMINFO block")
         x = int.from_bytes(buf[18:21], "big")
         return ("flac", x >> 4, ((x >> 1) & 0x7) + 1)
+    if buf[:4] == b"OggS":
+        # OGG container: the first page's first packet identifies the
+        # codec — OpusHead (channels at +9, input rate LE32 at +12) or
+        # the \x01vorbis identification header (channels at +11, rate
+        # LE32 at +12). O(page header) bytes, no audio decode.
+        if len(buf) < 27:
+            raise ValueError("truncated OGG: no page header")
+        if buf[4] != 0:
+            raise ValueError(f"unsupported OGG page version {buf[4]}")
+        nseg = buf[26]
+        p = 27 + nseg  # first packet start (past the segment table)
+        if len(buf) < p:
+            raise ValueError("truncated OGG: segment table cut off")
+        if buf[p : p + 8] == b"OpusHead":
+            if len(buf) < p + 16:
+                raise ValueError("truncated OpusHead packet")
+            return (
+                "opus",
+                int.from_bytes(buf[p + 12 : p + 16], "little"),
+                buf[p + 9],
+            )
+        if buf[p : p + 7] == b"\x01vorbis":
+            if len(buf) < p + 16:
+                raise ValueError("truncated vorbis identification header")
+            return (
+                "vorbis",
+                int.from_bytes(buf[p + 12 : p + 16], "little"),
+                buf[p + 11],
+            )
+        raise ValueError("OGG with unrecognized first packet codec")
     pos = 0
     if buf[:3] == b"ID3":  # ID3v2 tag: 10-byte header + syncsafe size
         if len(buf) < 10:
@@ -831,6 +861,69 @@ def _mp3_header_bytes(sr_idx: int, n_channels: int, id3_prefix: bool) -> bytes:
         return frame
     pad = 6
     return b"ID3\x03\x00\x00" + bytes([0, 0, 0, pad]) + b"\x00" * pad + frame
+
+
+def _ogg_header_bytes(codec: str, sample_rate: int, n_channels: int) -> bytes:
+    """One minimal beginning-of-stream OGG page whose single packet is an
+    OpusHead or \\x01vorbis identification header carrying the stream
+    parameters; CRC left zero (the probe never validates it); not a
+    playable stream."""
+    import struct
+
+    if codec == "opus":
+        packet = (
+            b"OpusHead"
+            + bytes([1, n_channels])  # version 1, channel count
+            + struct.pack("<H", 312)  # pre-skip
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<h", 0)  # output gain
+            + b"\x00"  # channel mapping family 0
+        )
+    elif codec == "vorbis":
+        packet = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)  # version
+            + bytes([n_channels])
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 0, 0)  # bitrate max/nominal/min
+            + b"\xb8"  # blocksizes
+            + b"\x01"  # framing bit
+        )
+    else:
+        raise ValueError(f"unknown OGG codec {codec!r}")
+    page = (
+        b"OggS"
+        + bytes([0, 0x02])  # version 0, beginning-of-stream
+        + b"\x00" * 8  # granule position
+        + b"\x01\x00\x00\x00"  # serial
+        + b"\x00" * 4  # page sequence
+        + b"\x00" * 4  # crc (unchecked by the probe)
+        + bytes([1, len(packet)])  # one segment
+        + packet
+    )
+    return page
+
+
+def synth_ogg_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling opus/vorbis by ``id % 2`` with the
+    SAME stream-parameter formulas as the wav/flac corpus (sample rate
+    ``8000 + (id%100)*80``, channels ``1 + id%2``) living only in the
+    payload bytes — see :func:`synth_header_media`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                payload = _ogg_header_bytes(
+                    ("opus", "vorbis")[mid % 2],
+                    8000 + (mid % 100) * 80,
+                    1 + mid % 2,
+                )
+                rows.append((mid, "audio", payload, (None, None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def synth_audio_meta_media(ids: DataFrame, id_col: str) -> DataFrame:

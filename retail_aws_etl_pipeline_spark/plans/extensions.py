@@ -5786,3 +5786,26 @@ def webp_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
     return MM.probe_dims(MM.synth_webp_media(ids, "doc_id")).orderBy("media_id")
+
+
+#: Oracle for :func:`ogg_meta_probe` (STAGED — see above). Same stream
+#: parameter formulas as audio_meta_probe's wav/flac rows.
+OGG_META_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 2 WHEN 0 THEN 'opus' ELSE 'vorbis' END AS format,
+           CAST(8000 + (doc_id % 100) * 80 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels
+    FROM documents ORDER BY media_id
+"""
+
+
+def ogg_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: OGG container probe — Opus and Vorbis identification
+    headers parsed from the first page's first packet (channels + rate),
+    completing the audio twin family (wav/flac/mp3 are the registered
+    audio_meta_probe). Same Arrow-batched O(page-header) kernel and the
+    same never-sees-payloads id-formula oracle discipline."""
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_audio(MM.synth_ogg_media(ids, "doc_id")).orderBy("media_id")

@@ -382,3 +382,44 @@ def test_webp_dims_probe_matches_oracle(spark):
     res = compare(got, WEBP_DIMS_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 500
+
+
+def test_ogg_probe_handcrafted_payloads():
+    """probe_audio_meta on handcrafted OGG payloads: both codecs, the
+    truncation classes, unknown-codec packet, and version guard."""
+    import pytest as _pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _ogg_header_bytes,
+        probe_audio_meta,
+    )
+
+    assert probe_audio_meta(_ogg_header_bytes("opus", 48000, 2)) == (
+        "opus", 48000, 2,
+    )
+    assert probe_audio_meta(_ogg_header_bytes("vorbis", 44100, 1)) == (
+        "vorbis", 44100, 1,
+    )
+    full = _ogg_header_bytes("opus", 48000, 2)
+    for cut in (20, 28, 35):  # page header / segment table / packet body
+        with _pytest.raises(ValueError):
+            probe_audio_meta(full[:cut])
+    bad_ver = bytearray(full)
+    bad_ver[4] = 9
+    with _pytest.raises(ValueError):
+        probe_audio_meta(bytes(bad_ver))
+    unknown_packet = full[:27] + bytes([1, 8]) + b"FLACHEAD"
+    with _pytest.raises(ValueError):
+        probe_audio_meta(unknown_packet)
+
+
+def test_ogg_meta_probe_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        OGG_META_ORACLE,
+        ogg_meta_probe,
+    )
+
+    got = ogg_meta_probe(spark, SF_ORACLE)
+    res = compare(got, OGG_META_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500

@@ -5809,3 +5809,52 @@ def ogg_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
     return MM.probe_audio(MM.synth_ogg_media(ids, "doc_id")).orderBy("media_id")
+
+
+#: Oracle for :func:`warc_record_stats` (STAGED — see above). Every parsed
+#: field is a pure function of the id (sources/warc._warc_record_bytes),
+#: so the oracle reconstructs the parse without ever seeing WARC bytes —
+#: the synth_header_media discipline applied to a container format.
+WARC_RECORD_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 3 THEN 'request' ELSE 'response' END
+               AS warc_type,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+                     ELSE 301 END END AS INT) AS http_status,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                ELSE 10 + doc_id % 50 END AS BIGINT) AS payload_length,
+           'src' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS target_host
+    FROM documents ORDER BY doc_id
+"""
+
+
+def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: WARC crawl-shard parsing — the interchange format web
+    corpora actually arrive in, completing the source family (CSV drops,
+    JSONL, parquet, WARC). Shards are synthesized executor-side from id
+    formulas (10 shards, binaryFile-shaped rows, no disk), the record
+    splitter walks real WARC framing (version line, header block,
+    Content-Length'd HTTP message, CRLF CRLF terminator) in one
+    Arrow-batched pass per shard, and the parsed per-record row —
+    type, HTTP status (responses only), payload bytes past the HTTP
+    header terminator, target host — must agree with the oracle that
+    reconstructs the parse purely from the id formulas. Bodies never
+    leave the kernel (include_body=False), so the exchange carries
+    headers only — the 100 TB stats shape."""
+    from retail_aws_etl_pipeline_spark.sources.warc import (
+        parse_warc_records,
+        synth_warc_shards,
+    )
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    recs = parse_warc_records(synth_warc_shards(ids, "doc_id"))
+    return recs.select(
+        F.regexp_extract("record_id", "urn:doc:([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("payload_length").cast("long").alias("payload_length"),
+        F.regexp_extract("target_uri", "http://([^/]+)/", 1).alias("target_host"),
+    ).orderBy("doc_id")

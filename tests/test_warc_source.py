@@ -1,0 +1,119 @@
+"""WARC source (sources/warc.py) — record framing, HTTP block split, gzip
+transparency, structural strictness, and the staged id-formula oracle.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from retail_aws_etl_pipeline_spark.sources.warc import (
+    _warc_record_bytes,
+    iter_warc_records,
+    parse_warc_records,
+    synth_warc_shards,
+)
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+
+
+def test_iter_warc_records_roundtrip():
+    buf = b"".join(_warc_record_bytes(m) for m in (0, 1, 2, 3, 11))
+    recs = list(iter_warc_records(buf))
+    assert [r["record_idx"] for r in recs] == [0, 1, 2, 3, 4]
+    by_id = {int(r["record_id"].strip("<>").rsplit(":", 1)[1]): r for r in recs}
+    assert by_id[0]["warc_type"] == "response"
+    assert by_id[0]["http_status"] == 200
+    assert by_id[0]["payload_length"] == 10
+    assert by_id[1]["http_status"] == 404
+    assert by_id[2]["http_status"] == 301
+    assert by_id[3]["warc_type"] == "request"
+    assert by_id[3]["http_status"] is None
+    assert by_id[3]["payload_length"] == 0
+    assert by_id[11]["target_uri"] == "http://src4.example/doc/11"
+    # content_length is the full HTTP block, payload is past its headers.
+    for r in recs:
+        assert r["payload_length"] <= r["content_length"]
+        assert len(r["block"]) == r["content_length"]
+
+
+def test_iter_warc_records_gzip_transparent():
+    buf = b"".join(_warc_record_bytes(m) for m in (5, 6))
+    plain = [
+        {k: v for k, v in r.items() if k != "block"}
+        for r in iter_warc_records(buf)
+    ]
+    zipped = [
+        {k: v for k, v in r.items() if k != "block"}
+        for r in iter_warc_records(gzip.compress(buf, mtime=0))
+    ]
+    assert plain == zipped
+
+
+def test_iter_warc_records_structural_strictness():
+    good = _warc_record_bytes(1)
+    # Every truncation class raises, never silently drops the tail.
+    for cut in (4, 30, len(good) - 6, len(good) - 2):
+        with pytest.raises(ValueError):
+            list(iter_warc_records(good[:cut]))
+    with pytest.raises(ValueError):  # garbage between records
+        list(iter_warc_records(good + b"JUNK" + good))
+    with pytest.raises(ValueError):  # missing Content-Length
+        list(
+            iter_warc_records(
+                b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n"
+            )
+        )
+    # A record whose HTTP status line is garbage raises too.
+    bad = good.replace(b"HTTP/1.1 404 X", b"HTTP/1.1 xxx X")
+    with pytest.raises(ValueError):
+        list(iter_warc_records(bad))
+
+
+def test_warc_record_stats_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        WARC_RECORD_ORACLE,
+        warc_record_stats,
+    )
+
+    got = warc_record_stats(spark, SF_ORACLE)
+    res = compare(got, WARC_RECORD_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500
+
+
+def test_parse_warc_records_gzip_shards_and_body_flag(spark):
+    ids = spark.range(40).selectExpr("id AS doc_id")
+    plain = parse_warc_records(synth_warc_shards(ids, "doc_id"))
+    zipped = parse_warc_records(
+        synth_warc_shards(ids, "doc_id", compress=True)
+    )
+    cols = [c for c in plain.columns if c != "path"]  # paths differ (.gz)
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, zipped.select(*cols).collect())
+    )
+    with_body = parse_warc_records(
+        synth_warc_shards(ids, "doc_id"), include_body=True
+    )
+    assert "block" in with_body.columns
+    row = with_body.filter("warc_type = 'response'").limit(1).collect()[0]
+    assert len(bytes(row.block)) == row.content_length
+
+
+def test_warc_binaryfile_roundtrip(spark, tmp_path):
+    """The real on-disk path: shard bytes written as files, read back via
+    Spark's binaryFile source, parsed identically to the in-memory form."""
+    ids = spark.range(24).selectExpr("id AS doc_id")
+    shards = synth_warc_shards(ids, "doc_id").collect()
+    for r in shards:
+        name = r.path.rsplit("/", 1)[-1]
+        (tmp_path / name).write_bytes(bytes(r.content))
+    from_disk = parse_warc_records(
+        spark.read.format("binaryFile").load(str(tmp_path))
+    )
+    in_mem = parse_warc_records(synth_warc_shards(ids, "doc_id"))
+    cols = [c for c in in_mem.columns if c != "path"]
+    assert sorted(map(tuple, from_disk.select(*cols).collect())) == sorted(
+        map(tuple, in_mem.select(*cols).collect())
+    )

@@ -5858,3 +5858,41 @@ def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload_length").cast("long").alias("payload_length"),
         F.regexp_extract("target_uri", "http://([^/]+)/", 1).alias("target_host"),
     ).orderBy("doc_id")
+
+
+#: Oracle for :func:`warc_text_corpus` (STAGED — see above). The extracted
+#: text of the formulaic HTML is itself a formula of the id, so the oracle
+#: builds the EXPECTED final strings with no HTML, no regex, no payloads —
+#: an end-to-end pin of payload split + decode + tag-strip + collapse.
+WARC_TEXT_ORACLE = """
+    SELECT doc_id,
+           'http://src' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'T' || CAST(doc_id AS VARCHAR) || ' alpha beta '
+               || CAST(doc_id AS VARCHAR) || ' gamma' AS text,
+           CAST(length('T' || CAST(doc_id AS VARCHAR) || ' alpha beta '
+               || CAST(doc_id AS VARCHAR) || ' gamma') AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+    ORDER BY doc_id
+"""
+
+
+def warc_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the crawl → corpus extraction step end-to-end — WARC
+    shards (synthesized from id formulas with formulaic HTML bodies) →
+    record split → 2xx response filter → payload decode → scan-side tag
+    strip/whitespace collapse → (doc_id, url, text, n_chars) rows ready
+    for the existing curation pipeline (normalize → dedup → budget).
+    The oracle constructs the expected FINAL text purely from the id,
+    so the whole chain (framing, HTTP split, decode, extraction) is
+    hash-pinned with no tolerance."""
+    from retail_aws_etl_pipeline_spark.sources.warc import (
+        synth_warc_shards,
+        warc_html_documents,
+    )
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return warc_html_documents(
+        synth_warc_shards(ids, "doc_id", html=True)
+    ).orderBy("doc_id")

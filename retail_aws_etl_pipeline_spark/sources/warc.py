@@ -120,10 +120,13 @@ def parse_warc_records(shards: DataFrame, include_body: bool = False) -> DataFra
     """(path, content) shard rows → one row per WARC record. ``shards``
     is binaryFile-shaped (``spark.read.format("binaryFile")`` or
     :func:`synth_warc_shards`); only (path, content) are read. With
-    ``include_body`` the raw block rides along as binary — the corpus-
-    building path; the default stats path drops it inside the kernel so
-    the exchange never carries bodies."""
-    schema = WARC_RECORD_SCHEMA + (", block binary" if include_body else "")
+    ``include_body`` the raw block AND the HTTP payload (bytes past the
+    HTTP header terminator; the full block for non-HTTP records) ride
+    along as binary — the corpus-building path; the default stats path
+    drops both inside the kernel so the exchange never carries bodies."""
+    schema = WARC_RECORD_SCHEMA + (
+        ", block binary, payload binary" if include_body else ""
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [c.split(" ")[0] for c in schema.split(", ")]
@@ -143,7 +146,10 @@ def parse_warc_records(shards: DataFrame, include_body: bool = False) -> DataFra
                         rec["payload_length"],
                     ]
                     if include_body:
-                        row.append(rec["block"])
+                        block = rec["block"]
+                        row.append(block)
+                        pl = rec["payload_length"]
+                        row.append(block[len(block) - pl :] if pl is not None else block)
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -153,12 +159,13 @@ def parse_warc_records(shards: DataFrame, include_body: bool = False) -> DataFra
 # --- synthetic proof corpus (id-formula discipline, never touching disk) ---
 
 
-def _warc_record_bytes(mid: int) -> bytes:
+def _warc_record_bytes(mid: int, html: bool = False) -> bytes:
     """One record derived from the id: ``request`` when id % 4 == 3, else
     ``response`` with status 200/404/301 by id % 3 and an
-    ``10 + id % 50``-byte payload. Every field the parser emits is a pure
-    function of the id, so the oracle reconstructs the parse without ever
-    seeing WARC bytes."""
+    ``10 + id % 50``-byte payload (or, with ``html``, a small formulaic
+    HTML document for the text-extraction corpus). Every field the
+    parser emits is a pure function of the id, so the oracle
+    reconstructs the parse without ever seeing WARC bytes."""
     uri = f"http://src{mid % 7}.example/doc/{mid}"
     if mid % 4 == 3:
         block = (
@@ -167,9 +174,16 @@ def _warc_record_bytes(mid: int) -> bytes:
         wtype, ctype = "request", "application/http;msgtype=request"
     else:
         status = (200, 404, 301)[mid % 3]
+        if html:
+            body = (
+                f"<html><head><title>T{mid}</title></head>"
+                f"<body><p>alpha beta {mid}</p><p>gamma</p></body></html>"
+            ).encode()
+        else:
+            body = b"x" * (10 + mid % 50)
         block = (
             f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n\r\n"
-        ).encode() + b"x" * (10 + mid % 50)
+        ).encode() + body
         wtype, ctype = "response", "application/http;msgtype=response"
     headers = (
         f"WARC/1.0\r\n"
@@ -183,7 +197,11 @@ def _warc_record_bytes(mid: int) -> bytes:
 
 
 def synth_warc_shards(
-    ids: DataFrame, id_col: str, n_shards: int = 10, compress: bool = False
+    ids: DataFrame,
+    id_col: str,
+    n_shards: int = 10,
+    compress: bool = False,
+    html: bool = False,
 ) -> DataFrame:
     """(id) rows → binaryFile-shaped (path, content) shard rows, each the
     concatenation of the id-formula records for ``id % n_shards`` (sorted
@@ -194,7 +212,7 @@ def synth_warc_shards(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         mids = sorted(int(m) for m in pdf[id_col])
         shard = mids[0] % n_shards if mids else 0
-        body = b"".join(_warc_record_bytes(m) for m in mids)
+        body = b"".join(_warc_record_bytes(m, html=html) for m in mids)
         ext = "warc.gz" if compress else "warc"
         if compress:
             body = gzip.compress(body, mtime=0)
@@ -206,4 +224,41 @@ def synth_warc_shards(
         ids.select(id_col)
         .groupBy((F.col(id_col) % n_shards).alias("__shard"))
         .applyInPandas(build, schema="path string, content binary")
+    )
+
+
+def warc_html_documents(shards: DataFrame) -> DataFrame:
+    """Crawl → corpus: successful (2xx) response payloads decoded and
+    tag-stripped into (doc_id, url, text, n_chars) rows — the extraction
+    step that feeds the curation pipeline (normalize → dedup → budget)
+    from WARC shards. Tag stripping is scan-side Column algebra
+    (regexp_replace tags → space, collapse, trim) so the whole step
+    fuses into the kernel's output scan; a production extractor would
+    swap in a real HTML parser as an Arrow-batched kernel, but the
+    PLUMBING (payload split, decode, id/url carry-through, n_chars
+    recompute) is what this function pins. doc_id parses from the
+    WARC-Record-ID urn; a crawl without one would key on
+    xxhash64(target_uri) instead."""
+    recs = parse_warc_records(shards, include_body=True)
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response")
+            & F.col("http_status").between(200, 299)
+        )
+        .select(
+            F.regexp_extract("record_id", "urn:doc:([0-9]+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.decode(F.col("payload"), "UTF-8"), "<[^>]*>", " "
+                    ),
+                    " +",
+                    " ",
+                )
+            ).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
     )

@@ -117,3 +117,41 @@ def test_warc_binaryfile_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, from_disk.select(*cols).collect())) == sorted(
         map(tuple, in_mem.select(*cols).collect())
     )
+
+
+def test_warc_text_corpus_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        WARC_TEXT_ORACLE,
+        warc_text_corpus,
+    )
+
+    got = warc_text_corpus(spark, SF_ORACLE)
+    res = compare(got, WARC_TEXT_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    # 2xx responses only: doc_id % 4 != 3 (response) and % 3 == 0 (200).
+    assert res["spark_rows"] == sum(
+        1 for i in range(500) if i % 4 != 3 and i % 3 == 0
+    )
+
+
+def test_warc_html_documents_feed_the_curation_pipeline(spark):
+    """The extracted corpus is shaped for the existing text operators:
+    normalize_text is idempotent on it and exact dedup runs unchanged."""
+    from retail_aws_etl_pipeline_spark.operators.textops import normalize_text
+    from retail_aws_etl_pipeline_spark.sources.warc import (
+        synth_warc_shards,
+        warc_html_documents,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(60).selectExpr("id AS doc_id")
+    docs = warc_html_documents(synth_warc_shards(ids, "doc_id", html=True))
+    normed = docs.withColumn("ntext", normalize_text("text"))
+    # Extraction already collapsed/trimmed, so normalization only
+    # casefolds — lengths are preserved.
+    row = normed.select(
+        F.sum((F.length("ntext") != F.length("text")).cast("int")).alias("d")
+    ).collect()[0]
+    assert row.d == 0
+    n_distinct = normed.select(F.md5("ntext")).distinct().count()
+    assert n_distinct == docs.count()  # formulaic docs are all distinct

@@ -637,6 +637,39 @@ def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
                 int.from_bytes(buf[p + 7 : p + 10], "little") + 1,
             )
         raise ValueError(f"unrecognized WebP first chunk {cc!r}")
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        brand = buf[8:12]
+        fmt = {
+            b"avif": "avif", b"avis": "avif",
+            b"heic": "heic", b"heix": "heic", b"mif1": "heif",
+        }.get(brand)
+        if fmt is None:
+            # Some other ISO-BMFF (an MP4 video, say) — not an image;
+            # probe_video_meta owns that container.
+            return ("unknown", None, None)
+        # Still-image ISO-BMFF: dims live in the ispe item property —
+        # meta (a FullBox: 4 version/flags bytes before children) →
+        # iprp → ipco → first ispe (FullBox: version/flags, then
+        # width/height as uint32be). Pure box walk, O(header).
+        for typ, b0, b1 in _iter_boxes(buf, 0, len(buf)):
+            if typ != b"meta":
+                continue
+            for t2, c0, c1 in _iter_boxes(buf, b0 + 4, b1):
+                if t2 != b"iprp":
+                    continue
+                for t3, d0, d1 in _iter_boxes(buf, c0, c1):
+                    if t3 != b"ipco":
+                        continue
+                    for t4, e0, e1 in _iter_boxes(buf, d0, d1):
+                        if t4 == b"ispe":
+                            if e1 - e0 < 12:
+                                raise ValueError("truncated ispe property")
+                            return (
+                                fmt,
+                                int.from_bytes(buf[e0 + 4 : e0 + 8], "big"),
+                                int.from_bytes(buf[e0 + 8 : e0 + 12], "big"),
+                            )
+        raise ValueError(f"{fmt} with no ispe item property")
     return ("unknown", None, None)
 
 
@@ -699,6 +732,39 @@ def _webp_header_bytes(w: int, h: int, variant: str) -> bytes:
     else:
         raise ValueError(f"unknown WebP variant {variant!r}")
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def _avif_header_bytes(w: int, h: int, brand: bytes) -> bytes:
+    """Minimal structurally-valid still-image ISO-BMFF (AVIF/HEIC): ftyp +
+    meta(FullBox) → iprp → ipco → ispe carrying the dims. Enough for any
+    box-walking dims probe; not a decodable image."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", ispe)))
+    ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand)
+    return ftyp + meta
+
+
+def synth_avif_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling the avif/heic brands by ``id % 2``
+    with per-id dims (``_probe_dims_for`` — the shared formula); meta dims
+    stay NULL (see :func:`synth_header_media`)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = _probe_dims_for(mid)
+                payload = _avif_header_bytes(w, h, (b"avif", b"heic")[mid % 2])
+                rows.append((mid, "image", payload, (None, None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def synth_webp_media(ids: DataFrame, id_col: str) -> DataFrame:

@@ -5896,3 +5896,25 @@ def warc_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_html_documents(
         synth_warc_shards(ids, "doc_id", html=True)
     ).orderBy("doc_id")
+
+
+#: Oracle for :func:`avif_dims_probe` (STAGED — see above).
+AVIF_DIMS_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 2 WHEN 0 THEN 'avif' ELSE 'heic' END AS format,
+           CAST(16 + doc_id % 100 AS INT) AS width,
+           CAST(9 + (doc_id * 7) % 100 AS INT) AS height
+    FROM documents ORDER BY media_id
+"""
+
+
+def avif_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: AVIF/HEIC dims probe — the modern still-image ISO-BMFF
+    containers (meta → iprp → ipco → ispe box walk, reusing the MP4
+    walker's largesize/truncation discipline). Same id-formula oracle
+    pattern as webp_dims_probe; an MP4's ftyp stays 'unknown' to this
+    probe (probe_video_meta owns video containers)."""
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_dims(MM.synth_avif_media(ids, "doc_id")).orderBy("media_id")

@@ -423,3 +423,40 @@ def test_ogg_meta_probe_matches_oracle(spark):
     res = compare(got, OGG_META_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 500
+
+
+def test_avif_probe_handcrafted_payloads():
+    import pytest as _pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _avif_header_bytes,
+        _mp4_header_bytes,
+        probe_image_dims,
+    )
+
+    assert probe_image_dims(_avif_header_bytes(640, 480, b"avif")) == (
+        "avif", 640, 480,
+    )
+    assert probe_image_dims(_avif_header_bytes(7, 5, b"heic")) == ("heic", 7, 5)
+    assert probe_image_dims(_avif_header_bytes(1, 1, b"mif1")) == ("heif", 1, 1)
+    # An MP4 video container is NOT an image to this probe.
+    assert probe_image_dims(_mp4_header_bytes(600, 1200, 320, 180))[0] == "unknown"
+    full = _avif_header_bytes(64, 32, b"avif")
+    with _pytest.raises(ValueError):  # box size past the buffer
+        probe_image_dims(full[: len(full) - 5])
+    # A recognized brand whose meta lacks ispe raises, never misreports.
+    no_meta = full[: full.index(b"meta") - 4]
+    with _pytest.raises(ValueError):
+        probe_image_dims(no_meta)
+
+
+def test_avif_dims_probe_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        AVIF_DIMS_ORACLE,
+        avif_dims_probe,
+    )
+
+    got = avif_dims_probe(spark, SF_ORACLE)
+    res = compare(got, AVIF_DIMS_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500

@@ -5918,3 +5918,74 @@ def avif_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
     return MM.probe_dims(MM.synth_avif_media(ids, "doc_id")).orderBy("media_id")
+
+
+#: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
+#: raw spelling and its canonical form are pure functions of the id; the
+#: oracle builds the EXPECTED canonical string directly (it never runs a
+#: canonicalizer), so scheme/host casefold, default-port strip, tracking-
+#: param drop, query sort and fragment drop are pinned end-to-end.
+URL_CANONICAL_ORACLE = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+           || '://WWW.Src' || CAST(doc_id % 7 AS VARCHAR) || '.Example'
+           || (CASE doc_id % 3
+               WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+               WHEN 1 THEN ':8080' ELSE '' END)
+           || '/A/b' || CAST(doc_id AS VARCHAR)
+           || (CASE doc_id % 4
+               WHEN 1 THEN '?utm_source=x&b=2&a=1'
+               WHEN 2 THEN '?b=2&a=1'
+               WHEN 3 THEN '?utm_campaign=z' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+               AS url_raw,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+           || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+           || '/A/b' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 4 IN (1, 2) THEN '?a=1&b=2' ELSE '' END)
+               AS url_canonical
+    FROM documents ORDER BY doc_id
+"""
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: URL canonicalization — the crawl-dedup step BEFORE content
+    dedup. Raw spellings are generated scan-side from id formulas
+    covering every variant class at once (uppercase scheme+host, default
+    vs explicit vs absent port, tracking params mixed into permuted
+    query order, fragments), canonicalized by the pure Column-algebra
+    operators.urlops.canonical_url (no UDF, no shuffle), and compared to
+    an oracle that constructs the expected canonical strings directly
+    from the id — the canonicalizer itself never runs on the oracle
+    side. At 100 TB this is a zero-exchange scan projection; the
+    downstream URL-level dedup is then an ordinary hash groupBy on the
+    canonical key."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import canonical_url
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Src"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/A/b"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("?utm_campaign=z"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", raw.alias("url_raw"))
+        .withColumn("url_canonical", canonical_url("url_raw"))
+        .orderBy("doc_id")
+    )

@@ -460,3 +460,61 @@ def test_avif_dims_probe_matches_oracle(spark):
     res = compare(got, AVIF_DIMS_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 500
+
+
+# --- staged URL canonicalization (crawl-dedup family) ---
+
+
+def test_canonical_url_equivalence_classes(spark):
+    """Handcrafted variant spellings collapse to one canonical form, and
+    non-URLs / NULLs pass through untouched."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import canonical_url
+
+    variants = [
+        "http://Example.com/Path?b=2&a=1",
+        "HTTP://EXAMPLE.COM:80/Path?a=1&b=2#frag",
+        "http://example.com:80/Path?utm_source=x&b=2&a=1",
+        "http://example.com/Path?gclid=abc&a=1&utm_campaign=z&b=2",
+    ]
+    rows = spark.createDataFrame([(v,) for v in variants], "u string").select(
+        canonical_url("u").alias("c")
+    ).collect()
+    assert {r.c for r in rows} == {"http://example.com/Path?a=1&b=2"}
+
+    passthrough = [
+        ("ftp://example.com/file", "ftp://example.com/file"),
+        ("not a url at all", "not a url at all"),
+        ("https://Host.Example", "https://host.example/"),  # empty path -> /
+        ("https://h.example:443/x", "https://h.example/x"),
+        ("https://h.example:8443/x", "https://h.example:8443/x"),
+        ("http://h.example/x?utm_source=a", "http://h.example/x"),
+        (None, None),
+    ]
+    got = spark.createDataFrame(
+        [(v,) for v, _ in passthrough], "u string"
+    ).select(canonical_url("u").alias("c")).collect()
+    assert [r.c for r in got] == [want for _, want in passthrough]
+
+
+def test_url_canonical_dedup_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        URL_CANONICAL_ORACLE,
+        url_canonical_dedup,
+    )
+
+    got = url_canonical_dedup(spark, SF_ORACLE)
+    res = compare(got, URL_CANONICAL_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500
+
+
+def test_url_canonical_dedup_plan_is_scan_side(spark):
+    """Canonicalization is a pure projection: no exchange at all except
+    the presentation sort, no UDF, no join."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        url_canonical_dedup,
+    )
+
+    plan = _plan(url_canonical_dedup(spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan

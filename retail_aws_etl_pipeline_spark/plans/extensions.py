@@ -5989,3 +5989,52 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("url_canonical", canonical_url("url_raw"))
         .orderBy("doc_id")
     )
+
+
+#: Oracle for :func:`crawl_host_report` (STAGED — see above). Per-host
+#: aggregates over the extracted corpus, reconstructed purely from the id
+#: formulas (each extracted doc is 'T{id} alpha beta {id} gamma' — 5
+#: whitespace tokens).
+CRAWL_HOST_ORACLE = """
+    SELECT 'src' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length('T' || CAST(doc_id AS VARCHAR) || ' alpha beta '
+               || CAST(doc_id AS VARCHAR) || ' gamma')) AS BIGINT) AS sum_chars,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def crawl_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the crawl observability rollup — WARC shards → extracted
+    documents → per-host doc/char/token mass, the table a crawl curator
+    reads before deciding per-domain caps and mixture weights (the
+    host-level twin of corpus_card). Chains the staged source end to
+    end: synth shards, record framing, HTTP split, text extraction,
+    host key from the canonicalized URL, one keyed aggregate. The
+    oracle reconstructs every aggregate from the id formulas without
+    touching WARC bytes."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import canonical_url
+    from retail_aws_etl_pipeline_spark.sources.warc import (
+        synth_warc_shards,
+        warc_html_documents,
+    )
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    docs = warc_html_documents(synth_warc_shards(ids, "doc_id", html=True))
+    return (
+        docs.select(
+            F.regexp_extract(canonical_url("url"), "://([^/]+)", 1).alias("host"),
+            "n_chars",
+            TX.token_count("text").alias("n_toks"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("host")
+    )

@@ -155,3 +155,15 @@ def test_warc_html_documents_feed_the_curation_pipeline(spark):
     assert row.d == 0
     n_distinct = normed.select(F.md5("ntext")).distinct().count()
     assert n_distinct == docs.count()  # formulaic docs are all distinct
+
+
+def test_crawl_host_report_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        CRAWL_HOST_ORACLE,
+        crawl_host_report,
+    )
+
+    got = crawl_host_report(spark, SF_ORACLE)
+    res = compare(got, CRAWL_HOST_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 7  # hosts src0..src6.example

@@ -78,6 +78,15 @@ def main() -> None:
     from pyspark.sql import functions as _F
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Calibration: a fixed pure-JVM workload timed on every run forever.
+    # loadavg only sees THIS vm's runnable tasks; hypervisor-level
+    # contention shows up as the same binary running uniformly slower
+    # (r8: untouched trivial queries measured 1.2-1.5x r7 minima at
+    # local load 0.5). calib_sec makes that directly visible: cross-round
+    # per-query ratios should be read relative to the calib ratio.
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib_sec = round(time.perf_counter() - t0, 4)
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     (
         warm.groupBy("r_name")
@@ -146,6 +155,7 @@ def main() -> None:
             "start_1m_5m_15m": [round(x, 2) for x in load_start],
             "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
             "cpus": os.cpu_count(),
+            "calib_sec": calib_sec,
         },
     }
     if pipeline_info:

@@ -518,3 +518,40 @@ def test_url_canonical_dedup_plan_is_scan_side(spark):
     plan = _plan(url_canonical_dedup(spark, SF_ORACLE))
     assert "Join" not in plan
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_canonical_url_idempotent_and_collapsing(spark):
+    """Idempotence over a generated variant space: canonicalizing twice
+    equals once, and the variant spellings of one resource (case, default
+    port, tracking params, query permutations, fragments) collapse to one
+    canonical form per resource."""
+    from itertools import product
+
+    from retail_aws_etl_pipeline_spark.operators.urlops import canonical_url
+
+    rows = []
+    for rid, (scheme, host, port, q, frag) in enumerate(
+        product(
+            ("http", "HTTP", "https"),
+            ("a.example", "A.Example"),
+            ("", ":80", ":8080"),
+            ("", "?b=2&a=1", "?a=1&b=2", "?utm_source=x&a=1&b=2"),
+            ("", "#f"),
+        )
+    ):
+        rows.append((f"{scheme}://{host}{port}/p{q}{frag}",))
+    df = spark.createDataFrame(rows, "u string").select(
+        "u",
+        canonical_url("u").alias("c1"),
+        canonical_url(canonical_url("u")).alias("c2"),
+    )
+    got = df.collect()
+    assert all(r.c1 == r.c2 for r in got)  # idempotent
+    # Collapse: per (effective scheme+port class, query class) the
+    # canonical space is small. http with :80 or no port collapses
+    # together; every ?-variant with params a=1&b=2 collapses.
+    canon = {r.c1 for r in got}
+    assert "http://a.example/p?a=1&b=2" in canon
+    assert "https://a.example:80/p" in canon  # :80 kept on https — not its default
+    # Empty-query and tracking-only variants never leave a dangling '?'.
+    assert not any(c.endswith("?") for c in canon)

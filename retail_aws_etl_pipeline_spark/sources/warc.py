@@ -159,13 +159,17 @@ def parse_warc_records(shards: DataFrame, include_body: bool = False) -> DataFra
 # --- synthetic proof corpus (id-formula discipline, never touching disk) ---
 
 
-def _warc_record_bytes(mid: int, html: bool = False) -> bytes:
+def _warc_record_bytes(mid: int, html: bool = False, dup_mod: int | None = None) -> bytes:
     """One record derived from the id: ``request`` when id % 4 == 3, else
     ``response`` with status 200/404/301 by id % 3 and an
     ``10 + id % 50``-byte payload (or, with ``html``, a small formulaic
     HTML document for the text-extraction corpus). Every field the
     parser emits is a pure function of the id, so the oracle
-    reconstructs the parse without ever seeing WARC bytes."""
+    reconstructs the parse without ever seeing WARC bytes. ``dup_mod``
+    (html only) derives the BODY text from ``id % dup_mod`` while record
+    identity (record-id, URI) keeps the full id — the duplicate
+    structure a real crawl has (one page mirrored under many URLs), for
+    the dedup-stats corpus."""
     uri = f"http://src{mid % 7}.example/doc/{mid}"
     if mid % 4 == 3:
         block = (
@@ -175,9 +179,10 @@ def _warc_record_bytes(mid: int, html: bool = False) -> bytes:
     else:
         status = (200, 404, 301)[mid % 3]
         if html:
+            bid = mid if dup_mod is None else mid % dup_mod
             body = (
-                f"<html><head><title>T{mid}</title></head>"
-                f"<body><p>alpha beta {mid}</p><p>gamma</p></body></html>"
+                f"<html><head><title>T{bid}</title></head>"
+                f"<body><p>alpha beta {bid}</p><p>gamma</p></body></html>"
             ).encode()
         else:
             body = b"x" * (10 + mid % 50)
@@ -202,6 +207,7 @@ def synth_warc_shards(
     n_shards: int = 10,
     compress: bool = False,
     html: bool = False,
+    dup_mod: int | None = None,
 ) -> DataFrame:
     """(id) rows → binaryFile-shaped (path, content) shard rows, each the
     concatenation of the id-formula records for ``id % n_shards`` (sorted
@@ -212,7 +218,7 @@ def synth_warc_shards(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         mids = sorted(int(m) for m in pdf[id_col])
         shard = mids[0] % n_shards if mids else 0
-        body = b"".join(_warc_record_bytes(m, html=html) for m in mids)
+        body = b"".join(_warc_record_bytes(m, html=html, dup_mod=dup_mod) for m in mids)
         ext = "warc.gz" if compress else "warc"
         if compress:
             body = gzip.compress(body, mtime=0)

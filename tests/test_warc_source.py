@@ -235,3 +235,17 @@ def test_warc_stream_equals_batch(spark, tmp_path):
 
     offsets = sorted((tmp_path / "ckpt" / "offsets").iterdir())
     assert len(offsets) >= 3
+
+
+def test_crawl_exact_dedup_stats_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        CRAWL_DEDUP_ORACLE,
+        crawl_exact_dedup_stats,
+    )
+
+    got = crawl_exact_dedup_stats(spark, SF_ORACLE)
+    res = compare(got, CRAWL_DEDUP_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    row = got.collect()[0]
+    assert row.n_retained == row.n_distinct_texts
+    assert row.n_distinct_texts < row.n_docs  # real duplicate structure

@@ -6105,3 +6105,77 @@ def crawl_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.crossJoin(F.broadcast(s))
     return out
+
+
+#: Sitemap grouping factor (documents per synthesized sitemap file).
+SITEMAP_GROUP = 25
+
+#: Oracle for :func:`sitemap_url_inventory` (STAGED — see above). The
+#: priorities are picked from LITERAL decimal strings in both engines
+#: (never computed: 0.5 + k*0.1 in doubles is not the same bits as
+#: parsing "0.7"), and lastmod is integer date arithmetic — so the whole
+#: row hash-compares exactly.
+SITEMAP_ORACLE = """
+    SELECT doc_id,
+           'http://src' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           CAST(DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS DATE) AS lastmod,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 0.5 WHEN 1 THEN 0.6
+                WHEN 2 THEN 0.7 WHEN 3 THEN 0.8 ELSE 0.9 END
+                AS DOUBLE) AS priority
+    FROM documents ORDER BY doc_id
+"""
+
+
+def sitemap_url_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: sitemap ingestion via Spark 4's native XML surface — the
+    crawl-frontier side of the WARC family (a crawler reads sitemaps to
+    decide WHAT to fetch; the engine should parse them without a custom
+    kernel). Synth side: <url> entries build scan-side from id formulas,
+    group into one <urlset> document per SITEMAP_GROUP ids (entry order
+    pinned by an array_sort on the collected structs — collect_list
+    order is nondeterministic), and the parse side runs from_xml with a
+    nested ARRAY<STRUCT> schema + explode: the full XML path (document
+    assembly is the test harness; from_xml -> explode is the operator).
+    DuckDB has no XML parser, so the oracle reconstructs the expected
+    rows purely from the id formulas — which also means from_xml's
+    STRING/DATE/DOUBLE field coercion is what is actually under test."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>http://src"),
+        (d % 7).cast("string"),
+        F.lit(".example/doc/"),
+        d.cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(F.date_add(F.lit("2026-01-01").cast("date"), (d % 28).cast("int")), "yyyy-MM-dd"),
+        F.lit("</lastmod><priority>"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("0.5", "0.6", "0.7", "0.8", "0.9")]),
+            ((d % 5) + 1).cast("int"),
+        ),
+        F.lit("</priority></url>"),
+    )
+    sitemaps = (
+        t["documents"]
+        .select((d % SITEMAP_GROUP).alias("sm"), F.struct(d.alias("doc_id"), entry.alias("e")).alias("s"))
+        .groupBy("sm")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda x: x.e), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = sitemaps.select(
+        F.from_xml(
+            "xml", "url ARRAY<STRUCT<loc: STRING, lastmod: DATE, priority: DOUBLE>>"
+        ).alias("u")
+    ).select(F.explode("u.url").alias("url_entry"))
+    return parsed.select(
+        F.regexp_extract("url_entry.loc", "/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        F.col("url_entry.loc").alias("url"),
+        F.col("url_entry.lastmod").alias("lastmod"),
+        F.col("url_entry.priority").alias("priority"),
+    ).orderBy("doc_id")

@@ -249,3 +249,19 @@ def test_crawl_exact_dedup_stats_matches_oracle(spark):
     row = got.collect()[0]
     assert row.n_retained == row.n_distinct_texts
     assert row.n_distinct_texts < row.n_docs  # real duplicate structure
+
+
+def test_sitemap_url_inventory_matches_oracle(spark):
+    """from_xml (nested ARRAY<STRUCT> + explode) roundtrips the
+    formula-built sitemaps to the id-formula oracle — pinning Spark's
+    native XML field coercion (STRING/DATE/DOUBLE) against values DuckDB
+    constructs with no XML parser at all."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        SITEMAP_ORACLE,
+        sitemap_url_inventory,
+    )
+
+    got = sitemap_url_inventory(spark, SF_ORACLE)
+    res = compare(got, SITEMAP_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500

@@ -74,3 +74,68 @@ def canonical_url(url: Column | str) -> Column:
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
     return F.when(scheme.isin("http", "https"), canon).otherwise(u)
+
+
+def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
+    """Crawl governance: per-URL fetch decisions against per-host
+    robots.txt rules — the standard longest-match semantics (the most
+    specific matching Allow/Disallow prefix wins; Allow wins length
+    ties; no matching rule means allowed).
+
+    ``urls`` carries a ``url`` column; ``robots`` carries (host,
+    robots_txt). Rules explode scan-side (one row per Allow/Disallow
+    line), join to URLs BY HOST with a broadcast — robots tables are
+    small by nature (one document per host, a few rules each), so the
+    decision never shuffles the URL corpus — and the winner is one
+    ``max_by`` aggregate over an integer score that encodes
+    (prefix length, Allow-beats-Disallow) lexicographically. Returns
+    (url, host, path, allowed, rule_verb, rule_prefix) with NULL rule
+    columns for no-rule hosts/paths. Scope: the '*' user-agent group
+    (``robots_txt`` is expected pre-filtered to the relevant group) and
+    literal prefixes (no * / $ wildcards) — the common case; wildcard
+    support would swap the startswith for a translated regex."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    rule_re = "^(Allow|Disallow): *(.*)$"
+    rules = (
+        robots.select(
+            "host", F.explode(F.split("robots_txt", "\n")).alias("line")
+        )
+        .select(
+            "host",
+            F.regexp_extract("line", rule_re, 1).alias("verb"),
+            F.regexp_extract("line", rule_re, 2).alias("prefix"),
+        )
+        .filter((F.col("verb") != "") & (F.col("prefix") != ""))
+    )
+    u = urls.select(
+        "url",
+        F.regexp_extract("url", "://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", "://[^/?#]+([^?#]*)", 1).alias("path"),
+    )
+    j = u.join(F.broadcast(rules), "host", "left").withColumn(
+        "score",
+        F.when(
+            F.col("path").startswith(F.col("prefix")),
+            F.length("prefix") * 2 + (F.col("verb") == "Allow").cast("int"),
+        ).otherwise(F.lit(-1)),
+    )
+    # Deterministic winner even when two same-length same-verb rules
+    # match: the ordering key is (score, prefix) lexicographic, so ties
+    # break on the prefix bytes rather than on aggregation order.
+    ordk = F.struct(F.col("score"), F.col("prefix"))
+    best = j.groupBy("url", "host", "path").agg(
+        F.max("score").alias("best_score"),
+        F.max_by("verb", ordk).alias("rule_verb"),
+        F.max_by("prefix", ordk).alias("rule_prefix"),
+    )
+    return best.select(
+        "url",
+        "host",
+        "path",
+        F.when(F.col("best_score") < 0, F.lit(True))
+        .otherwise(F.col("rule_verb") == "Allow")
+        .alias("allowed"),
+        F.when(F.col("best_score") >= 0, F.col("rule_verb")).alias("rule_verb"),
+        F.when(F.col("best_score") >= 0, F.col("rule_prefix")).alias("rule_prefix"),
+    )

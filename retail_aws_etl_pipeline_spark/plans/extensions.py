@@ -6179,3 +6179,59 @@ def sitemap_url_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url_entry.lastmod").alias("lastmod"),
         F.col("url_entry.priority").alias("priority"),
     ).orderBy("doc_id")
+
+
+#: Oracle for :func:`crawl_robots_audit` (STAGED — see above). Decisions
+#: reconstruct from the id formulas: paths cycle no-rule / disallowed /
+#: allowed-by-longer-Allow by id % 3.
+ROBOTS_AUDIT_ORACLE = """
+    SELECT doc_id,
+           CAST(doc_id % 3 <> 1 AS BOOLEAN) AS allowed,
+           CASE doc_id % 3
+               WHEN 1 THEN 'Disallow' WHEN 2 THEN 'Allow' END AS rule_verb,
+           CASE doc_id % 3
+               WHEN 1 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/'
+               WHEN 2 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/ok/'
+               END AS rule_prefix
+    FROM documents ORDER BY doc_id
+"""
+
+
+def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: robots.txt fetch-governance end to end — the third leg of
+    the crawl family (sitemaps say what COULD be fetched, robots what
+    MAY be, WARC what WAS). Per-host robots documents and the URL
+    corpus both derive from id formulas so every decision class is
+    exercised — a path no rule matches (allowed, NULL rule), a
+    Disallow-matched path, and a path where a LONGER Allow overrides
+    the matching Disallow (the longest-match rule the operator
+    implements). The oracle reconstructs decisions with no rule engine
+    at all. The rules join is a broadcast by host; the URL corpus never
+    shuffles."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    urls = t["documents"].select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("http://src"), k, F.lit(".example"),
+            F.when(d % 3 == 0, F.concat(F.lit("/doc/"), d.cast("string")))
+            .when(d % 3 == 1, F.concat(F.lit("/private"), k, F.lit("/x"), d.cast("string")))
+            .otherwise(F.concat(F.lit("/private"), k, F.lit("/ok/x"), d.cast("string"))),
+        ).alias("url"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("src"), F.col("id").cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"), F.col("id").cast("string"),
+            F.lit("/\nAllow: /private"), F.col("id").cast("string"), F.lit("/ok/"),
+        ).alias("robots_txt"),
+    )
+    dec = robots_decisions(urls.select("url"), hosts)
+    return (
+        urls.join(dec, "url")
+        .select("doc_id", "allowed", "rule_verb", "rule_prefix")
+        .orderBy("doc_id")
+    )

@@ -555,3 +555,47 @@ def test_canonical_url_idempotent_and_collapsing(spark):
     assert "https://a.example:80/p" in canon  # :80 kept on https — not its default
     # Empty-query and tracking-only variants never leave a dangling '?'.
     assert not any(c.endswith("?") for c in canon)
+
+
+def test_robots_decisions_semantics(spark):
+    """Longest-match + Allow-wins-ties + no-rule-allows, on handcrafted
+    rules including the tie case the ordering key exists for."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "h.example",
+                "User-agent: *\nDisallow: /a/\nAllow: /a/b/\nDisallow: /a/b/c/",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://h.example/open",),        # no rule -> allowed
+            ("http://h.example/a/x",),         # Disallow /a/
+            ("http://h.example/a/b/x",),       # Allow /a/b/ (longer)
+            ("http://h.example/a/b/c/x",),     # Disallow /a/b/c/ (longest)
+            ("http://other.example/a/x",),     # host with no robots
+        ],
+        "url string",
+    )
+    got = {r.url: (r.allowed, r.rule_verb) for r in robots_decisions(urls, robots).collect()}
+    assert got["http://h.example/open"] == (True, None)
+    assert got["http://h.example/a/x"] == (False, "Disallow")
+    assert got["http://h.example/a/b/x"] == (True, "Allow")
+    assert got["http://h.example/a/b/c/x"] == (False, "Disallow")
+    assert got["http://other.example/a/x"] == (True, None)
+
+
+def test_crawl_robots_audit_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        ROBOTS_AUDIT_ORACLE,
+        crawl_robots_audit,
+    )
+
+    got = crawl_robots_audit(spark, SF_ORACLE)
+    res = compare(got, ROBOTS_AUDIT_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500

@@ -56,7 +56,14 @@ def canonical_url(url: Column | str) -> Column:
     )
     path = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    # Query extraction runs on the PRE-FRAGMENT prefix: a '?' whose first
+    # occurrence is inside the fragment (hashbang routes like
+    # '#!/route?x=1') is fragment content, not a query — matching it over
+    # the whole URL both failed to collapse the variant with its
+    # query-less spelling and falsely collapsed it with the genuinely
+    # different '?x=1' resource (ADVICE r8).
+    prefrag = F.regexp_extract(u, "^([^#]*)", 1)
+    query = F.regexp_extract(prefrag, "\\?(.*)", 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(
@@ -93,7 +100,18 @@ def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
     columns for no-rule hosts/paths. Scope: the '*' user-agent group
     (``robots_txt`` is expected pre-filtered to the relevant group) and
     literal prefixes (no * / $ wildcards) — the common case; wildcard
-    support would swap the startswith for a translated regex."""
+    support would swap the startswith for a translated regex.
+
+    Host keying: the join host is NORMALIZED the same way
+    :func:`canonical_url` normalizes the authority — lowercased,
+    userinfo stripped, default port stripped (:80 for http, :443 for
+    https) — so case-shifted or default-port URL spellings match their
+    host's rules instead of failing open (ADVICE r8). A NON-default
+    port is kept in the key (robots govern per origin), so a robots
+    table keyed by bare hostname only governs default-port URLs; rules
+    for ``host:8080`` must be keyed ``host:8080``. Feeding
+    pre-canonicalized URLs (:func:`canonical_url`) makes the spelling
+    question moot and is the recommended pipeline order."""
     from pyspark.sql import DataFrame as _DF  # noqa: F401
 
     rule_re = "^(Allow|Disallow): *(.*)$"
@@ -108,10 +126,23 @@ def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
         )
         .filter((F.col("verb") != "") & (F.col("prefix") != ""))
     )
+    scheme = F.lower(F.regexp_extract("url", "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # Authority → host key: drop userinfo, lowercase, strip the scheme's
+    # default port. Mirrors canonical_url's authority normalization.
+    authority = F.lower(
+        F.regexp_replace(
+            F.regexp_extract("url", "://([^/?#]*)", 1), "^[^/?#@]*@", ""
+        )
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
     u = urls.select(
         "url",
-        F.regexp_extract("url", "://([^/?#]+)", 1).alias("host"),
-        F.regexp_extract("url", "://[^/?#]+([^?#]*)", 1).alias("path"),
+        host.alias("host"),
+        F.regexp_extract("url", "://[^/?#]*([^?#]*)", 1).alias("path"),
     )
     j = u.join(F.broadcast(rules), "host", "left").withColumn(
         "score",

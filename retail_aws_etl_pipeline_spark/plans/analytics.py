@@ -2060,7 +2060,7 @@ def item_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: str, partitions: int = 16) -> DataFrame:
+def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: str, partitions: int | None = None) -> DataFrame:
     """Exact global NTILE(n_buckets) WITHOUT a global window — the
     customer_spend_deciles construction (range repartition on the sort
     key, per-partition row_number windowed by spark_partition_id,
@@ -2071,6 +2071,13 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
     AQE only coalesces ADJACENT range partitions, so partition-id order
     still follows range order and the reconstructed rank is exact.
 
+    ``partitions`` defaults to the session's ``spark.sql.shuffle.
+    partitions`` (the r8 skew study's knob fix, applied here too — a
+    fixed count would cap the ranking stage's parallelism regardless of
+    cluster size). Bucket assignment is partition-count-invariant: the
+    reconstructed global rank is the same total order under any range
+    partition count, so outputs and oracles are unaffected by the knob.
+
     The ranged frame is PERSISTED: both the row_number branch and the
     counts branch consume it, and RangePartitioner samples at execution
     time — without the pin, rank correctness would rest on Spark's
@@ -2078,6 +2085,10 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
     assumption ADVICE r7 flagged on sorted_neighborhood_candidates).
     Once materialized, ``__pid`` is a STORED column, so the global rank
     no longer depends on any later partitioning at all."""
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
         .withColumn("__pid", F.spark_partition_id())

@@ -5937,7 +5937,7 @@ URL_CANONICAL_ORACLE = """
                WHEN 1 THEN '?utm_source=x&b=2&a=1'
                WHEN 2 THEN '?b=2&a=1'
                WHEN 3 THEN '?utm_campaign=z' ELSE '' END)
-           || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN '#sec?f=1' ELSE '' END)
                AS url_raw,
            (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
            || '://www.src' || CAST(doc_id % 7 AS VARCHAR) || '.example'
@@ -5981,7 +5981,10 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.lit("?b=2&a=1"))
         .when(F.col("doc_id") % 4 == 3, F.lit("?utm_campaign=z"))
         .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        # '#sec?f=1': the fragment carries a '?' so ids where the fragment
+        # holds the URL's FIRST '?' (doc_id % 4 = 0 here) pin the ADVICE
+        # r8 fix — fragment content must never be promoted into the query.
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec?f=1")).otherwise(F.lit("")),
     )
     return (
         t["documents"]
@@ -6213,10 +6216,17 @@ def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     d = F.col("doc_id")
     k = (d % 7).cast("string")
+    # Host spelling varies independently of the decision class (ADVICE r8
+    # fix pinned under the driver row): even ids spell the host uppercase,
+    # ids % 5 == 0 carry the explicit default :80 — both must still match
+    # the lowercase bare-host robots key.
     urls = t["documents"].select(
         d.alias("doc_id"),
         F.concat(
-            F.lit("http://src"), k, F.lit(".example"),
+            F.lit("http://"),
+            F.when(d % 2 == 0, F.concat(F.lit("SRC"), k, F.lit(".EXAMPLE")))
+            .otherwise(F.concat(F.lit("src"), k, F.lit(".example"))),
+            F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
             F.when(d % 3 == 0, F.concat(F.lit("/doc/"), d.cast("string")))
             .when(d % 3 == 1, F.concat(F.lit("/private"), k, F.lit("/x"), d.cast("string")))
             .otherwise(F.concat(F.lit("/private"), k, F.lit("/ok/x"), d.cast("string"))),

@@ -557,6 +557,67 @@ def test_canonical_url_idempotent_and_collapsing(spark):
     assert not any(c.endswith("?") for c in canon)
 
 
+def test_canonical_url_fragment_question_mark(spark):
+    """ADVICE r8 regression: a '?' whose FIRST occurrence is inside the
+    fragment is fragment content, not a query. The buggy form promoted it
+    into the canonical query — failing to collapse with the query-less
+    spelling AND falsely collapsing with the genuinely different '?x=1'
+    resource (hashbang routes hit this constantly)."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import canonical_url
+
+    cases = [
+        ("http://h.example/p#frag?x=1", "http://h.example/p"),
+        ("http://h.example/p#!/route?x=1", "http://h.example/p"),
+        # Real query + fragment containing '?': query survives, fragment
+        # (including its '?') is dropped.
+        ("http://h.example/p?b=2&a=1#frag?x=9", "http://h.example/p?a=1&b=2"),
+        # The genuinely different resource keeps its query — no false
+        # collapse with the fragment case above.
+        ("http://h.example/p?x=1", "http://h.example/p?x=1"),
+    ]
+    got = spark.createDataFrame(
+        [(u,) for u, _ in cases], "u string"
+    ).select(canonical_url("u").alias("c")).collect()
+    assert [r.c for r in got] == [want for _, want in cases]
+
+
+def test_robots_decisions_host_normalization(spark):
+    """ADVICE r8 regression: case-shifted hosts, userinfo, and DEFAULT
+    ports must match their host's rules instead of failing open; a
+    NON-default port is a distinct origin and matches only an explicit
+    host:port robots key."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
+
+    robots = spark.createDataFrame(
+        [
+            ("h.example", "User-agent: *\nDisallow: /a/"),
+            ("h.example:8080", "User-agent: *\nDisallow: /b/"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://H.EXAMPLE/a/x",),          # case-shifted host
+            ("http://h.example:80/a/x",),       # default http port
+            ("https://h.example:443/a/x",),     # default https port
+            ("http://user@h.example/a/x",),     # userinfo
+            ("http://h.example:8080/a/x",),     # other origin: /a/ rule N/A
+            ("http://h.example:8080/b/x",),     # explicit host:port key
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.rule_verb)
+        for r in robots_decisions(urls, robots).collect()
+    }
+    assert got["http://H.EXAMPLE/a/x"] == (False, "Disallow")
+    assert got["http://h.example:80/a/x"] == (False, "Disallow")
+    assert got["https://h.example:443/a/x"] == (False, "Disallow")
+    assert got["http://user@h.example/a/x"] == (False, "Disallow")
+    assert got["http://h.example:8080/a/x"] == (True, None)
+    assert got["http://h.example:8080/b/x"] == (False, "Disallow")
+
+
 def test_robots_decisions_semantics(spark):
     """Longest-match + Allow-wins-ties + no-rule-allows, on handcrafted
     rules including the tie case the ordering key exists for."""

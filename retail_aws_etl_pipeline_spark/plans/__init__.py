@@ -11,730 +11,150 @@ from retail_aws_etl_pipeline_spark.plans.queries import (  # noqa: F401
 from retail_aws_etl_pipeline_spark.plans import analytics  # noqa: E402,F401
 from retail_aws_etl_pipeline_spark.plans import extensions  # noqa: E402,F401
 
+
 # ---------------------------------------------------------------------------
-# Driver-window rotation (VERDICT r3 item #5, refreshed per round).
+# Driver-window rotation, derived from the correctness archive.
 #
-# The driver hard-checks at most ~50 registry entries per round, in
-# registration order. Rounds 1-3 recorded green oracle rows for the same 50
-# queries three times while the EXTRA_REGISTRY entries never got a driver
-# row (local sf0.01 DuckDB hash checks only — the same gate, run by
-# tests/test_queries_oracle.py). The r4 rotation promoted the 29 entries
-# that pre-dated it (png_decode_stats landed mid-r4 and waited for r5).
-# Demoted queries keep full local oracle coverage (the test parametrizes
-# over BOTH registries). Rotation map: COVERAGE.md §rotation.
+# The driver hash-checks at most WINDOW_SIZE registry entries per round (in
+# REGISTRY order); every other registered query relies on its archived
+# ``CORRECTNESS_r*.json`` row plus the local sf0.01 DuckDB oracle run
+# (tests/test_queries_oracle.py parametrizes over BOTH registries). The
+# COVERAGE.md §rotation policy: no entry's newest hard driver row may be
+# older than MAX_STALENESS_ROUNDS — with the registry capped at
+# WINDOW_SIZE * MAX_STALENESS_ROUNDS entries that is exactly the full-swap
+# cadence, so the SLO holds iff every round's window is the stalest tail.
+#
+# Rounds 4-8 maintained that invariant with hand-written _DEMOTE_R*/
+# _PROMOTE_R* tables (history: git log + COVERAGE.md §rotation), which made
+# ``pytest tests/`` red at every round open until the next table landed
+# (VERDICT r8 "standing red flag"). The window is now DERIVED: sort all
+# non-retired registered entries by (newest driver row, name) and take the
+# stalest WINDOW_SIZE. This reproduces the same promotion order the hand
+# tables encoded — never-proven entries first (a new registration's first
+# row outranks any freshness refresh, the standing policy), then the oldest
+# rows — and it re-derives itself the moment the driver archives a new
+# CORRECTNESS file, so round-open is mechanically green.
+#
+# tests/test_window_slo.py still enforces the SLO independently (it fails
+# when due entries outnumber the window — the signal to unregister a
+# weakest variant rather than rotate), and test_rotation_window.py pins
+# this derivation against a hand-computed window.
 # ---------------------------------------------------------------------------
 
-_DEMOTE_R4 = [
-    "top_customers_per_nation",
-    "returned_order_priorities",
-    "event_props_stats",
-    "segment_buyers_intersect",
-    "unordered_parts_except",
-    "union_account_balances",
-    "rollup_region_nation",
-    "median_order_by_priority",
-    "user_event_pivot",
-    "hourly_event_rollup",
-    "large_volume_orders",
-    "timestamp_parse_extended",
-    "distinct_buyer_counts",
-    "shipping_priority",
-    "supplier_nation_volume",
-    "fuzzy_part_names",
-    "nation_market_share",
-    "part_supplier_counts",
-    "conversion_funnel",
-    "weekly_retention_cohorts",
-    "grouping_sets_revenue",
-    "order_value_histogram",
-    "event_value_outliers",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_quality",
-    "doc_fingerprints",
-    "dataset_split_assignment",
-    "split_leakage_pairs",
-]
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
 
-_PROMOTE_R4 = [
-    "customer_order_history",
-    "small_quantity_revenue",
-    "cube_order_stats",
-    "forecast_revenue",
-    "priority_order_counts",
-    "two_nation_volume",
-    "returned_item_customers",
-    "promo_revenue_ratio",
-    "top_revenue_suppliers",
-    "brand_quantity_revenue",
-    "dormant_rich_customers",
-    "customer_order_distribution",
-    "customer_spend_deciles",
-    "ann_topk_pandas",
-    "ann_topk_lsh",
-    "ann_topk_lsh_ball",
-    "near_dup_pairs_lsh",
-    "embedding_norm_stats",
-    "media_byte_histogram",
-    "ann_lsh_recall",
-    "doc_winnowing",
-    "approx_sketch_stats",
-    "near_dup_clusters_star",
-    "quality_top_half_per_lang",
-    "sequence_packing_chunks",
-    "doc_repetition_ratio",
-    "benchmark_contamination",
-    "corpus_vocabulary",
-    "ann_recall_sweep",
-]
+#: Driver checks this many entries per round.
+WINDOW_SIZE = 50
 
+#: Newest driver row may be at most this many rounds behind the upcoming
+#: round (current REGISTRY membership counts as the upcoming round's row).
+MAX_STALENESS_ROUNDS = 3
 
-# ---------------------------------------------------------------------------
-# Round-5 rotation (VERDICT r4 item #3): hold approx_sketch_stats (needs its
-# first green row after the r4 artifact-shape err) and ann_recall_sweep
-# (plan rewritten this round — the row must re-prove it); promote the three
-# queries without any driver row (png_decode_stats from mid-r4, plus the new
-# media_dims_probe / decimal_money_totals) and re-promote seven r1-r3-proven
-# queries so their rows don't go stale; demote ten r4-proven analytics
-# queries to make room. Net window stays at 50.
-# ---------------------------------------------------------------------------
+#: Queries deliberately outside the driver proof surface, with the reason.
+#: They stay registered (local oracle coverage continues) but are never
+#: auto-promoted into the window and are exempt from the staleness SLO.
+RETIRED = {
+    "approx_sketch_stats": "oracle-less HLL/GK demo; tolerance-gated "
+    "locally against its driver-green exact twin sketch_accuracy_stats",
+}
 
-_DEMOTE_R5 = [
-    "customer_order_history",
-    "small_quantity_revenue",
-    "cube_order_stats",
-    "forecast_revenue",
-    "priority_order_counts",
-    "promo_revenue_ratio",
-    "top_revenue_suppliers",
-    "brand_quantity_revenue",
-    "dormant_rich_customers",
-    "customer_spend_deciles",
-    "two_nation_volume",
-    "returned_item_customers",
-    "customer_order_distribution",
-    "ann_topk_pandas",
-    "ann_topk_lsh_ball",
-]
-
-_PROMOTE_R5 = [
-    "png_decode_stats",
-    "media_dims_probe",
-    "audio_meta_probe",
-    "video_meta_probe",
-    "decimal_money_totals",
-    "pii_scrub_stats",
-    "corpus_mixture_sample",
-    "boilerplate_ngram_ratio",
-    "top_customers_per_nation",
-    "fuzzy_part_names",
-    "event_props_stats",
-    "conversion_funnel",
-    "split_leakage_pairs",
-    "doc_lang_id",
-    "grouping_sets_revenue",
-]
+#: Removed from the registry outright, by round, under the weakest-variant
+#: rule (COVERAGE.md §rotation): the registry sits at its
+#: WINDOW_SIZE * MAX_STALENESS_ROUNDS cap, so registering a new operator
+#: requires retiring a variant whose semantics stay driver-proven through a
+#: registered twin. Implementations and unit tests stay in the package.
+_UNREGISTER = {
+    # r8: the three weakest SHARED-ORACLE variants (each twin keeps the
+    # identical oracle string registered):
+    #  - ann_topk_lsh -> ann_topk_lsh_ball (same candidate set by
+    #    construction; the many-probe scale form);
+    #  - ann_topk_bruteforce -> ann_topk_pandas shared ANN_TOPK_ORACLE
+    #    bit-identically (the JVM brute kernel stays the recall-sweep
+    #    baseline);
+    #  - doc_containment_pairs -> doc_containment_pairs_prefix (prefix
+    #    lemma: no false negatives; measured strictly faster).
+    8: ("ann_topk_lsh", "ann_topk_bruteforce", "doc_containment_pairs"),
+    # r9 (VERDICT r8 items #1/#3's cap replacements — frees the window
+    # slots the staged streaming + crawl entries register into):
+    #  - hourly_event_rollup: streamed_hourly_rollup keeps the IDENTICAL
+    #    oracle string registered (the one remaining verbatim-twin pair
+    #    besides the deliberate near_dup_clusters/_star algorithm A/B);
+    #  - edit_distance_near_pairs: the exact quadratic-within-bucket
+    #    baseline; the production path edit_distance_near_pairs_lsh is
+    #    r8 driver-green under a banding-aware oracle;
+    #  - event_value_outliers: z-score form; event_value_mad_outliers is
+    #    the robust registered production variant;
+    #  - ann_topk_pandas: Arrow-GEMM form sharing ANN_TOPK_ORACLE with
+    #    the registered ann_topk_lsh_ball / ann_topk_ivf scale paths;
+    #  - bitext_margin_pairs: brute all-pairs baseline; the IVF scale
+    #    twin bitext_margin_pairs_ivf stays registered (nprobe = n_cells
+    #    recovers the brute form exactly — pinned by test);
+    #  - kmeans_cluster_profile: smallest-ids seeding variant; the
+    #    registered kmeans_farthest_profile runs the same quantized
+    #    Lloyd kernel and its oracle unrolls the superset schedule
+    #    (seed sweep AND Lloyd).
+    9: (
+        "hourly_event_rollup",
+        "edit_distance_near_pairs",
+        "event_value_outliers",
+        "ann_topk_pandas",
+        "bitext_margin_pairs",
+        "kmeans_cluster_profile",
+    ),
+}
 
 
-# ---------------------------------------------------------------------------
-# Round-6 rotation (VERDICT r5 items #1 and #6): retire approx_sketch_stats
-# from the driver window permanently — registered oracle=None it can never
-# hash-match, so the window was structurally stuck at 49/50; its exact twin
-# sketch_accuracy_stats (COUNT DISTINCT + percentile_disc, hash-checkable)
-# takes the slot and the approx kernels move behind a local tolerance gate
-# (tests/test_extensions.py). Promote the rewritten customer_spend_deciles
-# (global NTILE replaced with a distributed rank — the r6 row must prove the
-# rewrite) and the 22 entries whose only driver rows are r1-r3; demote 22
-# r5-green entries (variants and r5-new queries whose rows are fresh). Net
-# window stays at 50; every demoted query keeps local sf0.01 oracle checks.
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6 = [
-    "approx_sketch_stats",
-    "ann_topk_lsh",
-    "near_dup_pairs_lsh",
-    "embedding_norm_stats",
-    "media_byte_histogram",
-    "ann_lsh_recall",
-    "doc_winnowing",
-    "near_dup_clusters_star",
-    "quality_top_half_per_lang",
-    "sequence_packing_chunks",
-    "doc_repetition_ratio",
-    "benchmark_contamination",
-    "corpus_vocabulary",
-    "ann_recall_sweep",
-    "png_decode_stats",
-    "media_dims_probe",
-    "audio_meta_probe",
-    "video_meta_probe",
-    "decimal_money_totals",
-    "pii_scrub_stats",
-    "corpus_mixture_sample",
-    "boilerplate_ngram_ratio",
-    "top_customers_per_nation",
-    "fuzzy_part_names",
-]
-
-_PROMOTE_R6 = [
-    "sketch_accuracy_stats",
-    "customer_spend_deciles",
-    "returned_order_priorities",
-    "segment_buyers_intersect",
-    "unordered_parts_except",
-    "union_account_balances",
-    "rollup_region_nation",
-    "median_order_by_priority",
-    "user_event_pivot",
-    "hourly_event_rollup",
-    "large_volume_orders",
-    "timestamp_parse_extended",
-    "distinct_buyer_counts",
-    "shipping_priority",
-    "supplier_nation_volume",
-    "nation_market_share",
-    "part_supplier_counts",
-    "weekly_retention_cohorts",
-    "order_value_histogram",
-    "event_value_outliers",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_fingerprints",
-    "dataset_split_assignment",
-]
+def _repo_root() -> str:
+    return _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
 
 
-# ---------------------------------------------------------------------------
-# Round-6 late swap (VERDICT r5 item #6: "promote any r6-new queries"): the
-# six operators added after the main r6 rotation landed — containment dedup,
-# single- and multi-query BM25, retained-corpus selection, BPE pair stats,
-# and incremental batch-vs-corpus dedup — get their first driver rows this
-# round. Demoted to make room: six entries with five consecutive green rows
-# (r1-r5) whose operator family stays represented in the window
-# (dedup: exact/minhash/simhash/clusters remain; ANN: ivf + embedding
-# near-dup remain; TPC core: daily_revenue/region_revenue etc. remain).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6B = [
-    "dedup_signal_report",
-    "ngram_jaccard_pairs",
-    "ann_topk_bruteforce",
-    "top_items",
-    "pricing_summary",
-    "currency_clean_roundtrip",
-]
-
-_PROMOTE_R6B = [
-    "doc_containment_pairs",
-    "bm25_query_scores",
-    "bm25_multi_query_topk",
-    "dedup_retained_corpus",
-    "bpe_pair_stats",
-    "incremental_near_dup_pairs",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 third swap: the second batch of r6 operators (k-means + farthest
-# seeding, SemDeDup, span dedup audit + corpus write side, bigram fluency,
-# prefix containment, token-budget selection) get driver rows this round
-# too. Demoted: eight entries with r1-r5 green rows whose families stay
-# represented (dedup: near_dup_clusters + the promoted span/semantic
-# entries; windows: weekly_retention_cohorts/hourly_event_rollup; joins:
-# supplier_nation_volume/nation_market_share; anti-join:
-# unordered_parts_except; timestamps: timestamp_parse_extended; funnel:
-# weekly_retention_cohorts).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6C = [
-    "conversion_funnel",
-    "exact_dup_docs",
-    "simhash_near_pairs",
-    "user_sessions",
-    "user_rolling_hour",
-    "timestamp_parse_roundtrip",
-    "customers_without_orders",
-    "region_revenue",
-]
-
-_PROMOTE_R6C = [
-    "kmeans_cluster_profile",
-    "kmeans_farthest_profile",
-    "semantic_dedup_retained",
-    "token_chunk_dedup",
-    "token_chunk_dedup_corpus",
-    "char_bigram_fluency",
-    "doc_containment_pairs_prefix",
-    "token_budget_selection",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 fourth swap: the two temporal-join additions (banded interval
-# self-join, hopping-window rollup) get driver rows. Demoted (r1-r5 green;
-# dedup stays covered by near_dup_clusters + the six promoted dedup
-# entries, embeddings by kmeans/semantic/ann_topk_ivf).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6D = [
-    "minhash_lsh_pairs",
-    "embedding_near_dup_pairs",
-    "purchase_asof_last_click",
-]
-
-_PROMOTE_R6D = [
-    "event_pairs_within_window",
-    "hopping_event_rollup",
-    "contrastive_training_pairs",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 fifth swap: the end-of-round additions (incremental corpus
-# maintenance, phrase mining, PageRank, observability card, similarity
-# spectrum, tf-idf keywords, event-path mining, term drift, referential
-# audits, normalization gain, and the chained curation funnel capstone) are
-# the only registry entries with no driver row ever — they take the window
-# slots of the twelve entries whose proofs are freshest: five with
-# r1-r5-consecutive green rows (daily_revenue, near_dup_clusters,
-# ann_topk_ivf, dedup_keep_latest, media_decode_stats), four r5-green
-# (event_props_stats, split_leakage_pairs, doc_lang_id,
-# grouping_sets_revenue), and three r1-r3-proven analytics shapes whose
-# families stay represented (hourly_event_rollup -> hopping_event_rollup;
-# supplier_nation_volume -> nation_market_share / part_supplier_counts;
-# large_volume_orders -> order_value_histogram / shipping_priority).
-# Dedup-CC coverage in the window continues via dedup_retained_corpus and
-# curation_funnel_report (both chain connected components).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6E = [
-    "daily_revenue",
-    "near_dup_clusters",
-    "ann_topk_ivf",
-    "dedup_keep_latest",
-    "media_decode_stats",
-    "event_props_stats",
-    "split_leakage_pairs",
-    "doc_lang_id",
-    "grouping_sets_revenue",
-    "hourly_event_rollup",
-    "supplier_nation_volume",
-    "large_volume_orders",
-]
-
-_PROMOTE_R6E = [
-    "corpus_snapshot_diff",
-    "collocation_pairs",
-    "doc_pagerank",
-    "corpus_card",
-    "similarity_spectrum",
-    "tfidf_top_terms",
-    "event_trigram_paths",
-    "term_drift_report",
-    "embedding_coverage_audit",
-    "deletion_cascade_audit",
-    "normalized_dedup_gain",
-    "curation_funnel_report",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 sixth swap: the six operators added after the fifth rotation
-# (triangle census, sorted-neighborhood blocking, bitext margin mining,
-# boilerplate-skew containment, hash-gate rebalancing, c-TF-IDF cluster
-# labeling) get first driver rows. Demoted — six of the r1-r3-proven
-# analytics re-promotes whose shapes stay represented in the window:
-# returned_order_priorities / part_supplier_counts (filter+join aggs:
-# shipping_priority, order_value_histogram, nation_market_share remain),
-# median_order_by_priority (percentiles: sketch_accuracy_stats remains),
-# segment_buyers_intersect (set ops: unordered_parts_except,
-# union_account_balances remain), distinct_buyer_counts (count-distinct:
-# corpus_card remains), weekly_retention_cohorts (event windows:
-# hopping_event_rollup, event_pairs_within_window remain). First-ever
-# rows outrank freshness refreshes (the VERDICT r5 standard).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6F = [
-    "returned_order_priorities",
-    "median_order_by_priority",
-    "segment_buyers_intersect",
-    "distinct_buyer_counts",
-    "part_supplier_counts",
-    "weekly_retention_cohorts",
-]
-
-_PROMOTE_R6F = [
-    "graph_triangle_census",
-    "sorted_neighborhood_pairs",
-    "bitext_margin_pairs",
-    "containment_pairs_boilerplate",
-    "lang_rebalanced_sample",
-    "cluster_topic_terms",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 seventh swap: the six operators added after the sixth rotation
-# (OOV-by-split audit, cross-source duplication matrix, dual-endian EXIF
-# probe, LSH banding recall audit, MAD robust outliers, IVF bitext) get
-# first driver rows. Demoted — six more r1-r3-proven entries whose shapes
-# stay represented: event_value_outliers (z-score; its robust MAD twin is
-# promoted), doc_token_stats (corpus_card + doc_quality remain),
-# doc_fingerprints (doc_winnowing carries an r5 row), dataset_split_
-# assignment (oov_rate_by_split exercises the identical bucket hash),
-# union_account_balances (unordered_parts_except remains for set ops),
-# shipping_priority (order_value_histogram + large-filter aggs remain).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6G = [
-    "event_value_outliers",
-    "doc_token_stats",
-    "doc_fingerprints",
-    "dataset_split_assignment",
-    "union_account_balances",
-    "shipping_priority",
-]
-
-_PROMOTE_R6G = [
-    "oov_rate_by_split",
-    "cross_source_dup_matrix",
-    "exif_orientation_probe",
-    "lsh_dedup_recall",
-    "event_value_mad_outliers",
-    "bitext_margin_pairs_ivf",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-6 eighth swap: the final two session additions (ColBERT MaxSim
-# late-interaction retrieval, overlapping-stride RAG chunking) take first
-# driver rows, leaving zero never-proven queries in the registry. Demoted
-# (r1-r3-proven, families represented): doc_quality (quality signals ride
-# char_bigram_fluency + token_budget_selection in the window),
-# nation_market_share (join-agg shapes: rollup_region_nation +
-# order_value_histogram remain).
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R6H = [
-    "doc_quality",
-    "nation_market_share",
-]
-
-_PROMOTE_R6H = [
-    "late_interaction_topk",
-    "rag_chunk_spans",
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-7 rotation (VERDICT r6 item #1 + the COVERAGE.md §rotation policy):
-# full-window swap, staleness-ordered. Promoted, in priority order:
-# (a) the only two registry entries with no driver row ever —
-#     dedup_graph_profile and funnel_step_latency (the r6 session's last
-#     two additions, both locally oracle-green);
-# (b) all 17 entries whose newest driver row is r1-r3 (the r6E-r6H
-#     demotes the VERDICT flags as the stalest proofs);
-# (c) all 14 entries whose newest row is r4 (the r5 analytics demotes);
-# (d) 17 freshness refreshes from the r5-newest pool, chosen for family
-#     spread: TPC core (daily_revenue, pricing_summary, top_items,
-#     region_revenue), dedup (exact/minhash/simhash/ngram/clusters/
-#     keep-latest), ANN (brute + IVF), sessions/as-of/funnel, multimodal
-#     decode, lang-id.
-# Demoted: the entire r6 window — all 50 entries carry r6-green rows, the
-# freshest proofs in the archive. approx_sketch_stats stays retired
-# (oracle-less by design; its exact twin sketch_accuracy_stats is
-# r6-green). After this swap every registry entry's newest driver row is
-# r5/r6/r7 — inside the 3-round SLO that tests/test_window_slo.py pins.
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R7 = [
-    "bitext_margin_pairs",
-    "bitext_margin_pairs_ivf",
-    "bm25_multi_query_topk",
-    "bm25_query_scores",
-    "bpe_pair_stats",
-    "char_bigram_fluency",
-    "cluster_topic_terms",
-    "collocation_pairs",
-    "containment_pairs_boilerplate",
-    "contrastive_training_pairs",
-    "corpus_card",
-    "corpus_snapshot_diff",
-    "cross_source_dup_matrix",
-    "curation_funnel_report",
-    "customer_spend_deciles",
-    "dedup_retained_corpus",
-    "deletion_cascade_audit",
-    "doc_containment_pairs",
-    "doc_containment_pairs_prefix",
-    "doc_pagerank",
-    "embedding_coverage_audit",
-    "event_pairs_within_window",
-    "event_trigram_paths",
-    "event_value_mad_outliers",
-    "exif_orientation_probe",
-    "graph_triangle_census",
-    "hopping_event_rollup",
-    "incremental_near_dup_pairs",
-    "kmeans_cluster_profile",
-    "kmeans_farthest_profile",
-    "lang_rebalanced_sample",
-    "late_interaction_topk",
-    "lsh_dedup_recall",
-    "normalized_dedup_gain",
-    "oov_rate_by_split",
-    "order_value_histogram",
-    "rag_chunk_spans",
-    "rollup_region_nation",
-    "semantic_dedup_retained",
-    "similarity_spectrum",
-    "sketch_accuracy_stats",
-    "sorted_neighborhood_pairs",
-    "term_drift_report",
-    "tfidf_top_terms",
-    "timestamp_parse_extended",
-    "token_budget_selection",
-    "token_chunk_dedup",
-    "token_chunk_dedup_corpus",
-    "unordered_parts_except",
-    "user_event_pivot",
-]
-
-_PROMOTE_R7 = [
-    # (a) first rows ever
-    "dedup_graph_profile",
-    "funnel_step_latency",
-    # (b) newest row r1-r3
-    "dataset_split_assignment",
-    "distinct_buyer_counts",
-    "doc_fingerprints",
-    "doc_quality",
-    "doc_token_stats",
-    "event_value_outliers",
-    "hourly_event_rollup",
-    "large_volume_orders",
-    "median_order_by_priority",
-    "nation_market_share",
-    "part_supplier_counts",
-    "returned_order_priorities",
-    "segment_buyers_intersect",
-    "shipping_priority",
-    "supplier_nation_volume",
-    "union_account_balances",
-    "weekly_retention_cohorts",
-    # (c) newest row r4
-    "ann_topk_lsh_ball",
-    "ann_topk_pandas",
-    "brand_quantity_revenue",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "customer_order_history",
-    "dormant_rich_customers",
-    "forecast_revenue",
-    "priority_order_counts",
-    "promo_revenue_ratio",
-    "returned_item_customers",
-    "small_quantity_revenue",
-    "top_revenue_suppliers",
-    "two_nation_volume",
-    # (d) r5 freshness refreshes, family spread. Four slots moved to the
-    # r7-new operators (item_affinity_pairs, customer_rfm_segments,
-    # revenue_benford_audit, partkey_skew_report register() directly into
-    # the window — first-ever rows outrank freshness refreshes, the
-    # standing policy); the displaced refreshes (pricing_summary,
-    # top_items, region_revenue, doc_lang_id) keep their r5 rows, still
-    # inside the 3-round SLO, and head the r8 refresh queue.
-    # Two more group-(d) slots moved to the second r7 batch
-    # (graph_kcore_profile, decayed_revenue_by_segment): simhash_near_pairs
-    # and ngram_jaccard_pairs displaced (r5-green; dedup stays covered in
-    # the window by exact/minhash/clusters/keep-latest).
-    # dedup_keep_latest's slot goes to streamed_hourly_rollup (first-ever
-    # driver row for a Structured Streaming pipeline).
-    # Third r7 batch: sequential_item_rules and daily_revenue_gapfill
-    # register() into the window; user_sessions and ann_topk_bruteforce
-    # displaced (r5-green; event-temporal stays covered by
-    # conversion_funnel + purchase_asof_last_click, ANN by ann_topk_ivf).
-    # Fourth r7 batch: the final eight registry slots (the 150-cap fill)
-    # register() directly into the window — local_supplier_volume,
-    # min_cost_supplier_parts, product_type_profit, part_revenue_share,
-    # sole_return_suppliers, monthly_revenue_yoy, customer_order_gap_stats,
-    # edit_distance_near_pairs — displacing the last eight group-(d)
-    # refreshes (daily_revenue, exact_dup_docs, minhash_lsh_pairs,
-    # near_dup_clusters, ann_topk_ivf, purchase_asof_last_click,
-    # conversion_funnel, media_decode_stats; all r5-green, due r8, heading
-    # the r8 refresh queue). Dedup-family window coverage continues via
-    # dedup_graph_profile (components + PageRank over the near-dup graph)
-    # and the new edit_distance_near_pairs.
-]
-
-
-# ---------------------------------------------------------------------------
-# Round-8 rotation (VERDICT r7 item #1 + the COVERAGE.md §rotation policy):
-# full-window swap, staleness-ordered. The r8 due-list is the canonical 49
-# entries whose newest driver row is r5 (tests/test_window_slo.py printed it
-# verbatim at the r8 open). Three r8-new operators register() directly into
-# the window — edit_distance_near_pairs_lsh (the production edit-distance
-# path under the hash gate, VERDICT item #3), jsonl_corpus_stats (first
-# driver row for the sources/jsonl.py family, item #6), and
-# streamed_dedup_counts (second streaming entry, item #7) — first-ever rows
-# outrank freshness refreshes, the standing policy. That leaves 47 window
-# slots for the due-list, so two due entries are REMOVED from the registry
-# outright rather than re-proven (the registry sits at the 150 cap and the
-# SLO test's own remedy is "replace a weakest variant"): see
-# _UNREGISTER_R8 below. Demoted: the entire r7 window — all 50 carry
-# r7-green rows, the freshest proofs in the archive.
-# ---------------------------------------------------------------------------
-
-_DEMOTE_R8 = [
-    "ann_topk_lsh_ball",
-    "ann_topk_pandas",
-    "brand_quantity_revenue",
-    "cube_order_stats",
-    "customer_order_distribution",
-    "customer_order_gap_stats",
-    "customer_order_history",
-    "customer_rfm_segments",
-    "daily_revenue_gapfill",
-    "dataset_split_assignment",
-    "decayed_revenue_by_segment",
-    "dedup_graph_profile",
-    "distinct_buyer_counts",
-    "doc_fingerprints",
-    "doc_quality",
-    "doc_token_stats",
-    "dormant_rich_customers",
-    "edit_distance_near_pairs",
-    "event_value_outliers",
-    "forecast_revenue",
-    "funnel_step_latency",
-    "graph_kcore_profile",
-    "hourly_event_rollup",
-    "item_affinity_pairs",
-    "large_volume_orders",
-    "local_supplier_volume",
-    "median_order_by_priority",
-    "min_cost_supplier_parts",
-    "monthly_revenue_yoy",
-    "nation_market_share",
-    "part_revenue_share",
-    "part_supplier_counts",
-    "partkey_skew_report",
-    "priority_order_counts",
-    "product_type_profit",
-    "promo_revenue_ratio",
-    "returned_item_customers",
-    "returned_order_priorities",
-    "revenue_benford_audit",
-    "segment_buyers_intersect",
-    "sequential_item_rules",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sole_return_suppliers",
-    "streamed_hourly_rollup",
-    "supplier_nation_volume",
-    "top_revenue_suppliers",
-    "two_nation_volume",
-    "union_account_balances",
-    "weekly_retention_cohorts",
-]
-
-_PROMOTE_R8 = [
-    # the canonical r8 due-list (newest row r5), minus the two removed
-    # shared-oracle variants (ann_topk_lsh, ann_topk_bruteforce — see
-    # _UNREGISTER_R8)
-    "ann_lsh_recall",
-    "ann_recall_sweep",
-    "ann_topk_ivf",
-    "audio_meta_probe",
-    "benchmark_contamination",
-    "boilerplate_ngram_ratio",
-    "conversion_funnel",
-    "corpus_mixture_sample",
-    "corpus_vocabulary",
-    "currency_clean_roundtrip",
-    "customers_without_orders",
-    "daily_revenue",
-    "decimal_money_totals",
-    "dedup_keep_latest",
-    "dedup_signal_report",
-    "doc_lang_id",
-    "doc_repetition_ratio",
-    "doc_winnowing",
-    "embedding_near_dup_pairs",
-    "embedding_norm_stats",
-    "event_props_stats",
-    "exact_dup_docs",
-    "fuzzy_part_names",
-    "grouping_sets_revenue",
-    "media_byte_histogram",
-    "media_decode_stats",
-    "media_dims_probe",
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
-    "near_dup_clusters_star",
-    "near_dup_pairs_lsh",
-    "ngram_jaccard_pairs",
-    "pii_scrub_stats",
-    "png_decode_stats",
-    "pricing_summary",
-    "purchase_asof_last_click",
-    "quality_top_half_per_lang",
-    "region_revenue",
-    "sequence_packing_chunks",
-    "simhash_near_pairs",
-    "split_leakage_pairs",
-    "timestamp_parse_roundtrip",
-    "top_customers_per_nation",
-    "top_items",
-    "user_rolling_hour",
-    "user_sessions",
-    "video_meta_probe",
-]
-
-#: Removed from the registry outright at the r8 rotation (COVERAGE.md
-#: §rotation): the registry sits at the 150-entry cap and three r8-new
-#: operators need slots, so the three weakest SHARED-ORACLE variants leave
-#: the proof surface — each one's oracle and semantics remain driver-proven
-#: verbatim through its registered twin, and each implementation stays in
-#: the package with its unit tests:
-#: - ann_topk_lsh: ann_topk_lsh_ball registered with the IDENTICAL oracle
-#:   (same candidate set by construction) and is the many-probe scale form;
-#: - ann_topk_bruteforce: ann_topk_pandas shares ANN_TOPK_ORACLE
-#:   bit-identically; the JVM brute kernel stays the recall-sweep baseline;
-#: - doc_containment_pairs: doc_containment_pairs_prefix shares the exact
-#:   oracle (prefix lemma: no false negatives) and measured strictly
-#:   faster; containment_pairs_boilerplate keeps the family 2-deep.
-_UNREGISTER_R8 = [
-    "ann_topk_lsh",
-    "ann_topk_bruteforce",
-    "doc_containment_pairs",
-]
+def newest_driver_rows(root: str | None = None) -> dict[str, int]:
+    """name -> newest round with an archived CORRECTNESS row for it."""
+    newest: dict[str, int] = {}
+    pat = _os.path.join(root or _repo_root(), "CORRECTNESS_r*.json")
+    for path in _glob.glob(pat):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
 
 
 def _rotate_driver_window() -> None:
-    # Sequential: each round's demotes are names an earlier round promoted,
-    # so each round's swap must fully apply before the next round's runs.
-    for demote, promote in (
-        (_DEMOTE_R4, _PROMOTE_R4),
-        (_DEMOTE_R5, _PROMOTE_R5),
-        (_DEMOTE_R6, _PROMOTE_R6),
-        (_DEMOTE_R6B, _PROMOTE_R6B),
-        (_DEMOTE_R6C, _PROMOTE_R6C),
-        (_DEMOTE_R6D, _PROMOTE_R6D),
-        (_DEMOTE_R6E, _PROMOTE_R6E),
-        (_DEMOTE_R6F, _PROMOTE_R6F),
-        (_DEMOTE_R6G, _PROMOTE_R6G),
-        (_DEMOTE_R6H, _PROMOTE_R6H),
-        (_DEMOTE_R7, _PROMOTE_R7),
-        (_DEMOTE_R8, _PROMOTE_R8),
-    ):
-        for name in demote:
-            EXTRA_REGISTRY[name] = REGISTRY.pop(name)
-        for name in promote:
-            REGISTRY[name] = EXTRA_REGISTRY.pop(name)
-    for name in _UNREGISTER_R8:
-        del EXTRA_REGISTRY[name]
-    assert len(REGISTRY) <= 50, f"driver window exceeded: {len(REGISTRY)}"
+    for names in _UNREGISTER.values():
+        for name in names:
+            if name in REGISTRY:
+                del REGISTRY[name]
+            else:
+                del EXTRA_REGISTRY[name]
+
+    merged = {}
+    merged.update(EXTRA_REGISTRY)
+    merged.update(REGISTRY)
+    newest = newest_driver_rows()
+    order = sorted(
+        (n for n in merged if n not in RETIRED),
+        key=lambda n: (newest.get(n, 0), n),
+    )
+    window = order[:WINDOW_SIZE]
+
+    REGISTRY.clear()
+    EXTRA_REGISTRY.clear()
+    for name in window:
+        REGISTRY[name] = merged.pop(name)
+    EXTRA_REGISTRY.update(merged)
 
 
 _rotate_driver_window()

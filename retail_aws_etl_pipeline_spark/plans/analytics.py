@@ -2663,8 +2663,23 @@ STREAMED_CUSTOMER_FEATURES_ORACLE = """
 """
 
 
+@register_extra(
+    "streamed_customer_features",
+    STREAMED_CUSTOMER_FEATURES_ORACLE,
+    description="Base+delta incremental feature table under the driver "
+    "hash gate: orders drain in two disjoint micro-batch waves through "
+    "feature_delta_stream (one partial-aggregate row per customer per "
+    "batch), and read_feature_snapshot folds the partials; because the "
+    "three features are associative merges (count / floor-cents sum / "
+    "max epoch-micros) the fold must equal the one-shot batch aggregate "
+    "EXACTLY — cross-batch reassembly of partial aggregates, the third "
+    "streaming guarantee in the window alongside dedup state and "
+    "windowed completeness.",
+    tags=("streaming", "features"),
+)
 def streamed_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third streaming entry (staged for r9): the base+delta incremental
+    """Third streaming entry (registered at the r9 rotation via the
+    hourly_event_rollup cap replacement): the base+delta incremental
     feature table under the driver hash gate. Orders are split into two
     DISJOINT waves (pmod of the order key) staged as separate files;
     ``maxFilesPerTrigger=1`` forces one micro-batch per wave through

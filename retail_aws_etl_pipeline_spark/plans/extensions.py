@@ -5949,8 +5949,22 @@ URL_CANONICAL_ORACLE = """
 """
 
 
+@register_extra(
+    "url_canonical_dedup",
+    URL_CANONICAL_ORACLE,
+    description="URL canonicalization — the crawl-dedup step before "
+    "content dedup: casefold scheme/host, strip userinfo + scheme-default "
+    "ports + fragments (including fragments carrying the URL's first '?'), "
+    "drop tracking params, sort surviving query params. Pure Column "
+    "algebra (operators/urlops.canonical_url) — zero-exchange scan "
+    "projection, no UDF; the oracle constructs the expected canonical "
+    "strings directly from id formulas so the canonicalizer never runs "
+    "on the oracle side.",
+    tags=("crawl", "dedup", "url"),
+)
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: URL canonicalization — the crawl-dedup step BEFORE content
+    """URL canonicalization (registered at the r9 rotation) — the
+    crawl-dedup step BEFORE content
     dedup. Raw spellings are generated scan-side from id formulas
     covering every variant class at once (uppercase scheme+host, default
     vs explicit vs absent port, tracking params mixed into permuted
@@ -6200,8 +6214,22 @@ ROBOTS_AUDIT_ORACLE = """
 """
 
 
+@register_extra(
+    "crawl_robots_audit",
+    ROBOTS_AUDIT_ORACLE,
+    description="robots.txt fetch governance end to end: per-host rule "
+    "parse (one split+explode over the broadcast-sized robots corpus), "
+    "longest-match prefix decision with Allow-wins-ties, host keys "
+    "normalized like canonical_url's authority (lowercase, no userinfo, "
+    "no default port) so spelling variants never fail open. Rules "
+    "broadcast by host; the URL corpus never shuffles. The oracle "
+    "reconstructs every decision class from id formulas with no rule "
+    "engine at all.",
+    tags=("crawl", "governance", "url"),
+)
 def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: robots.txt fetch-governance end to end — the third leg of
+    """robots.txt fetch-governance end to end (registered at the r9
+    rotation) — the third leg of
     the crawl family (sitemaps say what COULD be fetched, robots what
     MAY be, WARC what WAS). Per-host robots documents and the URL
     corpus both derive from id formulas so every decision class is

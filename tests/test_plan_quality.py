@@ -617,7 +617,13 @@ def test_edit_distance_pairs_salted_equi_join(spark):
     (bucket, salt) — no cartesian / nested-loop candidate generation —
     and the verify must use the thresholded builtin levenshtein
     (JVM-side, no BatchEvalPython)."""
-    df = REGISTRY["edit_distance_near_pairs"].spark_fn(spark, SF_SMOKE)
+    # Unregistered at r9 (LSH production twin carries the driver row);
+    # the salted-equi-join kernel stays in the package and stays gated.
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        edit_distance_near_pairs,
+    )
+
+    df = edit_distance_near_pairs(spark, SF_SMOKE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

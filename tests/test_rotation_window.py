@@ -1,0 +1,88 @@
+"""Pin the archive-derived driver window (plans.__init__._rotate_driver_window).
+
+The window is no longer a hand-written table: it is the stalest
+WINDOW_SIZE non-retired registry entries under (newest driver row, name)
+order. These tests recompute that selection from the raw artifacts with
+independent code and require the importing package to agree, and pin the
+policy properties the hand tables used to encode:
+
+- never-proven entries (first-ever rows) outrank any freshness refresh;
+- within a staleness tier, membership is deterministic (name order);
+- retired entries never occupy a window slot;
+- unregistered names are gone from BOTH registries.
+
+No Spark session needed — pure JSON + registry dicts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+from retail_aws_etl_pipeline_spark.plans import (
+    EXTRA_REGISTRY,
+    REGISTRY,
+    RETIRED,
+    WINDOW_SIZE,
+    _UNREGISTER,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _newest_independent() -> dict[str, int]:
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name in json.load(open(path)):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def test_window_is_the_stalest_tail():
+    newest = _newest_independent()
+    names = [
+        n for n in set(REGISTRY) | set(EXTRA_REGISTRY) if n not in RETIRED
+    ]
+    expected = set(
+        sorted(names, key=lambda n: (newest.get(n, 0), n))[:WINDOW_SIZE]
+    )
+    assert set(REGISTRY) == expected
+
+
+def test_first_ever_rows_outrank_refreshes():
+    """A registered entry with NO archived row must be in the window —
+    otherwise it could never earn its first driver row."""
+    newest = _newest_independent()
+    unproven = [
+        n
+        for n in set(REGISTRY) | set(EXTRA_REGISTRY)
+        if n not in RETIRED and newest.get(n, 0) == 0
+    ]
+    missing = [n for n in unproven if n not in REGISTRY]
+    assert not missing, f"never-proven entries outside the window: {missing}"
+
+
+def test_retired_entries_stay_out_of_the_window():
+    for name in RETIRED:
+        assert name not in REGISTRY, f"retired entry in window: {name}"
+
+
+def test_unregistered_names_are_gone():
+    for rnd, names in _UNREGISTER.items():
+        for name in names:
+            assert name not in REGISTRY and name not in EXTRA_REGISTRY, (
+                f"{name} (unregistered r{rnd}) still present"
+            )
+
+
+def test_retired_entries_remain_locally_covered():
+    """Retirement removes the driver row, not the registration — the
+    local oracle suite must still see the entry."""
+    for name in RETIRED:
+        assert name in EXTRA_REGISTRY, f"retired entry dropped: {name}"

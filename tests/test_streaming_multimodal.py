@@ -37,7 +37,14 @@ def events_dir(spark, tmp_path_factory):
 def test_hourly_rollup_stream_matches_batch(spark, events_dir):
     stream = hourly_rollup_stream(events_stream(spark, events_dir))
     got = run_stream_to_memory(stream, "rollup_out", output_mode="complete")
-    batch = REGISTRY["hourly_event_rollup"].spark_fn(spark, SF_SMOKE)
+    # hourly_event_rollup was unregistered at r9 (streamed_hourly_rollup
+    # keeps the identical oracle registered); the batch function remains
+    # the stream's equivalence baseline here.
+    from retail_aws_etl_pipeline_spark.plans.analytics import (
+        hourly_event_rollup,
+    )
+
+    batch = hourly_event_rollup(spark, SF_SMOKE)
     g = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
     b = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
     assert set(g) == set(b)

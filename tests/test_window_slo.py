@@ -21,17 +21,11 @@ import re
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Queries deliberately outside the driver proof surface, with the reason.
-#: (COVERAGE.md §rotation documents the retirement; the exact twin
-#: sketch_accuracy_stats is hash-checkable and rotates normally.)
-RETIRED = {
-    "approx_sketch_stats": "oracle-less HLL/GK demo; tolerance-gated "
-    "locally against its driver-green exact twin",
-}
-
-#: Newest driver row may be at most this many rounds behind the upcoming
-#: round (current REGISTRY membership counts as the upcoming round's row).
-MAX_STALENESS_ROUNDS = 3
+#: Canonical definitions live next to the rotation they govern.
+from retail_aws_etl_pipeline_spark.plans import (  # noqa: E402
+    MAX_STALENESS_ROUNDS,
+    RETIRED,
+)
 
 
 def _archive() -> tuple[int, dict[str, int]]:

@@ -118,15 +118,30 @@ def with_lsh_bucket(
     ``planes`` defaults to the full fixed matrix; pass a prefix slice
     (``PLANES[:n]``) to trade recall for bucket selectivity.
     """
+    use = PLANES if planes is None else planes
+    # Idempotent like with_quantized: a frame that already carries a
+    # bucket PROJECTED FROM THE SAME PLANE SET passes through, so callers
+    # can bucket (and persist) the corpus once and feed the same base
+    # through both an index build and its recall baseline without a
+    # second projection pass. The plane count is recorded in the bucket
+    # field's metadata; a different plane slice re-derives.
+    if "bucket" in df.columns:
+        meta = dict(df.schema["bucket"].metadata or {})
+        if meta.get("lsh_planes") == len(use) and meta.get("lsh_qvec") == qvec_col:
+            return df
+        df = df.drop("bucket")
     bucket = None
-    for p, weights in enumerate(PLANES if planes is None else planes):
+    for p, weights in enumerate(use):
         arr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
         proj = F.expr(
             f"aggregate(zip_with({qvec_col}, {arr}, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
         )
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    return df.withColumn(
+        "bucket",
+        bucket.alias("bucket", metadata={"lsh_planes": len(use), "lsh_qvec": qvec_col}),
+    )
 
 
 #: Above this many probes the nested-loop bit_count(xor) theta-join loses

@@ -1018,10 +1018,24 @@ def media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "lsh", "evaluation"),
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_aws_etl_pipeline_spark.operators.dedup import _truncate_lineage
+
     t = load_tables(spark, sf_dir, ["embeddings"])
-    exact = S.brute_force_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id")
+    # ONE shared quantize+bucket pass: both the exact baseline and the LSH
+    # leg read the same materialized base (with_quantized/with_lsh_bucket
+    # pass through stored columns), so the corpus is projected once
+    # instead of once per branch — the same shared-base discipline as
+    # ann_recall_sweep, and the shape that matters at corpus scale where
+    # the projection pass IS the cost.
+    base = _truncate_lineage(
+        S.with_lsh_bucket(S.with_quantized(t["embeddings"])).select(
+            "vec_id", "qvec", "qnorm", "bucket"
+        ),
+        "auto",
+    )
+    exact = S.brute_force_topk(base, ANN_PROBE_IDS, ANN_K).select("probe_id", "vec_id")
     lsh = (
-        S.lsh_bucketed_topk(t["embeddings"], ANN_PROBE_IDS, ANN_K)
+        S.lsh_bucketed_topk(base, ANN_PROBE_IDS, ANN_K)
         .select(F.col("probe_id").alias("l_probe"), F.col("vec_id").alias("l_vec"))
     )
     joined = exact.join(

@@ -329,6 +329,31 @@ def _truncate_lineage(df: DataFrame, mode: str) -> DataFrame:
     raise ValueError(f"checkpoint mode must be auto|local|reliable, got {mode!r}")
 
 
+def _truncate_lineage_observed(df: DataFrame, mode: str, *aggs):
+    """Eager lineage truncation with PIGGYBACKED metrics.
+
+    The iterative operators used to pay two jobs per round: the eager
+    checkpoint that materializes the round, plus a probe job
+    (``isEmpty``/``count``/anti-join pair) that reads the result back to
+    decide convergence. Profiling (scripts/graph_profile.py) showed the
+    CC stack at 38-65 jobs per query with 77-90% of wall unexplained by
+    task compute — stage round-trips dominate, and every removed job is
+    wall-clock at ANY scale (driver latency doesn't shrink on a bigger
+    cluster). An ``observe()`` attached to the frame computes the probe
+    aggregates DURING the checkpoint's materialization job — both
+    ``Dataset.checkpoint`` and ``localCheckpoint`` execute through the
+    physical plan, so CollectMetrics fires on either path (pinned by
+    test_sampling_clusters round-count tests).
+
+    Returns ``(materialized frame, metrics row as dict)``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = _truncate_lineage(df.observe(obs, *aggs), mode)
+    return out, obs.get
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -409,15 +434,19 @@ def connected_components(
             new_label = F.least(
                 F.col("label"), F.coalesce(F.col("cand"), F.col("label"))
             )
-            updated = _truncate_lineage(
+            # One job per round: the changed-count rides the checkpoint's
+            # materialization as an observed metric instead of a separate
+            # isEmpty probe (see _truncate_lineage_observed).
+            updated, metrics = _truncate_lineage_observed(
                 labels.join(nbr_min, "node", "left").select(
                     "node",
                     new_label.alias("label"),
                     (new_label < F.col("label")).alias("_changed"),
                 ),
                 checkpoint,  # eager: materializes + truncates lineage
+                F.sum(F.col("_changed").cast("long")).alias("n_changed"),
             )
-            converged = updated.filter(F.col("_changed")).isEmpty()
+            converged = not metrics["n_changed"]
             labels = updated.drop("_changed")
             if converged:
                 break
@@ -474,8 +503,22 @@ def connected_components_star(
         )
         .distinct()
     )
-    edges = _truncate_lineage(norm, checkpoint)
-    converged = edges.isEmpty()
+    # Convergence is edge-SET equality round over round. The exact check
+    # used to cost two anti-join jobs per round on top of the checkpoint;
+    # instead each round's checkpoint job observes a set signature —
+    # (count, bit_xor(xxhash64(big, small))) — and equal consecutive
+    # signatures end the loop. Both frames are .distinct() outputs, so
+    # multiset == set and xor never self-cancels; a false "equal" needs
+    # two DIFFERENT edge sets of equal count whose element-hash xors
+    # collide — ~2^-64 per round under a random-oracle model of xxhash64
+    # (and the property tests vs union-find would catch any systematic
+    # failure). 3 jobs/round -> 1.
+    sig_aggs = (
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(big, small))").alias("h"),
+    )
+    edges, sig = _truncate_lineage_observed(norm, checkpoint, *sig_aggs)
+    converged = not sig["n"]
     for _ in range(max_iter):
         if converged:
             break
@@ -506,12 +549,11 @@ def connected_components_star(
             .select(F.col("small").alias("big"), F.col("mn").alias("small"))
         )
         part2 = mins2.select("big", F.col("mn").alias("small"))
-        new_edges = _truncate_lineage(part1.unionByName(part2).distinct(), checkpoint)
-        converged = (
-            new_edges.join(edges, ["big", "small"], "left_anti").isEmpty()
-            and edges.join(new_edges, ["big", "small"], "left_anti").isEmpty()
+        new_edges, new_sig = _truncate_lineage_observed(
+            part1.unionByName(part2).distinct(), checkpoint, *sig_aggs
         )
-        edges = new_edges
+        converged = (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"])
+        edges, sig = new_edges, new_sig
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
@@ -1115,18 +1157,20 @@ def kcore_peel(
             .filter(F.col("deg") >= k)
             .select("node")
         )
-        e = _truncate_lineage(
-            e.join(keep.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
-            .join(keep.withColumnRenamed("node", "id_b"), "id_b", "left_semi"),
-            checkpoint,
-        )
         # Fixpoint early-exit: peeling only removes edges, so an unchanged
         # count means an unchanged set and every remaining scheduled round
         # is a no-op — the result (and n_under_k) is identical to running
         # all `rounds`, so the fixed-round oracle contract holds while the
-        # usual case pays 2-3 rounds, not the budget. The count runs over
-        # the just-materialized checkpoint blocks (cheap).
-        n = e.count()
+        # usual case pays 2-3 rounds, not the budget. The count rides the
+        # checkpoint's materialization job as an observed metric (one job
+        # per round, not two — see _truncate_lineage_observed).
+        e, m = _truncate_lineage_observed(
+            e.join(keep.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "id_b"), "id_b", "left_semi"),
+            checkpoint,
+            F.count(F.lit(1)).alias("n"),
+        )
+        n = m["n"]
         if n == prev_n or n == 0:
             break
         prev_n = n

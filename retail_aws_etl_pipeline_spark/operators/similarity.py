@@ -704,6 +704,109 @@ def ivf_topk(
     )
 
 
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    centroids: list[list[int]] | None = None,
+    sample_mod: int | None = None,
+    k: int = IVF_CENTROIDS,
+) -> list[list[int]]:
+    """Materialize the IVF index AT REST: quantized vectors + norms written
+    as one parquet dataset **partitioned by cell**, centroids in a hidden
+    ``_centroids`` sidecar inside the dataset (underscore-prefixed paths
+    are invisible to the main parquet read).
+
+    This is the build-once/query-many production shape the in-memory
+    :func:`ivf_topk` approximates per query: the expensive parts — the
+    centroid fit and the corpus assignment+quantization pass — run ONCE at
+    build time, and every query after that touches only its probed cells'
+    files via static partition pruning (see :func:`ivf_index_topk`). At
+    100 TB the difference is a full-corpus scan per query vs reading
+    ``nprobe/k_cells`` of the data, which is the entire point of IVF.
+
+    Returns the fitted centroids (also persisted in the sidecar).
+    """
+    spark = df.sparkSession
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, id_col, sample_mod=sample_mod, k=k)
+    )
+    base = (
+        with_quantized(df)
+        .withColumn("cell", assign_centroid("qvec", cents))
+        .select(id_col, "qvec", "qnorm", "cell")
+    )
+    base.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid long, centroid array<bigint>"
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    return cents
+
+
+def ivf_index_centroids(spark, path: str) -> list[list[int]]:
+    """Centroids persisted by :func:`ivf_index_write` (cid order)."""
+    rows = spark.read.parquet(path + "/_centroids").orderBy("cid").collect()
+    return [[int(x) for x in r["centroid"]] for r in rows]
+
+
+def ivf_index_topk(
+    probes: DataFrame,
+    index_path: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Query an at-rest IVF index (:func:`ivf_index_write`): same results
+    as :func:`ivf_topk` with the same centroids/nprobe, but the corpus
+    side is the persisted index and the scan is **statically
+    partition-pruned** to the probed cells.
+
+    ``probes`` carries (id_col, embedding) for the query vectors — a tiny
+    frame by contract. Their probed cells are computed scan-side and
+    collected (bounded by |probes| × nprobe), then pushed into the index
+    read as a partition filter: the executed plan's FileScan shows
+    ``PartitionFilters: [cell IN (...)]`` and only those directories'
+    files are read (gated by test). Join/score/top-k are the shared IVF
+    shapes: broadcast probes, equi-join on cell, per-probe rank window.
+    """
+    from pyspark.sql import Window as W
+
+    spark = probes.sparkSession
+    cents = ivf_index_centroids(spark, index_path)
+    p = (
+        with_quantized(probes)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col("qvec").alias("p_qvec"),
+            F.col("qnorm").alias("p_qnorm"),
+            F.explode(ranked_centroids("qvec", cents, nprobe)).alias("cell"),
+        )
+    )
+    probed = p.localCheckpoint()  # tiny; cells read off it without refit
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    joined = (
+        F.broadcast(probed.withColumn("cell", F.col("cell").cast("int")))
+        .join(index, "cell")
+        .filter(F.col("probe_id") != F.col(id_col))
+    )
+    scored = joined.withColumn("dot_q", _dot("p_qvec", "qvec")).withColumn(
+        "cosine",
+        F.col("dot_q") / F.sqrt((F.col("p_qnorm") * F.col("qnorm")).cast("double")),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id", id_col, "dot_q", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 #: contrastive_pairs defaults: probes every 50th id, 3 negatives/probe,
 #: hash strides for negative picking (primes, shared with the oracle).
 CONTRASTIVE_PROBE_MOD = 50

@@ -1307,6 +1307,54 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+#: Oracle for :func:`ann_topk_ivf_indexed` — IDENTICAL to ann_topk_ivf's by
+#: construction: the at-rest index persists the same quantization, the same
+#: deterministic centroid fit, and the same cell assignment the in-memory
+#: operator computes per query, so querying it with the same nprobe must
+#: return the identical rows. (Shared-oracle twin: if both are ever
+#: registered, the weakest-variant rule retires one — tracked in the
+#: COVERAGE.md staged table.)
+IVF_INDEXED_ORACLE = _ivf_oracle()
+
+
+def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the IVF index AT REST — build once, query via static
+    partition pruning. ``ivf_index_write`` materializes quantized vectors
+    + norms partitioned by cell (centroids in a hidden ``_centroids``
+    sidecar); ``ivf_index_topk`` computes the probes' cells scan-side and
+    pushes them into the read as a partition filter, so the executed plan
+    reads ONLY the probed cells' files (``PartitionFilters: [cell IN
+    ...]`` — plan-gated). This is the build-once/query-many production
+    shape: at corpus scale the per-query cost drops from a full scan to
+    ``nprobe / n_cells`` of the data, and the expensive passes (centroid
+    fit, corpus assignment) amortize over every query against the index.
+
+    The scratch-index harness mirrors streamed_customer_features: the
+    index lives in a temp dir for the check, the bounded result is
+    localCheckpoint-ed before cleanup. In production the index is a real
+    table that outlives queries and the checkpoint is unnecessary."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    cents = S.ivf_centroids_from_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_mod=IVF_SAMPLE_MOD
+    )
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        S.ivf_index_write(t["embeddings"], index_dir, centroids=cents)
+        probes = t["embeddings"].filter(F.col("vec_id").isin(ANN_PROBE_IDS))
+        out = (
+            S.ivf_index_topk(probes, index_dir, ANN_K, nprobe=IVF_NPROBE)
+            .orderBy("probe_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering + dataset curation queries
 # ---------------------------------------------------------------------------

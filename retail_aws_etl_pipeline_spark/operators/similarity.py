@@ -752,6 +752,26 @@ def ivf_index_centroids(spark, path: str) -> list[list[int]]:
     return [[int(x) for x in r["centroid"]] for r in rows]
 
 
+def ivf_index_append(df: DataFrame, path: str, id_col: str = "vec_id") -> None:
+    """Incremental index upkeep: assign new vectors against the index's
+    PERSISTED centroids (read from the sidecar — the quantizer is fixed at
+    build time, the standard IVF contract; distribution drift is handled
+    by a rebuild, not by mutating cells) and append them to their cell
+    partitions. Because assignment is a deterministic function of
+    (vector, centroids), an index built once and appended to is
+    bit-identical to an index built from the union — pinned by test.
+    Appends only touch the new rows' cell directories; queries keep
+    pruning the same way."""
+    spark = df.sparkSession
+    cents = ivf_index_centroids(spark, path)
+    base = (
+        with_quantized(df)
+        .withColumn("cell", assign_centroid("qvec", cents))
+        .select(id_col, "qvec", "qnorm", "cell")
+    )
+    base.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_index_topk(
     probes: DataFrame,
     index_path: str,

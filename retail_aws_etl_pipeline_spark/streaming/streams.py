@@ -561,3 +561,51 @@ def compact_feature_deltas(spark: SparkSession, delta_dir: str, buckets: int = 8
     os.rename(tmp, delta_dir)
     shutil.rmtree(old)
     return n
+
+
+def ivf_retrieval_stream(
+    probes: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+):
+    """Continuous retrieval against the at-rest IVF index: each
+    micro-batch of query vectors runs :func:`similarity.ivf_index_topk`
+    (statically partition-pruned to the batch's probed cells) and lands
+    its results under its own ``__batch_id`` partition with dynamic
+    overwrite — the same at-least-once-execution / exactly-once-storage
+    sink discipline as :func:`feature_delta_stream`, so a foreachBatch
+    retry replaces its own partition instead of duplicating results.
+
+    Per-probe top-k is independent across probes, so ANY interleaving of
+    probes into micro-batches yields exactly the batch answer over the
+    union — the stream==batch equivalence is by construction and pinned
+    by test. foreachBatch is the right seam here (not a transform): the
+    query needs the probed-cell collect + pruned index read per batch,
+    which a streaming plan cannot express.
+
+    The 100 TB shape: the index is the big side and never moves; each
+    micro-batch reads only its probed cells' files. Retrieval throughput
+    scales with batch cadence, not corpus size.
+    """
+    from retail_aws_etl_pipeline_spark.operators.similarity import ivf_index_topk
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        res = ivf_index_topk(batch_df, index_path, k, id_col=id_col, nprobe=nprobe)
+        (
+            res.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        probes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -112,3 +112,74 @@ def test_indexed_oracle_driver_scale(spark):
     sf = "/root/testdata/sf0.01"
     r = compare(ann_topk_ivf_indexed(spark, sf), IVF_INDEXED_ORACLE, sf)
     assert r["ok"], r
+
+
+def test_append_equals_rebuild(spark, index):
+    """ivf_index_append against the persisted centroids must produce an
+    index bit-identical (as a rowset) to building from the union — the
+    fixed-quantizer contract."""
+    emb, path, cents = index
+    lo = emb.filter(F.col("vec_id") % 2 == 0)
+    hi = emb.filter(F.col("vec_id") % 2 == 1)
+    d2 = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        S.ivf_index_write(lo, d2, centroids=cents)
+        S.ivf_index_append(hi, d2)
+        got = sorted(
+            (r["vec_id"], r["cell"], r["qnorm"])
+            for r in spark.read.parquet(d2).collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["cell"], r["qnorm"])
+            for r in spark.read.parquet(path).collect()
+        )
+        assert got == want
+        # and the appended index answers queries identically
+        probes = emb.filter(F.col("vec_id").isin(ANN_PROBE_IDS))
+        a = sorted(map(tuple, S.ivf_index_topk(probes, d2, ANN_K, nprobe=IVF_NPROBE).collect()))
+        b = sorted(map(tuple, S.ivf_index_topk(probes, path, ANN_K, nprobe=IVF_NPROBE).collect()))
+        assert a == b
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_retrieval_stream_matches_batch(spark, index):
+    """Two probe waves drained as separate micro-batches == one batch
+    query over all probes (per-probe independence), under the
+    __batch_id dynamic-overwrite idempotent sink."""
+    from retail_aws_etl_pipeline_spark.streaming.streams import ivf_retrieval_stream
+
+    emb, path, _ = index
+    probes = emb.filter(F.col("vec_id").isin(ANN_PROBE_IDS))
+    src = tempfile.mkdtemp(prefix="ivf_probe_src_")
+    out = tempfile.mkdtemp(prefix="ivf_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_stream_ckpt_")
+    try:
+        for i in range(2):
+            (
+                probes.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        stream = (
+            spark.readStream.schema(probes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = ivf_retrieval_stream(stream, path, out, ckpt, k=ANN_K, nprobe=IVF_NPROBE)
+        q.awaitTermination()
+        res = spark.read.parquet(out)
+        assert res.select("__batch_id").distinct().count() >= 2
+        got = sorted(
+            (r["probe_id"], r["rank"], r["vec_id"]) for r in res.collect()
+        )
+        want = sorted(
+            (r["probe_id"], r["rank"], r["vec_id"])
+            for r in S.ivf_index_topk(probes, path, ANN_K, nprobe=IVF_NPROBE).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -98,9 +98,17 @@ def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
     (prefix length, Allow-beats-Disallow) lexicographically. Returns
     (url, host, path, allowed, rule_verb, rule_prefix) with NULL rule
     columns for no-rule hosts/paths. Scope: the '*' user-agent group
-    (``robots_txt`` is expected pre-filtered to the relevant group) and
-    literal prefixes (no * / $ wildcards) — the common case; wildcard
-    support would swap the startswith for a translated regex.
+    (``robots_txt`` is expected pre-filtered to the relevant group).
+
+    Wildcards (RFC 9309 / Google semantics): ``*`` in a rule matches any
+    character sequence (including ``/``) and a TRAILING ``$`` anchors the
+    rule to the end of the path; a non-trailing ``$`` is a literal.
+    Wildcard rules are translated to anchored Java regexes ONCE per rule
+    on the broadcast side (escape regex specials, ``*`` → ``.*``, keep
+    the trailing anchor); literal rules keep the cheap ``startswith``
+    path, so the per-(url, rule) cost only rises for rules that actually
+    use wildcards. Specificity stays pattern LENGTH as written (the
+    spec's rule), Allow still wins length ties.
 
     Host keying: the join host is NORMALIZED the same way
     :func:`canonical_url` normalizes the authority — lowercased,
@@ -126,6 +134,25 @@ def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
         )
         .filter((F.col("verb") != "") & (F.col("prefix") != ""))
     )
+    # Wildcard translation, computed once per rule (broadcast side is
+    # tiny): strip a trailing '$' (it becomes the regex anchor), escape
+    # every regex special EXCEPT '*', then widen '*' to '.*'.
+    ends_anchor = F.col("prefix").endswith("$")
+    core = F.when(
+        ends_anchor, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(core, r"([\\.\^\$\+\?\(\)\[\]\{\}\|])", r"\\$1")
+    rules = rules.select(
+        "host",
+        "verb",
+        "prefix",
+        (F.col("prefix").contains("*") | ends_anchor).alias("has_wild"),
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(esc, r"\*", ".*"),
+            F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")),
+        ).alias("rx"),
+    )
     scheme = F.lower(F.regexp_extract("url", "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     # Authority → host key: drop userinfo, lowercase, strip the scheme's
     # default port. Mirrors canonical_url's authority normalization.
@@ -144,10 +171,13 @@ def robots_decisions(urls: DataFrame, robots: DataFrame) -> DataFrame:
         host.alias("host"),
         F.regexp_extract("url", "://[^/?#]*([^?#]*)", 1).alias("path"),
     )
+    matched = F.when(
+        F.col("has_wild"), F.regexp_like(F.col("path"), F.col("rx"))
+    ).otherwise(F.col("path").startswith(F.col("prefix")))
     j = u.join(F.broadcast(rules), "host", "left").withColumn(
         "score",
         F.when(
-            F.col("path").startswith(F.col("prefix")),
+            matched,
             F.length("prefix") * 2 + (F.col("verb") == "Allow").cast("int"),
         ).otherwise(F.lit(-1)),
     )

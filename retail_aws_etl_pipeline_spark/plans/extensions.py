@@ -6265,13 +6265,18 @@ def sitemap_url_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: allowed-by-longer-Allow by id % 3.
 ROBOTS_AUDIT_ORACLE = """
     SELECT doc_id,
-           CAST(doc_id % 3 <> 1 AS BOOLEAN) AS allowed,
-           CASE doc_id % 3
-               WHEN 1 THEN 'Disallow' WHEN 2 THEN 'Allow' END AS rule_verb,
-           CASE doc_id % 3
-               WHEN 1 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/'
-               WHEN 2 THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/ok/'
-               END AS rule_prefix
+           CAST(NOT (doc_id % 3 = 1 OR (doc_id % 3 = 0 AND doc_id % 10 = 7))
+                AS BOOLEAN) AS allowed,
+           CASE WHEN doc_id % 3 = 1 THEN 'Disallow'
+                WHEN doc_id % 3 = 2 THEN 'Allow'
+                WHEN doc_id % 3 = 0 AND doc_id % 10 = 7 THEN 'Disallow'
+                END AS rule_verb,
+           CASE WHEN doc_id % 3 = 1
+                    THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                WHEN doc_id % 3 = 2
+                    THEN '/private' || CAST(doc_id % 7 AS VARCHAR) || '/ok/'
+                WHEN doc_id % 3 = 0 AND doc_id % 10 = 7 THEN '/doc/*7$'
+                END AS rule_prefix
     FROM documents ORDER BY doc_id
 """
 
@@ -6296,11 +6301,13 @@ def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAY be, WARC what WAS). Per-host robots documents and the URL
     corpus both derive from id formulas so every decision class is
     exercised — a path no rule matches (allowed, NULL rule), a
-    Disallow-matched path, and a path where a LONGER Allow overrides
+    Disallow-matched path, a path where a LONGER Allow overrides
     the matching Disallow (the longest-match rule the operator
-    implements). The oracle reconstructs decisions with no rule engine
-    at all. The rules join is a broadcast by host; the URL corpus never
-    shuffles."""
+    implements), and a WILDCARD class: every host carries
+    ``Disallow: /doc/*7$`` so /doc/ URLs whose id ends in 7 are blocked
+    by '*'-spanning + '$'-anchored matching (RFC 9309 semantics, r9).
+    The oracle reconstructs decisions with no rule engine at all. The
+    rules join is a broadcast by host; the URL corpus never shuffles."""
     from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
 
     t = load_tables(spark, sf_dir, ["documents"])
@@ -6327,6 +6334,7 @@ def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("User-agent: *\nDisallow: /private"), F.col("id").cast("string"),
             F.lit("/\nAllow: /private"), F.col("id").cast("string"), F.lit("/ok/"),
+            F.lit("\nDisallow: /doc/*7$"),
         ).alias("robots_txt"),
     )
     dec = robots_decisions(urls.select("url"), hosts)

@@ -660,3 +660,50 @@ def test_crawl_robots_audit_matches_oracle(spark):
     res = compare(got, ROBOTS_AUDIT_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 500
+
+
+def test_robots_decisions_wildcards(spark):
+    """RFC 9309 wildcard semantics: '*' spans any characters (incl. '/'),
+    trailing '$' anchors to path end, non-trailing '$' is literal, regex
+    specials in rules stay literal, and specificity is pattern LENGTH as
+    written (a longer wildcard pattern beats a shorter literal one)."""
+    from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "w.example",
+                "User-agent: *\n"
+                "Disallow: /doc/*7$\n"      # ends-in-7 under /doc/
+                "Disallow: /p.x\n"          # '.' is literal
+                "Disallow: /a$b\n"          # non-trailing '$' is literal
+                "Disallow: /dl/ot*\n"       # len-7 wildcard ...
+                "Allow: /dl/o\n",           # ... beats the len-5 Allow
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://w.example/doc/x17",),   # ends in 7 -> blocked
+            ("http://w.example/doc/x171",),  # does NOT end in 7 -> allowed
+            ("http://w.example/p.x",),       # literal dot -> blocked
+            ("http://w.example/pqx",),       # '.' must NOT act as regex
+            ("http://w.example/a$b",),       # literal '$' mid-pattern
+            ("http://w.example/dl/other",),  # wildcard Disallow (len 7)
+            ("http://w.example/dl/o",),      # only the Allow matches
+        ],
+        "url string",
+    )
+    got = {
+        r.url: (r.allowed, r.rule_prefix)
+        for r in robots_decisions(urls, robots).collect()
+    }
+    assert got["http://w.example/doc/x17"] == (False, "/doc/*7$")
+    assert got["http://w.example/doc/x171"] == (True, None)
+    assert got["http://w.example/p.x"] == (False, "/p.x")
+    assert got["http://w.example/pqx"] == (True, None)
+    assert got["http://w.example/a$b"] == (False, "/a$b")
+    # pattern-length specificity: '/dl/ot*' (7) outranks Allow '/dl/o' (5)
+    assert got["http://w.example/dl/other"] == (False, "/dl/ot*")
+    assert got["http://w.example/dl/o"] == (True, "/dl/o")

@@ -707,3 +707,49 @@ def test_robots_decisions_wildcards(spark):
     # pattern-length specificity: '/dl/ot*' (7) outranks Allow '/dl/o' (5)
     assert got["http://w.example/dl/other"] == (False, "/dl/ot*")
     assert got["http://w.example/dl/o"] == (True, "/dl/o")
+
+
+def test_robots_wildcard_translation_vs_python_reference(spark):
+    """Property: the broadcast-side regex translation matches an
+    independent Python reference of RFC 9309 matching (anchored prefix,
+    '*' spans anything, trailing '$' anchors, everything else literal)
+    over adversarial rule/path pairs — one batched Spark evaluation, not
+    per-example sessions."""
+    import re as _re
+
+    from retail_aws_etl_pipeline_spark.operators.urlops import robots_decisions
+
+    def ref_match(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+        return bool(_re.match("^" + rx + ("$" if anchored else ""), path))
+
+    rule_chars = "/ab7.x*$()[]{}|+?^\\"
+    # Paths exclude '?' and '#': in a URL those END the path (the
+    # operator's extraction correctly truncates there), so they can never
+    # appear in the matched path string.
+    path_chars = "/ab7.x*$()[]{}|+^\\"
+    import random
+
+    rng = random.Random(90210)
+    rules, paths = [], []
+    for i in range(120):
+        rules.append("/" + "".join(rng.choice(rule_chars) for _ in range(rng.randint(1, 6))))
+        paths.append("/" + "".join(rng.choice(path_chars) for _ in range(rng.randint(1, 8))))
+    # one host per (rule, path) pair so decisions are independent
+    cases = list(zip(rules, paths))
+    robots = spark.createDataFrame(
+        [(f"h{i}.example", f"User-agent: *\nDisallow: {r}") for i, (r, _) in enumerate(cases)],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(f"http://h{i}.example{p}",) for i, (_, p) in enumerate(cases)],
+        "url string",
+    )
+    got = {
+        r.host: not r.allowed for r in robots_decisions(urls, robots).collect()
+    }
+    for i, (rule, path) in enumerate(cases):
+        want = ref_match(rule, path)
+        assert got[f"h{i}.example"] == want, (rule, path, got[f"h{i}.example"])

@@ -6260,6 +6260,104 @@ def sitemap_url_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Oracle for :func:`sitemap_index_inventory` (STAGED). Everything
+#: reconstructs from the id formulas; index-side lastmod is integer date
+#: arithmetic on the GROUP id, so the two-level provenance columns
+#: hash-compare exactly alongside the per-URL fields.
+SITEMAP_INDEX_ORACLE = f"""
+    SELECT doc_id,
+           'http://src' || CAST(doc_id % 7 AS VARCHAR) || '.example/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+           CAST(DATE '2026-01-01' + CAST(doc_id % 28 AS INT) AS DATE) AS lastmod,
+           'http://hub.example/sitemaps/sm-'
+               || CAST(doc_id % {SITEMAP_GROUP} AS VARCHAR) || '.xml' AS sitemap_loc,
+           CAST(DATE '2026-02-01' + CAST(doc_id % {SITEMAP_GROUP} AS INT) AS DATE)
+               AS index_lastmod
+    FROM documents ORDER BY doc_id
+"""
+
+
+def sitemap_index_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the TWO-LEVEL sitemap walk — a <sitemapindex> names child
+    sitemaps, each child is a <urlset>; real crawl frontiers start at the
+    index (sites cap urlsets at 50k URLs, so any large site indexes its
+    sitemaps). Both levels parse with Spark's native from_xml; the index
+    is one tiny document, so the child join broadcasts it and the url
+    explosion stays on the child side. Output carries full provenance —
+    every URL row keeps which child sitemap listed it (sitemap_loc) and
+    the index's lastmod for that child — the columns an incremental
+    crawler filters on to skip unchanged children. The oracle
+    reconstructs all five columns from the id formulas with no XML
+    parser, so from_xml's nested coercion is what is under test at BOTH
+    levels."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>http://src"),
+        (d % 7).cast("string"),
+        F.lit(".example/doc/"),
+        d.cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format(F.date_add(F.lit("2026-01-01").cast("date"), (d % 28).cast("int")), "yyyy-MM-dd"),
+        F.lit("</lastmod></url>"),
+    )
+    children = (
+        t["documents"]
+        .select((d % SITEMAP_GROUP).alias("sm"), F.struct(d.alias("doc_id"), entry.alias("e")).alias("s"))
+        .groupBy("sm")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda x: x.e), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    child_loc = F.concat(
+        F.lit("http://hub.example/sitemaps/sm-"), F.col("sm").cast("string"), F.lit(".xml")
+    )
+    idx_entry = F.concat(
+        F.lit("<sitemap><loc>"),
+        child_loc,
+        F.lit("</loc><lastmod>"),
+        F.date_format(
+            F.date_add(F.lit("2026-02-01").cast("date"), F.col("sm").cast("int")),
+            "yyyy-MM-dd",
+        ),
+        F.lit("</lastmod></sitemap>"),
+    )
+    index_xml = (
+        children.select(F.struct(F.col("sm"), idx_entry.alias("e")).alias("s"))
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda x: x.e), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("xml")
+        )
+    )
+    index_rows = index_xml.select(
+        F.from_xml("xml", "sitemap ARRAY<STRUCT<loc: STRING, lastmod: DATE>>").alias("i")
+    ).select(F.explode("i.sitemap").alias("sm_entry")).select(
+        F.col("sm_entry.loc").alias("sitemap_loc"),
+        F.col("sm_entry.lastmod").alias("index_lastmod"),
+        F.regexp_extract("sm_entry.loc", "/sm-([0-9]+)\\.xml$", 1).cast("long").alias("sm"),
+    )
+    joined = children.join(F.broadcast(index_rows), "sm")
+    parsed = joined.select(
+        "sitemap_loc",
+        "index_lastmod",
+        F.from_xml("xml", "url ARRAY<STRUCT<loc: STRING, lastmod: DATE>>").alias("u"),
+    ).select("sitemap_loc", "index_lastmod", F.explode("u.url").alias("url_entry"))
+    return parsed.select(
+        F.regexp_extract("url_entry.loc", "/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        F.col("url_entry.loc").alias("url"),
+        F.col("url_entry.lastmod").alias("lastmod"),
+        "sitemap_loc",
+        "index_lastmod",
+    ).orderBy("doc_id")
+
+
 #: Oracle for :func:`crawl_robots_audit` (STAGED — see above). Decisions
 #: reconstruct from the id formulas: paths cycle no-rule / disallowed /
 #: allowed-by-longer-Allow by id % 3.

@@ -265,3 +265,36 @@ def test_sitemap_url_inventory_matches_oracle(spark):
     res = compare(got, SITEMAP_ORACLE, SF_ORACLE)
     assert res["ok"], res
     assert res["spark_rows"] == 500
+
+
+def test_sitemap_index_inventory_matches_oracle(spark):
+    """Two-level walk: <sitemapindex> -> child <urlset>s, both parsed
+    with from_xml; every URL row carries its child sitemap_loc and the
+    index's lastmod for that child (the incremental-crawl filter
+    columns). Oracle reconstructs all five columns from id formulas."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        SITEMAP_INDEX_ORACLE,
+        sitemap_index_inventory,
+    )
+
+    got = sitemap_index_inventory(spark, SF_ORACLE)
+    res = compare(got, SITEMAP_INDEX_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+    assert res["spark_rows"] == 500
+
+
+def test_sitemap_index_child_join_broadcasts(spark):
+    """The index is one tiny parsed document — the child join must be a
+    broadcast, never a shuffle of the children."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        sitemap_index_inventory,
+    )
+
+    plan = (
+        sitemap_index_inventory(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

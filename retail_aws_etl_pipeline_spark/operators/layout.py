@@ -1,0 +1,94 @@
+"""Multi-column data layout: Z-order (Morton) clustering for scans.
+
+Range-sorting a table on ONE key gives every file a tight min-max on
+that key and nothing on any other (tests/test_bucketing.py pins the
+single-key lever). Real 100 TB tables are queried on more than one
+column; the standard public technique (Morton/Z-order curves — the same
+layout Delta Lake's OPTIMIZE ZORDER BY and many warehouses use) maps
+each clustering column to a fixed-width integer, bit-interleaves them
+into one key, and range-sorts on that key. Files then cover compact
+hyper-rectangles of the value space, so parquet footer statistics stay
+tight on EVERY clustering column at once and a filter on any of them
+skips most files.
+
+Everything here is pure Column algebra (shift/mask/interleave — no UDF)
+plus one bounded min/max aggregate per write. The z-key is a LAYOUT
+hint only: it never appears in results, so the double-precision scaling
+inside the key is not correctness-bearing — query results are identical
+under any layout (pinned by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits per column in the interleaved key. 12 bits = 4096 distinct cells
+#: per axis — far more than any realistic file count, so the curve order,
+#: not the quantization, decides file boundaries.
+ZORDER_BITS = 12
+
+
+def _scale_expr(col: Column, mn, mx, bits: int) -> Column:
+    """Linear map of a numeric column onto [0, 2^bits) as a long.
+
+    Double math is fine here: the result only orders rows for layout;
+    no query result ever depends on it.
+    """
+    top = (1 << bits) - 1
+    span = float(mx) - float(mn)
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = ((col.cast("double") - float(mn)) / span) * top
+    return F.least(F.lit(top), F.greatest(F.lit(0), scaled.cast("long")))
+
+
+def zorder_key(scaled: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """Bit-interleave per-column [0, 2^bits) longs into one Morton key.
+
+    Bit b of column i lands at position ``b * n_cols + i`` — the
+    canonical Z-curve, built as a sum of shifted masked bits (bits ×
+    n_cols terms of pure long arithmetic, one whole-stage-codegen
+    expression)."""
+    n = len(scaled)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, b * n + i)
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve over ``cols``.
+
+    One aggregate computes every clustering column's min/max (a bounded
+    driver collect of 2×|cols| scalars — the only non-scan-side work),
+    the Morton key is built scan-side, and the frame is range-partitioned
+    + sorted on it, then the key is dropped before the write (projection
+    preserves the per-partition order). Each output file covers a
+    compact cell of the |cols|-dimensional value space, so footer
+    min-max stats prune on ANY clustering column — the multi-column
+    data-skipping lever single-key sorting cannot provide.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    scaled = [
+        _scale_expr(F.col(c), row[f"__mn_{c}"], row[f"__mx_{c}"], bits) for c in cols
+    ]
+    (
+        df.withColumn("__z", zorder_key(scaled, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

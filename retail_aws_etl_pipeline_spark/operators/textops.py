@@ -318,3 +318,82 @@ def normalize_text(col) -> Column:
     )
     c = F.regexp_replace(c, " +", " ")
     return F.lower(F.trim(c))
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio_ppm: int = 500_000,
+    min_host_docs: int = 2,
+) -> DataFrame:
+    """CCNet/Onion-style boilerplate removal: drop LINES whose
+    within-host document frequency exceeds ``max_ratio_ppm`` (parts per
+    million — integer-exact, oracle-comparable). Site chrome (nav bars,
+    cookie banners, license footers) appears on most pages of ITS OWN
+    site while real content is page-unique, so the per-host line-DF
+    ratio separates them without any trained model — the classic
+    paragraph/line-level cleanup run before corpus-wide dedup.
+
+    Shape at scale: lines explode once; line document-frequency is one
+    groupBy keyed on (host, line) with map-side combine (duplicate lines
+    within one doc count once via the distinct doc set being the group);
+    the per-host doc totals are a |hosts|-row broadcast; the verdict
+    joins back keyed on (host, line). Reassembly is the span-dedup
+    pattern: order-pinned array_sort over the kept (line_idx, line)
+    structs per doc — bounded by doc length, never a global sort.
+    ``min_host_docs`` guards single-page hosts (ratio would be 1.0 by
+    definition; nothing is stripped there).
+
+    Returns one row per input doc: (id, host, text with boilerplate
+    lines removed, n_lines, n_lines_kept). Empty-after-strip docs come
+    back with empty text rather than disappearing (row count preserved).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    host_docs = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("__host_docs")
+    )
+    line_df = (
+        lines.select(host_col, "line", id_col)
+        .distinct()
+        .groupBy(host_col, "line")
+        .agg(F.count(F.lit(1)).alias("__line_docs"))
+    )
+    verdict = line_df.join(F.broadcast(host_docs), host_col).select(
+        host_col,
+        "line",
+        (
+            (F.col("__host_docs") >= min_host_docs)
+            & (
+                F.col("__line_docs") * 1_000_000
+                > F.lit(max_ratio_ppm) * F.col("__host_docs")
+            )
+        ).alias("__boiler"),
+    )
+    kept = lines.join(verdict, [host_col, "line"]).filter(~F.col("__boiler"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.first(host_col).alias(host_col),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(line_idx, line))), s -> s.line)"),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(id_col, F.col(host_col).alias("__h"))
+        .join(totals, id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("__h").alias(host_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )

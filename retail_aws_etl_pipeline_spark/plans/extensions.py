@@ -6358,6 +6358,59 @@ def sitemap_index_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Oracle for :func:`host_boilerplate_strip_stats` (STAGED). The fixture
+#: is fully formulaic, so the oracle rebuilds the expected POST-STRIP text
+#: with string concatenation only: the per-host footer (on every page of
+#: its host, DF ratio 1.0 > 0.5) must be stripped; the promo line
+#: (~quarter of each host's pages, ratio < 0.5 for any corpus size) and
+#: the unique content line must survive, in original order.
+HOST_BOILERPLATE_ORACLE = """
+    SELECT doc_id,
+           'src' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+           'u ' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0
+                       THEN chr(10) || 'promo src' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END AS text,
+           CAST(2 + CAST(doc_id % 4 = 0 AS INT) AS BIGINT) AS n_lines,
+           CAST(1 + CAST(doc_id % 4 = 0 AS INT) AS BIGINT) AS n_lines_kept
+    FROM documents ORDER BY doc_id
+"""
+
+
+def host_boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: CCNet/Onion-style host-scoped boilerplate stripping — the
+    line-level cleanup a crawl corpus needs BEFORE corpus-wide dedup
+    (site chrome appears on most pages of its own site; stripping it by
+    within-host line document-frequency needs no trained model). The
+    fixture builds three line classes per doc scan-side: a unique
+    content line ('u <id>'), a per-host footer on EVERY page (DF ratio
+    1.0 — must be stripped at the 0.5 threshold), and a promo line on
+    ~¼ of each host's pages (ratio < 0.5 — must survive). The operator
+    computes the ratios itself; the oracle reconstructs the expected
+    post-strip text purely from the id formulas, so the threshold
+    semantics, the min-host-docs guard, and the order-pinned reassembly
+    are all under the hash gate. Scale shape: one (host, line) keyed
+    groupBy + join back, |hosts|-row broadcast totals, no windows."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        strip_host_boilerplate,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id")
+    host = F.concat(F.lit("src"), (d % 7).cast("string"), F.lit(".example"))
+    text = F.concat(
+        F.lit("u "),
+        d.cast("string"),
+        F.lit("\nfooter "),
+        host,
+        F.when(
+            d % 4 == 0, F.concat(F.lit("\npromo src"), (d % 7).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    docs = t["documents"].select(d.alias("doc_id"), host.alias("host"), text.alias("text"))
+    return strip_host_boilerplate(docs).orderBy("doc_id")
+
+
 #: Oracle for :func:`crawl_robots_audit` (STAGED — see above). Decisions
 #: reconstruct from the id formulas: paths cycle no-rule / disallowed /
 #: allowed-by-longer-Allow by id % 3.

@@ -753,3 +753,91 @@ def test_robots_wildcard_translation_vs_python_reference(spark):
     for i, (rule, path) in enumerate(cases):
         want = ref_match(rule, path)
         assert got[f"h{i}.example"] == want, (rule, path, got[f"h{i}.example"])
+
+
+def test_strip_host_boilerplate_semantics(spark):
+    """Handcrafted hosts pin the contract: strictly-greater threshold
+    (ratio == 0.5 survives), the min_host_docs guard (single-page hosts
+    strip nothing even at ratio 1.0), within-doc duplicate lines count
+    ONCE toward DF but share one verdict, and reassembly preserves
+    original line order."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        strip_host_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # h1: 4 docs. 'nav' on all 4 (1.0 -> strip); 'half' on 2 of 4
+            # (exactly 0.5 -> KEEP, threshold is strict); unique lines.
+            (1, "h1", "u1\nnav\nhalf"),
+            (2, "h1", "u2\nnav\nhalf"),
+            (3, "h1", "u3\nnav"),
+            (4, "h1", "nav\nu4\nu4"),  # duplicate content line within one doc
+            # h2: single page -> guard: nothing stripped.
+            (5, "h2", "solo\nnav"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_lines_kept)
+        for r in strip_host_boilerplate(docs).collect()
+    }
+    assert got[1] == ("u1\nhalf", 3, 2)
+    assert got[2] == ("u2\nhalf", 3, 2)
+    assert got[3] == ("u3", 2, 1)
+    # 'u4' appears twice in doc 4 but on one doc only -> DF 1/4, kept twice
+    assert got[4] == ("u4\nu4", 3, 2)
+    # single-page host: ratio 1.0 for every line, min_host_docs guards
+    assert got[5] == ("solo\nnav", 2, 2)
+
+
+def test_strip_host_boilerplate_empty_after_strip(spark):
+    """A doc whose every line is site chrome comes back EMPTY, not
+    missing — row count is preserved for downstream joins."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        strip_host_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "h", "nav"), (2, "h", "nav"), (3, "h", "nav\nreal")],
+        "doc_id long, host string, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_lines_kept) for r in strip_host_boilerplate(docs).collect()}
+    assert got[1] == ("", 0)
+    assert got[2] == ("", 0)
+    assert got[3] == ("real", 1)
+
+
+def test_host_boilerplate_strip_stats_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        HOST_BOILERPLATE_ORACLE,
+        host_boilerplate_strip_stats,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import compare
+
+    res = compare(
+        host_boilerplate_strip_stats(spark, SF_ORACLE),
+        HOST_BOILERPLATE_ORACLE,
+        SF_ORACLE,
+    )
+    assert res["ok"], res
+    assert res["spark_rows"] == 500
+
+
+def test_host_boilerplate_plan_shape(spark):
+    """No windows, no sort-merge joins on the line spine: the DF count
+    and the verdict join are keyed hash work; host totals broadcast."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        host_boilerplate_strip_stats,
+    )
+    from tests.conftest import SF_ORACLE
+
+    plan = (
+        host_boilerplate_strip_stats(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

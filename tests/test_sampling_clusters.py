@@ -603,3 +603,35 @@ def test_sorted_neighborhood_candidates_bruteforce(spark, rows, window):
             a, b = order[i][0], order[j][0]
             want.add((min(a, b), max(a, b), j - i))
     assert got == want
+
+
+def test_iterative_operators_handle_empty_graphs(spark):
+    """The fused observe()-probe path (r9) must not deadlock or misfire
+    on EMPTY inputs — the shape the historical AQE empty-relation
+    Observation bug lived in (see validate.resolve_counts). All three
+    iterative operators take the empty-edge path: CC labels every node a
+    singleton, star likewise, k-core returns the zero row; and an
+    AQE-proven-empty mid-plan frame still populates its observed metrics
+    (sum over nothing -> None, handled by each convergence test)."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        _truncate_lineage_observed,
+        connected_components,
+        connected_components_star,
+        kcore_peel,
+    )
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    cc = sorted((r.node, r.label) for r in connected_components(empty_pairs, nodes).collect())
+    st = sorted((r.node, r.label) for r in connected_components_star(empty_pairs, nodes).collect())
+    assert cc == st == [(i, i) for i in range(5)]
+    row = kcore_peel(empty_pairs, k=2).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_under_k) == (0, 0, 0)
+
+    aqe_empty = (
+        spark.range(1000).withColumn("k", F.col("id") % 7).filter("id < 0").groupBy("k").count()
+    )
+    _, m = _truncate_lineage_observed(aqe_empty, "local", F.sum("count").alias("n"))
+    assert m["n"] is None

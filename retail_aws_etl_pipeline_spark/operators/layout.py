@@ -72,11 +72,24 @@ def zorder_write(
     driver collect of 2×|cols| scalars — the only non-scan-side work),
     the Morton key is built scan-side, and the frame is range-partitioned
     + sorted on it, then the key is dropped before the write (projection
-    preserves the per-partition order). Each output file covers a
-    compact cell of the |cols|-dimensional value space, so footer
-    min-max stats prune on ANY clustering column — the multi-column
-    data-skipping lever single-key sorting cannot provide.
+    preserves the per-partition order).
+
+    File boundaries SNAP TO THE CURVE'S OWN GRID: rows are range-routed
+    primarily on the TOP ``log2(n_files)`` bits of the key (``n_files``
+    rounds up to a power of two), so each output file covers one aligned
+    hyper-rectangle of the value space — e.g. 16 files over 2 columns is
+    exactly the 4×4 quadrant grid. Sampling-placed boundaries on the raw
+    key land mid-quadrant and make files straddle grid cells, widening
+    every file's per-column min-max (observed: 5/16 → 4/16 overlap on an
+    axis predicate, and the straddle count varies run to run with the
+    range sampler); the aligned form is deterministic and strictly
+    tighter. Skewed data can still merge ADJACENT cells into one file —
+    adjacent z-cells are contiguous in z, so files stay compact — and
+    the secondary raw-key column keeps intra-cell order for row-group
+    stats. Footer min-max then prunes on ANY clustering column — the
+    multi-column data-skipping lever single-key sorting cannot provide.
     """
+    k = max(1, (n_files - 1).bit_length())  # ceil(log2(n_files))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -84,11 +97,14 @@ def zorder_write(
     scaled = [
         _scale_expr(F.col(c), row[f"__mn_{c}"], row[f"__mx_{c}"], bits) for c in cols
     ]
+    z = zorder_key(scaled, bits)
+    cell = F.shiftright(z, bits * len(cols) - k)
     (
-        df.withColumn("__z", zorder_key(scaled, bits))
-        .repartitionByRange(n_files, "__z")
+        df.withColumn("__z", z)
+        .withColumn("__zcell", cell)
+        .repartitionByRange(1 << k, "__zcell", "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__zcell")
         .write.mode("overwrite")
         .parquet(path)
     )

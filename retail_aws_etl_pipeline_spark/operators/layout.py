@@ -74,19 +74,23 @@ def zorder_write(
     + sorted on it, then the key is dropped before the write (projection
     preserves the per-partition order).
 
-    File boundaries SNAP TO THE CURVE'S OWN GRID: rows are range-routed
-    primarily on the TOP ``log2(n_files)`` bits of the key (``n_files``
-    rounds up to a power of two), so each output file covers one aligned
-    hyper-rectangle of the value space — e.g. 16 files over 2 columns is
-    exactly the 4×4 quadrant grid. Sampling-placed boundaries on the raw
-    key land mid-quadrant and make files straddle grid cells, widening
-    every file's per-column min-max (observed: 5/16 → 4/16 overlap on an
-    axis predicate, and the straddle count varies run to run with the
-    range sampler); the aligned form is deterministic and strictly
-    tighter. Skewed data can still merge ADJACENT cells into one file —
-    adjacent z-cells are contiguous in z, so files stay compact — and
-    the secondary raw-key column keeps intra-cell order for row-group
-    stats. Footer min-max then prunes on ANY clustering column — the
+    File boundaries SNAP TO THE CURVE'S OWN GRID: the table is written
+    **directory-partitioned by the top ``log2(n_files)`` bits of the
+    key** (``n_files`` rounds up to a power of two), one directory = one
+    aligned hyper-rectangle of the value space — e.g. 16 cells over 2
+    columns is exactly the 4×4 quadrant grid. Two earlier drafts routed
+    files with (raw-key, then cell-keyed) ``repartitionByRange``:
+    RangePartitioner places boundaries from a runtime SAMPLE, so file
+    contents straddled grid cells nondeterministically and the pruning
+    gates flaked across sessions. ``partitionBy`` is exact: every row's
+    directory is a pure function of its values. Each cell is hashed
+    wholly into one task first, so a cell is one file; rows within sort
+    by the full key for tight row-group stats.
+
+    The cell id is a VISIBLE partition column (``__zcell``) on the
+    written table — the standard layout-column trade (same as date
+    partitioning), and it buys static partition pruning on the cell in
+    addition to footer min-max pruning on every clustering column — the
     multi-column data-skipping lever single-key sorting cannot provide.
     """
     k = max(1, (n_files - 1).bit_length())  # ceil(log2(n_files))
@@ -102,9 +106,10 @@ def zorder_write(
     (
         df.withColumn("__z", z)
         .withColumn("__zcell", cell)
-        .repartitionByRange(1 << k, "__zcell", "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z", "__zcell")
+        .repartition(1 << k, "__zcell")
+        .sortWithinPartitions("__zcell", "__z")
+        .drop("__z")
         .write.mode("overwrite")
+        .partitionBy("__zcell")
         .parquet(path)
     )

@@ -19,7 +19,7 @@ from retail_aws_etl_pipeline_spark.operators.layout import zorder_key, zorder_wr
 
 def _overlapping_files(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
     n_overlap, n_files = 0, 0
-    for f in glob.glob(f"{path}/*.parquet"):
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
         md = pq.ParquetFile(f).metadata
         n_files += 1
         for rg in range(md.num_row_groups):
@@ -60,12 +60,16 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     assert a_on_a <= 2
     assert a_on_b == 16, "a-sorted layout cannot skip anything on b"
 
-    # z-order: tight on BOTH
+    # z-order: tight on BOTH. Files are grid-aligned by construction
+    # (one directory per top-bit cell), so a 0.5%-of-axis range lies in
+    # ONE strip of the 4x4 grid -> exactly 4 cells overlap per axis.
+    # Deterministic: partitionBy routing is a pure function of values
+    # (two repartitionByRange drafts flaked here on sampling).
     z_on_a, n2 = _overlapping_files(z_dir, "a", lo, hi)
     z_on_b, _ = _overlapping_files(z_dir, "b", lo, hi)
     assert n2 == 16
-    assert z_on_a <= 8, f"z-layout should skip half+ of files on a, got {z_on_a}"
-    assert z_on_b <= 8, f"z-layout should skip half+ of files on b, got {z_on_b}"
+    assert z_on_a <= 4, f"z-layout should confine a to one grid strip, got {z_on_a}"
+    assert z_on_b <= 4, f"z-layout should confine b to one grid strip, got {z_on_b}"
 
     # results are layout-invariant and the filter reaches the scan
     pred = (F.col("b") >= lo) & (F.col("b") <= hi)
@@ -108,6 +112,8 @@ def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
     )
     out = str(tmp_path / "z_const")
     zorder_write(df, out, ["a", "c"], n_files=8)
+    # the constant axis contributes zero bits, so only the varying
+    # axis's top bits produce distinct cells (fewer, non-empty dirs)
     hit, total = _overlapping_files(out, "a", 100, 150)
-    assert total == 8 and hit <= 2
+    assert 1 <= total <= 8 and hit < total
     assert spark.read.parquet(out).count() == 10_000

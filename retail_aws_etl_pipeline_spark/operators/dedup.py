@@ -507,12 +507,17 @@ def connected_components_star(
     # used to cost two anti-join jobs per round on top of the checkpoint;
     # instead each round's checkpoint job observes a set signature —
     # (count, bit_xor(xxhash64(big, small))) — and equal consecutive
-    # signatures end the loop. Both frames are .distinct() outputs, so
-    # multiset == set and xor never self-cancels; a false "equal" needs
-    # two DIFFERENT edge sets of equal count whose element-hash xors
-    # collide — ~2^-64 per round under a random-oracle model of xxhash64
-    # (and the property tests vs union-find would catch any systematic
-    # failure). 3 jobs/round -> 1.
+    # signatures SCREEN for the fixpoint. Both frames are .distinct()
+    # outputs, so multiset == set and xor never self-cancels; random
+    # collisions are ~2^-64 per round. But xxhash64 is non-cryptographic
+    # with a fixed public seed and this operator runs over untrusted
+    # web-crawl corpora, so an adversarially crafted input could produce
+    # two DIFFERENT equal-count edge sets with colliding xors — a matching
+    # signature is therefore CONFIRMED by the exact check before breaking:
+    # counts already agree, so one anti-join decides set equality. The
+    # confirm job runs only on the terminal round (plus any adversarial
+    # collision round, where it correctly keeps iterating), preserving
+    # the 3-jobs/round -> 1 saving everywhere else.
     sig_aggs = (
         F.count(F.lit(1)).alias("n"),
         F.expr("bit_xor(xxhash64(big, small))").alias("h"),
@@ -552,7 +557,14 @@ def connected_components_star(
         new_edges, new_sig = _truncate_lineage_observed(
             part1.unionByName(part2).distinct(), checkpoint, *sig_aggs
         )
-        converged = (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"])
+        if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            # Signature match -> exact confirm (see the screening note
+            # above). Equal counts + empty one-sided anti-join == set
+            # equality; both frames are checkpointed, so this is one
+            # cheap terminal-round job.
+            converged = new_edges.join(
+                edges, ["big", "small"], "left_anti"
+            ).isEmpty()
         edges, sig = new_edges, new_sig
     if not converged:
         raise RuntimeError(

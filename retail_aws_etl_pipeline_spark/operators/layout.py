@@ -34,13 +34,24 @@ def _scale_expr(col: Column, mn, mx, bits: int) -> Column:
 
     Double math is fine here: the result only orders rows for layout;
     no query result ever depends on it.
+
+    An entirely-NULL column aggregates ``min``/``max`` of NULL — treated
+    like the constant-column (span<=0) case: a zero-bit axis. Row-level
+    NULLs scale to the axis minimum (cell 0 on that axis) so every row
+    lands in a real grid cell instead of a NULL key routing the row to
+    ``__HIVE_DEFAULT_PARTITION__``; parquet min/max footer stats exclude
+    NULLs, so co-locating them with the axis minimum costs no stat
+    tightness on the non-NULL values (ADVICE r9).
     """
     top = (1 << bits) - 1
+    if mn is None or mx is None:
+        return F.lit(0).cast("long")
     span = float(mx) - float(mn)
     if span <= 0:
         return F.lit(0).cast("long")
     scaled = ((col.cast("double") - float(mn)) / span) * top
-    return F.least(F.lit(top), F.greatest(F.lit(0), scaled.cast("long")))
+    clamped = F.least(F.lit(top), F.greatest(F.lit(0), scaled.cast("long")))
+    return F.coalesce(clamped, F.lit(0).cast("long"))
 
 
 def zorder_key(scaled: list[Column], bits: int = ZORDER_BITS) -> Column:

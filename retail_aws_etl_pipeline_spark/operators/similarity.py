@@ -123,11 +123,17 @@ def with_lsh_bucket(
     # bucket PROJECTED FROM THE SAME PLANE SET passes through, so callers
     # can bucket (and persist) the corpus once and feed the same base
     # through both an index build and its recall baseline without a
-    # second projection pass. The plane count is recorded in the bucket
-    # field's metadata; a different plane slice re-derives.
+    # second projection pass. The metadata records a digest of the plane
+    # VALUES (not just the count — two different plane sets of equal
+    # length must not alias) plus the source column; anything else
+    # re-derives.
+    plane_digest = _plane_digest(use)
     if "bucket" in df.columns:
         meta = dict(df.schema["bucket"].metadata or {})
-        if meta.get("lsh_planes") == len(use) and meta.get("lsh_qvec") == qvec_col:
+        if (
+            meta.get("lsh_plane_digest") == plane_digest
+            and meta.get("lsh_qvec") == qvec_col
+        ):
             return df
         df = df.drop("bucket")
     bucket = None
@@ -140,8 +146,20 @@ def with_lsh_bucket(
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn(
         "bucket",
-        bucket.alias("bucket", metadata={"lsh_planes": len(use), "lsh_qvec": qvec_col}),
+        bucket.alias(
+            "bucket",
+            metadata={"lsh_plane_digest": plane_digest, "lsh_qvec": qvec_col},
+        ),
     )
+
+
+def _plane_digest(planes: list[list[int]]) -> str:
+    """Stable digest of a hyperplane matrix's VALUES, for the
+    :func:`with_lsh_bucket` idempotence check."""
+    import hashlib
+
+    raw = repr([tuple(p) for p in planes]).encode()
+    return hashlib.md5(raw).hexdigest()
 
 
 #: Above this many probes the nested-loop bit_count(xor) theta-join loses

@@ -104,6 +104,18 @@ _UNREGISTER = {
         "bitext_margin_pairs",
         "kmeans_cluster_profile",
     ),
+    # r10 (the ROADMAP r10 schedule's one cap replacement, decided at
+    # round open against the then-current ADVICE — nothing in ADVICE r9
+    # touches containment semantics):
+    #  - containment_pairs_boilerplate: the unfiltered containment scan
+    #    over the boilerplate corpus; doc_containment_pairs_prefix is
+    #    the registered production twin carrying the same PPJoin prefix
+    #    lemma surface (no false negatives by the lemma; measured
+    #    strictly faster), and both are r9 driver-green so the freshness
+    #    loss is nil. Frees the cap entry the fourth crawl registration
+    #    (warc_record_stats / warc_text_corpus / crawl_host_report /
+    #    crawl_exact_dedup_stats) lands in.
+    10: ("containment_pairs_boilerplate",),
 }
 
 
@@ -133,12 +145,18 @@ def newest_driver_rows(root: str | None = None) -> dict[str, int]:
 
 
 def _rotate_driver_window() -> None:
-    for names in _UNREGISTER.values():
+    for rnd, names in _UNREGISTER.items():
         for name in names:
             if name in REGISTRY:
                 del REGISTRY[name]
-            else:
+            elif name in EXTRA_REGISTRY:
                 del EXTRA_REGISTRY[name]
+            else:
+                raise RuntimeError(
+                    f"_UNREGISTER[{rnd}] names {name!r}, which is in "
+                    "neither registry — stale unregister entry or a "
+                    "renamed query; fix the table in plans/__init__.py"
+                )
 
     merged = {}
     merged.update(EXTRA_REGISTRY)

@@ -10,6 +10,8 @@ integer-exact result.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1229,7 +1231,12 @@ IVF_SAMPLE_MOD = 4
 IVF_NPROBE = 2
 
 
+@functools.cache
 def _ivf_oracle() -> str | None:
+    # Memoized (ADVICE r9): both the ann_topk_ivf registration and
+    # IVF_INDEXED_ORACLE call this at import time, and the centroid fit
+    # (parquet read + numpy Lloyd iterations) is a nontrivial side effect
+    # — one fit per process, not one per call site.
     import os
 
     path = "/root/testdata/sf0.01/embeddings.parquet"
@@ -5891,8 +5898,20 @@ WARC_RECORD_ORACLE = """
 """
 
 
+@register_extra(
+    "warc_record_stats",
+    WARC_RECORD_ORACLE,
+    description="WARC crawl-shard record parsing — framing walk (version "
+    "line, header block, Content-Length'd HTTP message) in one "
+    "Arrow-batched pass per shard; per-record type/status/payload-bytes/"
+    "host, bodies never leave the kernel (include_body=False), so the "
+    "exchange carries headers only. Oracle reconstructs the parse purely "
+    "from id formulas — never sees WARC bytes.",
+    tags=("crawl", "warc", "source"),
+)
 def warc_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: WARC crawl-shard parsing — the interchange format web
+    """WARC crawl-shard parsing (registered at the r10 rotation per the
+    ROADMAP schedule) — the interchange format web
     corpora actually arrive in, completing the source family (CSV drops,
     JSONL, parquet, WARC). Shards are synthesized executor-side from id
     formulas (10 shards, binaryFile-shaped rows, no disk), the record
@@ -5940,8 +5959,19 @@ WARC_TEXT_ORACLE = """
 """
 
 
+@register_extra(
+    "warc_text_corpus",
+    WARC_TEXT_ORACLE,
+    description="Crawl -> corpus extraction end to end: WARC shards -> "
+    "record split -> 2xx response filter -> payload decode -> scan-side "
+    "tag strip/whitespace collapse -> (doc_id, url, text, n_chars) rows "
+    "ready for the curation pipeline. Oracle constructs the expected "
+    "FINAL text purely from the id, hash-pinning the whole chain.",
+    tags=("crawl", "warc", "text"),
+)
 def warc_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the crawl → corpus extraction step end-to-end — WARC
+    """The crawl → corpus extraction step end-to-end (registered at the
+    r10 rotation per the ROADMAP schedule) — WARC
     shards (synthesized from id formulas with formulaic HTML bodies) →
     record split → 2xx response filter → payload decode → scan-side tag
     strip/whitespace collapse → (doc_id, url, text, n_chars) rows ready
@@ -5980,6 +6010,93 @@ def avif_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
     return MM.probe_dims(MM.synth_avif_media(ids, "doc_id")).orderBy("media_id")
+
+
+#: Oracle for :func:`zorder_pruning_stats` (STAGED). zorder_write routes
+#: every row to a grid cell by PURE ARITHMETIC (scale each axis onto
+#: [0, 4095], take the two top bits per axis, interleave) — no sampling,
+#: no RangePartitioner — so the oracle mirrors that arithmetic in SQL and
+#: reconstructs the per-cell row counts and min/max extents without ever
+#: writing a file. FLOOR (not CAST) mirrors Spark's double->long
+#: truncation; the scale expression keeps the operator's exact
+#: parenthesization so both engines run the identical IEEE double ops.
+ZORDER_PRUNING_ORACLE = """
+    WITH pts AS (
+        SELECT doc_id % 97 AS x, (doc_id * 31) % 89 AS y FROM documents
+    ),
+    bounds AS (
+        SELECT CAST(MIN(x) AS DOUBLE) AS mnx, CAST(MAX(x) AS DOUBLE) AS mxx,
+               CAST(MIN(y) AS DOUBLE) AS mny, CAST(MAX(y) AS DOUBLE) AS mxy
+        FROM pts
+    ),
+    scaled AS (
+        SELECT x, y,
+               LEAST(4095, GREATEST(0, CAST(FLOOR(
+                   ((CAST(x AS DOUBLE) - mnx) / (mxx - mnx)) * 4095
+               ) AS BIGINT))) AS sx,
+               LEAST(4095, GREATEST(0, CAST(FLOOR(
+                   ((CAST(y AS DOUBLE) - mny) / (mxy - mny)) * 4095
+               ) AS BIGINT))) AS sy
+        FROM pts, bounds
+    ),
+    cells AS (
+        SELECT x, y,
+               ((sy >> 11) & 1) * 8 + ((sx >> 11) & 1) * 4
+             + ((sy >> 10) & 1) * 2 + ((sx >> 10) & 1) AS zcell
+        FROM scaled
+    )
+    SELECT CAST(zcell AS BIGINT) AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+           CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM cells GROUP BY zcell ORDER BY zcell
+"""
+
+
+def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the Z-order layout's pruning claim as a registry query —
+    write a two-axis table through ``operators.layout.zorder_write``
+    (16 grid cells = the 4×4 quadrant grid over both axes), read it BACK
+    from disk, and report each cell directory's row count and min/max
+    extent on BOTH axes. The oracle reconstructs the identical table from
+    the routing arithmetic alone (scale → top-2-bits → interleave), so a
+    hash match pins (a) the deterministic partitionBy grid routing — every
+    row's directory is a pure function of its values, the property the two
+    repartitionByRange drafts could not give — and (b) the pruning
+    statement itself: each cell's extents sit inside one aligned quadrant,
+    so a filter on EITHER axis overlaps exactly 4 of 16 cells (the
+    footer-stats twin of tests/test_layout.py, now driver-visible). The
+    scratch-table harness mirrors ann_topk_ivf_indexed: temp dir for the
+    check, bounded result localCheckpoint-ed before cleanup; in production
+    the layout is a real table that outlives queries."""
+    import shutil
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.operators.layout import zorder_write
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pts = t["documents"].select(
+        (F.col("doc_id") % 97).alias("x"),
+        ((F.col("doc_id") * 31) % 89).alias("y"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="zorder_stats_")
+    try:
+        zorder_write(pts, out_dir, ["x", "y"], n_files=16)
+        back = spark.read.parquet(out_dir)
+        return (
+            back.groupBy(F.col("__zcell").cast("long").alias("zcell"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").cast("long").alias("min_x"),
+                F.max("x").cast("long").alias("max_x"),
+                F.min("y").cast("long").alias("min_y"),
+                F.max("y").cast("long").alias("max_y"),
+            )
+            .orderBy("zcell")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
@@ -6086,8 +6203,19 @@ CRAWL_HOST_ORACLE = """
 """
 
 
+@register_extra(
+    "crawl_host_report",
+    CRAWL_HOST_ORACLE,
+    description="Crawl observability rollup: WARC shards -> extracted "
+    "documents -> per-host doc/char/token mass — the table a crawl "
+    "curator reads before setting per-domain caps and mixture weights. "
+    "One keyed aggregate (|hosts|-row reduce) over the scan-side "
+    "extraction; oracle reconstructs every aggregate from id formulas.",
+    tags=("crawl", "warc", "report"),
+)
 def crawl_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the crawl observability rollup — WARC shards → extracted
+    """The crawl observability rollup (registered at the r10 rotation
+    per the ROADMAP schedule) — WARC shards → extracted
     documents → per-host doc/char/token mass, the table a crawl curator
     reads before deciding per-domain caps and mixture weights (the
     host-level twin of corpus_card). Chains the staged source end to
@@ -6144,8 +6272,20 @@ CRAWL_DEDUP_ORACLE = f"""
 """
 
 
+@register_extra(
+    "crawl_exact_dedup_stats",
+    CRAWL_DEDUP_ORACLE,
+    description="Crawl-level exact dedup end to end over constructed "
+    "mirror structure (body text derives from id % 17 while the URL "
+    "keeps the full id): raw count, distinct texts, largest mirror "
+    "class, retained count == distinct (oracle-asserted). Content-keyed "
+    "shuffle only — the retained check joins on the content key, never "
+    "broadcasts survivors.",
+    tags=("crawl", "warc", "dedup"),
+)
 def crawl_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: crawl-level exact dedup end to end — the reason the
+    """Crawl-level exact dedup end to end (registered at the r10
+    rotation per the ROADMAP schedule) — the reason the
     pipeline exists. The synth corpus mirrors one page under many URLs
     (body text derives from id % {m} while the URL keeps the full id),
     extraction runs the real WARC chain, and dedup is the standard

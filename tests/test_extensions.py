@@ -637,3 +637,34 @@ def test_hash_band_key_candidates_identical(spark):
         assert base == hashed and len(base) > 0
     finally:
         bands.unpersist()
+
+
+def test_lsh_bucket_passthrough_keys_on_plane_values(spark):
+    """with_lsh_bucket's idempotent pass-through must key on the plane
+    VALUES, not the plane count (ADVICE r9): a different plane set of the
+    same length must re-derive the bucket, while the identical set passes
+    through unchanged."""
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        PLANES,
+        with_lsh_bucket,
+        with_quantized,
+    )
+
+    docs = spark.read.parquet(SF_ORACLE + "/embeddings.parquet").limit(64)
+    base = with_lsh_bucket(with_quantized(docs), planes=PLANES[:4])
+
+    # Same plane set -> pass-through (same plan, no recompute).
+    again = with_lsh_bucket(base, planes=PLANES[:4])
+    assert again is base
+
+    # Different plane set of the SAME length -> must re-derive.
+    flipped = [[-w for w in p] for p in PLANES[:4]]
+    rederived = with_lsh_bucket(base, planes=flipped)
+    assert rederived is not base
+    a = {r.vec_id: r.bucket for r in base.select("vec_id", "bucket").collect()}
+    b = {r.vec_id: r.bucket for r in rederived.select("vec_id", "bucket").collect()}
+    # Sign-flipped planes flip every bit whose projection is nonzero
+    # (b == a XOR nonzero-projection-mask): with real-valued embeddings
+    # at least one row must land elsewhere, proving the bucket was
+    # recomputed rather than passed through stale.
+    assert any(b[k] != a[k] for k in a)

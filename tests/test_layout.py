@@ -117,3 +117,73 @@ def test_zorder_constant_column_degenerates_safely(spark, tmp_path):
     hit, total = _overlapping_files(out, "a", 100, 150)
     assert 1 <= total <= 8 and hit < total
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_zorder_null_values_route_to_real_cells(spark, tmp_path):
+    """NULL handling (ADVICE r9): an entirely-NULL clustering column
+    degenerates to a zero-bit axis instead of TypeError(float(None)),
+    and row-level NULLs scale to the axis minimum — every row lands in
+    a real grid cell, never __HIVE_DEFAULT_PARTITION__."""
+    # (1) entirely-NULL column: must not crash, other axis still prunes.
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("a", (F.col("id") * 48271) % 10_000)
+        .withColumn("c", F.lit(None).cast("long"))
+    )
+    out = str(tmp_path / "z_allnull")
+    zorder_write(df, out, ["a", "c"], n_files=8)
+    assert spark.read.parquet(out).count() == 10_000
+    assert not glob.glob(f"{out}/__HIVE_DEFAULT_PARTITION__*")
+    hit, total = _overlapping_files(out, "a", 100, 150)
+    assert 1 <= total <= 8 and hit < total
+
+    # (2) sparse NULLs in one axis: rows keep their other-axis cell.
+    df2 = (
+        spark.range(0, 10_000)
+        .withColumn("a", (F.col("id") * 48271) % 10_000)
+        .withColumn(
+            "b",
+            F.when(F.col("id") % 100 == 0, F.lit(None)).otherwise(
+                (F.col("id") * 16807) % 10_000
+            ),
+        )
+    )
+    out2 = str(tmp_path / "z_sparsenull")
+    zorder_write(df2, out2, ["a", "b"], n_files=16)
+    back = spark.read.parquet(out2)
+    assert back.count() == 10_000
+    assert back.filter(F.col("b").isNull()).count() == 100
+    assert not glob.glob(f"{out2}/__HIVE_DEFAULT_PARTITION__*")
+
+
+def test_zorder_pruning_stats_matches_oracle(spark):
+    """The staged driver query: written-layout cell stats must equal the
+    oracle's pure-arithmetic reconstruction (routing determinism), and
+    each cell's extents must sit inside one aligned quadrant (the
+    pruning statement itself)."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        ZORDER_PRUNING_ORACLE,
+        zorder_pruning_stats,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle import compare
+
+    got = zorder_pruning_stats(spark, SF_ORACLE)
+    res = compare(got, ZORDER_PRUNING_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+    rows = got.collect()
+    assert 1 <= len(rows) <= 16
+    # Pruning: cell bit layout is (y11, x11, y10, x10) — each cell's x
+    # extent lives in quadrant (x11 x10), y extent in (y11 y10), so a
+    # filter on either axis overlaps only the 4 cells of one quadrant.
+    for r in rows:
+        xq = ((r.zcell >> 2) & 1) * 2 + (r.zcell & 1)
+        yq = ((r.zcell >> 3) & 1) * 2 + ((r.zcell >> 1) & 1)
+        # axis spans: x in [0,96], y in [0,88] -> quadrant width ~1/4.
+        for lo, hi, q, span in (
+            (r.min_x, r.max_x, xq, 96),
+            (r.min_y, r.max_y, yq, 88),
+        ):
+            q_lo, q_hi = span * q / 4.0, span * (q + 1) / 4.0
+            assert q_lo - 1 <= lo and hi <= q_hi + 1, (r, q_lo, q_hi)

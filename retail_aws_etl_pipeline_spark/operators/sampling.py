@@ -230,3 +230,107 @@ def token_budget_select(
         .filter(F.col("cum_tokens") * budget_den <= F.col("__t") * budget_num)
         .select(id_col, "n_tokens", "quality", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+#: Hashed feature space for the DSIR bag-of-words models. 256 buckets keeps
+#: the fitted model a bounded driver artifact (collect of <=256 rows, then a
+#: 256-literal broadcast array) while remaining faithful to the published
+#: technique (DSIR hashes into a fixed bucket count; the bucket count is a
+#: quality knob, not a correctness one).
+DSIR_BUCKETS = 256
+
+#: Fixed-point scale for the per-bucket log-ratio. Quantizing
+#: ln(p_target/p_raw) to an integer at fit time makes every downstream
+#: score an exact int64 sum — Spark and any SQL oracle agree bit-for-bit,
+#: where float log-sums would diverge in the 9th significant digit under
+#: different summation orders.
+DSIR_LOG_SCALE = 1_000_000
+
+#: Documents selected by dsir_selected_docs (top-N by importance score).
+DSIR_TOP_N = 100
+
+
+def dsir_bucket(word_col: Column) -> Column:
+    """Deterministic feature bucket 0..DSIR_BUCKETS-1 from the first 16
+    md5 bits of the word — the same engine-portable hash family as
+    :func:`split_bucket`."""
+    hx = F.conv(F.substring(F.md5(word_col), 1, 4), 16, 10)
+    return hx.cast("long") % DSIR_BUCKETS
+
+
+def dsir_fit(
+    docs: DataFrame, target: Column, text_col: str = "text"
+) -> list[int]:
+    """Fit the DSIR importance model: per-bucket quantized log-ratio
+    ``round(SCALE * (ln p_target(b) - ln p_raw(b)))`` as a dense list of
+    ``DSIR_BUCKETS`` ints (add-1 smoothing over hashed word unigrams).
+
+    One exploded-word pass computes BOTH models' bucket counts (the raw
+    model is the full corpus, the target model the rows matching
+    ``target``); the collect is bounded at ``DSIR_BUCKETS`` rows — the
+    fit is a tiny model extraction, the same discipline as the IVF
+    centroid fit. At 100 TB, fit on a deterministic sample (the model
+    saturates long before the corpus does) and reuse the fitted literals
+    across every scoring run."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        target.cast("long").alias("is_t"),
+    )
+    rows = (
+        words.groupBy(dsir_bucket(F.col("w")).alias("b"))
+        .agg(
+            F.sum("is_t").alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .collect()
+    )
+    ct = {r.b: r.ct for r in rows}
+    cr = {r.b: r.cr for r in rows}
+    return dsir_logratio(ct, cr)
+
+
+def dsir_logratio(ct: dict[int, int], cr: dict[int, int]) -> list[int]:
+    """Quantized per-bucket log-ratio from integer bucket counts.
+
+    Pure-Python so the DuckDB oracle's independently-counted fit runs
+    through the IDENTICAL quantization: equal integer counts give equal
+    int64 literals, and every downstream score is exact."""
+    import math
+
+    tt = sum(ct.values()) + DSIR_BUCKETS
+    tr = sum(cr.values()) + DSIR_BUCKETS
+    out = []
+    for b in range(DSIR_BUCKETS):
+        lt = math.log((ct.get(b, 0) + 1) / tt)
+        lr = math.log((cr.get(b, 0) + 1) / tr)
+        out.append(round(DSIR_LOG_SCALE * (lt - lr)))
+    return out
+
+
+def dsir_scores(
+    docs: DataFrame,
+    logratio: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance score: ``sum over word instances of
+    logratio[bucket(word)]`` — (id, dsir_score) with an exact int64 score.
+
+    The fitted model rides the plan as a 256-literal array lookup
+    (``element_at``) — no join, no broadcast variable, pure scan-side
+    arithmetic — so scoring is ONE explode + ONE groupBy(doc) exchange,
+    the same shape as every other per-doc text aggregate here. This is
+    the 100 TB path: the model is O(buckets), the scan is
+    embarrassingly parallel, and the exchange is keyed on the doc id.
+    """
+    lut = F.array(*[F.lit(int(v)).cast("long") for v in logratio])
+    score = F.element_at(lut, (dsir_bucket(F.col("w")) + 1).cast("int"))
+    return (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy(id_col)
+        .agg(F.sum(score).alias("dsir_score"))
+    )

@@ -6099,6 +6099,104 @@ def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+@functools.cache
+def _dsir_oracle() -> str | None:
+    """Oracle for :func:`dsir_selected_docs` (STAGED). The oracle FITS THE
+    MODEL INDEPENDENTLY — DuckDB tokenizes/hashes/counts the same corpus,
+    then the counts run through the identical pure-Python quantization
+    (``sampling.dsir_logratio``) — so a hash match pins tokenization,
+    feature hashing, both bucket-count models, the quantized log-ratio
+    table, the exact-int scoring sum, AND the top-N rank, end to end.
+    Same import-time-fit discipline as ``_ivf_oracle`` (memoized; one fit
+    per process)."""
+    import os
+
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    bucket = (
+        f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {SMP.DSIR_BUCKETS}"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH words AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                   unnest(string_split(text, ' ')) AS w
+            FROM read_parquet('{path}')
+        ),
+        h AS (SELECT is_t, md5(w) AS h FROM words)
+        SELECT {bucket} AS b, SUM(is_t) AS ct, COUNT(*) AS cr
+        FROM h GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    ct = {int(b): int(t) for b, t, _ in rows}
+    cr = {int(b): int(r) for b, _, r in rows}
+    lut = SMP.dsir_logratio(ct, cr)
+    vals = ", ".join(f"({b}, {v})" for b, v in enumerate(lut))
+    return f"""
+    WITH lut(b, q) AS (VALUES {vals}),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wb AS (
+        SELECT doc_id, {bucket} AS b
+        FROM (SELECT doc_id, md5(w) AS h FROM words)
+    ),
+    scored AS (
+        SELECT wb.doc_id, CAST(SUM(l.q) AS BIGINT) AS dsir_score
+        FROM wb JOIN lut l ON l.b = wb.b GROUP BY wb.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, dsir_score,
+               ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, dsir_score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {SMP.DSIR_TOP_N} ORDER BY rank
+    """
+
+
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") — the standard recipe
+    for skimming a web-scale raw corpus toward a target distribution.
+    Hashed word-unigram bag models are fitted for the target (here:
+    ``lang = 'en'`` documents) and the raw corpus in ONE exploded-word
+    pass; the per-bucket log importance ratio is quantized to int64 AT FIT
+    TIME (``DSIR_LOG_SCALE``), so every document score — the sum of its
+    words' bucket ratios — is exact integer arithmetic that any engine
+    reproduces bit-for-bit (no float log-sum ordering hazards). Scoring is
+    scan-side: the 256-literal ratio table rides the plan as an
+    ``element_at`` lookup (no join), one explode + one doc-keyed exchange.
+    Deterministic variant of the paper's Gumbel resampling: top-N by
+    (score, doc_id) — rank-exact, WindowGroupLimit-optimized. At 100 TB:
+    fit once on a bounded sample, then selection is a single scan+agg over
+    the corpus — the cheapest of all the curation passes here."""
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    lut = SMP.dsir_fit(docs, F.col("lang") == "en")
+    w = W.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    return (
+        SMP.dsir_scores(docs, lut)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SMP.DSIR_TOP_N)
+        .orderBy("rank")
+    )
+
+
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
 #: raw spelling and its canonical form are pure functions of the id; the
 #: oracle builds the EXPECTED canonical string directly (it never runs a

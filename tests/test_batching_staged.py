@@ -841,3 +841,92 @@ def test_host_boilerplate_plan_shape(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (staged r10)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_selected_docs_matches_oracle(spark):
+    """The full chain vs an INDEPENDENT DuckDB fit: tokenization, feature
+    hashing, both bucket-count models, quantized log-ratio, exact-int
+    scoring, top-N rank."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        _dsir_oracle,
+        dsir_selected_docs,
+    )
+
+    got = dsir_selected_docs(spark, SF_ORACLE)
+    res = compare(got, _dsir_oracle(), SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Semantics: documents from the target distribution (lang='en') must
+    dominate the selected set — the whole point of importance selection.
+    The en share of the top-100 must exceed the corpus en share."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.plans.extensions import dsir_selected_docs
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    sel = dsir_selected_docs(spark, SF_ORACLE).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    n_sel = sel.count()
+    sel_en = sel.filter(F.col("lang") == "en").count()
+    n_all = docs.count()
+    all_en = docs.filter(F.col("lang") == "en").count()
+    assert sel_en / n_sel > all_en / n_all, (sel_en, n_sel, all_en, n_all)
+
+
+def test_dsir_fit_handcrafted_ranking(spark):
+    """Handcrafted two-vocabulary corpus: target docs use vocab A, raw-only
+    docs vocab B. A fresh doc written in vocab A must outscore one in
+    vocab B under the fitted model; scores are exact int64."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        dsir_fit,
+        dsir_logratio,
+        dsir_scores,
+    )
+
+    rows = [(i, "alpha beta gamma", 1) for i in range(20)] + [
+        (i + 20, "zeta eta theta", 0) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    lut = dsir_fit(docs, F.col("is_t") == 1)
+    assert len(lut) == DSIR_BUCKETS and all(isinstance(v, int) for v in lut)
+
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha"), (101, "zeta eta theta zeta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.dsir_score for r in dsir_scores(probe, lut).collect()}
+    assert got[100] > 0 > got[101], got
+
+    # The quantizer is pure and deterministic on integer counts.
+    assert dsir_logratio({0: 5}, {0: 10}) == dsir_logratio({0: 5}, {0: 10})
+
+
+def test_dsir_scoring_plan_shape(spark):
+    """Scoring is scan-side: the fitted model is a literal array lookup —
+    the executed plan has NO join and exactly one exchange (the doc-keyed
+    aggregate)."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        dsir_fit,
+        dsir_scores,
+    )
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    lut = dsir_fit(docs, F.col("lang") == "en")
+    plan = _plan(dsir_scores(docs, lut))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

@@ -397,3 +397,81 @@ def strip_host_boilerplate(
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: Gopher document-level bounds. The published battery is THE standard
+#: pre-training quality filter set (reused by MassiveText descendants,
+#: RedPajama, Dolma); every rule below is integer/boolean Column algebra —
+#: ratio thresholds are cross-multiplied so no rule ever computes a float,
+#: which is what makes the whole battery oracle-exact across engines.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+#: Gopher's "must contain >= 2 of these" stop words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags + the composite ``gopher_pass``.
+
+    Rules (each an exact integer comparison; ratios cross-multiplied):
+
+    - ``word_count_ok``: GOPHER_MIN_WORDS <= words <= GOPHER_MAX_WORDS
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+      (``3*n <= sum_len <= 10*n``)
+    - ``symbol_ratio_ok``: (# '#' + # '...') / words < 0.1
+    - ``bullet_lines_ok``: lines starting with a bullet < 90%
+    - ``ellipsis_lines_ok``: lines ending with '...' or '…' < 30%
+    - ``alpha_word_ok``: words containing an alphabetic char > 80%
+    - ``stopword_ok``: >= 2 distinct GOPHER_STOPWORDS present
+
+    Scan-side projection — no shuffle, no UDF; at 100 TB this is a free
+    rider on whatever scan feeds the curation funnel, same as
+    :func:`quality_features`.
+    """
+    t = F.col(text_col)
+    toks = whitespace_tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, (a, x) -> a + length(x))"
+    )
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> startswith(l, '- ') OR startswith(l, '•')))"
+    ).cast("long")
+    n_ell_lines = F.expr(
+        f"size(filter(split({text_col}, '\\n'), "
+        "l -> endswith(l, '...') OR endswith(l, '…')))"
+    ).cast("long")
+    n_alpha = F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x rlike '[A-Za-z]'))"
+    ).cast("long")
+    n_stop_kinds = sum(
+        F.array_contains(toks, w).cast("long") for w in GOPHER_STOPWORDS
+    )
+    flags = {
+        "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words),
+        "symbol_ratio_ok": (n_hash + n_ellipsis) * 10 < n_words,
+        "bullet_lines_ok": n_bullet * 10 < n_lines * 9,
+        "ellipsis_lines_ok": n_ell_lines * 10 < n_lines * 3,
+        "alpha_word_ok": n_alpha * 5 > n_words * 4,
+        "stopword_ok": n_stop_kinds >= 2,
+    }
+    out = df.withColumn("n_words", n_words)
+    gopher_pass = None
+    for name, c in flags.items():
+        out = out.withColumn(name, c)
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return out.withColumn("gopher_pass", gopher_pass)

@@ -6197,6 +6197,88 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracle for :func:`gopher_quality_report` (STAGED). Every Gopher rule is
+#: an exact integer comparison (ratio thresholds cross-multiplied), so the
+#: oracle recomputes the whole battery in DuckDB list algebra with no
+#: tolerance — same discipline as the quality/fingerprint oracles.
+GOPHER_QUALITY_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split(text, ' ') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+               len(lines) AS n_lines,
+               len(list_filter(lines,
+                   l -> starts_with(l, '- ') OR starts_with(l, '•'))) AS n_bullet,
+               len(list_filter(lines,
+                   l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell_lines,
+               len(list_filter(toks,
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               {" + ".join(
+                   f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+                   for w in TX.GOPHER_STOPWORDS
+               )} AS n_stop_kinds
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words >= {TX.GOPHER_MIN_WORDS}
+            AND n_words <= {TX.GOPHER_MAX_WORDS}) AS word_count_ok,
+           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+               AS mean_word_len_ok,
+           ((n_hash + n_ell) * 10 < n_words) AS symbol_ratio_ok,
+           (n_bullet * 10 < n_lines * 9) AS bullet_lines_ok,
+           (n_ell_lines * 10 < n_lines * 3) AS ellipsis_lines_ok,
+           (n_alpha * 5 > n_words * 4) AS alpha_word_ok,
+           (n_stop_kinds >= 2) AS stopword_ok,
+           ((n_words >= {TX.GOPHER_MIN_WORDS}
+             AND n_words <= {TX.GOPHER_MAX_WORDS})
+            AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+            AND ((n_hash + n_ell) * 10 < n_words)
+            AND (n_bullet * 10 < n_lines * 9)
+            AND (n_ell_lines * 10 < n_lines * 3)
+            AND (n_alpha * 5 > n_words * 4)
+            AND (n_stop_kinds >= 2)) AS gopher_pass
+    FROM m ORDER BY doc_id
+"""
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the Gopher quality-rule battery (Rae et al. 2021, appendix
+    A1.1 — the standard pre-training corpus filter reused by MassiveText
+    descendants, RedPajama, Dolma) as per-document rule flags plus the
+    composite ``gopher_pass``. Every rule is integer/boolean Column
+    algebra with cross-multiplied thresholds — zero floats, zero UDFs, a
+    pure scan-side projection (no exchange except the ordered collect) —
+    so the oracle recomputes the battery exactly. Complements the
+    repo's composite ``quality_features`` score: that one ranks, this one
+    GATES, and real pipelines run both (gate first, rank survivors)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        TX.gopher_quality_flags(t["documents"])
+        .select(
+            "doc_id",
+            "n_words",
+            "word_count_ok",
+            "mean_word_len_ok",
+            "symbol_ratio_ok",
+            "bullet_lines_ok",
+            "ellipsis_lines_ok",
+            "alpha_word_ok",
+            "stopword_ok",
+            "gopher_pass",
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
 #: raw spelling and its canonical form are pure functions of the id; the
 #: oracle builds the EXPECTED canonical string directly (it never runs a

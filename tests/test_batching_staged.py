@@ -930,3 +930,67 @@ def test_dsir_scoring_plan_shape(spark):
     plan = _plan(dsir_scores(docs, lut))
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality battery (staged r10)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_report_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        GOPHER_QUALITY_ORACLE,
+        gopher_quality_report,
+    )
+
+    got = gopher_quality_report(spark, SF_ORACLE)
+    res = compare(got, GOPHER_QUALITY_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_gopher_rules_handcrafted(spark):
+    """Each rule triggered by a purpose-built document (the synthetic
+    corpus is single-line prose, so bullets/ellipses/symbols only get
+    exercised here)."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, all alpha, stopwords present
+    docs = [
+        (0, good),
+        (1, "short text"),  # word_count fails
+        (2, " ".join(["#"] * 30 + ["the", "be"] + ["word"] * 40)),  # symbols
+        (3, "\n".join(["- bullet line"] * 8 + [good, good])),  # bullets ok (80%)
+        (4, "\n".join(["- b"] * 19 + [good])),  # bullets fail (95%)
+        (5, "\n".join([good, "ends here...", "and this one...", "x..."])),  # ellipsis 75%
+        (6, " ".join(["123", "456"] * 40 + ["the", "be"])),  # alpha fails
+        (7, " ".join(["word"] * 60)),  # no stopwords
+        (8, " ".join(["supercalifragilistic"] * 60 + ["the", "be"])),  # mean len > 10
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in gopher_quality_flags(df).collect()}
+    assert r[0].gopher_pass
+    assert not r[1].word_count_ok and not r[1].gopher_pass
+    assert not r[2].symbol_ratio_ok
+    assert r[3].bullet_lines_ok
+    assert not r[4].bullet_lines_ok
+    assert not r[5].ellipsis_lines_ok
+    assert not r[6].alpha_word_ok
+    assert not r[7].stopword_ok
+    assert not r[8].mean_word_len_ok
+
+
+def test_gopher_plan_is_scan_side(spark):
+    """The battery is a projection: no Exchange before the final sort."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    plan = _plan(gopher_quality_flags(docs).select("doc_id", "gopher_pass"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

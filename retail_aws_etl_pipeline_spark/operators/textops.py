@@ -433,31 +433,29 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     rider on whatever scan feeds the curation funnel, same as
     :func:`quality_features`.
     """
+    # Token/line arrays are materialized ONCE in a projection (lambda
+    # expressions defeat Catalyst CSE — the tokenize-once lesson from the
+    # shingle family), then every rule reads the shared columns.
     t = F.col(text_col)
-    toks = whitespace_tokens(text_col)
-    n_words = F.size(toks).cast("long")
-    sum_len = F.expr(
-        f"aggregate(split({text_col}, ' '), 0L, (a, x) -> a + length(x))"
+    staged = df.withColumn("__toks", whitespace_tokens(text_col)).withColumn(
+        "__lines", F.split(t, "\n")
     )
+    n_words = F.size(F.col("__toks")).cast("long")
+    sum_len = F.expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
     n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
     n_ellipsis = (
         (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     ).cast("long")
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("long")
+    n_lines = F.size(F.col("__lines")).cast("long")
     n_bullet = F.expr(
-        f"size(filter(split({text_col}, '\\n'), "
-        "l -> startswith(l, '- ') OR startswith(l, '•')))"
+        "size(filter(__lines, l -> startswith(l, '- ') OR startswith(l, '•')))"
     ).cast("long")
     n_ell_lines = F.expr(
-        f"size(filter(split({text_col}, '\\n'), "
-        "l -> endswith(l, '...') OR endswith(l, '…')))"
+        "size(filter(__lines, l -> endswith(l, '...') OR endswith(l, '…')))"
     ).cast("long")
-    n_alpha = F.expr(
-        f"size(filter(split({text_col}, ' '), x -> x rlike '[A-Za-z]'))"
-    ).cast("long")
+    n_alpha = F.expr("size(filter(__toks, x -> x rlike '[A-Za-z]'))").cast("long")
     n_stop_kinds = sum(
-        F.array_contains(toks, w).cast("long") for w in GOPHER_STOPWORDS
+        F.array_contains(F.col("__toks"), w).cast("long") for w in GOPHER_STOPWORDS
     )
     flags = {
         "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
@@ -469,9 +467,105 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "alpha_word_ok": n_alpha * 5 > n_words * 4,
         "stopword_ok": n_stop_kinds >= 2,
     }
-    out = df.withColumn("n_words", n_words)
+    out = staged.withColumn("n_words", n_words)
     gopher_pass = None
     for name, c in flags.items():
         out = out.withColumn(name, c)
         gopher_pass = c if gopher_pass is None else (gopher_pass & c)
-    return out.withColumn("gopher_pass", gopher_pass)
+    return out.withColumn("gopher_pass", gopher_pass).drop("__toks", "__lines")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge loop)
+# ---------------------------------------------------------------------------
+
+#: End-of-word marker (multi-char, so it can never collide with the
+#: single-character base symbols).
+BPE_EOW = "</w>"
+
+#: Default number of merge rounds for the registry query (the oracle
+#: unrolls the same fixed schedule — part of the operator contract, like
+#: kcore_peel's round budget).
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = BPE_MERGE_ROUNDS, text_col: str = "text"
+) -> DataFrame:
+    """Train ``rounds`` BPE merges on the corpus: (round, left_sym,
+    right_sym, pair_count) — the actual tokenizer-training loop, not just
+    one pair census (``bpe_pair_stats`` is step 1; this iterates it).
+
+    The standard trainer construction (Sennrich et al. 2016): collapse
+    the corpus to a WORD-FREQUENCY table first — pair statistics are a
+    sum over distinct words weighted by frequency, so the iterative part
+    runs on |vocab| rows, not |corpus| rows. That one groupBy is the only
+    corpus-scale exchange; at 100 TB the loop then iterates on a
+    many-orders-smaller frame (exactly how production BPE trainers do it).
+
+    Each word is a space-padded symbol string (``' h i </w> '``). Per
+    round: adjacent symbol pairs exploded and summed by frequency; the
+    argmax pair (count desc, then lexicographic — deterministic) is taken
+    with ``limit(1)`` and CROSS-JOINED back as a broadcast literal row —
+    no driver collect anywhere; the merge is applied with TWO sequential
+    ``replace`` passes. Two passes are exactly greedy left-to-right BPE:
+    a single pass misses only occurrences whose leading space the
+    previous match consumed, misses are never consecutive (a miss's own
+    leading space is intact), so the second pass's matches are disjoint
+    and complete the merge set; symbol-level overlaps (``a a a`` under
+    merge (a,a)) are correctly skipped by both passes because the first
+    merge atomizes the shared symbol. Both frames are lineage-truncated
+    per round (the connected-components discipline).
+    """
+    words = (
+        docs.select(F.explode(whitespace_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sym0 = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.col("w"), ""), " "),
+        F.lit(" " + BPE_EOW + " "),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(sym0.alias("sym"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    pairs_arr = (
+        "transform(sequence(1, greatest(size(__t) - 1, 0)),"
+        " i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b))"
+    )
+    merges = None
+    for r in range(1, rounds + 1):
+        counts = (
+            vocab.withColumn("__t", F.split(F.trim(F.col("sym")), " "))
+            .select(F.explode(F.expr(pairs_arr)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = (
+            counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        pat = F.concat(
+            F.lit(" "), F.col("left_sym"), F.lit(" "), F.col("right_sym"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" "))
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges

@@ -6279,6 +6279,82 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle() -> str:
+    """Oracle for :func:`bpe_train_merges_report` (STAGED): the fixed
+    ``BPE_MERGE_ROUNDS`` trainer schedule unrolled as a CTE chain — per
+    round, pair counts (adjacent-index join, frequency-weighted), the
+    deterministic argmax, and the same two-pass replace merge. Every
+    quantity is an integer and the tiebreak lexicographic, so the merge
+    table is hash-exact."""
+    r = TX.BPE_MERGE_ROUNDS
+    parts = [
+        f"""
+    words AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    vocab0 AS (
+        SELECT ' ' || array_to_string(string_split(w, ''), ' ')
+               || ' {TX.BPE_EOW} ' AS sym, freq
+        FROM words
+    )"""
+    ]
+    for i in range(1, r + 1):
+        parts.append(
+            f"""
+    toks{i} AS (
+        SELECT sym, freq, string_split(trim(sym), ' ') AS t FROM vocab{i - 1}
+    ),
+    counts{i} AS (
+        SELECT t[i.i] AS a, t[i.i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM toks{i}, (SELECT UNNEST(generate_series(1, 128)) AS i) i
+        WHERE i.i <= len(t) - 1
+        GROUP BY 1, 2
+    ),
+    best{i} AS (
+        SELECT a, b, cnt FROM counts{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    vocab{i} AS (
+        SELECT replace(replace(v.sym,
+                   ' ' || bt.a || ' ' || bt.b || ' ',
+                   ' ' || bt.a || bt.b || ' '),
+                   ' ' || bt.a || ' ' || bt.b || ' ',
+                   ' ' || bt.a || bt.b || ' ') AS sym,
+               v.freq
+        FROM vocab{i - 1} v, best{i} bt
+    )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, a AS left_sym, b AS right_sym,"
+        f" cnt AS pair_count FROM best{i}"
+        for i in range(1, r + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"\n    SELECT * FROM ({union}) ORDER BY round"
+    )
+
+
+BPE_TRAIN_ORACLE = _bpe_train_oracle()
+
+
+def bpe_train_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the BPE tokenizer TRAINING LOOP (Sennrich et al. 2016) as
+    an iterative distributed operator — per round: frequency-weighted
+    adjacent-pair counts over the word-frequency table, deterministic
+    argmax (count desc, lexicographic tiebreak), two-pass replace merge
+    (provably greedy left-to-right — see the operator docstring), with
+    the argmax rejoined as a broadcast row so there is NO driver collect
+    anywhere in the loop. The corpus-scale exchange happens ONCE (the
+    word-frequency groupBy); the loop then iterates on |vocab| rows —
+    the standard trainer construction and the reason this scales to
+    100 TB (pair stats are frequency sums over distinct words). The
+    oracle unrolls the identical fixed schedule; all-integer counts and
+    the lexicographic tiebreak make the merge table hash-exact."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.bpe_train_merges(t["documents"]).orderBy("round")
+
+
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
 #: raw spelling and its canonical form are pure functions of the id; the
 #: oracle builds the EXPECTED canonical string directly (it never runs a

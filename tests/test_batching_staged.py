@@ -994,3 +994,91 @@ def test_gopher_plan_is_scan_side(spark):
     plan = _plan(gopher_quality_flags(docs).select("doc_id", "gopher_pass"))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (staged r10)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_python_mirror(texts: list[str], rounds: int):
+    """Reference greedy BPE trainer on a word-frequency table."""
+    from collections import Counter
+
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in freq.items()}
+    merges = []
+    for r in range(1, rounds + 1):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        # argmax: count desc, then lexicographic pair asc
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((r, a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_mirror(spark):
+    """The distributed trainer must equal the canonical greedy trainer on
+    a corpus engineered to exercise overlap handling (aaa chains, shared-
+    space chains, EOW merges, frequency weighting)."""
+    from retail_aws_etl_pipeline_spark.operators.textops import bpe_train_merges
+
+    texts = [
+        "aaa aa aaaa banana banana bandana",
+        "low lower lowest low low newer new",
+        "aaa abab ababab the the the the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(df, rounds=5).orderBy("round").collect()
+    ]
+    want = _bpe_python_mirror(texts, 5)
+    assert got == want, (got, want)
+
+
+def test_bpe_train_matches_mirror_on_corpus(spark):
+    """Same equality on the real sf0.01 documents table at the registry
+    round budget."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        BPE_MERGE_ROUNDS,
+        bpe_train_merges,
+    )
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    texts = [r.text for r in docs.select("text").collect()]
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(docs).orderBy("round").collect()
+    ]
+    assert got == _bpe_python_mirror(texts, BPE_MERGE_ROUNDS), got[:3]
+
+
+def test_bpe_train_oracle_match(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        BPE_TRAIN_ORACLE,
+        bpe_train_merges_report,
+    )
+
+    got = bpe_train_merges_report(spark, SF_ORACLE)
+    res = compare(got, BPE_TRAIN_ORACLE, SF_ORACLE)
+    assert res["ok"], res

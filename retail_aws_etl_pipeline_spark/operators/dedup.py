@@ -1473,3 +1473,80 @@ def edit_distance_pairs_lsh(
             F.col("d").cast("long").alias("edit_distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+#: Rolling-hash window (tokens), polynomial base, modulus, and boundary
+#: divisor (expected chunk length ≈ CDC_DIVISOR tokens). All arithmetic is
+#: exact int64: acc < CDC_MOD ≈ 1e9, acc*CDC_BASE < 2.6e11, token hash
+#: < 2^16 — the same engine-portable md5-nibble hash as split_bucket.
+CDC_WINDOW = 4
+CDC_BASE = 257
+CDC_MOD = 1_000_000_007
+CDC_DIVISOR = 8
+
+
+def content_defined_chunks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Split each document at CONTENT-DEFINED boundaries: (id, chunk_idx,
+    chunk_text) — the shift-resistant alternative to fixed token windows.
+
+    Fixed-size chunk dedup (:func:`chunk_dedup_stats`) breaks when a
+    document gains one leading token: every window shifts and nothing
+    matches. Content-defined chunking (the storage-dedup technique —
+    Muthitacharoen et al., LBFS SOSP'01) places a boundary after token
+    ``i`` whenever the rolling hash of the last ``CDC_WINDOW`` tokens is
+    ``0 mod CDC_DIVISOR``, so boundaries are functions of LOCAL CONTENT:
+    an insertion re-chunks only up to the first surviving boundary and
+    every chunk after it is byte-identical again (pinned by test).
+
+    Everything is per-row array algebra — token md5-nibble hashes, the
+    windowed polynomial fold, boundary filter, and slice/join chunk
+    assembly run inside one projection; no explode before the final
+    chunk unnest, no shuffle, no UDF. At 100 TB this is a free rider on
+    the corpus scan like every other signature here, and the downstream
+    dedup is the standard content-keyed groupBy on the chunk hash."""
+    w, base, mod, div = CDC_WINDOW, CDC_BASE, CDC_MOD, CDC_DIVISOR
+    # Each stage is its own projected column: lambda expressions defeat
+    # Catalyst CSE, so inlining would re-evaluate the whole upstream array
+    # per element_at (the shingle tokenize-once lesson).
+    staged = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn(
+            "__h",
+            F.expr(
+                "transform(__toks, x -> "
+                "cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn(
+            "__roll",
+            F.expr(
+                f"transform(sequence(1, size(__toks)), i -> "
+                f"aggregate(slice(__h, greatest(1, i - {w} + 1), least(i, {w})), "
+                f"0L, (a, x) -> (a * {base} + x) % {mod}))"
+            ),
+        )
+        .withColumn(
+            "__bpos",
+            F.expr(
+                f"filter(sequence(1, size(__toks)), i -> "
+                f"element_at(__roll, i) % {div} = 0 AND i < size(__toks))"
+            ),
+        )
+        .withColumn("__starts", F.expr("concat(array(1), transform(__bpos, p -> p + 1))"))
+        .withColumn("__ends", F.expr("concat(__bpos, array(size(__toks)))"))
+    )
+    chunks = (
+        "transform(sequence(1, size(__starts)), k -> "
+        "array_join(slice(__toks, element_at(__starts, k), "
+        "element_at(__ends, k) - element_at(__starts, k) + 1), ' '))"
+    )
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+    )

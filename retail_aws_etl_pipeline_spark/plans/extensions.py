@@ -6355,6 +6355,87 @@ def bpe_train_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_train_merges(t["documents"]).orderBy("round")
 
 
+#: Oracle for :func:`cdc_chunk_dedup` (STAGED). The whole CDC pipeline —
+#: md5-nibble token hashes, the windowed polynomial fold, boundary filter,
+#: slice/join chunk assembly, and the dedup aggregate — re-expressed in
+#: DuckDB list algebra. list_reduce seeds with the FIRST element, so the
+#: oracle prepends the 0 that Spark's aggregate(…, 0L, …) starts from.
+_CDC_NIB = (
+    "((strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(x), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(x), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(x), 4, 1)) - 1))"
+)
+CDC_CHUNK_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (
+        SELECT doc_id, toks,
+               list_transform(toks, x -> CAST({_CDC_NIB} AS BIGINT)) AS hs
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) + 1), i ->
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_slice(hs, greatest(1, i - {D.CDC_WINDOW - 1}), i)),
+                       (a, x) -> (a * {D.CDC_BASE} + x) % {D.CDC_MOD})) AS roll
+        FROM h
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               list_filter(range(1, len(toks) + 1), i ->
+                   roll[i] % {D.CDC_DIVISOR} = 0 AND i < len(toks)) AS bpos
+        FROM r
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+               list_append(bpos, len(toks)) AS ends
+        FROM b
+    ),
+    c AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(starts) + 1), k ->
+                   array_to_string(list_slice(toks, starts[k], ends[k]), ' ')))
+                   AS chunk_text
+        FROM s
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM c
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, chunk_hash ASC
+    LIMIT 100
+"""
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: content-defined chunk dedup — the SHIFT-RESISTANT
+    sub-document dedup (Rabin-style rolling-hash boundaries, the LBFS
+    storage-dedup technique applied to corpus curation). Fixed-window
+    chunk dedup (token_chunk_dedup) loses every match when a mirror adds
+    one leading token; CDC boundaries are functions of local content, so
+    chunks realign after any insertion (pinned by test) and shared
+    passages keep deduplicating. The whole chunker is per-row array
+    algebra inside one projection — no shuffle until the standard
+    content-keyed groupBy on the chunk hash — and the oracle re-expresses
+    the identical fold/filter/slice pipeline in DuckDB list algebra, so
+    the top-duplicated-chunk table is hash-exact."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        D.content_defined_chunks(docs)
+        .groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+        .limit(100)
+    )
+
+
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
 #: raw spelling and its canonical form are pure functions of the id; the
 #: oracle builds the EXPECTED canonical string directly (it never runs a

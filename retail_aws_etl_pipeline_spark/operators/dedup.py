@@ -1511,42 +1511,57 @@ def content_defined_chunks(
     the corpus scan like every other signature here, and the downstream
     dedup is the standard content-keyed groupBy on the chunk hash."""
     w, base, mod, div = CDC_WINDOW, CDC_BASE, CDC_MOD, CDC_DIVISOR
-    # Each stage is its own projected column: lambda expressions defeat
-    # Catalyst CSE, so inlining would re-evaluate the whole upstream array
-    # per element_at (the shingle tokenize-once lesson).
-    staged = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
-        .withColumn(
-            "__h",
-            F.expr(
-                "transform(__toks, x -> "
-                "cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint))"
-            ),
-        )
-        .withColumn(
-            "__roll",
-            F.expr(
-                f"transform(sequence(1, size(__toks)), i -> "
-                f"aggregate(slice(__h, greatest(1, i - {w} + 1), least(i, {w})), "
-                f"0L, (a, x) -> (a * {base} + x) % {mod}))"
-            ),
-        )
-        .withColumn(
-            "__bpos",
-            F.expr(
-                f"filter(sequence(1, size(__toks)), i -> "
-                f"element_at(__roll, i) % {div} = 0 AND i < size(__toks))"
-            ),
-        )
-        .withColumn("__starts", F.expr("concat(array(1), transform(__bpos, p -> p + 1))"))
-        .withColumn("__ends", F.expr("concat(__bpos, array(size(__toks)))"))
-    )
-    chunks = (
-        "transform(sequence(1, size(__starts)), k -> "
-        "array_join(slice(__toks, element_at(__starts, k), "
-        "element_at(__ends, k) - element_at(__starts, k) + 1), ' '))"
-    )
-    return staged.select(
+    assert w == 4, "the unrolled shift register below is written for W=4"
+    # ONE O(n) fold per document. The naive formulation (separate columns
+    # for per-position rolling hashes / boundary positions, consumed
+    # through element_at inside later lambdas) is O(n^3): CollapseProject
+    # substitutes single-use aliases INTO lambda bodies, so each position
+    # re-derived every upstream array — measured 92 s for 500 sf0.1 docs.
+    # Instead the whole chunker is a single aggregate() over the token
+    # array: the accumulator carries the last W-1 token hashes (a shift
+    # register), the growing current chunk, and the finished chunk list;
+    # each token is hashed exactly once and there is nothing for the
+    # optimizer to inline. Window shorter than W at the start is handled
+    # by zero-filled slots (leading zeros do not change the polynomial's
+    # value), and "no boundary at the last token" falls out of the flush
+    # logic: a boundary firing exactly at the end leaves an empty current
+    # chunk, which the finish step does not append.
+    #
+    # The per-step accumulator copy makes one fold O(n * avg_chunk_len);
+    # pathological single-document inputs (millions of tokens) would want
+    # the mapInPandas escape hatch instead — the corpus contract here is
+    # document-sized rows.
+    # The new token's hash is needed three times in the merge lambda, so
+    # it is bound ONCE via a one-element transform (md5 evaluated once).
+    b2, b3 = base * base, base * base * base
+    fold = f"""
+    aggregate(
+        split({text_col}, ' '),
+        named_struct(
+            'w2', 0L, 'w3', 0L, 'w4', 0L,
+            'cur', cast('' as string),
+            'chunks', cast(array() as array<string>)
+        ),
+        (acc, x) -> element_at(transform(
+            array(cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint)),
+            nh -> named_struct(
+                'w2', acc.w3, 'w3', acc.w4, 'w4', nh,
+                'cur', CASE WHEN (acc.w2 * {b3} + acc.w3 * {b2}
+                                  + acc.w4 * {base} + nh) % {mod} % {div} = 0
+                            THEN ''
+                            ELSE CASE WHEN acc.cur = '' THEN x
+                                      ELSE concat(acc.cur, ' ', x) END END,
+                'chunks', CASE WHEN (acc.w2 * {b3} + acc.w3 * {b2}
+                                     + acc.w4 * {base} + nh) % {mod} % {div} = 0
+                               THEN array_append(acc.chunks,
+                                        CASE WHEN acc.cur = '' THEN x
+                                             ELSE concat(acc.cur, ' ', x) END)
+                               ELSE acc.chunks END
+            )), 1),
+        acc -> CASE WHEN acc.cur = '' THEN acc.chunks
+                    ELSE array_append(acc.chunks, acc.cur) END
+    )"""
+    return df.withColumn("__chunks", F.expr(fold)).select(
         F.col(id_col),
-        F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+        F.posexplode(F.col("__chunks")).alias("chunk_idx", "chunk_text"),
     )

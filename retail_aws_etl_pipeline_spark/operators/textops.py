@@ -569,3 +569,54 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)
         )
     return merges
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained BPE merges to every document: (id cols…, n_base_symbols,
+    n_bpe_tokens) — the ENCODE step completing the tokenizer lifecycle
+    (bpe_pair_stats census → bpe_train_merges training → this).
+
+    Each document becomes one padded symbol string (per word: characters
+    + ``BPE_EOW``), then the learned merges apply in training order via
+    the same two-pass replace that the trainer uses (greedy left-to-right
+    — see :func:`bpe_train_merges`). Encoding whole documents in one
+    string is safe: a learned merge's pair was observed WITHIN a word, so
+    its pattern can never straddle the ``</w>`` separator between words.
+
+    The merge list is a bounded fit artifact (R rows — the centroid
+    discipline); it rides the plan as literal patterns, so encoding is a
+    pure scan-side projection: no join, no UDF, no shuffle. At 100 TB
+    this is the per-document tokenize pass of a training-data pipeline.
+    """
+    t = F.col(text_col)
+    sym = F.concat(
+        F.lit(" "),
+        F.expr(
+            f"array_join(transform(split({text_col}, ' '), "
+            f"w -> concat(array_join(split(w, ''), ' '), ' {BPE_EOW}')), ' ')"
+        ),
+        F.lit(" "),
+    )
+    out = docs.withColumn("__sym", sym)
+    enc = F.col("__sym")
+    for a, b in merges:
+        pat = F.lit(f" {a} {b} ")
+        rep = F.lit(f" {a}{b} ")
+        enc = F.replace(F.replace(enc, pat, rep), pat, rep)
+    n_words = F.size(F.split(t, " ")).cast("long")
+    n_spaces = n_words - 1
+    # base symbols = every character of every word + one EOW per word:
+    # (chars excl. the separating spaces) + n_words.
+    n_base = (F.length(t) - n_spaces + n_words).cast("long")
+    return (
+        out.withColumn("__enc", enc)
+        .withColumn("n_base_symbols", n_base)
+        .withColumn(
+            "n_bpe_tokens", F.size(F.split(F.trim(F.col("__enc")), " ")).cast("long")
+        )
+        .drop("__sym", "__enc")
+    )

@@ -6436,6 +6436,87 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle() -> str:
+    """Oracle for :func:`bpe_encode_report` (STAGED): reuses the trainer
+    oracle's unrolled best1..bestR CTEs, then ENCODES every document with
+    the same two-pass replace chain and aggregates per language — the
+    full tokenizer lifecycle (train + encode) under one hash gate."""
+    r = TX.BPE_MERGE_ROUNDS
+    train = _bpe_train_oracle()
+    # reuse everything up to the last vocab CTE; strip the trainer's
+    # final top-level SELECT (the marker is unique — the union's inner
+    # SELECTs sit inside the parenthesized subquery after it).
+    with_block = train[: train.index("\n    SELECT * FROM (")]
+    enc = "sym0"
+    for i in range(1, r + 1):
+        pat = f"' ' || (SELECT a FROM best{i}) || ' ' || (SELECT b FROM best{i}) || ' '"
+        rep = f"' ' || (SELECT a FROM best{i}) || (SELECT b FROM best{i}) || ' '"
+        enc = f"replace(replace({enc}, {pat}, {rep}), {pat}, {rep})"
+    return (
+        with_block
+        + f""",
+    dsym AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               ' ' || array_to_string(list_transform(string_split(text, ' '),
+                   w -> array_to_string(string_split(w, ''), ' ')
+                        || ' {TX.BPE_EOW}'), ' ') || ' ' AS sym0
+        FROM documents
+    ),
+    denc AS (
+        SELECT lang,
+               n_chars - (n_words - 1) + n_words AS n_base,
+               len(string_split(trim({enc}), ' ')) AS n_tok
+        FROM dsym
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_base) AS BIGINT) AS base_symbols,
+           CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_tok) * 1000000 // SUM(n_base) AS BIGINT)
+               AS tokens_per_base_ppm
+    FROM denc GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
+def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the tokenizer lifecycle END TO END — train
+    ``BPE_MERGE_ROUNDS`` merges on the corpus (bpe_train_merges), then
+    ENCODE every document with them and report per-language token mass
+    and compression (tokens per base symbol, floor-ppm). The trained
+    merge list is a bounded fit artifact (R rows, the centroid
+    discipline) that rides the encode plan as literal patterns, so the
+    encode pass is a pure scan-side projection; the oracle re-derives
+    the merges AND the encoding in DuckDB, putting training and
+    application under one hash gate. The per-language fertility view is
+    exactly what a tokenizer audit wants before committing to a vocab."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in TX.bpe_train_merges(docs).orderBy("round").collect()
+    ]
+    enc = TX.bpe_encode_stats(docs, merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_base_symbols").cast("long").alias("base_symbols"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "tokens_per_base_ppm",
+            F.expr("bpe_tokens * 1000000 div base_symbols").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: Oracle for :func:`url_canonical_dedup` (STAGED — see above). Both the
 #: raw spelling and its canonical form are pure functions of the id; the
 #: oracle builds the EXPECTED canonical string directly (it never runs a

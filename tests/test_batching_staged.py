@@ -1185,3 +1185,71 @@ def test_cdc_plan_is_scan_side_until_groupby(spark):
     plan = _plan(content_defined_chunks(docs))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bpe_encode_report_oracle(spark):
+    """Train + encode under one hash gate (the full tokenizer lifecycle)."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        BPE_ENCODE_ORACLE,
+        bpe_encode_report,
+    )
+
+    res = compare(bpe_encode_report(spark, SF_ORACLE), BPE_ENCODE_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_bpe_encode_matches_python_mirror(spark):
+    """Encoding with trained merges must equal the canonical greedy
+    encoder per document (same mirror as the trainer, applied)."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    texts = ["aaa aa aaaa banana bandana", "low lower lowest new newer"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train_merges(df, rounds=4).orderBy("round").collect()
+    ]
+
+    def encode(text):
+        total = 0
+        for w in text.split(" "):
+            syms = list(w) + ["</w>"]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    got = {
+        r.doc_id: (r.n_base_symbols, r.n_bpe_tokens)
+        for r in bpe_encode_stats(df, merges).select(
+            "doc_id", "n_base_symbols", "n_bpe_tokens"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        base = sum(len(w) + 1 for w in t.split(" "))
+        assert got[i] == (base, encode(t)), (i, got[i], base, encode(t))
+
+
+def test_bpe_encode_is_scan_side(spark):
+    """The encode pass with literal merges is one projection: no join,
+    no Exchange, no Python eval."""
+    from retail_aws_etl_pipeline_spark.operators.textops import bpe_encode_stats
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    plan = _plan(bpe_encode_stats(docs, [("a", "b"), ("ab", "c</w>")]))
+    assert "Exchange" not in plan and "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

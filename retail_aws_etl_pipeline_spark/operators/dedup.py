@@ -1547,6 +1547,7 @@ def content_defined_chunks(
         split({text_col}, ' '),
         named_struct(
             'w2', 0L, 'w3', 0L, 'w4', 0L,
+            'n', 0L,
             'cur', cast('' as string),
             'chunks', cast(array() as array<string>)
         ),
@@ -1554,19 +1555,22 @@ def content_defined_chunks(
             array(cast(conv(substring(md5(x), 1, 4), 16, 10) as bigint)),
             nh -> named_struct(
                 'w2', acc.w3, 'w3', acc.w4, 'w4', nh,
+                'n', CASE WHEN (acc.w2 * {b3} + acc.w3 * {b2}
+                                + acc.w4 * {base} + nh) % {mod} % {div} = 0
+                          THEN 0L ELSE acc.n + 1L END,
                 'cur', CASE WHEN (acc.w2 * {b3} + acc.w3 * {b2}
                                   + acc.w4 * {base} + nh) % {mod} % {div} = 0
                             THEN ''
-                            ELSE CASE WHEN acc.cur = '' THEN x
+                            ELSE CASE WHEN acc.n = 0L THEN x
                                       ELSE concat(acc.cur, ' ', x) END END,
                 'chunks', CASE WHEN (acc.w2 * {b3} + acc.w3 * {b2}
                                      + acc.w4 * {base} + nh) % {mod} % {div} = 0
                                THEN array_append(acc.chunks,
-                                        CASE WHEN acc.cur = '' THEN x
+                                        CASE WHEN acc.n = 0L THEN x
                                              ELSE concat(acc.cur, ' ', x) END)
                                ELSE acc.chunks END
             )), 1),
-        acc -> CASE WHEN acc.cur = '' THEN acc.chunks
+        acc -> CASE WHEN acc.n = 0L THEN acc.chunks
                     ELSE array_append(acc.chunks, acc.cur) END
     )"""
     return df.withColumn("__chunks", F.expr(fold)).select(

@@ -1253,3 +1253,41 @@ def test_bpe_encode_is_scan_side(spark):
     plan = _plan(bpe_encode_stats(docs, [("a", "b"), ("ab", "c</w>")]))
     assert "Exchange" not in plan and "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_cdc_mirror_hypothesis_unicode(spark):
+    """CDC vs the Python mirror over arbitrary unicode token streams —
+    md5-of-utf8 and the fold must agree for any text shape."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" \x00", blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=6,
+    )
+    texts = st.lists(
+        st.lists(token, min_size=1, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=texts)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {}
+        for r in content_defined_chunks(df).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+        for i, t in enumerate(texts):
+            chunks = [c for _, c in sorted(got[i])]
+            assert chunks == _cdc_python_mirror(t), (i, t)
+            assert " ".join(chunks) == t
+
+    check()

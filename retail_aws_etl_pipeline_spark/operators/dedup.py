@@ -923,14 +923,20 @@ def pagerank_scaled(
         .persist()
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # The per-iteration message table (src, dst, deg) is built ONCE and
-    # cached HASH-PARTITIONED ON src: InMemoryRelation preserves output
-    # partitioning, so every round's rank join reuses it and only the
-    # |nodes|-sized rank frame moves — the static edge-side exchange
-    # (the dominant shuffle at K=100: the r6 draft re-exchanged it every
-    # round) is paid once per PageRank run, the same lever bucketed gold
-    # uses for repeated fact joins.
-    msg = sym.join(deg, "src").repartition("src").persist()
+    # The per-iteration message table (src, dst, deg). For DEEP runs it
+    # is cached HASH-PARTITIONED ON src (InMemoryRelation preserves
+    # output partitioning), so every round's rank join reuses it and
+    # only the |nodes|-sized rank frame moves. Measured at the default
+    # iterations=2 the materialization costs more than the one saved
+    # join (K=100: 105.7 s vs 111.4 s — noise; sf0.1: ~+1 s of pure
+    # latency floor), so the cache only engages when the loop is deep
+    # enough to amortize it; ReusedExchange already de-duplicates the
+    # shallow case's repeated plan fragments.
+    msg = sym.join(deg, "src")
+    extra_caches = ()
+    if iterations > 2:
+        msg = msg.repartition("src").persist()
+        extra_caches = (msg,)
     ranks = nodes.select(F.col(id_col).alias("node")).withColumn(
         "rank", F.lit(PR_SCALE).cast("long")
     )
@@ -956,11 +962,11 @@ def pagerank_scaled(
             )
         )
     out = ranks.select(F.col("node").alias(id_col), F.col("rank").alias("rank_scaled"))
-    # The returned plan references `msg` once per iteration (and `msg`
-    # references `sym`), so both caches must outlive this call —
-    # lifecycle is caller-owned via caching.release_caches(result) after
-    # the terminal action.
-    return retaining(out, sym, msg)
+    # The returned plan references the message table once per iteration
+    # (and it references `sym`), so every persisted frame must outlive
+    # this call — lifecycle is caller-owned via
+    # caching.release_caches(result) after the terminal action.
+    return retaining(out, sym, *extra_caches)
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:

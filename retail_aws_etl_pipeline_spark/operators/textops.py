@@ -503,19 +503,21 @@ def bpe_train_merges(
     corpus-scale exchange; at 100 TB the loop then iterates on a
     many-orders-smaller frame (exactly how production BPE trainers do it).
 
-    Each word is a space-padded symbol string (``' h i </w> '``). Per
-    round: adjacent symbol pairs exploded and summed by frequency; the
-    argmax pair (count desc, then lexicographic — deterministic) is taken
-    with ``limit(1)`` and CROSS-JOINED back as a broadcast literal row —
-    no driver collect anywhere; the merge is applied with TWO sequential
-    ``replace`` passes. Two passes are exactly greedy left-to-right BPE:
-    a single pass misses only occurrences whose leading space the
-    previous match consumed, misses are never consecutive (a miss's own
-    leading space is intact), so the second pass's matches are disjoint
-    and complete the merge set; symbol-level overlaps (``a a a`` under
-    merge (a,a)) are correctly skipped by both passes because the first
-    merge atomizes the shared symbol. Both frames are lineage-truncated
-    per round (the connected-components discipline).
+    Each word is a symbol string with TWO-SPACE separators and single-
+    space pads (``' h  i  </w> '``). Per round: adjacent symbol pairs
+    exploded and summed by frequency; the argmax pair (count desc, then
+    lexicographic — deterministic) is taken with ``limit(1)`` and
+    CROSS-JOINED back as a broadcast literal row — no driver collect
+    anywhere; the merge is applied with ONE ``replace`` of
+    ``' a  b '`` → ``' ab '``. Double separators make this EXACTLY
+    greedy left-to-right BPE: each occurrence consumes one space from
+    its flanking two-space separators, so adjacent occurrences share no
+    characters and non-overlapping left-to-right replace IS the greedy
+    schedule. (A single-space draft needed two passes and still diverged
+    on odd same-symbol runs — ``b b b b b`` merged (1,2),(4,5) instead
+    of greedy's (1,2),(3,4); a hypothesis fuzz vs the canonical mirror
+    caught it.) Both frames are lineage-truncated per round (the
+    connected-components discipline).
     """
     words = (
         docs.select(F.explode(whitespace_tokens(text_col)).alias("w"))
@@ -523,8 +525,8 @@ def bpe_train_merges(
     )
     sym0 = F.concat(
         F.lit(" "),
-        F.array_join(F.split(F.col("w"), ""), " "),
-        F.lit(" " + BPE_EOW + " "),
+        F.array_join(F.split(F.col("w"), ""), "  "),
+        F.lit("  " + BPE_EOW + " "),
     )
     vocab = (
         words.groupBy("w")
@@ -532,14 +534,18 @@ def bpe_train_merges(
         .select(sym0.alias("sym"), "freq")
         .localCheckpoint(eager=True)
     )
+    # size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so the
+    # greatest(...) idiom still indexes element 2 of a 1-element array —
+    # which happens as soon as any word merges down to a single symbol.
     pairs_arr = (
-        "transform(sequence(1, greatest(size(__t) - 1, 0)),"
+        "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1),"
         " i -> struct(element_at(__t, i) AS a, element_at(__t, i + 1) AS b))"
+        " ELSE array() END"
     )
     merges = None
     for r in range(1, rounds + 1):
         counts = (
-            vocab.withColumn("__t", F.split(F.trim(F.col("sym")), " "))
+            vocab.withColumn("__t", F.split(F.trim(F.col("sym")), "  "))
             .select(F.explode(F.expr(pairs_arr)).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").cast("long").alias("cnt"))
@@ -557,15 +563,12 @@ def bpe_train_merges(
         )
         merges = best if merges is None else merges.unionByName(best)
         pat = F.concat(
-            F.lit(" "), F.col("left_sym"), F.lit(" "), F.col("right_sym"), F.lit(" ")
+            F.lit(" "), F.col("left_sym"), F.lit("  "), F.col("right_sym"), F.lit(" ")
         )
         rep = F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" "))
         vocab = (
             vocab.crossJoin(F.broadcast(best))
-            .select(
-                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias("sym"),
-                "freq",
-            )
+            .select(F.replace(F.col("sym"), pat, rep).alias("sym"), "freq")
             .localCheckpoint(eager=True)
         )
     return merges
@@ -580,12 +583,13 @@ def bpe_encode_stats(
     n_bpe_tokens) — the ENCODE step completing the tokenizer lifecycle
     (bpe_pair_stats census → bpe_train_merges training → this).
 
-    Each document becomes one padded symbol string (per word: characters
-    + ``BPE_EOW``), then the learned merges apply in training order via
-    the same two-pass replace that the trainer uses (greedy left-to-right
-    — see :func:`bpe_train_merges`). Encoding whole documents in one
-    string is safe: a learned merge's pair was observed WITHIN a word, so
-    its pattern can never straddle the ``</w>`` separator between words.
+    Each document becomes one symbol string in the trainer's two-space-
+    separator representation (per word: characters + ``BPE_EOW``), then
+    the learned merges apply in training order via the same single
+    ``replace`` — exactly greedy left-to-right, see
+    :func:`bpe_train_merges`. Encoding whole documents in one string is
+    safe: a learned merge's pair was observed WITHIN a word, so its
+    pattern can never straddle the ``</w>`` separator between words.
 
     The merge list is a bounded fit artifact (R rows — the centroid
     discipline); it rides the plan as literal patterns, so encoding is a
@@ -597,16 +601,14 @@ def bpe_encode_stats(
         F.lit(" "),
         F.expr(
             f"array_join(transform(split({text_col}, ' '), "
-            f"w -> concat(array_join(split(w, ''), ' '), ' {BPE_EOW}')), ' ')"
+            f"w -> concat(array_join(split(w, ''), '  '), '  {BPE_EOW}')), '  ')"
         ),
         F.lit(" "),
     )
     out = docs.withColumn("__sym", sym)
     enc = F.col("__sym")
     for a, b in merges:
-        pat = F.lit(f" {a} {b} ")
-        rep = F.lit(f" {a}{b} ")
-        enc = F.replace(F.replace(enc, pat, rep), pat, rep)
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     n_words = F.size(F.split(t, " ")).cast("long")
     n_spaces = n_words - 1
     # base symbols = every character of every word + one EOW per word:
@@ -616,7 +618,7 @@ def bpe_encode_stats(
         out.withColumn("__enc", enc)
         .withColumn("n_base_symbols", n_base)
         .withColumn(
-            "n_bpe_tokens", F.size(F.split(F.trim(F.col("__enc")), " ")).cast("long")
+            "n_bpe_tokens", F.size(F.split(F.trim(F.col("__enc")), "  ")).cast("long")
         )
         .drop("__sym", "__enc")
     )

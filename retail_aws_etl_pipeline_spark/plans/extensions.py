@@ -2364,10 +2364,16 @@ def dedup_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
+    # size guard: sequence(1, 0) is DESCENDING [1, 0], so the greatest()
+    # idiom still indexes element 2 of a 1-element array on a
+    # single-token document (latent until the r10 BPE fuzz hit the same
+    # pattern in the trainer).
     pairs_arr = (
-        "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+        "CASE WHEN size(__toks) >= 2 THEN"
+        " transform(sequence(1, size(__toks) - 1),"
         " i -> struct(element_at(__toks, i) AS tok_a,"
         " element_at(__toks, i + 1) AS tok_b))"
+        " ELSE array() END"
     )
     return (
         t["documents"]
@@ -3218,10 +3224,16 @@ def collocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tok"))
     )
     tot = uni.agg(F.sum("n_tok").alias("n"))
+    # size guard: sequence(1, 0) is DESCENDING [1, 0], so the greatest()
+    # idiom still indexes element 2 of a 1-element array on a
+    # single-token document (latent until the r10 BPE fuzz hit the same
+    # pattern in the trainer).
     pairs_arr = (
-        "transform(sequence(1, greatest(size(__toks) - 1, 0)),"
+        "CASE WHEN size(__toks) >= 2 THEN"
+        " transform(sequence(1, size(__toks) - 1),"
         " i -> struct(element_at(__toks, i) AS tok_a,"
         " element_at(__toks, i + 1) AS tok_b))"
+        " ELSE array() END"
     )
     pairs = (
         docs.select(F.explode(F.expr(pairs_arr)).alias("p"))
@@ -6295,8 +6307,8 @@ def _bpe_train_oracle() -> str:
         ) WHERE w <> '' GROUP BY w
     ),
     vocab0 AS (
-        SELECT ' ' || array_to_string(string_split(w, ''), ' ')
-               || ' {TX.BPE_EOW} ' AS sym, freq
+        SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+               || '  {TX.BPE_EOW} ' AS sym, freq
         FROM words
     )"""
     ]
@@ -6304,7 +6316,7 @@ def _bpe_train_oracle() -> str:
         parts.append(
             f"""
     toks{i} AS (
-        SELECT sym, freq, string_split(trim(sym), ' ') AS t FROM vocab{i - 1}
+        SELECT sym, freq, string_split(trim(sym), '  ') AS t FROM vocab{i - 1}
     ),
     counts{i} AS (
         SELECT t[i.i] AS a, t[i.i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -6316,10 +6328,8 @@ def _bpe_train_oracle() -> str:
         SELECT a, b, cnt FROM counts{i} ORDER BY cnt DESC, a, b LIMIT 1
     ),
     vocab{i} AS (
-        SELECT replace(replace(v.sym,
-                   ' ' || bt.a || ' ' || bt.b || ' ',
-                   ' ' || bt.a || bt.b || ' '),
-                   ' ' || bt.a || ' ' || bt.b || ' ',
+        SELECT replace(v.sym,
+                   ' ' || bt.a || '  ' || bt.b || ' ',
                    ' ' || bt.a || bt.b || ' ') AS sym,
                v.freq
         FROM vocab{i - 1} v, best{i} bt
@@ -6449,9 +6459,9 @@ def _bpe_encode_oracle() -> str:
     with_block = train[: train.index("\n    SELECT * FROM (")]
     enc = "sym0"
     for i in range(1, r + 1):
-        pat = f"' ' || (SELECT a FROM best{i}) || ' ' || (SELECT b FROM best{i}) || ' '"
+        pat = f"' ' || (SELECT a FROM best{i}) || '  ' || (SELECT b FROM best{i}) || ' '"
         rep = f"' ' || (SELECT a FROM best{i}) || (SELECT b FROM best{i}) || ' '"
-        enc = f"replace(replace({enc}, {pat}, {rep}), {pat}, {rep})"
+        enc = f"replace({enc}, {pat}, {rep})"
     return (
         with_block
         + f""",
@@ -6460,14 +6470,14 @@ def _bpe_encode_oracle() -> str:
                len(string_split(text, ' ')) AS n_words,
                length(text) AS n_chars,
                ' ' || array_to_string(list_transform(string_split(text, ' '),
-                   w -> array_to_string(string_split(w, ''), ' ')
-                        || ' {TX.BPE_EOW}'), ' ') || ' ' AS sym0
+                   w -> array_to_string(string_split(w, ''), '  ')
+                        || '  {TX.BPE_EOW}'), '  ') || ' ' AS sym0
         FROM documents
     ),
     denc AS (
         SELECT lang,
                n_chars - (n_words - 1) + n_words AS n_base,
-               len(string_split(trim({enc}), ' ')) AS n_tok
+               len(string_split(trim({enc}), '  ')) AS n_tok
         FROM dsym
     )
     SELECT lang,

@@ -1291,3 +1291,55 @@ def test_cdc_mirror_hypothesis_unicode(spark):
             assert " ".join(chunks) == t
 
     check()
+
+
+def test_bpe_train_mirror_hypothesis(spark):
+    """The two-pass-replace == greedy-merge equivalence, fuzzed: random
+    small-alphabet corpora maximize repeated/overlapping pairs (aa-chains,
+    shared-space chains), the exact shapes the proof hinges on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from retail_aws_etl_pipeline_spark.operators.textops import bpe_train_merges
+
+    word = st.text(alphabet="ab", min_size=1, max_size=8)
+    texts = st.lists(
+        st.lists(word, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=texts)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r.round, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_train_merges(df, rounds=4).orderBy("round").collect()
+        ]
+        assert got == _bpe_python_mirror(texts, 4), (texts, got)
+
+    check()
+
+
+def test_pair_queries_survive_single_token_docs(spark):
+    """Regression (r10 fuzz finding): sequence(1, 0) is descending [1, 0],
+    so the old greatest()-guarded pair transform indexed past the end of
+    a 1-element token array. Single-token (and empty-text) documents must
+    flow through every adjacent-pair query, contributing zero pairs."""
+    from retail_aws_etl_pipeline_spark.operators.textops import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "two words")], "doc_id long, text string"
+    )
+    rows = bpe_train_merges(df, rounds=2).collect()
+    assert len(rows) == 2  # trains fine; pairs exist within words
+    # And fully-merged single-symbol words keep iterating (the original
+    # crash site): a corpus of one 1-char word merges to one symbol in
+    # round 1, leaving zero pairs for round 2's count — which must be an
+    # empty aggregate, not an index error.
+    tiny = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
+    got = bpe_train_merges(tiny, rounds=3).collect()
+    assert len(got) <= 3

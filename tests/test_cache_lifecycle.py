@@ -22,27 +22,32 @@ def _emb(spark, n=12, d=4):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def _storage_count(spark) -> int:
+def _storage_ids(spark) -> set[int]:
     jsc = spark.sparkContext._jsc.sc()
-    return sum(
-        1
+    return {
+        i.id()
         for i in jsc.getRDDStorageInfo()
         if i.numCachedPartitions() > 0
-    )
+    }
 
 
 def test_kmeans_family_leaves_no_cached_blocks(spark):
     """kmeans_assign / kmeans_converged / kmeans_minibatch materialize
     their loops driver-side, so they must unpersist the quantized base
-    before returning — no blocks accumulate across repeated calls."""
+    before returning — no NEW blocks accumulate across repeated calls.
+    (Set difference, not a count compare: earlier tests' localCheckpoint
+    blocks are reclaimed ASYNCHRONOUSLY by the ContextCleaner, so a
+    global count can legitimately shrink mid-test — only blocks this
+    test CREATED are its responsibility.)"""
     df = _emb(spark)
-    before = _storage_count(spark)
+    before = _storage_ids(spark)
     C.kmeans_assign(df, k=2, updates=2).collect()
     final, _ = C.kmeans_converged(df, k=2, max_updates=3)
     final.collect()
     final, _ = C.kmeans_minibatch(df, k=2, updates=4, sample_mod=2)
     final.collect()
-    assert _storage_count(spark) == before
+    leaked = _storage_ids(spark) - before
+    assert not leaked, leaked
 
 
 def test_kmeans_minibatch_rejects_unvisited_slices(spark):
@@ -72,7 +77,7 @@ def test_graph_operators_tag_their_caches(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
 
-    before = _storage_count(spark)
+    before = _storage_ids(spark)
     pr = D.pagerank_scaled(edges, nodes, id_col="node", iterations=2)
     assert pr.count() == 4
     assert retained_caches(pr)
@@ -93,4 +98,5 @@ def test_graph_operators_tag_their_caches(spark):
     assert len(retained_caches(sn)) == 2
     release_caches(sn)
 
-    assert _storage_count(spark) == before
+    leaked = _storage_ids(spark) - before
+    assert not leaked, leaked

@@ -1343,3 +1343,59 @@ def test_pair_queries_survive_single_token_docs(spark):
     tiny = spark.createDataFrame([(0, "a a a")], "doc_id long, text string")
     got = bpe_train_merges(tiny, rounds=3).collect()
     assert len(got) <= 3
+
+
+def test_gopher_rules_match_python_mirror_fuzz(spark):
+    """Every Gopher rule vs a literal Python re-implementation over
+    generated multiline documents (bullets, ellipses, symbols, digits,
+    stopwords mixed freely)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    word = st.sampled_from(
+        ["the", "be", "with", "word", "123", "#", "x...", "longishtoken", "•", "-"]
+    )
+    line = st.lists(word, min_size=1, max_size=12).map(" ".join)
+    doc = st.lists(line, min_size=1, max_size=6).map("\n".join)
+
+    def mirror(text):
+        toks = text.split(" ")
+        lines = text.split("\n")
+        n_words = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) // 3
+        n_bullet = sum(1 for l in lines if l.startswith("- ") or l.startswith("•"))
+        n_ell_lines = sum(1 for l in lines if l.endswith("...") or l.endswith("…"))
+        n_alpha = sum(1 for t in toks if any(c.isascii() and c.isalpha() for c in t))
+        n_stop = sum(1 for w in GOPHER_STOPWORDS if w in toks)
+        return {
+            "word_count_ok": GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS,
+            "mean_word_len_ok": 3 * n_words <= sum_len <= 10 * n_words,
+            "symbol_ratio_ok": (n_hash + n_ell) * 10 < n_words,
+            "bullet_lines_ok": n_bullet * 10 < len(lines) * 9,
+            "ellipsis_lines_ok": n_ell_lines * 10 < len(lines) * 3,
+            "alpha_word_ok": n_alpha * 5 > n_words * 4,
+            "stopword_ok": n_stop >= 2,
+        }
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(doc, min_size=1, max_size=4))
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        for i, t in enumerate(docs):
+            want = mirror(t)
+            for k, v in want.items():
+                assert bool(got[i][k]) == v, (k, t, v)
+
+    check()

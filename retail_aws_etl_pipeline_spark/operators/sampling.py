@@ -276,9 +276,13 @@ def dsir_fit(
     centroid fit. At 100 TB, fit on a deterministic sample (the model
     saturates long before the corpus does) and reuse the fitted literals
     across every scoring run."""
+    # NULL target predicate (e.g. a NULL lang under ``lang == 'en'``)
+    # counts as NON-target — the same semantics as the oracle's
+    # CASE WHEN; without the coalesce a bucket whose rows are all
+    # NULL-target sums to NULL and dsir_logratio raises on None + 1.
     words = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-        target.cast("long").alias("is_t"),
+        F.coalesce(target.cast("long"), F.lit(0)).alias("is_t"),
     )
     rows = (
         words.groupBy(dsir_bucket(F.col("w")).alias("b"))

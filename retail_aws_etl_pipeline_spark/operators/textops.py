@@ -418,15 +418,21 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document Gopher rule flags + the composite ``gopher_pass``.
 
-    Rules (each an exact integer comparison; ratios cross-multiplied):
+    Rules (each an exact integer comparison; ratios cross-multiplied).
+    Boundary semantics follow the paper: Rae et al. remove only
+    STRICTLY-greater violations, so a document sitting exactly on a
+    ratio threshold (symbol ratio exactly 0.1, exactly 90% bullet
+    lines, exactly 80% alpha words) is KEPT — hence the ``<=`` / ``>=``
+    comparisons below; the oracle and the Python fuzz mirror use the
+    identical boundaries.
 
     - ``word_count_ok``: GOPHER_MIN_WORDS <= words <= GOPHER_MAX_WORDS
     - ``mean_word_len_ok``: mean word length in [3, 10]
       (``3*n <= sum_len <= 10*n``)
-    - ``symbol_ratio_ok``: (# '#' + # '...') / words < 0.1
-    - ``bullet_lines_ok``: lines starting with a bullet < 90%
-    - ``ellipsis_lines_ok``: lines ending with '...' or '…' < 30%
-    - ``alpha_word_ok``: words containing an alphabetic char > 80%
+    - ``symbol_ratio_ok``: (# '#' + # '...') / words <= 0.1
+    - ``bullet_lines_ok``: lines starting with a bullet <= 90%
+    - ``ellipsis_lines_ok``: lines ending with '...' or '…' <= 30%
+    - ``alpha_word_ok``: words containing an alphabetic char >= 80%
     - ``stopword_ok``: >= 2 distinct GOPHER_STOPWORDS present
 
     Scan-side projection — no shuffle, no UDF; at 100 TB this is a free
@@ -461,10 +467,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
         & (n_words <= GOPHER_MAX_WORDS),
         "mean_word_len_ok": (sum_len >= 3 * n_words) & (sum_len <= 10 * n_words),
-        "symbol_ratio_ok": (n_hash + n_ellipsis) * 10 < n_words,
-        "bullet_lines_ok": n_bullet * 10 < n_lines * 9,
-        "ellipsis_lines_ok": n_ell_lines * 10 < n_lines * 3,
-        "alpha_word_ok": n_alpha * 5 > n_words * 4,
+        "symbol_ratio_ok": (n_hash + n_ellipsis) * 10 <= n_words,
+        "bullet_lines_ok": n_bullet * 10 <= n_lines * 9,
+        "ellipsis_lines_ok": n_ell_lines * 10 <= n_lines * 3,
+        "alpha_word_ok": n_alpha * 5 >= n_words * 4,
         "stopword_ok": n_stop_kinds >= 2,
     }
     out = staged.withColumn("n_words", n_words)

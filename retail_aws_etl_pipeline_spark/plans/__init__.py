@@ -116,6 +116,57 @@ _UNREGISTER = {
     #    (warc_record_stats / warc_text_corpus / crawl_host_report /
     #    crawl_exact_dedup_stats) lands in.
     10: ("containment_pairs_boilerplate",),
+    # r11 (the ROADMAP r11 tranche: the four batching/tokenizer audits +
+    # host_boilerplate_strip_stats + the ann_topk_ivf_indexed swap). The
+    # SLO due-list math binds harder than ROADMAP's candidate list: the
+    # 50 r8-row entries ALL come due at r11 (floor = r9), so every one of
+    # the six replacements below is drawn FROM the r8 due-list — the
+    # r9-row candidates ROADMAP named (sorted_neighborhood_pairs,
+    # token_chunk_dedup, bm25_query_scores, cross_source_dup_matrix,
+    # incremental_near_dup_pairs) would have displaced due entries and
+    # broken the SLO; they come due at r12 and pair with the r12 tranche
+    # instead. Twin coverage for each unregister:
+    #  - ann_topk_ivf: the at-rest index ann_topk_ivf_indexed registers
+    #    with the IDENTICAL _ivf_oracle string (same quantization, same
+    #    deterministic centroid fit, same cell assignment — persisted
+    #    instead of recomputed), so the proof surface is unchanged and
+    #    the registered form is the production build-once/query-many
+    #    shape. This is ROADMAP's planned r12 swap pulled to r11 because
+    #    the in-memory twin is r8-due now.
+    #  - ann_lsh_recall: ann_recall_sweep (r8-due, stays in the window)
+    #    is the strict superset — recall@10 of the SAME 8-plane LSH index
+    #    against the same exact scan, plus the 4/6-plane and IVF
+    #    nprobe-1/2 legs and candidate-set sizes; lsh_dedup_recall keeps
+    #    the dedup-side recall audit registered.
+    #  - embedding_near_dup_pairs: brute all-pairs baseline; the
+    #    registered near_dup_pairs_lsh (r8-due, stays) applies the
+    #    IDENTICAL sign-guarded cosine >= 0.35 verify on LSH-bucketed
+    #    candidates (the sub-quadratic production path), and
+    #    semantic_dedup_retained carries embedding-cosine dedup
+    #    end-to-end. Same precedent as bitext_margin_pairs at r9.
+    #  - exact_dup_docs: the md5 hash-groupBy surface stays registered
+    #    through dedup_signal_report (exact-hash groups inside the fused
+    #    per-doc signal pass), dedup_retained_corpus +
+    #    curation_funnel_report (chained exact dedup), and
+    #    crawl_exact_dedup_stats (r10-green).
+    #  - media_decode_stats: BMP/WAV full-decode; png_decode_stats
+    #    (r8-due, stays) proves the strictly-harder full-decode
+    #    mapInPandas kernel (zlib inflate + all 5 PNG filters), and
+    #    media_dims_probe / audio_meta_probe keep the image/audio
+    #    header-walk surfaces registered.
+    #  - minhash_lsh_pairs: both constituents stay registered verbatim —
+    #    the banded MinHash candidate join inside lsh_dedup_recall's
+    #    oracle (same GRAMS/SIGS/bands CTEs) and the exact-Jaccard
+    #    verify in ngram_jaccard_pairs; near_dup_clusters(_star) chain
+    #    the same pairs into components.
+    11: (
+        "ann_topk_ivf",
+        "ann_lsh_recall",
+        "embedding_near_dup_pairs",
+        "exact_dup_docs",
+        "media_decode_stats",
+        "minhash_lsh_pairs",
+    ),
 }
 
 

@@ -1324,8 +1324,20 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_INDEXED_ORACLE = _ivf_oracle()
 
 
+@register_extra(
+    "ann_topk_ivf_indexed",
+    IVF_INDEXED_ORACLE,
+    description="IVF ANN index AT REST: cell-partitioned parquet + "
+    "centroid sidecar built once, probes' cells pushed into the read as "
+    "a partition filter so the executed plan reads only nprobe/n_cells "
+    "of the files (plan-gated) — the build-once/query-many production "
+    "shape. Shares _ivf_oracle verbatim with the in-memory form it "
+    "replaced at the r11 cap swap (ann_topk_ivf, r8-due).",
+    tags=("similarity", "ivf", "index"),
+)
 def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the IVF index AT REST — build once, query via static
+    """The IVF index AT REST (registered at the r11 rotation as the cap
+    swap for its in-memory twin ann_topk_ivf) — build once, query via static
     partition pruning. ``ivf_index_write`` materializes quantized vectors
     + norms partitioned by cell (centroids in a hidden ``_centroids``
     sidecar); ``ivf_index_topk`` computes the probes' cells scan-side and
@@ -5517,8 +5529,20 @@ def padding_waste(base: DataFrame, sort_cols: list, n_batches: int) -> DataFrame
     return retaining(agg, *retained_caches(nt))
 
 
+@register_extra(
+    "length_bucket_padding_stats",
+    LENGTH_BUCKET_PADDING_ORACLE,
+    description="Training-batch padding audit: pad-token waste of "
+    "arrival-order vs length-sorted NTILE(64) batching plus the savings "
+    "in ppm (staged remainder-corrected division) — the number that "
+    "decides whether the training loader pays the global sort. One "
+    "range exchange per ordering (shared _distributed_ntile); "
+    "aggregates are 64 rows.",
+    tags=("llm", "batching", "audit"),
+)
 def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: padding-waste audit for length-bucketed training batches.
+    """Padding-waste audit for length-bucketed training batches
+    (registered at the r11 rotation per the ROADMAP schedule).
 
     Packing variable-length documents into fixed-count batches pads every
     sequence to its batch max; sorting by length before chunking is the
@@ -5628,10 +5652,21 @@ CORPUS_SHUFFLE_ORACLE = f"""
 """
 
 
+@register_extra(
+    "corpus_shuffle_batches",
+    CORPUS_SHUFFLE_ORACLE,
+    description="Deterministic training-order shuffle (md5(doc_id||salt) "
+    "key, replay-idempotent; salt = epoch knob) + per-batch mixing audit: "
+    "doc count, distinct langs/sources, largest single-source clump — "
+    "Expand-free distinct counts via keyed sub-aggregates; exact "
+    "NTILE(32) batches through the shared _distributed_ntile.",
+    tags=("llm", "batching", "audit"),
+)
 def corpus_shuffle_batches(
     spark: SparkSession, sf_dir: str, salt: str = SHUFFLE_SALT
 ) -> DataFrame:
-    """STAGED: deterministic training-order shuffle + per-batch mixing
+    """Deterministic training-order shuffle + per-batch mixing
+    (registered at the r11 rotation per the ROADMAP schedule).
     audit. Corpora arrive clustered by source/lang; training on that
     order correlates consecutive gradients, so loaders resequence on a
     hash of the document id. The shuffle key is md5(doc_id || salt) —
@@ -5716,8 +5751,19 @@ TOKENIZER_FERTILITY_ORACLE = f"""
 """
 
 
+@register_extra(
+    "tokenizer_fertility_by_lang",
+    TOKENIZER_FERTILITY_ORACLE,
+    description="Tokenizer fertility audit by language: regex-tokens per "
+    "whitespace word and chars per token (both integer ppm via the staged "
+    "division) — the multilingual tokenizer-equity diagnostic; one "
+    "scan-side projection + one |langs|-group aggregate, single exchange "
+    "at any corpus size.",
+    tags=("llm", "tokenizer", "audit"),
+)
 def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: tokenizer fertility audit by language. Fertility — how many
+    """Tokenizer fertility audit by language (registered at the r11
+    rotation per the ROADMAP schedule). Fertility — how many
     subword-ish tokens the tokenizer spends per whitespace word — is the
     standard diagnostic for how well a tokenizer serves each language in
     a multilingual corpus (a high-fertility language pays more compute
@@ -5795,8 +5841,19 @@ QUALITY_LENGTH_DECILE_ORACLE = """
 """
 
 
+@register_extra(
+    "quality_by_length_decile",
+    QUALITY_LENGTH_DECILE_ORACLE,
+    description="Length-bias calibration of the lexical-diversity quality "
+    "key: exact length deciles (shared _distributed_ntile, one range "
+    "exchange, no global window) x (doc count, token mass, length range, "
+    "integer mean quality) — a steep slope means the quality gate must be "
+    "length-normalized before it drops every long document.",
+    tags=("llm", "quality", "audit"),
+)
 def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: length-bias calibration of the quality key. The
+    """Length-bias calibration of the quality key (registered at the r11
+    rotation per the ROADMAP schedule). The
     token-budget knapsack (token_budget_select) and every quality-gated
     filter rank documents by scaled lexical diversity (distinct/total
     tokens) — a key that mechanically FALLS with document length, since
@@ -6245,18 +6302,18 @@ GOPHER_QUALITY_ORACLE = f"""
             AND n_words <= {TX.GOPHER_MAX_WORDS}) AS word_count_ok,
            (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
                AS mean_word_len_ok,
-           ((n_hash + n_ell) * 10 < n_words) AS symbol_ratio_ok,
-           (n_bullet * 10 < n_lines * 9) AS bullet_lines_ok,
-           (n_ell_lines * 10 < n_lines * 3) AS ellipsis_lines_ok,
-           (n_alpha * 5 > n_words * 4) AS alpha_word_ok,
+           ((n_hash + n_ell) * 10 <= n_words) AS symbol_ratio_ok,
+           (n_bullet * 10 <= n_lines * 9) AS bullet_lines_ok,
+           (n_ell_lines * 10 <= n_lines * 3) AS ellipsis_lines_ok,
+           (n_alpha * 5 >= n_words * 4) AS alpha_word_ok,
            (n_stop_kinds >= 2) AS stopword_ok,
            ((n_words >= {TX.GOPHER_MIN_WORDS}
              AND n_words <= {TX.GOPHER_MAX_WORDS})
             AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-            AND ((n_hash + n_ell) * 10 < n_words)
-            AND (n_bullet * 10 < n_lines * 9)
-            AND (n_ell_lines * 10 < n_lines * 3)
-            AND (n_alpha * 5 > n_words * 4)
+            AND ((n_hash + n_ell) * 10 <= n_words)
+            AND (n_bullet * 10 <= n_lines * 9)
+            AND (n_ell_lines * 10 <= n_lines * 3)
+            AND (n_alpha * 5 >= n_words * 4)
             AND (n_stop_kinds >= 2)) AS gopher_pass
     FROM m ORDER BY doc_id
 """
@@ -6295,9 +6352,13 @@ def _bpe_train_oracle() -> str:
     """Oracle for :func:`bpe_train_merges_report` (STAGED): the fixed
     ``BPE_MERGE_ROUNDS`` trainer schedule unrolled as a CTE chain — per
     round, pair counts (adjacent-index join, frequency-weighted), the
-    deterministic argmax, and the same two-pass replace merge. Every
-    quantity is an integer and the tiebreak lexicographic, so the merge
-    table is hash-exact."""
+    deterministic argmax, and the same SINGLE-pass ``replace`` merge
+    over two-space separators (exactly greedy left-to-right — see
+    ``textops.bpe_train_merges``). Pair positions are generated per row
+    from the ACTUAL symbol count (a lateral ``generate_series(1,
+    len(t) - 1)``), never a fixed cap — long tokens (URLs, junk strings)
+    keep every adjacent pair. Every quantity is an integer and the
+    tiebreak lexicographic, so the merge table is hash-exact."""
     r = TX.BPE_MERGE_ROUNDS
     parts = [
         f"""
@@ -6319,9 +6380,9 @@ def _bpe_train_oracle() -> str:
         SELECT sym, freq, string_split(trim(sym), '  ') AS t FROM vocab{i - 1}
     ),
     counts{i} AS (
-        SELECT t[i.i] AS a, t[i.i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-        FROM toks{i}, (SELECT UNNEST(generate_series(1, 128)) AS i) i
-        WHERE i.i <= len(t) - 1
+        SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT t, freq, UNNEST(generate_series(1, len(t) - 1)) AS i
+              FROM toks{i})
         GROUP BY 1, 2
     ),
     best{i} AS (
@@ -6352,8 +6413,9 @@ def bpe_train_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STAGED: the BPE tokenizer TRAINING LOOP (Sennrich et al. 2016) as
     an iterative distributed operator — per round: frequency-weighted
     adjacent-pair counts over the word-frequency table, deterministic
-    argmax (count desc, lexicographic tiebreak), two-pass replace merge
-    (provably greedy left-to-right — see the operator docstring), with
+    argmax (count desc, lexicographic tiebreak), single-pass replace
+    merge over two-space separators (exactly greedy left-to-right — see
+    the operator docstring), with
     the argmax rejoined as a broadcast row so there is NO driver collect
     anywhere in the loop. The corpus-scale exchange happens ONCE (the
     word-frequency groupBy); the loop then iterates on |vocab| rows —
@@ -6449,8 +6511,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_encode_oracle() -> str:
     """Oracle for :func:`bpe_encode_report` (STAGED): reuses the trainer
     oracle's unrolled best1..bestR CTEs, then ENCODES every document with
-    the same two-pass replace chain and aggregates per language — the
-    full tokenizer lifecycle (train + encode) under one hash gate."""
+    the same chain of single-pass two-space-separator replaces and
+    aggregates per language — the full tokenizer lifecycle (train +
+    encode) under one hash gate."""
     r = TX.BPE_MERGE_ROUNDS
     train = _bpe_train_oracle()
     # reuse everything up to the last vocab CTE; strip the trainer's
@@ -6945,8 +7008,20 @@ HOST_BOILERPLATE_ORACLE = """
 """
 
 
+@register_extra(
+    "host_boilerplate_strip_stats",
+    HOST_BOILERPLATE_ORACLE,
+    description="CCNet/Onion-style host-scoped boilerplate stripping: "
+    "lines dropped when their within-host document frequency exceeds 0.5 "
+    "(min-host-docs guarded), text reassembled in original line order — "
+    "the pre-dedup crawl cleanup; one (host, line) keyed groupBy + join "
+    "back, |hosts|-row broadcast totals, no windows. Oracle reconstructs "
+    "the post-strip text purely from the fixture's id formulas.",
+    tags=("crawl", "text", "dedup"),
+)
 def host_boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: CCNet/Onion-style host-scoped boilerplate stripping — the
+    """CCNet/Onion-style host-scoped boilerplate stripping (registered at
+    the r11 rotation per the ROADMAP schedule) — the
     line-level cleanup a crawl corpus needs BEFORE corpus-wide dedup
     (site chrome appears on most pages of its own site; stripping it by
     within-host line document-frequency needs no trained model). The

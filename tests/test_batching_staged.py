@@ -1379,10 +1379,10 @@ def test_gopher_rules_match_python_mirror_fuzz(spark):
         return {
             "word_count_ok": GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS,
             "mean_word_len_ok": 3 * n_words <= sum_len <= 10 * n_words,
-            "symbol_ratio_ok": (n_hash + n_ell) * 10 < n_words,
-            "bullet_lines_ok": n_bullet * 10 < len(lines) * 9,
-            "ellipsis_lines_ok": n_ell_lines * 10 < len(lines) * 3,
-            "alpha_word_ok": n_alpha * 5 > n_words * 4,
+            "symbol_ratio_ok": (n_hash + n_ell) * 10 <= n_words,
+            "bullet_lines_ok": n_bullet * 10 <= len(lines) * 9,
+            "ellipsis_lines_ok": n_ell_lines * 10 <= len(lines) * 3,
+            "alpha_word_ok": n_alpha * 5 >= n_words * 4,
             "stopword_ok": n_stop >= 2,
         }
 
@@ -1399,3 +1399,116 @@ def test_gopher_rules_match_python_mirror_fuzz(spark):
                 assert bool(got[i][k]) == v, (k, t, v)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_exact_boundary_documents_are_kept(spark):
+    """Paper-faithful boundaries (ADVICE r10): Rae et al. remove only
+    STRICTLY-greater violations, so documents sitting exactly on a ratio
+    threshold pass. One document per boundary: symbol ratio exactly 0.1,
+    exactly 90% bullet lines, exactly 80% alpha words, 30% ellipsis
+    lines."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    filler = " ".join(["the", "be"] + ["word"] * 58)  # 60 words, all alpha
+    docs = [
+        # 2 hashes / 20 words = exactly 0.1
+        (0, " ".join(["#", "#", "the", "be"] + ["word"] * 16)),
+        # 9 bullet lines / 10 lines = exactly 90%
+        (1, "\n".join(["- b"] * 9 + [filler])),
+        # 48 alpha / 60 words = exactly 80%
+        (2, " ".join(["the", "be"] + ["word"] * 46 + ["123"] * 12)),
+        # 3 ellipsis-ending lines / 10 lines = exactly 30%
+        (3, "\n".join(["end..."] * 3 + [filler] * 7)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = {x.doc_id: x for x in gopher_quality_flags(df).collect()}
+    assert r[0].symbol_ratio_ok, "symbol ratio exactly 0.1 must be kept"
+    assert r[1].bullet_lines_ok, "exactly 90% bullet lines must be kept"
+    assert r[2].alpha_word_ok, "exactly 80% alpha words must be kept"
+    assert r[3].ellipsis_lines_ok, "exactly 30% ellipsis lines must be kept"
+
+
+def test_dsir_fit_null_target_counts_as_nontarget(spark):
+    """ADVICE r10: a bucket whose rows all carry a NULL target predicate
+    (e.g. NULL lang under ``lang == 'en'``) must count as non-target —
+    previously F.sum returned NULL and dsir_logratio raised on None + 1."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        dsir_fit,
+        dsir_logratio,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", None), (1, "alpha delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model = dsir_fit(df, F.col("lang") == "en")
+    assert len(model) == DSIR_BUCKETS
+    # Equivalent explicit fit: NULL-target rows contribute to raw only.
+    words_t = ["alpha", "delta"]
+    words_r = ["alpha", "beta", "gamma", "alpha", "delta"]
+    from retail_aws_etl_pipeline_spark.operators.sampling import dsir_bucket
+
+    bucket_of = {
+        r.w: r.b
+        for r in spark.createDataFrame(
+            [(w,) for w in set(words_r)], "w string"
+        ).select("w", dsir_bucket(F.col("w")).alias("b")).collect()
+    }
+    ct, cr = {}, {}
+    for w in words_t:
+        ct[bucket_of[w]] = ct.get(bucket_of[w], 0) + 1
+    for w in words_r:
+        cr[bucket_of[w]] = cr.get(bucket_of[w], 0) + 1
+    assert model == dsir_logratio(ct, cr)
+
+
+def test_bpe_oracle_counts_all_pairs_of_long_tokens(spark, tmp_path):
+    """ADVICE r10: the trainer oracle's pair positions are generated from
+    the actual symbol count, not a fixed 128 cap — a >=129-symbol token
+    (URLs, junk strings in crawl text) keeps every adjacent pair, so the
+    oracle still hash-matches the operator."""
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        BPE_TRAIN_ORACLE,
+        bpe_train_merges_report,
+    )
+
+    long_tok = "qz" * 100  # 200 chars -> 201 symbols with EOW
+    texts = [
+        f"{long_tok} alpha beta alpha beta",
+        f"{long_tok} gamma alpha beta",
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf_long")
+    (tmp_path / "sf_long").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = bpe_train_merges_report(spark, sf)
+    res = compare(got, BPE_TRAIN_ORACLE, sf)
+    assert res["ok"], res
+    # Ground truth: the mirror on the same corpus.
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        BPE_MERGE_ROUNDS,
+    )
+
+    want = _bpe_python_mirror(texts, BPE_MERGE_ROUNDS)
+    assert [
+        (r.round, r.left_sym, r.right_sym, r.pair_count) for r in got.collect()
+    ] == want

@@ -133,7 +133,15 @@ def test_near_dup_blocked_no_driver_collect(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", spy_collect)
     monkeypatch.setattr(DataFrame, "toPandas", spy_topandas)
-    df = REGISTRY["embedding_near_dup_pairs"].spark_fn(spark, SF_SMOKE)
+    # Call the operator directly: embedding_near_dup_pairs left the
+    # registry at the r11 cap swap (near_dup_pairs_lsh is the registered
+    # production twin), but the no-driver-collect guarantee is about the
+    # blocked-GEMM kernel itself and keeps its test.
+    from retail_aws_etl_pipeline_spark.operators import similarity as S
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"])["embeddings"]
+    df = S.near_dup_pairs_blocked(emb, min_cosine=0.35).orderBy("id_a", "id_b")
     df.write.format("noop").mode("overwrite").save()
     assert not calls, f"driver-side materialization in near-dup path: {calls}"
 

@@ -1583,3 +1583,129 @@ def content_defined_chunks(
         F.col(id_col),
         F.posexplode(F.col("__chunks")).alias("chunk_idx", "chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-interval union + cross-corpus duplicated-span extraction
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" — the ExactSubstr discipline re-expressed over stride-1 token
+# windows; the interval-union kernel is shared with the Gopher repetition
+# battery's duplicate-n-gram character accounting.)
+# ---------------------------------------------------------------------------
+
+#: Stride-1 window length for duplicated-span detection. Lee et al. use a
+#: 50-token threshold on byte-level suffixes; the operator contract here is
+#: token windows (the corpus's unit everywhere else), length fixed so the
+#: oracle can unroll the identical windows.
+EXSUB_WINDOW = 8
+
+
+def merge_token_intervals(ivs_col: str) -> str:
+    """SQL expression merging a SORTED array<struct<a:int,b:int>> of token
+    intervals into its overlap-union (adjacent-but-disjoint intervals stay
+    separate: interval [a1,b1] merges with [a2,b2] iff a2 <= b1, i.e. they
+    SHARE a token — in character space two token-adjacent spans exclude the
+    single joining space, so their char spans are disjoint and must not
+    fuse). One aggregate() fold, O(n) per row."""
+    return f"""aggregate(
+        {ivs_col},
+        cast(array() as array<struct<a: int, b: int>>),
+        (acc, x) -> CASE
+            WHEN size(acc) = 0 THEN array(x)
+            WHEN x.a <= element_at(acc, -1).b THEN concat(
+                slice(acc, 1, size(acc) - 1),
+                array(named_struct(
+                    'a', element_at(acc, -1).a,
+                    'b', greatest(element_at(acc, -1).b, x.b))))
+            ELSE concat(acc, array(x))
+        END)"""
+
+
+def _covered_chars(toks_col: str, merged_col: str) -> str:
+    """SQL expression: total characters covered by merged token intervals —
+    per interval, the substring from its first token's first char to its
+    last token's last char (token chars + internal joining spaces)."""
+    return (
+        f"aggregate(transform({merged_col}, iv ->"
+        f" length(concat_ws(' ', slice({toks_col}, iv.a, iv.b - iv.a + 1)))),"
+        " 0L, (s, x) -> s + x)"
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    window_tokens: int = EXSUB_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document maximal duplicated-span statistics over the WHOLE
+    corpus: every stride-1 ``window_tokens``-token window whose exact text
+    occurs >= 2 times anywhere in the corpus (cross-doc or within-doc)
+    marks its token interval; overlapping marked intervals merge into
+    maximal spans (the ExactSubstr output shape — a second occurrence of
+    any long passage is detected at EVERY alignment because windows
+    overlap, unlike the stride-w chunk dedup whose matches need aligned
+    boundaries).
+
+    Returns (id, n_windows, n_dup_windows, n_dup_spans, dup_tokens,
+    dup_chars, longest_span_tokens) — the per-doc evidence a curation
+    pipeline thresholds on (Lee et al. drop or trim spans past ~50
+    tokens).
+
+    Scale shape: the stride-1 explode is |tokens| rows per doc (the same
+    order as the shingle family); ONE content-keyed groupBy counts window
+    occurrences corpus-wide (map-side combined); duplicated windows join
+    back to their positions and the interval union is a per-doc O(n)
+    aggregate() fold after one per-doc sort_array — no windows, no
+    driver collects, the canonical content-hash-partitioned dedup shape
+    plus a bounded per-doc reduce. ``max_gram_freq``-style hot caps are
+    unnecessary: the join returns to the OWNING doc only.
+    """
+    w = window_tokens
+    base = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), F.col("__toks")
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {w} THEN"
+                f" transform(sequence(1, size(__toks) - {w} + 1),"
+                f" i -> struct(i AS pos, concat_ws(' ', slice(__toks, i, {w})) AS win))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    ).select(id_col, "s.pos", "s.win")
+    counts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_pos = (
+        wins.join(counts.filter(F.col("cnt") >= 2), "win")
+        .select(id_col, "pos")
+    )
+    per_doc = (
+        dup_pos.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sort_array(
+                F.collect_list(F.expr(f"struct(pos AS a, pos + {w} - 1 AS b)"))
+            ).alias("__ivs"),
+        )
+        .withColumn("__merged", F.expr(merge_token_intervals("__ivs")))
+    )
+    stats = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.expr(f"greatest(size(__toks) - {w} + 1, 0)").cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce(F.expr("size(__merged)"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(
+            F.expr("aggregate(__merged, 0L, (s, x) -> s + (x.b - x.a + 1))"),
+            F.lit(0),
+        ).cast("long").alias("dup_tokens"),
+        F.coalesce(F.expr(_covered_chars("__toks", "__merged")), F.lit(0))
+        .cast("long")
+        .alias("dup_chars"),
+        F.coalesce(
+            F.expr("aggregate(__merged, 0L, (s, x) -> greatest(s, cast(x.b - x.a + 1 as bigint)))"),
+            F.lit(0),
+        ).cast("long").alias("longest_span_tokens"),
+    )
+    return stats

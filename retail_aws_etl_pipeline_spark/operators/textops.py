@@ -628,3 +628,262 @@ def bpe_encode_stats(
         )
         .drop("__sym", "__enc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher REPETITION battery (Rae et al. 2021, appendix A1.1 — the
+# repetition-removal half; gopher_quality_flags is the quality half)
+# ---------------------------------------------------------------------------
+
+#: keep iff fraction <= threshold (paper removes strictly-greater
+#: violations, same boundary convention as the quality battery). Ratio
+#: thresholds as exact integer (num, den) pairs: frac <= num/den.
+GOPHER_REP_DUP_LINE = (3, 10)  # duplicate line fraction <= 0.30
+GOPHER_REP_DUP_PARA = (3, 10)  # duplicate paragraph fraction <= 0.30
+GOPHER_REP_DUP_LINE_CHAR = (1, 5)  # duplicate-line char fraction <= 0.20
+GOPHER_REP_DUP_PARA_CHAR = (1, 5)  # duplicate-paragraph char fraction <= 0.20
+#: top n-gram char fraction: {n: (num, den)} — 0.20 / 0.18 / 0.16
+GOPHER_REP_TOP_NGRAM = {2: (1, 5), 3: (9, 50), 4: (4, 25)}
+#: duplicate n-gram char fraction: {n: (num, den)} — 0.15 .. 0.10
+GOPHER_REP_DUP_NGRAM = {
+    5: (3, 20), 6: (7, 50), 7: (13, 100), 8: (3, 25), 9: (11, 100), 10: (1, 10),
+}
+
+#: kind tags inside the shared (id, kind, item, pos) explode.
+_REP_KIND_LINE = 0
+_REP_KIND_PARA = 1
+_REP_KIND_NGRAM_BASE = 10  # kind = 10 + n for n-grams
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Per-document Gopher repetition rules + the composite
+    ``repetition_pass`` (Rae et al. 2021 A1.1, repetition half).
+
+    Evidence columns (all exact integers):
+
+    - ``dup_line_extra`` / ``dup_para_extra``: occurrences BEYOND the
+      first of any repeated line / paragraph (empty elements excluded —
+      blank lines are layout, not content); fractions over
+      n_lines / n_paras.
+    - ``dup_line_chars`` / ``dup_para_chars``: characters of those extra
+      occurrences; fractions over length(text).
+    - ``top{2,3,4}_chars``: occurrence-count x char-length of the most
+      frequent word n-gram (count desc, lexicographically smallest on
+      ties; ZERO when nothing repeats — a unique n-gram is not
+      repetition).
+    - ``dup{5..10}_chars``: characters covered by the token-interval
+      UNION of every n-gram occurring >= 2 times within the doc — each
+      character counted once (the paper's "take care not to count
+      characters twice"; see :func:`dedup.merge_token_intervals` for the
+      overlap-only merge that keeps token-adjacent spans' disjoint char
+      spans separate).
+
+    Flags keep iff fraction <= threshold (exact cross-multiplied
+    integers, paper boundary convention).
+
+    Scale shape: ONE explode builds (kind, item, pos) rows for lines,
+    paragraphs and all nine n sizes together (~(2 + 9·len) rows per
+    doc — shingle-family order); one (id, kind, item) groupBy counts
+    everything (positions ride the aggregation buffers ONLY for the six
+    dup-n kinds — collect_list skips the NULLs the when() emits
+    elsewhere); per-doc reduces are keyed aggregates; the dup-n-gram
+    interval union is an O(n) fold per (doc, n). No windows, no driver
+    collects, nothing quadratic in doc length.
+
+    ``hash_ngrams=True`` is the 100 TB exchange knob (the
+    ``jaccard_counts(hash_grams=)`` discipline): the six dup-n kinds —
+    whose 5..10-token strings are ~70% of the exchange bytes and whose
+    STRING CONTENT is never read downstream (only counts, positions and
+    interval chars) — group on xxhash64 of the gram instead. Exact
+    except within-doc 64-bit collisions (~G²/2⁶⁴ per doc — negligible at
+    any real document size); the default stays exact-string on the
+    oracle-parity surface, and a test pins flag-on == flag-off on the
+    real corpus. Line/paragraph/top kinds always keep strings (length
+    and lexicographic tiebreaks read the content).
+    """
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        _covered_chars,
+        merge_token_intervals,
+    )
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.split(t, " ").alias("__toks"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.expr(f"size(filter(split({text_col}, '\\n'), x -> x != ''))")
+        .cast("long")
+        .alias("n_lines"),
+        F.expr(f"size(filter(split({text_col}, '\\n\\n'), x -> x != ''))")
+        .cast("long")
+        .alias("n_paras"),
+        F.split(t, "\n").alias("__lines"),
+        F.split(t, "\n\n").alias("__paras"),
+    )
+
+    line_items = (
+        "transform(filter(__lines, x -> x != ''),"
+        f" x -> struct({_REP_KIND_LINE} AS kind, x AS item, 0 AS pos))"
+    )
+    para_items = (
+        "transform(filter(__paras, x -> x != ''),"
+        f" x -> struct({_REP_KIND_PARA} AS kind, x AS item, 0 AS pos))"
+    )
+    def gram_expr(n: int) -> str:
+        g = f"concat_ws(' ', slice(__toks, i, {n}))"
+        if hash_ngrams and n in GOPHER_REP_DUP_NGRAM:
+            g = f"cast(xxhash64({g}) as string)"
+        return g
+
+    ngram_items = ", ".join(
+        f"CASE WHEN size(__toks) >= {n} THEN"
+        f" transform(sequence(1, size(__toks) - {n} + 1),"
+        f" i -> struct({_REP_KIND_NGRAM_BASE + n} AS kind,"
+        f" {gram_expr(n)} AS item, i AS pos))"
+        " ELSE array() END"
+        for n in (*GOPHER_REP_TOP_NGRAM, *GOPHER_REP_DUP_NGRAM)
+    )
+    items = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"concat({line_items}, {para_items}, {ngram_items})")
+        ).alias("s"),
+    ).select(id_col, "s.kind", "s.item", "s.pos")
+
+    dup_kind_min = _REP_KIND_NGRAM_BASE + min(GOPHER_REP_DUP_NGRAM)
+    grp = items.groupBy(id_col, "kind", "item").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # positions are only read for the dup-n kinds; collect_list drops
+        # the NULLs, so every other group's buffer stays scalar.
+        F.collect_list(
+            F.when(F.col("kind") >= dup_kind_min, F.col("pos"))
+        ).alias("positions"),
+    )
+
+    # Lines + paragraphs: extra occurrences and their characters.
+    lp = (
+        grp.filter(F.col("kind").isin(_REP_KIND_LINE, _REP_KIND_PARA))
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(
+            *[
+                agg.alias(name)
+                for kind, tag in ((_REP_KIND_LINE, "line"), (_REP_KIND_PARA, "para"))
+                for name, agg in (
+                    (
+                        f"dup_{tag}_extra",
+                        F.sum(F.when(F.col("kind") == kind, F.col("cnt") - 1)),
+                    ),
+                    (
+                        f"dup_{tag}_chars",
+                        F.sum(
+                            F.when(
+                                F.col("kind") == kind,
+                                (F.col("cnt") - 1) * F.length("item"),
+                            )
+                        ),
+                    ),
+                )
+            ]
+        )
+    )
+
+    # Top n-grams (n in 2..4): count-desc, lexicographically-smallest
+    # tiebreak via min(struct(-cnt, item)); repeats only.
+    tops = (
+        grp.filter(
+            F.col("kind").isin(*[_REP_KIND_NGRAM_BASE + n for n in GOPHER_REP_TOP_NGRAM])
+            & (F.col("cnt") >= 2)
+        )
+        .groupBy(id_col, "kind")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("item"))).alias("m"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("kind") == _REP_KIND_NGRAM_BASE + n,
+                        (-F.col("m.nc")) * F.length("m.item"),
+                    )
+                ).alias(f"top{n}_chars")
+                for n in GOPHER_REP_TOP_NGRAM
+            ]
+        )
+    )
+
+    # Duplicate n-grams (n in 5..10): per (doc, n) interval union of every
+    # occurrence of every repeated n-gram, chars counted once.
+    dup_pos = (
+        grp.filter(
+            F.col("kind").isin(*[_REP_KIND_NGRAM_BASE + n for n in GOPHER_REP_DUP_NGRAM])
+            & (F.col("cnt") >= 2)
+        )
+        .select(id_col, "kind", F.explode("positions").alias("pos"))
+        .groupBy(id_col, "kind")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.expr(f"struct(pos AS a, pos + (kind - {_REP_KIND_NGRAM_BASE}) - 1 AS b)")
+                )
+            ).alias("__ivs")
+        )
+        .withColumn("__merged", F.expr(merge_token_intervals("__ivs")))
+        .join(base.select(id_col, "__toks"), id_col)
+        .select(
+            id_col,
+            "kind",
+            F.expr(_covered_chars("__toks", "__merged")).alias("chars"),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("kind") == _REP_KIND_NGRAM_BASE + n, F.col("chars"))
+                ).alias(f"dup{n}_chars")
+                for n in GOPHER_REP_DUP_NGRAM
+            ]
+        )
+    )
+
+    out = (
+        base.select(id_col, "n_chars", "n_lines", "n_paras")
+        .join(lp, id_col, "left")
+        .join(tops, id_col, "left")
+        .join(dup_pos, id_col, "left")
+    )
+    ev_cols = (
+        ["dup_line_extra", "dup_line_chars", "dup_para_extra", "dup_para_chars"]
+        + [f"top{n}_chars" for n in GOPHER_REP_TOP_NGRAM]
+        + [f"dup{n}_chars" for n in GOPHER_REP_DUP_NGRAM]
+    )
+    for c in ev_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+
+    flags = {
+        "dup_line_ok": F.col("dup_line_extra") * GOPHER_REP_DUP_LINE[1]
+        <= F.col("n_lines") * GOPHER_REP_DUP_LINE[0],
+        "dup_para_ok": F.col("dup_para_extra") * GOPHER_REP_DUP_PARA[1]
+        <= F.col("n_paras") * GOPHER_REP_DUP_PARA[0],
+        "dup_line_char_ok": F.col("dup_line_chars") * GOPHER_REP_DUP_LINE_CHAR[1]
+        <= F.col("n_chars") * GOPHER_REP_DUP_LINE_CHAR[0],
+        "dup_para_char_ok": F.col("dup_para_chars") * GOPHER_REP_DUP_PARA_CHAR[1]
+        <= F.col("n_chars") * GOPHER_REP_DUP_PARA_CHAR[0],
+        **{
+            f"top{n}_ok": F.col(f"top{n}_chars") * den <= F.col("n_chars") * num
+            for n, (num, den) in GOPHER_REP_TOP_NGRAM.items()
+        },
+        **{
+            f"dup{n}_ok": F.col(f"dup{n}_chars") * den <= F.col("n_chars") * num
+            for n, (num, den) in GOPHER_REP_DUP_NGRAM.items()
+        },
+    }
+    rep_pass = None
+    for name, c in flags.items():
+        out = out.withColumn(name, c)
+        rep_pass = c if rep_pass is None else (rep_pass & c)
+    return out.withColumn("repetition_pass", rep_pass)

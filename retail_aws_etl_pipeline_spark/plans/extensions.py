@@ -7137,3 +7137,266 @@ def crawl_robots_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "allowed", "rule_verb", "rule_prefix")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED r11 additions: the Gopher REPETITION battery and ExactSubstr-style
+# duplicated-span extraction (registration queues behind the r12 tranche —
+# COVERAGE.md staged table is canonical).
+# ---------------------------------------------------------------------------
+
+
+def _gopher_repetition_oracle() -> str:
+    """Oracle for :func:`gopher_repetition_report` (STAGED). The whole
+    battery re-derived relationally: one occurrence table for lines,
+    paragraphs and all nine n-gram sizes; duplicate line/paragraph extras
+    via HAVING cnt >= 2; top n-grams via a (cnt DESC, item ASC) window
+    rank; duplicate-n-gram character coverage via the classic
+    gaps-and-islands interval merge (islands split where a window's
+    running MAX(prev end) is exceeded — the same overlap-only rule as
+    dedup.merge_token_intervals, so token-adjacent spans stay separate)
+    and chars recomputed from the token slice of each merged island."""
+    tx = TX
+    top_ns = ", ".join(map(str, tx.GOPHER_REP_TOP_NGRAM))
+    dup_ns = ", ".join(map(str, tx.GOPHER_REP_DUP_NGRAM))
+    all_ns = ", ".join(map(str, (*tx.GOPHER_REP_TOP_NGRAM, *tx.GOPHER_REP_DUP_NGRAM)))
+    top_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN chars END), 0) AS top{n}_chars"
+        for n in tx.GOPHER_REP_TOP_NGRAM
+    )
+    dup_cols = ",\n           ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN chars END), 0) AS dup{n}_chars"
+        for n in tx.GOPHER_REP_DUP_NGRAM
+    )
+    flag_exprs = {
+        "dup_line_ok": f"dup_line_extra * {tx.GOPHER_REP_DUP_LINE[1]}"
+        f" <= n_lines * {tx.GOPHER_REP_DUP_LINE[0]}",
+        "dup_para_ok": f"dup_para_extra * {tx.GOPHER_REP_DUP_PARA[1]}"
+        f" <= n_paras * {tx.GOPHER_REP_DUP_PARA[0]}",
+        "dup_line_char_ok": f"dup_line_chars * {tx.GOPHER_REP_DUP_LINE_CHAR[1]}"
+        f" <= n_chars * {tx.GOPHER_REP_DUP_LINE_CHAR[0]}",
+        "dup_para_char_ok": f"dup_para_chars * {tx.GOPHER_REP_DUP_PARA_CHAR[1]}"
+        f" <= n_chars * {tx.GOPHER_REP_DUP_PARA_CHAR[0]}",
+        **{
+            f"top{n}_ok": f"top{n}_chars * {den} <= n_chars * {num}"
+            for n, (num, den) in tx.GOPHER_REP_TOP_NGRAM.items()
+        },
+        **{
+            f"dup{n}_ok": f"dup{n}_chars * {den} <= n_chars * {num}"
+            for n, (num, den) in tx.GOPHER_REP_DUP_NGRAM.items()
+        },
+    }
+    flag_cols = ",\n           ".join(
+        f"({e}) AS {name}" for name, e in flag_exprs.items()
+    )
+    composite = " AND ".join(f"({e})" for e in flag_exprs.values())
+    return f"""
+    WITH rp_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+               list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
+        FROM documents
+    ),
+    rp_lp AS (
+        SELECT doc_id, kind, item, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id, 0 AS kind, UNNEST(lines) AS item FROM rp_t
+            UNION ALL
+            SELECT doc_id, 1 AS kind, UNNEST(paras) AS item FROM rp_t
+        ) GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ),
+    rp_lp_agg AS (
+        SELECT doc_id,
+               COALESCE(SUM(CASE WHEN kind = 0 THEN cnt - 1 END), 0) AS dup_line_extra,
+               COALESCE(SUM(CASE WHEN kind = 0 THEN (cnt - 1) * length(item) END), 0)
+                   AS dup_line_chars,
+               COALESCE(SUM(CASE WHEN kind = 1 THEN cnt - 1 END), 0) AS dup_para_extra,
+               COALESCE(SUM(CASE WHEN kind = 1 THEN (cnt - 1) * length(item) END), 0)
+                   AS dup_para_chars
+        FROM rp_lp GROUP BY doc_id
+    ),
+    rp_occ AS (
+        SELECT doc_id, n, pos,
+               array_to_string(toks[pos:pos + n - 1], ' ') AS item
+        FROM (
+            SELECT doc_id, toks, n.n AS n,
+                   UNNEST(generate_series(1, len(toks) - n.n + 1)) AS pos
+            FROM rp_t, (SELECT UNNEST([{all_ns}]) AS n) n
+        )
+    ),
+    rp_cnt AS (
+        SELECT doc_id, n, item, COUNT(*) AS cnt
+        FROM rp_occ GROUP BY 1, 2, 3
+    ),
+    rp_top AS (
+        SELECT doc_id, n, cnt * length(item) AS chars
+        FROM (
+            SELECT doc_id, n, item, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                      ORDER BY cnt DESC, item ASC) AS rk
+            FROM rp_cnt WHERE n IN ({top_ns}) AND cnt >= 2
+        ) WHERE rk = 1
+    ),
+    rp_top_agg AS (
+        SELECT doc_id, {top_cols}
+        FROM rp_top GROUP BY doc_id
+    ),
+    rp_dpos AS (
+        SELECT o.doc_id, o.n, o.pos AS a, o.pos + o.n - 1 AS b
+        FROM rp_occ o
+        JOIN rp_cnt c ON c.doc_id = o.doc_id AND c.n = o.n AND c.item = o.item
+        WHERE o.n IN ({dup_ns}) AND c.cnt >= 2
+    ),
+    rp_isl AS (
+        SELECT doc_id, n, a, b,
+               CASE WHEN a <= MAX(b) OVER (
+                        PARTITION BY doc_id, n ORDER BY a, b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS newisl
+        FROM rp_dpos
+    ),
+    rp_isl2 AS (
+        SELECT doc_id, n, a, b,
+               SUM(newisl) OVER (PARTITION BY doc_id, n ORDER BY a, b
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM rp_isl
+    ),
+    rp_merged AS (
+        SELECT doc_id, n, MIN(a) AS a, MAX(b) AS b
+        FROM rp_isl2 GROUP BY doc_id, n, island
+    ),
+    rp_dup AS (
+        SELECT m.doc_id, m.n,
+               SUM(length(array_to_string(t.toks[m.a:m.b], ' '))) AS chars
+        FROM rp_merged m JOIN rp_t t ON t.doc_id = m.doc_id
+        GROUP BY 1, 2
+    ),
+    rp_dup_agg AS (
+        SELECT doc_id, {dup_cols}
+        FROM rp_dup GROUP BY doc_id
+    ),
+    rp_all AS (
+        SELECT t.doc_id, t.n_chars,
+               CAST(len(t.lines) AS BIGINT) AS n_lines,
+               CAST(len(t.paras) AS BIGINT) AS n_paras,
+               CAST(COALESCE(lp.dup_line_extra, 0) AS BIGINT) AS dup_line_extra,
+               CAST(COALESCE(lp.dup_line_chars, 0) AS BIGINT) AS dup_line_chars,
+               CAST(COALESCE(lp.dup_para_extra, 0) AS BIGINT) AS dup_para_extra,
+               CAST(COALESCE(lp.dup_para_chars, 0) AS BIGINT) AS dup_para_chars,
+               {", ".join(f"CAST(COALESCE(tp.top{n}_chars, 0) AS BIGINT) AS top{n}_chars" for n in tx.GOPHER_REP_TOP_NGRAM)},
+               {", ".join(f"CAST(COALESCE(dp.dup{n}_chars, 0) AS BIGINT) AS dup{n}_chars" for n in tx.GOPHER_REP_DUP_NGRAM)}
+        FROM rp_t t
+        LEFT JOIN rp_lp_agg lp ON lp.doc_id = t.doc_id
+        LEFT JOIN rp_top_agg tp ON tp.doc_id = t.doc_id
+        LEFT JOIN rp_dup_agg dp ON dp.doc_id = t.doc_id
+    )
+    SELECT *,
+           {flag_cols},
+           ({composite}) AS repetition_pass
+    FROM rp_all ORDER BY doc_id
+    """
+
+
+GOPHER_REPETITION_ORACLE = _gopher_repetition_oracle()
+
+
+def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the Gopher REPETITION-removal battery (Rae et al. 2021,
+    appendix A1.1 — the other half of gopher_quality_report): duplicate
+    line / paragraph fractions (count and character), top-{2,3,4}-gram
+    character fractions, and duplicate-{5..10}-gram character coverage
+    with every character counted ONCE (token-interval union via the
+    shared merge kernel). All evidence integer, all thresholds
+    cross-multiplied, keep-at-threshold boundary semantics matching the
+    quality battery. Scale: one explode + one (doc, kind, item) groupBy
+    + per-doc O(n) folds — the shingle family's exchange shape; nothing
+    quadratic in document length, no windows over raw rows."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return TX.gopher_repetition_flags(t["documents"]).orderBy("doc_id")
+
+
+def _dup_span_oracle() -> str:
+    """Oracle for :func:`duplicated_span_report` (STAGED): the stride-1
+    window explode, corpus-wide occurrence counts, and the same
+    gaps-and-islands interval merge, all relational."""
+    w = D.EXSUB_WINDOW
+    return f"""
+    WITH ds_t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    ds_w AS (
+        SELECT doc_id, pos,
+               array_to_string(toks[pos:pos + {w} - 1], ' ') AS win
+        FROM (
+            SELECT doc_id, toks,
+                   UNNEST(generate_series(1, len(toks) - {w} + 1)) AS pos
+            FROM ds_t
+        )
+    ),
+    ds_c AS (SELECT win, COUNT(*) AS cnt FROM ds_w GROUP BY win),
+    ds_d AS (
+        SELECT w.doc_id, w.pos AS a, w.pos + {w} - 1 AS b
+        FROM ds_w w JOIN ds_c c ON c.win = w.win WHERE c.cnt >= 2
+    ),
+    ds_isl AS (
+        SELECT doc_id, a, b,
+               CASE WHEN a <= MAX(b) OVER (
+                        PARTITION BY doc_id ORDER BY a, b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS newisl
+        FROM ds_d
+    ),
+    ds_isl2 AS (
+        SELECT doc_id, a, b,
+               SUM(newisl) OVER (PARTITION BY doc_id ORDER BY a, b
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM ds_isl
+    ),
+    ds_m AS (
+        SELECT doc_id, MIN(a) AS a, MAX(b) AS b
+        FROM ds_isl2 GROUP BY doc_id, island
+    ),
+    ds_stats AS (
+        SELECT m.doc_id,
+               COUNT(*) AS n_dup_spans,
+               SUM(m.b - m.a + 1) AS dup_tokens,
+               SUM(length(array_to_string(t.toks[m.a:m.b], ' '))) AS dup_chars,
+               MAX(m.b - m.a + 1) AS longest_span_tokens
+        FROM ds_m m JOIN ds_t t ON t.doc_id = m.doc_id
+        GROUP BY m.doc_id
+    ),
+    ds_dw AS (
+        SELECT doc_id, COUNT(*) AS n_dup_windows FROM ds_d GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.toks) - {w} + 1, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(s.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(COALESCE(s.longest_span_tokens, 0) AS BIGINT) AS longest_span_tokens
+    FROM ds_t t
+    LEFT JOIN ds_stats s ON s.doc_id = t.doc_id
+    LEFT JOIN ds_dw dw ON dw.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+DUP_SPAN_ORACLE = _dup_span_oracle()
+
+
+def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: ExactSubstr-style duplicated-span extraction (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every stride-1 {w}-token window occurring >= 2 times ANYWHERE in the
+    corpus marks its token interval; overlapping marks merge into
+    maximal duplicated spans per document. Unlike the stride-w chunk
+    dedup family (token_chunk_dedup / cdc_chunk_dedup), a repeated
+    passage is detected at EVERY alignment — the suffix-array result
+    re-expressed as windows + interval union, the missing member of the
+    dedup family's exactness ladder (exact doc -> aligned chunk ->
+    shift-resistant chunk -> maximal span). One content-keyed groupBy,
+    per-doc O(n) merge fold, no windows, no collects."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return D.duplicated_span_stats(docs).orderBy("doc_id")

@@ -887,3 +887,84 @@ def gopher_repetition_flags(
         out = out.withColumn(name, c)
         rep_pass = c if rep_pass is None else (rep_pass & c)
     return out.withColumn("repetition_pass", rep_pass)
+
+
+# ---------------------------------------------------------------------------
+# C4 cleanup battery (Raffel et al. 2020, §2.2 — the canonical crawl
+# cleanup: line-level retention rules + page-level gates)
+# ---------------------------------------------------------------------------
+
+#: A kept line must end in terminal punctuation (C4 keeps "lines that end
+#: in a terminal punctuation mark"; the closing quote after one counts).
+C4_TERMINALS = (".", "!", "?", '."', '!"', '?"')
+#: ... and contain at least this many whitespace words.
+C4_MIN_LINE_WORDS = 5
+#: Page gate: at least this many kept sentences (terminal-punctuation
+#: segments across kept lines — the repo's documented approximation).
+C4_MIN_SENTENCES = 3
+
+
+def c4_clean_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document C4 cleanup: line retention counts, the cleaned text,
+    and the page gate (Raffel et al. 2020 §2.2).
+
+    Line rules (a line survives iff ALL hold):
+
+    - ends in terminal punctuation (optionally followed by a closing
+      double quote);
+    - has >= C4_MIN_LINE_WORDS whitespace words;
+    - does not contain the word "javascript" (any case).
+
+    Page rules:
+
+    - drop if "lorem ipsum" appears (any case);
+    - drop if '{' appears (code);
+    - drop if kept SENTENCES (terminal-punctuation segments within kept
+      lines) < C4_MIN_SENTENCES.
+
+    Outputs exact integers + ``clean_text`` (kept lines joined with \\n,
+    original order) + ``page_kept``. Scan-side projection — no shuffle,
+    no UDF; the same free-rider shape as the Gopher quality battery, so
+    at 100 TB it rides the curation scan. (The remaining C4 steps —
+    badword list and three-sentence-span dedup — are corpus policy and
+    span dedup respectively; span dedup is the registered chunk/CDC/span
+    family.)
+    """
+    t = F.col(text_col)
+    term_checks = " OR ".join(
+        f"endswith(l, '{e}')" for e in C4_TERMINALS
+    )
+    keep_lambda = (
+        f"l -> ({term_checks})"
+        f" AND size(split(l, ' ')) >= {C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    staged = (
+        df.withColumn("__lines", F.split(t, "\n"))
+        .withColumn("__kept", F.expr(f"filter(__lines, {keep_lambda})"))
+    )
+    n_lines = F.size("__lines").cast("long")
+    n_kept = F.size("__kept").cast("long")
+    # sentences: terminal-punct occurrences across kept lines — count
+    # '.', '!', '?' characters (C4's sentence unit approximated by its
+    # own terminal markers; exact integer, engine-portable).
+    joined = F.array_join(F.col("__kept"), "\n")
+    n_sentences = (
+        F.length(joined)
+        - F.length(F.translate(joined, ".!?", ""))
+    ).cast("long")
+    has_lorem = F.expr(f"contains(lower({text_col}), 'lorem ipsum')")
+    has_brace = F.expr(f"contains({text_col}, '{{')")
+    page_kept = (
+        (~has_lorem) & (~has_brace) & (n_sentences >= C4_MIN_SENTENCES)
+    )
+    return (
+        staged.withColumn("n_lines", n_lines)
+        .withColumn("n_kept_lines", n_kept)
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("has_lorem", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn("clean_text", joined)
+        .withColumn("page_kept", page_kept)
+        .drop("__lines", "__kept")
+    )

@@ -7400,3 +7400,69 @@ def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc O(n) merge fold, no windows, no collects."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return D.duplicated_span_stats(docs).orderBy("doc_id")
+
+
+def _c4_oracle() -> str:
+    """Oracle for :func:`c4_clean_report` (STAGED): the identical line
+    lambda in DuckDB list algebra; sentences counted by terminal-marker
+    characters of the kept-line join; page gates recomputed from raw."""
+    term = " OR ".join(f"ends_with(l, '{e}')" for e in TX.C4_TERMINALS)
+    keep = (
+        f"l -> ({term}) AND len(string_split(l, ' ')) >= {TX.C4_MIN_LINE_WORDS}"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+    WITH c4 AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)), {keep}) AS kept,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, chr(123)) AS has_brace
+        FROM documents
+    ),
+    c4b AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               -- DuckDB array_to_string([]) is NULL (Spark: '')
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+               CAST(length(COALESCE(array_to_string(kept, chr(10)), ''))
+                    - length(translate(
+                          COALESCE(array_to_string(kept, chr(10)), ''),
+                          '.!?', ''))
+                    AS BIGINT) AS n_sentences,
+               has_lorem, has_brace
+        FROM c4
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+           clean_text,
+           (NOT has_lorem AND NOT has_brace
+            AND n_sentences >= {TX.C4_MIN_SENTENCES}) AS page_kept
+    FROM c4b ORDER BY doc_id
+    """
+
+
+C4_CLEAN_ORACLE = _c4_oracle()
+
+
+def c4_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the C4 cleanup battery (Raffel et al. 2020 §2.2) — the
+    canonical crawl cleanup pipeline: terminal-punctuation / min-words /
+    javascript line retention, lorem-ipsum and curly-brace page gates,
+    min-sentence page gate, and the cleaned text itself (kept lines in
+    original order) — all under one hash gate including the
+    reconstructed clean_text. Pure scan-side projection (no shuffle
+    except the presentation sort, no UDF): the free-rider shape — at
+    100 TB this rides whatever scan feeds the curation funnel, same as
+    gopher_quality_report. Completes the rule-battery trio: C4 (line
+    retention) -> Gopher quality (doc gates) -> Gopher repetition
+    (within-doc dup gates)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        TX.c4_clean_flags(t["documents"])
+        .select(
+            "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+            "has_lorem", "has_brace", "clean_text", "page_kept",
+        )
+        .orderBy("doc_id")
+    )

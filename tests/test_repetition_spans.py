@@ -273,3 +273,57 @@ def test_repetition_hash_ngrams_output_identical(spark):
         map(tuple, TX.gopher_repetition_flags(docs, hash_ngrams=True).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# C4 cleanup battery (staged r11)
+# ---------------------------------------------------------------------------
+
+
+def test_c4_clean_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        C4_CLEAN_ORACLE,
+        c4_clean_report,
+    )
+
+    got = c4_clean_report(spark, SF_ORACLE)
+    res = compare(got, C4_CLEAN_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_c4_handcrafted_rules(spark):
+    good = "this line has enough words in it."
+    docs = [
+        (0, "\n".join([good, "another full sentence right here!", good])),
+        (1, "\n".join([good, "no terminal punct here at all", good])),  # line drop
+        (2, "\n".join([good, "short one.", good])),  # < 5 words drop
+        (3, "\n".join([good, "enable javascript to view this.", good])),  # js drop
+        (4, "\n".join([good, "Lorem Ipsum dolor sit amet.", good])),  # page gate
+        (5, "function f() { return 1; }\n" + good),  # brace gate
+        (6, 'he said "stop right there now!" and left.'),  # 1 sentence-ish
+        (7, "\n".join([good] * 2) + "\nends with quote after punct.\""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from retail_aws_etl_pipeline_spark.operators.textops import c4_clean_flags
+
+    r = {x.doc_id: x for x in c4_clean_flags(df).collect()}
+    assert r[0].page_kept and r[0].n_kept_lines == 3
+    assert r[1].n_kept_lines == 2 and r[1].clean_text == "\n".join([good, good])
+    assert r[2].n_kept_lines == 2
+    assert r[3].n_kept_lines == 2
+    assert r[4].has_lorem and not r[4].page_kept
+    assert r[5].has_brace and not r[5].page_kept
+    # doc 6: kept line has '!' inside quotes + terminal '.' => 2 markers < 3
+    assert r[6].n_kept_lines == 1 and r[6].n_sentences == 2 and not r[6].page_kept
+    # doc 7: closing-quote-after-punct line is kept
+    assert r[7].n_kept_lines == 3 and r[7].page_kept
+
+
+def test_c4_plan_is_scan_side(spark):
+    from retail_aws_etl_pipeline_spark.operators.textops import c4_clean_flags
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    plan = _plan(c4_clean_flags(docs).select("doc_id", "page_kept", "clean_text"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -86,3 +86,46 @@ def test_retired_entries_remain_locally_covered():
     local oracle suite must still see the entry."""
     for name in RETIRED:
         assert name in EXTRA_REGISTRY, f"retired entry dropped: {name}"
+
+
+def test_r12_due_list_matches_the_drafted_schedule():
+    """Forward simulation of the next rotation: pretend the driver just
+    archived a CORRECTNESS row for every current window entry (that is
+    what window membership means), then check the NEXT round's due-list
+    is exactly what ROADMAP's r12 schedule assumes — 49 entries, all
+    r9-rows, containing every drafted swap target. Catches registration
+    math errors a round early."""
+    from retail_aws_etl_pipeline_spark.plans import (
+        EXTRA_REGISTRY,
+        REGISTRY,
+        RETIRED,
+        WINDOW_SIZE,
+    )
+
+    newest = _newest_independent()
+    upcoming = max(newest.values()) + 1
+    simulated = dict(newest)
+    for name in REGISTRY:
+        simulated[name] = upcoming
+    names = [
+        n for n in set(REGISTRY) | set(EXTRA_REGISTRY) if n not in RETIRED
+    ]
+    nxt = upcoming + 1
+    floor = nxt - 3 + 1
+    due = sorted(n for n in names if simulated.get(n, 0) < floor)
+    assert len(due) <= WINDOW_SIZE, (
+        f"r{nxt} due-list ({len(due)}) exceeds the window — the r{upcoming} "
+        "registrations displaced due entries"
+    )
+    # ROADMAP r12 schedule: 49 due (one free slot) and the drafted swap
+    # targets all come due then.
+    assert len(due) == 49, due
+    for swap_target in (
+        "token_chunk_dedup",
+        "bpe_pair_stats",
+        "sorted_neighborhood_pairs",
+        "bm25_query_scores",
+        "cross_source_dup_matrix",
+        "incremental_near_dup_pairs",
+    ):
+        assert swap_target in due, f"{swap_target} not in the r{nxt} due-list"

@@ -1709,3 +1709,49 @@ def duplicated_span_stats(
         ).cast("long").alias("longest_span_tokens"),
     )
     return stats
+
+
+def quality_survivors(
+    comp: DataFrame,
+    scored: DataFrame,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One survivor per connected component: the argmax-``score_col``
+    member, ties broken by smallest id.
+
+    ``comp`` is the (node, label) frame from ``connected_components`` /
+    ``connected_components_star``; ``scored`` carries (``id_col``,
+    ``score_col``) with a non-negative integer score. Production dedup
+    keeps the BEST document of each duplicate cluster — longest, highest
+    quality, most recent — not an arbitrary one; the min-id survivor
+    ``dedup_retained_corpus`` emits is a label artifact that discards a
+    better-written duplicate whenever it carries the larger id.
+
+    The argmax is ONE groupBy(label) over a ``min(struct(-score, id))``
+    aggregation buffer — no window, no rank join-back — so the shuffle
+    carries cluster-count rows, never corpus-wide rank state. Scores
+    negate inside int64 (they are bounded by construction: quality keys
+    here are <= QUALITY_SCALE).
+
+    Returns (label, ``id_col``, ``score_col``, cluster_size).
+    """
+    member = comp.join(
+        scored.select(F.col(id_col).alias("node"), F.col(score_col)),
+        "node",
+    )
+    agg = member.groupBy("label").agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("ns"),
+                F.col("node").alias("id"),
+            )
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return agg.select(
+        "label",
+        F.col("__w.id").alias(id_col),
+        (-F.col("__w.ns")).cast("long").alias(score_col),
+        "cluster_size",
+    )

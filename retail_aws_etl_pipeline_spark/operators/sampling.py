@@ -338,3 +338,178 @@ def dsir_scores(
         .groupBy(id_col)
         .agg(F.sum(score).alias("dsir_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget output sharding (the training-data writer's last mile)
+# ---------------------------------------------------------------------------
+
+#: Tokens per output shard. A knob, not a correctness constant — real
+#: exports target ~100M-token files; the test corpora use a value that
+#: yields a two-digit shard count at sf0.01 so the manifest is non-trivial.
+SHARD_CAPACITY = 2048
+
+#: Epoch salt for the writer's deterministic shuffle order (same contract
+#: as corpus_shuffle_batches: same salt -> same order, new salt -> fresh
+#: epoch order; replay-idempotent across retries).
+SHARD_SALT = "shard1"
+
+
+def shard_assignment(
+    df: DataFrame,
+    capacity: int = SHARD_CAPACITY,
+    salt: str = SHARD_SALT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = 16,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment — the step that turns
+    a curated corpus into the fixed-size training files a dataloader
+    streams (WebDataset/Arrow shard exports).
+
+    Documents are laid into one global token stream in epoch-shuffle
+    order (``md5(doc_id || ':' || salt)``, then id — the exact key
+    corpus_shuffle_batches uses, so the writer emits the training order)
+    and a document belongs to the shard containing its FIRST token:
+    ``shard_id = exclusive-prefix-tokens div capacity``. Deterministic,
+    integer-exact, replay-idempotent — a retried writer reproduces the
+    identical shard layout, so shard files are safe to overwrite.
+
+    The global running sum never builds a global window: range-partition
+    on the sort key, per-partition window sum, broadcast triangular
+    offsets — the distributed-cumsum discipline token_budget_select and
+    customer_spend_deciles use. ``partitions`` defaults to a constant 16
+    for plan-stable tests; production callers pass the session shuffle
+    partitions (the sorted-neighborhood r8 lesson).
+
+    Returns (``id_col``, lang, source, n_toks, shard_id).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col("source"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_toks"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))).alias(
+            "__k"
+        ),
+    )
+    sort_cols = [F.asc("__k"), F.asc(id_col)]
+    ranged = base.repartitionByRange(partitions, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lcum",
+        F.sum("n_toks").over(W.partitionBy("__pid").orderBy(*sort_cols)),
+    )
+    counts = ranged.groupBy("__pid").agg(F.sum("n_toks").alias("__ptoks"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__ptoks"), F.lit(0)).alias("__offset"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "shard_id",
+            F.expr(f"(__offset + __lcum - n_toks) div {capacity}").cast("long"),
+        )
+        .select(id_col, "lang", "source", "n_toks", "shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-perceptron quality classifier (the GPT-3 / FineWeb-Edu filter step)
+# ---------------------------------------------------------------------------
+
+#: Fixed training schedule. Like the kmeans/BPE unrolls, a FIXED round
+#: count is what lets a SQL oracle replay training bit-for-bit; the knob
+#: trades fit quality, not correctness.
+PCTRON_ROUNDS = 3
+
+#: The bias rides the same weight vector as one extra always-on feature.
+PCTRON_BIAS = DSIR_BUCKETS
+
+
+def perceptron_features(
+    docs: DataFrame, target: Column, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed bag-of-words training features: (id, y, b, cnt).
+
+    y ∈ {+1, −1} from ``target`` (NULL counts as negative — the dsir_fit
+    convention); b is the shared md5 feature bucket (dsir_bucket) plus
+    one bias bucket with cnt=1 per document. One explode + one
+    (id, bucket) groupBy — the corpus-scale exchange happens HERE, once;
+    every training round then works on this (persisted) frame.
+    """
+    y = F.when(F.coalesce(target, F.lit(False)), F.lit(1)).otherwise(F.lit(-1))
+    base = docs.select(F.col(id_col), y.cast("long").alias("y"), F.col(text_col))
+    words = base.select(
+        id_col, "y", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    feats = words.groupBy(
+        F.col(id_col), F.col("y"), dsir_bucket(F.col("w")).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    bias = base.select(
+        id_col, "y", F.lit(PCTRON_BIAS).cast("long").alias("b"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return feats.unionByName(bias)
+
+
+def _perceptron_margins(feats: DataFrame, w: list[int], id_col: str) -> DataFrame:
+    """(id, y, margin) under weight vector ``w`` (inlined as literals —
+    the kmeans centroid-literal discipline: the model rides the scan,
+    no join)."""
+    lut = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return (
+        feats.groupBy(id_col, "y")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.element_at(lut, (F.col("b") + 1).cast("int"))
+            ).alias("score")
+        )
+        .withColumn("margin", F.col("y") * F.col("score"))
+    )
+
+
+def perceptron_fit(
+    feats: DataFrame, rounds: int = PCTRON_ROUNDS, id_col: str = "doc_id"
+) -> list[list[int]]:
+    """Batch ("parallel") perceptron: per round, every currently
+    misclassified document (margin y·(w·x) <= 0; w starts at 0, so round
+    1 updates on the whole corpus) contributes y·x to the weight update
+    in ONE aggregate — deterministic by construction, unlike the
+    sequential perceptron, and every weight stays exact int64 (counts
+    in, counts out; no learning-rate floats). This is the distributed
+    form of the linear quality-classifier step (GPT-3's LR filter,
+    FineWeb-Edu's classifier): Spark computes corpus-scale passes, the
+    model itself is a bounded <=DSIR_BUCKETS+1-row collect per round —
+    the kmeans/IVF fit discipline.
+
+    Returns the weight vector AFTER each round (len = ``rounds``).
+    """
+    n_w = DSIR_BUCKETS + 1
+    w = [0] * n_w
+    out: list[list[int]] = []
+    for _ in range(rounds):
+        m = _perceptron_margins(feats, w, id_col)
+        delta = (
+            m.filter(F.col("margin") <= 0)
+            .select(id_col)
+            .join(feats, id_col)
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+            .collect()
+        )
+        w = list(w)
+        for r in delta:
+            w[int(r.b)] += int(r.dw)
+        out.append(w)
+    return out

@@ -968,3 +968,113 @@ def c4_clean_flags(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .withColumn("page_kept", page_kept)
         .drop("__lines", "__kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram table (the KenLM / SRILM count pass)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for every smoothed probability. Quantizing the
+#: absolute discount AND each probability to ppm keeps the whole table in
+#: int64 floor-division arithmetic — Spark and any SQL oracle agree
+#: bit-for-bit, where the float form diverges in final ulps across
+#: engines (same discipline as DSIR_LOG_SCALE / the BM25 rational idf).
+KN_SCALE = 1_000_000
+
+
+def kn_bigram_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram statistics over the corpus — the
+    distributed COUNT PASS of n-gram language-model training (the KenLM
+    / SRILM step classic data pipelines run for perplexity filtering).
+
+    Kneser-Ney (Ney/Essen/Kneser 1994; Chen & Goodman 1999) needs four
+    count layers, all computed here:
+
+    - ``c``            — bigram count c(w1, w2)
+    - ``c_prefix``     — left-marginal c(w1, •) (sum over followers)
+    - ``n_followers``  — N1+(w1, •): distinct followers of w1 (the
+      backoff-weight numerator)
+    - ``n_left``       — N1+(•, w2): distinct predecessors of w2 (the
+      CONTINUATION count — KN's insight: "Francisco" is frequent but
+      only ever follows "San", so its unigram backoff mass is tiny)
+
+    plus the global count-of-counts N1/N2 (bigram types seen once /
+    twice) that set the absolute discount D = N1 / (N1 + 2*N2).
+    Everything downstream is integer fixed-point:
+
+    - ``d_ppm``      = N1 * KN_SCALE div (N1 + 2*N2)
+    - ``p1_ppm``     = max(c*KN_SCALE - d_ppm, 0) div c_prefix
+    - ``lambda_ppm`` = d_ppm * n_followers div c_prefix
+    - ``pcont_ppm``  = n_left * KN_SCALE div n_bigram_types
+    - ``p_kn_ppm``   = p1_ppm + lambda_ppm * pcont_ppm div KN_SCALE
+
+    Scale shape: ONE corpus-wide exchange (the (w1, w2) groupBy); the
+    marginal/continuation layers aggregate and join on the VOCAB-scale
+    count frame, and the count-of-counts row is a single-row broadcast.
+    Mass invariant (pinned in tests): per w1,
+    sum(p1_ppm) + lambda_ppm <= KN_SCALE, within n_followers+1 floor
+    slack — the discounted mass plus the backoff weight is exactly the
+    prefix's probability budget.
+    """
+    base = df.select(F.split(F.col(text_col), " ").alias("__toks"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) < 2 THEN "
+                "array() "
+                "ELSE transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i - 1] AS tok_a, __toks[i] AS tok_b)) END"
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    # The count frame feeds four consumers (marginals, continuation
+    # counts, count-of-counts, the final join); persist it so the
+    # corpus-scale pair exchange runs once. Caller-owned lifecycle:
+    # the returned frame is tagged via retaining().
+    bg = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bg = bg.persist()
+    pre = bg.groupBy("tok_a").agg(
+        F.sum("c").cast("long").alias("c_prefix"),
+        F.count(F.lit(1)).cast("long").alias("n_followers"),
+    )
+    lft = bg.groupBy("tok_b").agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+    glob = bg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    ).withColumn(
+        "d_ppm",
+        F.expr(
+            f"CASE WHEN n1 + 2 * n2 = 0 THEN 0 "
+            f"ELSE n1 * {KN_SCALE} div (n1 + 2 * n2) END"
+        ).cast("long"),
+    )
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    result = (
+        bg.join(pre, "tok_a")
+        .join(lft, "tok_b")
+        .crossJoin(F.broadcast(glob.select("n_bigram_types", "d_ppm")))
+        .withColumn(
+            "p1_ppm",
+            F.expr(f"greatest(c * {KN_SCALE} - d_ppm, 0L) div c_prefix").cast("long"),
+        )
+        .withColumn(
+            "lambda_ppm", F.expr("d_ppm * n_followers div c_prefix").cast("long")
+        )
+        .withColumn(
+            "pcont_ppm",
+            F.expr(f"n_left * {KN_SCALE} div n_bigram_types").cast("long"),
+        )
+        .withColumn(
+            "p_kn_ppm",
+            F.expr(f"p1_ppm + (lambda_ppm * pcont_ppm) div {KN_SCALE}").cast("long"),
+        )
+        .select(
+            "tok_a", "tok_b", "c", "c_prefix", "n_followers", "n_left",
+            "d_ppm", "p1_ppm", "lambda_ppm", "pcont_ppm", "p_kn_ppm",
+        )
+    )
+    return retaining(result, bg)

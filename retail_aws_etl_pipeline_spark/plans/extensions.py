@@ -7466,3 +7466,425 @@ def c4_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED r13+ tranche: quality-aware dedup retention, the Kneser-Ney
+# bigram table, and the token-budget shard manifest. Registration follows
+# the COVERAGE.md §rotation cap policy; full local proof lives in
+# tests/test_staged_r13.py.
+# ---------------------------------------------------------------------------
+
+
+def _quality_retained_oracle() -> str:
+    """Oracle for :func:`dedup_retained_by_quality` (STAGED): the same
+    recursive-CTE connected components as _RETAINED_CORPUS_ORACLE, with
+    survivor selection switched from the min-id label artifact to the
+    argmax of the integer quality key (``distinct_tokens * SCALE div
+    tokens`` — the token_budget_select key), ties to the smallest id."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import QUALITY_SCALE
+
+    return f"""
+    WITH RECURSIVE {GRAMS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+        SELECT cm.id_a, cm.id_b
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE cm.common * 5 >= (sa.n + sb.n - cm.common)
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    csize AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY cluster_id
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * {QUALITY_SCALE}
+                   // CAST(len(string_split(text, ' ')) AS BIGINT) AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.cluster_id AS label, q.doc_id, q.quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality DESC, q.doc_id
+               ) AS rn
+        FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+    )
+    SELECT r.label, r.doc_id, r.quality, s.cluster_size, d.lang, d.source
+    FROM ranked r
+    JOIN csize s ON s.cluster_id = r.label
+    JOIN documents d ON d.doc_id = r.doc_id
+    WHERE r.rn = 1
+    ORDER BY r.label
+    """
+
+
+DEDUP_QUALITY_RETAINED_ORACLE = _quality_retained_oracle()
+
+
+def dedup_retained_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: quality-aware survivor selection — the production form of
+    dedup retention. dedup_retained_corpus keeps the min-id member of
+    each near-dup component because the min-id IS the component label (a
+    free filter); real pipelines keep the BEST member (RefinedWeb keeps
+    the longest, CCNet the lowest-perplexity copy), because duplicate
+    clusters mix a clean original with truncated or boilerplate-wrapped
+    mirrors. Survivor = argmax of the integer lexical-diversity quality
+    key (the token_budget_select sort key), ties to the smallest id —
+    one groupBy(label) min(struct(-quality, id)) buffer via
+    D.quality_survivors, no window, no rank join-back. Same banded
+    near-dup graph as the retained-corpus query; only selection differs.
+    """
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+    from retail_aws_etl_pipeline_spark.operators.sampling import QUALITY_SCALE
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    grams = D.shingles(docs).persist()
+    counts = D.jaccard_counts(grams)
+    pairs = counts.filter(
+        F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(array_distinct(split(text, ' '))) * {QUALITY_SCALE} AS BIGINT)"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("quality"),
+    )
+    surv = D.quality_survivors(comp, scored)
+    out = (
+        surv.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("label", "doc_id", "quality", "cluster_size", "lang", "source")
+        .orderBy("label")
+    )
+    return retaining(out, grams)
+
+
+#: Top-N bigrams emitted by ngram_lm_report (count-desc, lexicographic
+#: tiebreak — a total order, (tok_a, tok_b) is unique in the table).
+KN_TOP_N = 50
+
+
+def _kn_bigram_oracle() -> str:
+    """Oracle for :func:`ngram_lm_report` (STAGED): the identical four
+    count layers + fixed-point Kneser-Ney arithmetic in DuckDB. Pair
+    positions are generated from the ACTUAL token count per row (lateral
+    UNNEST — the ADVICE r10 lesson: a literal position cap silently
+    drops pairs on long documents)."""
+    from retail_aws_etl_pipeline_spark.operators.textops import KN_SCALE
+
+    return f"""
+    WITH kt AS (SELECT string_split(text, ' ') AS t FROM documents),
+    kp AS (
+        SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+        FROM (SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i
+              FROM kt WHERE len(t) >= 2)
+    ),
+    bg AS (
+        SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM kp GROUP BY tok_a, tok_b
+    ),
+    pre AS (
+        SELECT tok_a, CAST(SUM(c) AS BIGINT) AS c_prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_followers
+        FROM bg GROUP BY tok_a
+    ),
+    lft AS (
+        SELECT tok_b, CAST(COUNT(*) AS BIGINT) AS n_left FROM bg GROUP BY tok_b
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM bg
+    ),
+    gd AS (
+        SELECT n_bigram_types,
+               CAST(CASE WHEN n1 + 2 * n2 = 0 THEN 0
+                    ELSE n1 * {KN_SCALE} // (n1 + 2 * n2) END AS BIGINT) AS d_ppm
+        FROM g
+    )
+    SELECT b.tok_a, b.tok_b, b.c, p.c_prefix, p.n_followers, l.n_left,
+           gd.d_ppm,
+           CAST(GREATEST(b.c * {KN_SCALE} - gd.d_ppm, 0) // p.c_prefix
+                AS BIGINT) AS p1_ppm,
+           CAST(gd.d_ppm * p.n_followers // p.c_prefix AS BIGINT) AS lambda_ppm,
+           CAST(l.n_left * {KN_SCALE} // gd.n_bigram_types AS BIGINT) AS pcont_ppm,
+           CAST(GREATEST(b.c * {KN_SCALE} - gd.d_ppm, 0) // p.c_prefix
+                + (gd.d_ppm * p.n_followers // p.c_prefix)
+                  * (l.n_left * {KN_SCALE} // gd.n_bigram_types) // {KN_SCALE}
+                AS BIGINT) AS p_kn_ppm
+    FROM bg b
+    JOIN pre p ON p.tok_a = b.tok_a
+    JOIN lft l ON l.tok_b = b.tok_b, gd
+    ORDER BY b.c DESC, b.tok_a, b.tok_b
+    LIMIT {KN_TOP_N}
+    """
+
+
+KN_BIGRAM_ORACLE = _kn_bigram_oracle()
+
+
+def ngram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the distributed count pass of n-gram language-model
+    training (the KenLM/SRILM step perplexity-filter pipelines run
+    before training — CCNet filters on exactly such a model). Emits the
+    top-{n} bigrams with all four Kneser-Ney count layers (bigram count,
+    left marginal, distinct-follower and continuation counts), the
+    global count-of-counts discount, and the interpolated KN probability
+    — every smoothing term quantized to ppm int64 floor-divisions so the
+    hash gate pins the arithmetic bit-for-bit (see
+    TX.kn_bigram_table). Scale shape: ONE corpus-wide exchange (the
+    bigram groupBy, persisted for its four consumers); the marginal /
+    continuation layers and joins run on the vocab-scale count frame;
+    the count-of-counts row broadcasts. Distinct from collocation_pairs
+    (lift ranking for phrase mining) — this computes the smoothing
+    machinery an LM needs."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    tab = TX.kn_bigram_table(t["documents"])
+    out = tab.orderBy(F.desc("c"), "tok_a", "tok_b").limit(KN_TOP_N)
+    return retaining(out, *retained_caches(tab))
+
+
+def _shard_manifest_oracle() -> str:
+    """Oracle for :func:`training_shard_manifest` (STAGED): the global
+    epoch-order exclusive prefix sum as one SQL window, shard id by
+    floor division, manifest via keyed sub-aggregates."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import (
+        SHARD_CAPACITY,
+        SHARD_SALT,
+    )
+
+    return f"""
+    WITH shd AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               md5(CAST(doc_id AS VARCHAR) || ':{SHARD_SALT}') AS k
+        FROM documents
+    ),
+    shc AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_toks) OVER (
+                   ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_excl
+        FROM shd
+    ),
+    sha AS (
+        SELECT *, CAST(cum_excl // {SHARD_CAPACITY} AS BIGINT) AS shard_id
+        FROM shc
+    ),
+    shl AS (
+        SELECT shard_id, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM sha GROUP BY shard_id
+    ),
+    shs AS (
+        SELECT shard_id, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM sha GROUP BY shard_id
+    ),
+    shg AS (
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens
+        FROM sha GROUP BY shard_id
+    )
+    SELECT g.shard_id, g.n_docs, g.n_tokens, l.n_langs, s.n_sources,
+           g.max_doc_tokens
+    FROM shg g
+    JOIN shl l ON l.shard_id = g.shard_id
+    JOIN shs s ON s.shard_id = g.shard_id
+    ORDER BY g.shard_id
+    """
+
+
+SHARD_MANIFEST_ORACLE = _shard_manifest_oracle()
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the writer's last mile — deterministic token-budget shard
+    assignment (SMP.shard_assignment: epoch-shuffle order, document
+    belongs to the shard containing its first token, distributed cumsum
+    — no global window) rolled up into the shard MANIFEST a dataloader
+    consumes: per shard, doc count, token mass, lang/source mixing, and
+    the largest single document. Replay-idempotent by construction
+    (md5(doc_id||salt) order), so a retried export reproduces byte-stable
+    shard boundaries — the property that makes shard files safe to
+    overwrite under at-least-once execution. Distinct counts via keyed
+    sub-aggregates (the corpus_shuffle_batches Expand-free discipline).
+    """
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    asg = SMP.shard_assignment(t["documents"]).persist()
+    g = asg.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.max("n_toks").cast("long").alias("max_doc_tokens"),
+    )
+    langs = (
+        asg.groupBy("shard_id", "lang")
+        .agg(F.count(F.lit(1)).alias("cl"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    )
+    srcs = (
+        asg.groupBy("shard_id", "source")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    )
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    out = (
+        g.join(langs, "shard_id")
+        .join(srcs, "shard_id")
+        .select(
+            "shard_id", "n_docs", "n_tokens", "n_langs", "n_sources",
+            "max_doc_tokens",
+        )
+        .orderBy("shard_id")
+    )
+    return retaining(out, asg)
+
+
+def _perceptron_oracle() -> str:
+    """Oracle for :func:`quality_classifier_report` (STAGED): the full
+    fixed-schedule batch-perceptron training unrolled in SQL — the
+    kmeans/BPE discipline. Round 1 updates on every document (w0 = 0
+    puts every margin at 0, and 0 counts as misclassified); each later
+    round joins the corpus feature frame to the previous round's weight
+    table. A hash match pins tokenization, feature hashing, every
+    per-round error census, and the exact integer weight evolution."""
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    bucket = (
+        f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+        f" % {SMP.DSIR_BUCKETS}"
+    )
+    ctes = [
+        "pdocs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+        " AS y FROM documents)",
+        "pw AS (SELECT d.doc_id, d.y, md5(t.w) AS h FROM pdocs d JOIN ("
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+        ") t ON t.doc_id = d.doc_id)",
+        f"pfeat0 AS (SELECT doc_id, y, {bucket} AS b, CAST(COUNT(*) AS BIGINT)"
+        " AS cnt FROM pw GROUP BY doc_id, y, b)",
+        f"pfeats AS (SELECT * FROM pfeat0 UNION ALL SELECT doc_id, y,"
+        f" {SMP.PCTRON_BIAS} AS b, CAST(1 AS BIGINT) AS cnt FROM pdocs)",
+        "m1 AS (SELECT doc_id, y, CAST(0 AS BIGINT) AS margin FROM pdocs)",
+        "w1 AS (SELECT b, CAST(SUM(y * cnt) AS BIGINT) AS w FROM pfeats"
+        " GROUP BY b)",
+    ]
+    for i in range(2, SMP.PCTRON_ROUNDS + 1):
+        ctes += [
+            f"s{i} AS (SELECT f.doc_id, f.y, SUM(f.cnt * COALESCE(w.w, 0))"
+            f" AS score FROM pfeats f LEFT JOIN w{i - 1} w ON w.b = f.b"
+            " GROUP BY f.doc_id, f.y)",
+            f"m{i} AS (SELECT doc_id, y, y * score AS margin FROM s{i})",
+            f"d{i} AS (SELECT f.b, SUM(f.y * f.cnt) AS dw FROM pfeats f"
+            f" JOIN m{i} m ON m.doc_id = f.doc_id WHERE m.margin <= 0"
+            " GROUP BY f.b)",
+            f"w{i} AS (SELECT COALESCE(a.b, d.b) AS b,"
+            " CAST(COALESCE(a.w, 0) + COALESCE(d.dw, 0) AS BIGINT) AS w"
+            f" FROM w{i - 1} a FULL JOIN d{i} d ON a.b = d.b)",
+        ]
+    traces = []
+    for i in range(1, SMP.PCTRON_ROUNDS + 1):
+        traces.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iteration,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM m{i} WHERE margin <= 0)
+                AS n_mis,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM m{i}
+                WHERE margin <= 0 AND y = 1) AS n_mis_pos,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM m{i}
+                WHERE margin <= 0 AND y = -1) AS n_mis_neg,
+            (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{i}) AS w_l1,
+            (SELECT CAST(COALESCE(MAX(CASE WHEN b = {SMP.PCTRON_BIAS}
+                THEN w END), 0) AS BIGINT) FROM w{i}) AS w_bias"""
+        )
+    body = " UNION ALL ".join(traces)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({body})"
+        " ORDER BY iteration"
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = _perceptron_oracle()
+
+
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the linear quality-classifier step (GPT-3 trained an LR
+    filter against WebText; FineWeb-Edu a regression head) as a
+    deterministic batch perceptron over hashed bag-of-words features —
+    every round, all currently misclassified documents contribute y·x
+    to the weight update in ONE aggregate, so training is integer-exact
+    and order-free (the sequential perceptron is neither). The emitted
+    frame is the TRAINING TRACE: per round, the error census under the
+    incoming weights (total / false-negative / false-positive) and the
+    L1 mass + bias of the updated weights — the whole weight evolution
+    sits under the hash gate, the kmeans-inertia-trace discipline.
+    Scale shape: the corpus-scale exchange happens once (the feature
+    groupBy, persisted); each round is a margins pass + a keyed update
+    aggregate on that frame, and the model is a bounded <=257-row
+    collect per round (the DSIR/IVF fit discipline). Target = lang=='en'
+    (the same proxy label DSIR fits against)."""
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    feats = SMP.perceptron_features(
+        t["documents"], F.col("lang") == "en"
+    ).persist()
+    ws = SMP.perceptron_fit(feats)
+    frames = []
+    prev = [0] * (SMP.DSIR_BUCKETS + 1)
+    for i, w in enumerate(ws, start=1):
+        m = SMP._perceptron_margins(feats, prev, "doc_id")
+        mis = F.col("margin") <= 0
+        frames.append(
+            m.agg(
+                F.sum(mis.cast("long")).alias("n_mis"),
+                F.sum((mis & (F.col("y") == 1)).cast("long")).alias("n_mis_pos"),
+                F.sum((mis & (F.col("y") == -1)).cast("long")).alias("n_mis_neg"),
+            ).select(
+                F.lit(i).cast("long").alias("iteration"),
+                F.col("n_mis"),
+                F.col("n_mis_pos"),
+                F.col("n_mis_neg"),
+                F.lit(sum(abs(v) for v in w)).cast("long").alias("w_l1"),
+                F.lit(w[SMP.PCTRON_BIAS]).cast("long").alias("w_bias"),
+            )
+        )
+        prev = w
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return retaining(out.orderBy("iteration"), feats)

@@ -1078,3 +1078,273 @@ def kn_bigram_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return retaining(result, bg)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (SentencePiece's other algorithm)
+# ---------------------------------------------------------------------------
+
+#: Longest candidate piece. Bounds the Viterbi fan-in (each DP step
+#: considers UNI_MAX_PIECE_LEN candidates) and the seed-substring blowup.
+UNI_MAX_PIECE_LEN = 4
+
+#: Multi-character pieces kept in the vocabulary beyond the single-char
+#: floor (every observed character stays — the SentencePiece coverage
+#: guarantee that keeps every word segmentable in every round).
+UNI_EXTRA_PIECES = 48
+
+#: Fixed EM schedule (hard-EM / Viterbi variant). Like BPE_MERGE_ROUNDS
+#: and the kmeans unrolls, a fixed round count is what lets the oracle
+#: replay training exactly; the knob trades fit quality, not correctness.
+UNI_EM_ROUNDS = 2
+
+#: Fixed-point scale for the quantized piece log-probabilities.
+UNI_LOG_SCALE = 1_000_000
+
+_UNI_BIG_NEG = -(1 << 40)
+
+
+def unigram_quantized_scores(
+    counts: dict[str, int], vocab: list[str]
+) -> dict[str, int]:
+    """Quantized add-1-smoothed log-probs over a FIXED vocab:
+    ``round(UNI_LOG_SCALE * ln((count + 1) / total))`` — the dsir_logratio
+    discipline: equal integer counts give equal int64 literals on every
+    engine, so Viterbi sums (and therefore segmentations) are exact."""
+    import math
+
+    total = sum(counts.get(p, 0) + 1 for p in vocab)
+    return {
+        p: round(UNI_LOG_SCALE * math.log((counts.get(p, 0) + 1) / total))
+        for p in vocab
+    }
+
+
+def unigram_word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-scale exchange of
+    unigram training (the bpe_train_merges discipline: everything after
+    this groupBy iterates on the word-type frame)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def unigram_seed_vocab(words: DataFrame) -> list[str]:
+    """Seed vocabulary: every observed character (coverage floor) plus
+    the top-``UNI_EXTRA_PIECES`` multi-char substrings (length <=
+    UNI_MAX_PIECE_LEN) by frequency-weighted occurrence count,
+    count-desc / piece-lex deterministic. Both collects are BOUNDED —
+    the alphabet, and an orderBy+limit top-K — never the full substring
+    table (at 100 TB the substring counts stay distributed; only the
+    chosen vocabulary rows come back)."""
+    subs = words.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({UNI_MAX_PIECE_LEN}, "
+                "length(word) - i + 1)), l -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    singles = [
+        r.piece for r in counts.filter(F.length("piece") == 1).collect()
+    ]
+    multis = [
+        r.piece
+        for r in counts.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_EXTRA_PIECES)
+        .collect()
+    ]
+    return sorted(singles) + sorted(multis)
+
+
+def unigram_seed_counts(words: DataFrame, vocab: list[str]) -> dict[str, int]:
+    """Frequency-weighted substring occurrence counts for the vocab
+    pieces (the round-0 model counts) — bounded |vocab|-row collect."""
+    vset = ", ".join("'" + p.replace("'", "\\'") + "'" for p in vocab)
+    subs = words.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(1, least({UNI_MAX_PIECE_LEN}, "
+                "length(word) - i + 1)), l -> substring(word, i, l))))"
+            )
+        ).alias("piece"),
+    ).filter(F.expr(f"piece IN ({vset})"))
+    return {
+        r.piece: int(r.cnt)
+        for r in subs.groupBy("piece").agg(F.sum("freq").alias("cnt")).collect()
+    }
+
+
+def _uni_score_map(scores: dict[str, int]):
+    return F.create_map(
+        *[
+            x
+            for p in sorted(scores)
+            for x in (F.lit(p), F.lit(int(scores[p])).cast("long"))
+        ]
+    )
+
+
+def unigram_viterbi_pieces(
+    words: DataFrame, scores: dict[str, int], word_col: str = "word"
+) -> DataFrame:
+    """Adds ``pieces`` (array<string>): the max-score segmentation of
+    each word under the quantized piece scores — ties to the LONGEST
+    piece (struct (score, len) comparison, engine-portable).
+
+    Pure Column algebra, O(len * UNI_MAX_PIECE_LEN) per word: one
+    aggregate() fold builds the DP table (best score + best piece length
+    per prefix), a second fold walks the back-pointers. No UDF, no
+    explode of the DP state, embarrassingly parallel over word types —
+    the tokenizer-application shape at 100 TB."""
+    L = UNI_MAX_PIECE_LEN
+    m = _uni_score_map(scores)
+
+    def cand(acc, j, back):
+        prev = F.element_at(acc["s"], (j - back + 1).cast("int"))
+        pc = F.col(word_col).substr((j - back + 1).cast("int"), F.lit(back))
+        sc = F.coalesce(F.element_at(m, pc), F.lit(_UNI_BIG_NEG).cast("long"))
+        return F.when(
+            j >= back,
+            F.struct((prev + sc).alias("s"), F.lit(back).cast("int").alias("l")),
+        ).otherwise(
+            F.struct(
+                F.lit(2 * _UNI_BIG_NEG).cast("long").alias("s"),
+                F.lit(0).alias("l"),
+            )
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.struct(F.expr("array(0L)").alias("s"), F.expr("array(0)").alias("l")),
+        lambda acc, j: (
+            lambda best: F.struct(
+                F.concat(acc["s"], F.array(best["s"])).alias("s"),
+                F.concat(acc["l"], F.array(best["l"])).alias("l"),
+            )
+        )(F.greatest(*[cand(acc, j, b) for b in range(1, L + 1)])),
+    )
+    with_dp = words.withColumn("__dp", dp)
+    lens = F.col("__dp")["l"]
+
+    def step(st, _):
+        lj = F.element_at(lens, (st["j"] + 1).cast("int"))
+        return F.when(
+            st["j"] > 0,
+            F.struct(
+                (st["j"] - lj).cast("int").alias("j"),
+                F.concat(
+                    st["p"],
+                    F.array(F.col(word_col).substr(st["j"] - lj + 1, lj)),
+                ).alias("p"),
+            ),
+        ).otherwise(st)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.struct(
+            F.length(word_col).cast("int").alias("j"),
+            F.expr("cast(array() as array<string>)").alias("p"),
+        ),
+        step,
+    )
+    return with_dp.withColumn("pieces", walk["p"]).drop("__dp")
+
+
+def unigram_segment_counts(
+    words: DataFrame, scores: dict[str, int]
+) -> DataFrame:
+    """(piece, n_tokens): frequency-weighted token counts of the Viterbi
+    segmentation under ``scores`` — the M-step count table. Bounded by
+    the vocab size (only vocab pieces can win the DP)."""
+    seg = unigram_viterbi_pieces(words, scores)
+    return (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_tokens"))
+    )
+
+
+def unigram_fit(
+    words: DataFrame, rounds: int = UNI_EM_ROUNDS
+) -> tuple[list[str], list[dict[str, int]]]:
+    """Hard-EM (Viterbi) unigram-LM training (Kudo 2018's estimation
+    step, deterministic integer variant): seed vocab + substring counts
+    -> quantized scores -> [Viterbi segment -> recount -> refit] per
+    round. Returns (vocab, scores-per-round: scores[0] is the seed fit,
+    scores[r] the fit after round r's recount). Every collect is bounded
+    at |vocab| rows (the DSIR/IVF fit discipline); the corpus never
+    leaves the cluster."""
+    vocab = unigram_seed_vocab(words)
+    scores = [unigram_quantized_scores(unigram_seed_counts(words, vocab), vocab)]
+    for _ in range(rounds - 1):
+        cnt = {
+            r.piece: int(r.n_tokens)
+            for r in unigram_segment_counts(words, scores[-1]).collect()
+        }
+        scores.append(unigram_quantized_scores(cnt, vocab))
+    return vocab, scores
+
+
+def unigram_python_mirror(
+    word_freqs: dict[str, int], rounds: int = UNI_EM_ROUNDS
+) -> tuple[list[str], list[dict[str, int]], dict[str, int]]:
+    """Pure-Python reference implementation (no Spark, no SQL): returns
+    (vocab, scores-per-round, final segmentation counts). Used by the
+    tests as an independent mirror AND by the oracle builder to fit the
+    final-round score literals from independently-counted words — the
+    _dsir_oracle discipline."""
+    L = UNI_MAX_PIECE_LEN
+    sub: dict[str, int] = {}
+    for w, f in word_freqs.items():
+        for i in range(len(w)):
+            for l in range(1, min(L, len(w) - i) + 1):
+                p = w[i : i + l]
+                sub[p] = sub.get(p, 0) + f
+    singles = sorted(p for p in sub if len(p) == 1)
+    multis = [
+        p
+        for p, _ in sorted(
+            ((p, c) for p, c in sub.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:UNI_EXTRA_PIECES]
+    ]
+    vocab = singles + sorted(multis)
+    scores = [unigram_quantized_scores({p: sub.get(p, 0) for p in vocab}, vocab)]
+
+    def viterbi(w: str, sc: dict[str, int]) -> list[str]:
+        n = len(w)
+        dp = [(0, 0)] + [(2 * _UNI_BIG_NEG, 0)] * n
+        for j in range(1, n + 1):
+            best = (2 * _UNI_BIG_NEG, 0)
+            for back in range(1, min(L, j) + 1):
+                s = dp[j - back][0] + sc.get(w[j - back : j], _UNI_BIG_NEG)
+                if (s, back) > best:
+                    best = (s, back)
+            dp[j] = best
+        out, j = [], n
+        while j > 0:
+            l = dp[j][1]
+            out.append(w[j - l : j])
+            j -= l
+        return out
+
+    def recount(sc: dict[str, int]) -> dict[str, int]:
+        cnt: dict[str, int] = {}
+        for w, f in word_freqs.items():
+            for p in viterbi(w, sc):
+                cnt[p] = cnt.get(p, 0) + f
+        return cnt
+
+    for _ in range(rounds - 1):
+        scores.append(unigram_quantized_scores(recount(scores[-1]), vocab))
+    return vocab, scores, recount(scores[-1])

@@ -7888,3 +7888,140 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return retaining(out.orderBy("iteration"), feats)
+
+
+#: Pieces emitted by unigram_lm_report (final-count desc, piece-lex
+#: tiebreak — total order, piece is unique in the count table).
+UNI_TOP_N = 40
+
+
+@functools.cache
+def _unigram_oracle() -> str | None:
+    """Oracle for :func:`unigram_lm_report` (STAGED): the FINAL EM
+    round's Viterbi segmentation + recount re-derived entirely in SQL —
+    a per-word DP as a recursive CTE carrying a sliding window of the
+    last UNI_MAX_PIECE_LEN dp values plus the back-pointer digits, then
+    a second recursive CTE walking the pointers, then the recount. The
+    piece-score literals are fitted INDEPENDENTLY: DuckDB counts the
+    words, and the pure-Python reference (textops.unigram_python_mirror
+    — its own substring counter, quantizer, and Viterbi) replays rounds
+    0..R-1 — the _dsir_oracle discipline. sf0.01-PINNED like
+    _ivf_oracle: the literals derive from that corpus, so the driver
+    only compares at its gate scale. Memoized; one fit per process."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT w, COUNT(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM read_parquet('{path}'))
+        WHERE len(w) >= 1 GROUP BY w
+        """
+    ).fetchall()
+    con.close()
+    wf = {w: int(f) for w, f in rows}
+    _, scores, _ = TX.unigram_python_mirror(wf)
+    sc = scores[-1]
+    big = TX._UNI_BIG_NEG
+    vals = ", ".join(
+        f"('{p}', CAST({s} AS BIGINT))" for p, s in sorted(sc.items())
+    )
+
+    def cand(length: int) -> str:
+        prev = ["d0", "d1", "d2", "d3"][length - 1]
+        e = (
+            f"{prev} + COALESCE((SELECT score FROM uvocab v WHERE v.piece ="
+            f" substr(w, j + 2 - {length}, {length})), CAST({big} AS BIGINT))"
+        )
+        return e if length == 1 else f"CASE WHEN j >= {length - 1} THEN {e} END"
+
+    cands = f"SELECT {cand(1)} AS s, 1 AS l" + "".join(
+        f" UNION ALL SELECT {cand(n)}, {n}"
+        for n in range(2, TX.UNI_MAX_PIECE_LEN + 1)
+    )
+    return f"""
+    WITH RECURSIVE uvocab(piece, score) AS (VALUES {vals}),
+    uw AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 1 GROUP BY w
+    ),
+    dp(w, freq, n, j, d0, d1, d2, d3, lens) AS (
+        SELECT w, freq, CAST(length(w) AS INT), 0, CAST(0 AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), ''
+        FROM uw
+        UNION ALL
+        SELECT w, freq, n, j + 1, best.s, d0, d1, d2,
+               lens || CAST(best.l AS VARCHAR)
+        FROM dp, LATERAL (
+            SELECT s, l FROM ({cands}) c WHERE s IS NOT NULL
+            ORDER BY s DESC, l DESC LIMIT 1
+        ) best
+        WHERE j < n
+    ),
+    fin AS (SELECT w, freq, n, lens FROM dp WHERE j = n),
+    walk(w, freq, lens, j, piece) AS (
+        SELECT w, freq, lens, n, CAST(NULL AS VARCHAR) FROM fin
+        UNION ALL
+        SELECT w, freq, lens, j - CAST(substr(lens, j, 1) AS INT),
+               substr(w, j - CAST(substr(lens, j, 1) AS INT) + 1,
+                      CAST(substr(lens, j, 1) AS INT))
+        FROM walk WHERE j > 0
+    ),
+    cnt AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_tokens
+            FROM walk WHERE piece IS NOT NULL GROUP BY piece)
+    SELECT c.piece, CAST(length(c.piece) AS BIGINT) AS piece_len,
+           c.n_tokens, v.score AS score_q
+    FROM cnt c JOIN uvocab v ON v.piece = c.piece
+    ORDER BY c.n_tokens DESC, c.piece
+    LIMIT {UNI_TOP_N}
+    """
+
+
+UNIGRAM_LM_ORACLE = _unigram_oracle()
+
+
+def unigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED: the unigram-LM tokenizer trainer (Kudo 2018 — the OTHER
+    production tokenizer algorithm next to BPE; SentencePiece's default)
+    as deterministic hard-EM: seed vocab = every character + top-K
+    substrings, quantized integer log-prob scores, then per round a
+    max-score Viterbi segmentation of every word and a recount — the
+    whole loop in pure Column algebra (the DP is one aggregate() fold
+    per word carrying (best score, back-pointer) arrays, ties to the
+    longest piece via engine-portable struct comparison; a second fold
+    walks the pointers — no UDF, no DP-state explode). Output: the
+    final round's top-{n} pieces with token counts and the scores that
+    produced them. Scale shape: ONE corpus-scale exchange (the word
+    groupBy, persisted); every fit collect is bounded at |vocab| rows
+    (seed selection is orderBy+limit BEFORE collect); segmentation is
+    embarrassingly parallel over word types — the tokenizer-application
+    shape at 100 TB. Completes the tokenizer lifecycle:
+    bpe_train_merges_report (merge-based) + this (likelihood-based) +
+    bpe_encode_report / tokenizer_fertility_by_lang (application/audit).
+    """
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = TX.unigram_word_freqs(t["documents"]).persist()
+    _vocab, scores = TX.unigram_fit(words)
+    final = TX.unigram_segment_counts(words, scores[-1])
+    m = TX._uni_score_map(scores[-1])
+    out = (
+        final.select(
+            "piece",
+            F.length("piece").cast("long").alias("piece_len"),
+            "n_tokens",
+            F.element_at(m, F.col("piece")).alias("score_q"),
+        )
+        .orderBy(F.desc("n_tokens"), "piece")
+        .limit(UNI_TOP_N)
+    )
+    return retaining(out, words)

@@ -399,3 +399,91 @@ def test_quality_classifier_plan_shape(spark):
     plan = _plan(quality_classifier_report(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer: mirror + tiebreak + conservation
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_matches_oracle(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        UNIGRAM_LM_ORACLE,
+        unigram_lm_report,
+    )
+
+    got = unigram_lm_report(spark, SF_ORACLE)
+    res = compare(got, UNIGRAM_LM_ORACLE, SF_ORACLE)
+    assert res["ok"], res
+
+
+def test_unigram_fit_matches_python_mirror(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "a mat on a cat",
+        "banana bandana",
+        "the the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = TX.unigram_word_freqs(df)
+    wf = {r.word: int(r.freq) for r in words.collect()}
+    vocab_s, scores_s = TX.unigram_fit(words)
+    vocab_p, scores_p, final_p = TX.unigram_python_mirror(wf)
+    assert vocab_s == vocab_p
+    assert scores_s == scores_p
+    final_s = {
+        r.piece: int(r.n_tokens)
+        for r in TX.unigram_segment_counts(words, scores_s[-1]).collect()
+    }
+    assert final_s == final_p
+
+
+def test_unigram_viterbi_tiebreak_prefers_longest(spark):
+    """Equal-score segmentations resolve to the LONGEST piece (struct
+    (score, len) comparison) — 'aa' at -20 ties a|a at -10-10 and must
+    win; pinned in both the kernel and the Python mirror's key."""
+    words = spark.createDataFrame([("aa", 1)], "word string, freq long")
+    seg = TX.unigram_viterbi_pieces(words, {"a": -10, "aa": -20}).collect()
+    assert seg[0].pieces == ["aa"]
+    # and when splitting scores strictly better, the split wins.
+    seg2 = TX.unigram_viterbi_pieces(words, {"a": -9, "aa": -20}).collect()
+    assert seg2[0].pieces == ["a", "a"]
+
+
+def test_unigram_segmentation_tiles_every_word(spark):
+    """Coverage + conservation: the single-char vocab floor keeps every
+    word segmentable, the walk tiles it exactly (pieces reversed concat
+    == word), and token mass conserves corpus char mass."""
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    words = TX.unigram_word_freqs(docs).persist()
+    _, scores = TX.unigram_fit(words)
+    seg = TX.unigram_viterbi_pieces(words, scores[-1])
+    bad = seg.filter(
+        F.expr("concat_ws('', reverse(pieces)) != word")
+    ).count()
+    assert bad == 0
+    piece_mass = (
+        TX.unigram_segment_counts(words, scores[-1])
+        .select(F.sum(F.col("n_tokens") * F.length("piece")))
+        .collect()[0][0]
+    )
+    char_mass = words.select(
+        F.sum(F.col("freq") * F.length("word"))
+    ).collect()[0][0]
+    assert piece_mass == char_mass
+    words.unpersist()
+
+
+def test_unigram_report_plan_shape(spark):
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        unigram_lm_report,
+    )
+
+    plan = _plan(unigram_lm_report(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -487,3 +487,156 @@ def test_unigram_report_plan_shape(spark):
     plan = _plan(unigram_lm_report(spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: every new kernel vs its pure-Python mirror
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_mirror_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "ab", "ba", "aa", "c"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(doc, min_size=1, max_size=4))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            (r.tok_a, r.tok_b): r.asDict()
+            for r in TX.kn_bigram_table(df).collect()
+        }
+        want = _kn_mirror(texts)
+        assert set(got) == set(want)
+        for k, w in want.items():
+            for col, v in w.items():
+                assert got[k][col] == v, (k, col, got[k][col], v)
+
+    check()
+
+
+def test_unigram_mirror_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=7)
+    doc = st.lists(word, min_size=1, max_size=5).map(" ".join)
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=st.lists(doc, min_size=1, max_size=3))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        words = TX.unigram_word_freqs(df)
+        wf = {r.word: int(r.freq) for r in words.collect()}
+        vocab_s, scores_s = TX.unigram_fit(words)
+        vocab_p, scores_p, final_p = TX.unigram_python_mirror(wf)
+        assert vocab_s == vocab_p and scores_s == scores_p
+        final_s = {
+            r.piece: int(r.n_tokens)
+            for r in TX.unigram_segment_counts(words, scores_s[-1]).collect()
+        }
+        assert final_s == final_p, (texts, final_s, final_p)
+
+    check()
+
+
+def test_shard_assignment_mirror_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=16),
+        cap=st.integers(min_value=1, max_value=20),
+    )
+    def check(toks, cap):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", "text", F.lit("en").alias("lang"), F.lit("s").alias("source")
+        )
+        got = {
+            r.doc_id: r.shard_id
+            for r in SMP.shard_assignment(df, capacity=cap, salt="fz").collect()
+        }
+        order = sorted(
+            range(len(toks)),
+            key=lambda i: (hashlib.md5(f"{i}:fz".encode()).hexdigest(), i),
+        )
+        cum, want = 0, {}
+        for i in order:
+            want[i] = cum // cap
+            cum += toks[i]
+        assert got == want, (toks, cap, got, want)
+
+    check()
+
+
+def test_perceptron_mirror_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+    lang = st.sampled_from(["en", "es", "de"])
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=st.lists(st.tuples(doc, lang), min_size=1, max_size=5))
+    def check(rows):
+        triples = [(i, t, lg) for i, (t, lg) in enumerate(rows)]
+        df = spark.createDataFrame(
+            triples, "doc_id long, text string, lang string"
+        )
+        feats = SMP.perceptron_features(df, F.col("lang") == "en")
+        got = SMP.perceptron_fit(feats)
+        _, want = _pctron_mirror(triples, SMP.PCTRON_ROUNDS)
+        assert got == want, (triples, got[-1][:8], want[-1][:8])
+
+    check()
+
+
+def test_quality_survivors_vs_bruteforce_fuzz(spark):
+    """quality_survivors vs a brute-force argmax over random component
+    assignments and scores."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),   # node
+                st.integers(min_value=0, max_value=3),    # label
+                st.integers(min_value=0, max_value=50),   # quality
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def check(data):
+        comp = spark.createDataFrame(
+            [(n, lb) for n, lb, _ in data], "node long, label long"
+        )
+        scored = spark.createDataFrame(
+            [(n, q) for n, _, q in data], "doc_id long, quality long"
+        )
+        got = {
+            r.label: (r.doc_id, r.quality, r.cluster_size)
+            for r in D.quality_survivors(comp, scored).collect()
+        }
+        want = {}
+        for n, lb, q in data:
+            size = sum(1 for x in data if x[1] == lb)
+            cur = want.get(lb)
+            if cur is None or (q, -n) > (cur[1], -cur[0]):
+                want[lb] = (n, q, size)
+        assert got == want, (data, got, want)
+
+    check()

@@ -1167,7 +1167,8 @@ def unigram_seed_vocab(words: DataFrame) -> list[str]:
 def unigram_seed_counts(words: DataFrame, vocab: list[str]) -> dict[str, int]:
     """Frequency-weighted substring occurrence counts for the vocab
     pieces (the round-0 model counts) — bounded |vocab|-row collect."""
-    vset = ", ".join("'" + p.replace("'", "\\'") + "'" for p in vocab)
+    # isin(), not an F.expr IN-list: pieces come from corpus words, and a
+    # quote/backslash in one would break a hand-built SQL string literal.
     subs = words.select(
         F.col("freq"),
         F.explode(
@@ -1177,7 +1178,7 @@ def unigram_seed_counts(words: DataFrame, vocab: list[str]) -> dict[str, int]:
                 "length(word) - i + 1)), l -> substring(word, i, l))))"
             )
         ).alias("piece"),
-    ).filter(F.expr(f"piece IN ({vset})"))
+    ).filter(F.col("piece").isin(vocab))
     return {
         r.piece: int(r.cnt)
         for r in subs.groupBy("piece").agg(F.sum("freq").alias("cnt")).collect()

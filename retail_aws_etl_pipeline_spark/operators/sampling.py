@@ -208,8 +208,19 @@ def token_budget_select(
         ).alias("quality"),
     )
     sort_cols = [F.desc("quality"), F.asc(id_col)]
-    ranged = base.repartitionByRange(partitions, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # PERSISTED — the _distributed_ntile pin: the running-sum branch and
+    # the counts branch both consume the ranged frame, and
+    # RangePartitioner samples at execution time, so unpinned the two
+    # executions can draw different boundaries and the offsets stop
+    # describing the window's partitions (shard_assignment hit exactly
+    # this at sf0.1: 767/5000 rows wrong; this twin passed on
+    # coincidental exchange reuse). Caller-owned lifecycle (retaining).
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    ranged = (
+        base.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         "__lcum",
@@ -223,13 +234,14 @@ def token_budget_select(
         .agg(F.coalesce(F.sum("b.__ptoks"), F.lit(0)).alias("__offset"))
     )
     total = counts.agg(F.sum("__ptoks").alias("__t"))
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .crossJoin(F.broadcast(total))
         .withColumn("cum_tokens", (F.col("__offset") + F.col("__lcum")).cast("long"))
         .filter(F.col("cum_tokens") * budget_den <= F.col("__t") * budget_num)
         .select(id_col, "n_tokens", "quality", "cum_tokens")
     )
+    return retaining(out, ranged)
 
 
 # ---------------------------------------------------------------------------
@@ -396,8 +408,21 @@ def shard_assignment(
         ),
     )
     sort_cols = [F.asc("__k"), F.asc(id_col)]
-    ranged = base.repartitionByRange(partitions, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # The ranged frame is PERSISTED — the _distributed_ntile pin: both the
+    # running-sum branch and the counts branch consume it, and
+    # RangePartitioner SAMPLES at execution time, so without the pin the
+    # two executions can draw different partition boundaries and the
+    # triangular offsets no longer describe the window's partitions
+    # (found REAL at sf0.1 by the 10x oracle sweep: 767/5000 docs
+    # mis-sharded; sf0.01 passed on coincidental exchange reuse). Once
+    # materialized, __pid is a stored column. Caller-owned lifecycle via
+    # retaining().
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    ranged = (
+        base.repartitionByRange(partitions, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         "__lcum",
@@ -414,7 +439,7 @@ def shard_assignment(
         .groupBy(F.col("a.__pid").alias("__pid"))
         .agg(F.coalesce(F.sum("b.__ptoks"), F.lit(0)).alias("__offset"))
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(
             "shard_id",
@@ -422,6 +447,7 @@ def shard_assignment(
         )
         .select(id_col, "lang", "source", "n_toks", "shard_id")
     )
+    return retaining(out, ranged)
 
 
 # ---------------------------------------------------------------------------

@@ -7773,7 +7773,10 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
     )
-    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
 
     out = (
         g.join(langs, "shard_id")
@@ -7784,7 +7787,7 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
-    return retaining(out, asg)
+    return retaining(out, asg, *retained_caches(asg))
 
 
 def _perceptron_oracle() -> str:

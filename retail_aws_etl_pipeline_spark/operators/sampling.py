@@ -517,7 +517,11 @@ def perceptron_fit(
     form of the linear quality-classifier step (GPT-3's LR filter,
     FineWeb-Edu's classifier): Spark computes corpus-scale passes, the
     model itself is a bounded <=DSIR_BUCKETS+1-row collect per round —
-    the kmeans/IVF fit discipline.
+    the kmeans/IVF fit discipline. Weights grow with corpus token mass ×
+    rounds, so margins approach the int64 envelope only near ~1e15
+    tokens; at that scale fit on a deterministic sample (the documented
+    dsir_fit path) — scoring under fixed literal weights has no such
+    bound (SCALING.md watchlist row).
 
     Returns the weight vector AFTER each round (len = ``rounds``).
     """

@@ -183,3 +183,42 @@ def test_retrieval_stream_matches_batch(spark, index):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_indexed_query_reuses_standing_index(spark):
+    """The registered query's index cache: two calls against the same
+    corpus reuse ONE at-rest index (same dir, marker untouched) and
+    return identical results; different corpora key different dirs.
+    The cache key includes mtime+size, so a changed corpus rebuilds."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        IVF_SAMPLE_MOD,
+        ann_topk_ivf_indexed,
+    )
+
+    def index_dir(sf):
+        src = os.path.join(sf, "embeddings.parquet")
+        st_ = os.stat(src)
+        key = hashlib.md5(
+            f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
+            f":{IVF_SAMPLE_MOD}".encode()
+        ).hexdigest()[:16]
+        return os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
+
+    sf = "/root/testdata/sf0.001"
+    first = ann_topk_ivf_indexed(spark, sf).collect()
+    d = index_dir(sf)
+    marker = os.path.join(d, "_GRAFT_COMPLETE")
+    assert os.path.exists(marker)
+    built_at = os.path.getmtime(marker)
+    files_before = sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True))
+    second = ann_topk_ivf_indexed(spark, sf).collect()
+    assert second == first
+    assert os.path.getmtime(marker) == built_at  # no rebuild
+    assert sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True)) == files_before
+    # a different corpus keys a different standing index
+    assert index_dir("/root/testdata/sf0.01") != d

@@ -203,8 +203,12 @@ def token_budget_select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
         F.expr(
-            f"CAST(size(array_distinct(split({text_col}, ' '))) * {QUALITY_SCALE} AS BIGINT)"
-            f" div CAST(size(split({text_col}, ' ')) AS BIGINT)"
+            # cast BEFORE multiplying: size() is INT, and INT * 1e6 wraps
+            # at >2147 distinct tokens while the DuckDB oracle multiplies
+            # in BIGINT — a wrapped (negative) quality silently reorders
+            # the budget selection (ADVICE r11).
+            f"CAST(size(array_distinct(split({text_col}, ' '))) AS BIGINT)"
+            f" * {QUALITY_SCALE} div CAST(size(split({text_col}, ' ')) AS BIGINT)"
         ).alias("quality"),
     )
     sort_cols = [F.desc("quality"), F.asc(id_col)]

@@ -167,6 +167,43 @@ _UNREGISTER = {
         "media_decode_stats",
         "minhash_lsh_pairs",
     ),
+    # r12 (the ROADMAP r12 schedule, executed as drafted: 6 registrations
+    # = 1 free window slot + these 5 swaps, every one drawn from the
+    # 49-entry r9-row due-list; twin equivalences pinned in
+    # tests/test_r12_twin_equivalence.py BEFORE the round opened):
+    #  - token_chunk_dedup -> cdc_chunk_dedup, the shift-resistant
+    #    successor (pinned: both detect an unshifted mirrored passage;
+    #    after a one-token prefix shift only CDC keeps detecting it);
+    #    token_chunk_dedup_corpus stays registered carrying the
+    #    fixed-window end-to-end surface.
+    #  - bpe_pair_stats -> bpe_train_merges_report registers the
+    #    symbol-level pair counting under the hash gate every round, and
+    #    the census's adjacent WORD-pair count layer stays registered via
+    #    collocation_pairs (pinned: n_total per pair == the collocation
+    #    pair recount).
+    #  - sorted_neighborhood_pairs -> dsir_selected_docs; the rank-space
+    #    blocking surface stays via the shared _distributed_ntile
+    #    machinery (customer_spend_deciles, quality_by_length_decile,
+    #    length_bucket_padding_stats all registered) and the banded
+    #    interval join via event_pairs_within_window; the SN-specific
+    #    candidate-bit-identity-under-skew claim lives in
+    #    scripts/skew_neighborhood_smoke.py.
+    #  - bm25_query_scores -> gopher_quality_report;
+    #    bm25_multi_query_topk is the registered superset plan (pinned:
+    #    the multi form restricted to one query reproduces the single
+    #    form's scores).
+    #  - cross_source_dup_matrix -> zorder_pruning_stats; the matrix is a
+    #    one-groupBy rollup of the near-dup pair stream whose generating
+    #    surfaces stay registered (lsh_dedup_recall candidates +
+    #    ngram_jaccard_pairs verify + dedup_signal_report signals);
+    #    pinned: matrix == the rollup recomputed from the pair frame.
+    12: (
+        "token_chunk_dedup",
+        "bpe_pair_stats",
+        "sorted_neighborhood_pairs",
+        "bm25_query_scores",
+        "cross_source_dup_matrix",
+    ),
 }
 
 

@@ -1230,6 +1230,13 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_SAMPLE_MOD = 4
 IVF_NPROBE = 2
 
+#: At-rest IVF index format version. Folded into the standing-index cache
+#: key alongside IVF_CENTROIDS / QUANT_SCALE / IVF_SAMPLE_MOD, so a /tmp
+#: index built by older code can never be silently reused (ADVICE r11).
+#: BUMP THIS with any change to the centroid-fit algorithm, quantization,
+#: sidecar schema, or on-disk layout that the other key fields don't carry.
+IVF_INDEX_FORMAT_VERSION = 1
+
 
 @functools.cache
 def _ivf_oracle() -> str | None:
@@ -1366,18 +1373,40 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     src = os.path.join(sf_dir, "embeddings.parquet")
     st_ = os.stat(src)
-    key = hashlib.md5(
+    # The key must cover the index FORMAT, not just the input: centroid
+    # count, quantization scale, and the build-code version all change
+    # the at-rest bytes, and a key that omits them silently reuses a
+    # stale /tmp index built by older code (ADVICE r11). Bump
+    # IVF_INDEX_FORMAT_VERSION with ANY centroid-fit / quantization /
+    # layout change. The marker stores the full key so a read-side
+    # mismatch (e.g. a hand-edited dir) is also caught.
+    full_key = (
         f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
-        f":{IVF_SAMPLE_MOD}".encode()
-    ).hexdigest()[:16]
+        f":{IVF_SAMPLE_MOD}:{S.IVF_CENTROIDS}:{S.QUANT_SCALE}"
+        f":v{IVF_INDEX_FORMAT_VERSION}"
+    )
+    key = hashlib.md5(full_key.encode()).hexdigest()[:16]
     index_dir = os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
     marker = os.path.join(index_dir, "_GRAFT_COMPLETE")
-    if not os.path.exists(marker):
+
+    def _marker_valid() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == full_key
+        except OSError:
+            return False
+
+    if not _marker_valid():
         cents = S.ivf_centroids_from_parquet(src, sample_mod=IVF_SAMPLE_MOD)
         build = tempfile.mkdtemp(prefix="ivf_index_build_")
         S.ivf_index_write(t["embeddings"], build, centroids=cents)
         with open(os.path.join(build, "_GRAFT_COMPLETE"), "w") as f:
-            f.write(key)
+            f.write(full_key)
+        # A stale same-named dir (older format version would hash to a
+        # different name, but an interrupted build leaves a marker-less
+        # dir) blocks the rename — clear it first; the marker check above
+        # already ruled it complete-and-current out.
+        shutil.rmtree(index_dir, ignore_errors=True)
         try:
             os.rename(build, index_dir)
         except OSError:
@@ -6137,8 +6166,21 @@ ZORDER_PRUNING_ORACLE = """
 """
 
 
+@register_extra(
+    "zorder_pruning_stats",
+    ZORDER_PRUNING_ORACLE,
+    description="Z-order layout pruning proof: write a two-axis table "
+    "through zorder_write (4x4 interleaved-bit grid cells), read it back, "
+    "report per-cell row count + min/max extents on both axes; the oracle "
+    "reconstructs the table from the routing arithmetic alone, so a hash "
+    "match pins the deterministic grid routing AND the pruning claim "
+    "(each cell's extents sit inside one aligned quadrant). Registered "
+    "r12 (ROADMAP r12 schedule <-> cross_source_dup_matrix cap swap).",
+    tags=("layout", "zorder", "pruning"),
+)
 def zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the Z-order layout's pruning claim as a registry query —
+    """Registered r12 (was STAGED since r10): the Z-order layout's
+    pruning claim as a registry query —
     write a two-axis table through ``operators.layout.zorder_write``
     (16 grid cells = the 4×4 quadrant grid over both axes), read it BACK
     from disk, and report each cell directory's row count and min/max
@@ -6250,8 +6292,24 @@ def _dsir_oracle() -> str | None:
     """
 
 
+DSIR_SELECTED_ORACLE = _dsir_oracle()
+
+
+@register_extra(
+    "dsir_selected_docs",
+    DSIR_SELECTED_ORACLE,
+    description="DSIR data selection (Xie et al. 2023): hashed "
+    "word-unigram bag models for target (lang='en') and raw corpus fit "
+    "in one exploded-word pass; per-bucket log importance ratio "
+    "quantized to int64 at fit time, per-doc score = exact integer sum, "
+    "top-N by (score desc, doc_id). Oracle fits the model independently "
+    "in DuckDB + the shared pure-Python quantizer. Registered r12 "
+    "(ROADMAP r12 schedule <-> sorted_neighborhood_pairs cap swap).",
+    tags=("curation", "sampling", "dsir"),
+)
 def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: DSIR-style data selection (Xie et al. 2023, "Data Selection
+    """Registered r12 (was STAGED since r10): DSIR-style data selection
+    (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling") — the standard recipe
     for skimming a web-scale raw corpus toward a target distribution.
     Hashed word-unigram bag models are fitted for the target (here:
@@ -6334,8 +6392,21 @@ GOPHER_QUALITY_ORACLE = f"""
 """
 
 
+@register_extra(
+    "gopher_quality_report",
+    GOPHER_QUALITY_ORACLE,
+    description="Gopher quality-rule battery (Rae et al. 2021 A1.1): "
+    "per-document rule flags (word count band, mean word length band, "
+    "symbol/ellipsis/bullet ratios, alpha-word ratio, stopword kinds) "
+    "plus the composite gopher_pass — all integer/boolean Column algebra "
+    "with cross-multiplied thresholds, zero floats, zero UDFs, pure "
+    "scan-side projection. Registered r12 (ROADMAP r12 schedule <-> "
+    "bm25_query_scores cap swap).",
+    tags=("curation", "quality", "gopher"),
+)
 def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the Gopher quality-rule battery (Rae et al. 2021, appendix
+    """Registered r12 (was STAGED since r10): the Gopher quality-rule
+    battery (Rae et al. 2021, appendix
     A1.1 — the standard pre-training corpus filter reused by MassiveText
     descendants, RedPajama, Dolma) as per-document rule flags plus the
     composite ``gopher_pass``. Every rule is integer/boolean Column
@@ -6424,8 +6495,22 @@ def _bpe_train_oracle() -> str:
 BPE_TRAIN_ORACLE = _bpe_train_oracle()
 
 
+@register_extra(
+    "bpe_train_merges_report",
+    BPE_TRAIN_ORACLE,
+    description="BPE tokenizer training loop (Sennrich et al. 2016): per "
+    "round, frequency-weighted adjacent symbol-pair counts over the "
+    "bounded word-frequency table, deterministic argmax (count desc, "
+    "lexicographic tiebreak), greedy left-to-right merge; reports the "
+    "learned merge list with per-round counts. Oracle unrolls the same "
+    "rounds in DuckDB. Registered r12 (ROADMAP r12 schedule <-> "
+    "bpe_pair_stats cap swap — the census's adjacent-pair layer stays "
+    "via collocation_pairs, pinned by twin test).",
+    tags=("tokenizer", "bpe", "training"),
+)
 def bpe_train_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the BPE tokenizer TRAINING LOOP (Sennrich et al. 2016) as
+    """Registered r12 (was STAGED since r10): the BPE tokenizer TRAINING
+    LOOP (Sennrich et al. 2016) as
     an iterative distributed operator — per round: frequency-weighted
     adjacent-pair counts over the word-frequency table, deterministic
     argmax (count desc, lexicographic tiebreak), single-pass replace
@@ -6498,8 +6583,22 @@ CDC_CHUNK_ORACLE = f"""
 """
 
 
+@register_extra(
+    "cdc_chunk_dedup",
+    CDC_CHUNK_ORACLE,
+    description="Content-defined chunk dedup: Rabin-style rolling-hash "
+    "boundaries make chunking shift-resistant (a one-token insertion "
+    "realigns, unlike fixed windows — pinned by twin test vs "
+    "token_chunk_dedup), per-row array algebra in one projection, then "
+    "the standard content-keyed groupBy on chunk hash; top duplicated "
+    "chunks by occurrence. Registered r12 (ROADMAP r12 schedule <-> "
+    "token_chunk_dedup cap swap; token_chunk_dedup_corpus keeps the "
+    "fixed-window end-to-end surface registered).",
+    tags=("dedup", "cdc", "chunking"),
+)
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: content-defined chunk dedup — the SHIFT-RESISTANT
+    """Registered r12 (was STAGED since r10): content-defined chunk
+    dedup — the SHIFT-RESISTANT
     sub-document dedup (Rabin-style rolling-hash boundaries, the LBFS
     storage-dedup technique applied to corpus curation). Fixed-window
     chunk dedup (token_chunk_dedup) loses every match when a mirror adds
@@ -6572,8 +6671,22 @@ def _bpe_encode_oracle() -> str:
 BPE_ENCODE_ORACLE = _bpe_encode_oracle()
 
 
+@register_extra(
+    "bpe_encode_report",
+    BPE_ENCODE_ORACLE,
+    description="Tokenizer lifecycle end-to-end: train BPE_MERGE_ROUNDS "
+    "merges on the corpus, encode every document with them (merge list "
+    "rides the plan as literal patterns — pure scan-side projection), "
+    "report per-language token mass and compression (tokens per base "
+    "symbol, floor-ppm). Oracle re-derives merges AND encoding in "
+    "DuckDB. Registered r12 (ROADMAP r12 schedule — the free window "
+    "slot; tokenizer_fertility_by_lang stays, it audits a different "
+    "tokenizer).",
+    tags=("tokenizer", "bpe", "encode"),
+)
 def bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the tokenizer lifecycle END TO END — train
+    """Registered r12 (was STAGED since r10): the tokenizer lifecycle
+    END TO END — train
     ``BPE_MERGE_ROUNDS`` merges on the corpus (bpe_train_merges), then
     ENCODE every document with them and report per-language token mass
     and compression (tokens per base symbol, floor-ppm). The trained
@@ -7582,8 +7695,12 @@ def dedup_retained_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         F.expr(
-            f"CAST(size(array_distinct(split(text, ' '))) * {QUALITY_SCALE} AS BIGINT)"
-            " div CAST(size(split(text, ' ')) AS BIGINT)"
+            # BIGINT cast before the multiply (ADVICE r11): size() is INT
+            # and the int32 product wraps at >2147 distinct tokens while
+            # the oracle multiplies in BIGINT — a wrapped quality would
+            # silently flip the dedup survivor.
+            f"CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            f" * {QUALITY_SCALE} div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("quality"),
     )
     surv = D.quality_survivors(comp, scored)
@@ -7761,14 +7878,20 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("n_tokens"),
         F.max("n_toks").cast("long").alias("max_doc_tokens"),
     )
+    # NULLs filtered before the keyed sub-aggregate (ADVICE r11): the
+    # groupBy row-count trick would count a NULL lang/source as one more
+    # distinct value, while the oracle's COUNT(DISTINCT ...) ignores
+    # NULLs — SQL semantics win.
     langs = (
-        asg.groupBy("shard_id", "lang")
+        asg.filter(F.col("lang").isNotNull())
+        .groupBy("shard_id", "lang")
         .agg(F.count(F.lit(1)).alias("cl"))
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
     )
     srcs = (
-        asg.groupBy("shard_id", "source")
+        asg.filter(F.col("source").isNotNull())
+        .groupBy("shard_id", "source")
         .agg(F.count(F.lit(1)).alias("cs"))
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
@@ -7778,11 +7901,18 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         retaining,
     )
 
+    # LEFT joins + 0-coalesce: a shard whose langs/sources are ALL NULL
+    # has no keyed sub-aggregate row, and COUNT(DISTINCT) over all-NULL
+    # is 0, not a dropped shard.
     out = (
-        g.join(langs, "shard_id")
-        .join(srcs, "shard_id")
+        g.join(langs, "shard_id", "left")
+        .join(srcs, "shard_id", "left")
         .select(
-            "shard_id", "n_docs", "n_tokens", "n_langs", "n_sources",
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+            F.coalesce("n_sources", F.lit(0)).cast("long").alias("n_sources"),
             "max_doc_tokens",
         )
         .orderBy("shard_id")
@@ -7947,8 +8077,14 @@ def _unigram_oracle() -> str | None:
     _, scores, _ = TX.unigram_python_mirror(wf)
     sc = scores[-1]
     big = TX._UNI_BIG_NEG
+    # Escape the piece literals: a corpus word containing a quote or
+    # backslash would otherwise break the generated SQL — the exact
+    # hazard unigram_seed_counts' isin() comment warns about (ADVICE
+    # r11). DuckDB string literals double the quote; backslash is not an
+    # escape in standard literals so it passes through unchanged.
     vals = ", ".join(
-        f"('{p}', CAST({s} AS BIGINT))" for p, s in sorted(sc.items())
+        f"""('{p.replace("'", "''")}', CAST({s} AS BIGINT))"""
+        for p, s in sorted(sc.items())
     )
 
     def cand(length: int) -> str:

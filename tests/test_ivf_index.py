@@ -195,18 +195,27 @@ def test_indexed_query_reuses_standing_index(spark):
     import os
     import tempfile
 
+    from retail_aws_etl_pipeline_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        QUANT_SCALE,
+    )
     from retail_aws_etl_pipeline_spark.plans.extensions import (
+        IVF_INDEX_FORMAT_VERSION,
         IVF_SAMPLE_MOD,
         ann_topk_ivf_indexed,
     )
 
-    def index_dir(sf):
+    def full_key(sf):
         src = os.path.join(sf, "embeddings.parquet")
         st_ = os.stat(src)
-        key = hashlib.md5(
+        return (
             f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
-            f":{IVF_SAMPLE_MOD}".encode()
-        ).hexdigest()[:16]
+            f":{IVF_SAMPLE_MOD}:{IVF_CENTROIDS}:{QUANT_SCALE}"
+            f":v{IVF_INDEX_FORMAT_VERSION}"
+        )
+
+    def index_dir(sf):
+        key = hashlib.md5(full_key(sf).encode()).hexdigest()[:16]
         return os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
 
     sf = "/root/testdata/sf0.001"
@@ -222,3 +231,14 @@ def test_indexed_query_reuses_standing_index(spark):
     assert sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True)) == files_before
     # a different corpus keys a different standing index
     assert index_dir("/root/testdata/sf0.01") != d
+    # the marker stores the FULL key (format version included); a stale
+    # marker — e.g. a dir left by an older index format that hashed to
+    # the same name — is rejected on read and triggers a rebuild
+    # (ADVICE r11: the cache key must cover build parameters, not just
+    # the input file).
+    assert open(marker).read() == full_key(sf)
+    with open(marker, "w") as f:
+        f.write("stale-format-key")
+    third = ann_topk_ivf_indexed(spark, sf).collect()
+    assert third == first
+    assert open(marker).read() == full_key(sf)  # rebuilt + re-marked

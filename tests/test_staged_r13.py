@@ -81,8 +81,8 @@ def test_quality_survivor_beats_min_id(spark):
     scored = df.select(
         "doc_id",
         F.expr(
-            f"CAST(size(array_distinct(split(text, ' '))) * {SMP.QUALITY_SCALE}"
-            " AS BIGINT) div CAST(size(split(text, ' ')) AS BIGINT)"
+            f"CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            f" * {SMP.QUALITY_SCALE} div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("quality"),
     )
     surv = {r.label: r for r in D.quality_survivors(comp, scored).collect()}

@@ -81,11 +81,24 @@ def test_window_is_exactly_the_driver_capacity():
 
 def test_registry_size_within_rotation_budget():
     """COVERAGE.md §rotation: registry growth is capped so the 3-round SLO
-    stays satisfiable — 50 slots/round × 3 rounds = 150 entries max."""
-    from retail_aws_etl_pipeline_spark.plans import EXTRA_REGISTRY, REGISTRY
-
-    total = len(REGISTRY) + len(EXTRA_REGISTRY)
-    assert total <= 150, (
-        f"registry has {total} entries; >150 cannot all get a driver row "
-        "within 3 rounds at 50/round — replace a weakest variant instead"
+    stays satisfiable — 50 slots/round × 3 rounds = 150 DRIVER-CHECKABLE
+    entries max (the policy's own wording). RETIRED entries are exempt
+    from the SLO (never auto-promoted, no driver row needed), so they
+    don't consume rotation budget — they're capped separately below so
+    the exemption can't become a leak."""
+    from retail_aws_etl_pipeline_spark.plans import (
+        EXTRA_REGISTRY,
+        REGISTRY,
+        RETIRED,
     )
+
+    names = set(REGISTRY) | set(EXTRA_REGISTRY)
+    checkable = len([n for n in names if n not in RETIRED])
+    assert checkable <= 150, (
+        f"registry has {checkable} driver-checkable entries; >150 cannot "
+        "all get a driver row within 3 rounds at 50/round — replace a "
+        "weakest variant instead"
+    )
+    # Retirement is the exception, not a second registry: each retired
+    # entry needs its documented local gate, and the list stays tiny.
+    assert len(RETIRED) <= 3, sorted(RETIRED)

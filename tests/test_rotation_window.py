@@ -126,6 +126,21 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "top_revenue_suppliers",
         ),
     ),
+    # ROADMAP r14 schedule (PROVISIONAL, drafted r12 — pairing decisions
+    # defer to ADVICE r12/r13): the full 50-entry r11 cohort comes due;
+    # the seven remaining staged ops swap against these.
+    14: (
+        50,
+        (
+            "near_dup_clusters_star",
+            "corpus_vocabulary",
+            "event_props_stats",
+            "split_leakage_pairs",
+            "media_dims_probe",
+            "doc_repetition_ratio",
+            "boilerplate_ngram_ratio",
+        ),
+    ),
 }
 
 

@@ -6234,7 +6234,11 @@ def _dsir_oracle() -> str | None:
     feature hashing, both bucket-count models, the quantized log-ratio
     table, the exact-int scoring sum, AND the top-N rank, end to end.
     Same import-time-fit discipline as ``_ivf_oracle`` (memoized; one fit
-    per process)."""
+    per process) and the same sf0.01 PINNING: the lut literals derive
+    from that corpus, so the driver only compares at its gate scale —
+    comparison at any other SF is invalid by construction (the r12
+    session verified the operator at sf0.1 against a REFIT oracle:
+    hash-exact)."""
     import os
 
     from retail_aws_etl_pipeline_spark.operators import sampling as SMP

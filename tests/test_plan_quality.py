@@ -269,7 +269,11 @@ def test_bm25_plan_is_scan_side(spark):
     explode/generate), corpus stats come back via broadcast (nested-loop
     on a 1-row frame is fine; never a shuffled join), ranking is
     TakeOrderedAndProject, and the scan prunes to doc_id + text."""
-    df = REGISTRY["bm25_query_scores"].spark_fn(spark, SF_SMOKE)
+    # unregistered at r12 (bm25_multi_query_topk carries the surface);
+    # the implementation + this plan gate stay, called directly.
+    from retail_aws_etl_pipeline_spark.plans.extensions import bm25_query_scores
+
+    df = bm25_query_scores(spark, SF_SMOKE)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # no explode: tf via size(filter(...))
@@ -284,7 +288,11 @@ def test_bpe_pair_stats_plan(spark):
     """bpe_pair_stats: ONE map-side-combined groupBy over the exploded
     pair stream, TakeOrderedAndProject ranking, scan pruned to
     doc_id + text."""
-    df = REGISTRY["bpe_pair_stats"].spark_fn(spark, SF_SMOKE)
+    # unregistered at r12 (the trainer + collocation_pairs carry the
+    # layers); the implementation + this plan gate stay, called directly.
+    from retail_aws_etl_pipeline_spark.plans.extensions import bpe_pair_stats
+
+    df = bpe_pair_stats(spark, SF_SMOKE)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
@@ -340,7 +348,11 @@ def test_token_chunk_dedup_plan(spark):
     """Span dedup must be the groupBy+join shape — no Window over the
     span stream (a window would sort every span partition), no driver
     collect, scan pruned to doc_id + text."""
-    df = REGISTRY["token_chunk_dedup"].spark_fn(spark, SF_SMOKE)
+    # unregistered at r12 (cdc_chunk_dedup is the registered successor);
+    # the implementation + this plan gate stay, called directly.
+    from retail_aws_etl_pipeline_spark.plans.extensions import token_chunk_dedup
+
+    df = token_chunk_dedup(spark, SF_SMOKE)
     plan = _plan(df)
     assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
     assert "CartesianProduct" not in plan

@@ -1237,6 +1237,40 @@ IVF_NPROBE = 2
 #: sidecar schema, or on-disk layout that the other key fields don't carry.
 IVF_INDEX_FORMAT_VERSION = 1
 
+#: Standing IVF indexes whose marker mtime (set once, at build) is older
+#: than this are GC'd on the next BUILD. Old-format or superseded-corpus
+#: dirs hash to names nothing will ever look up again, so without this
+#: they accumulate unboundedly in the tempdir (ADVICE r11's second half).
+IVF_INDEX_GC_SECONDS = 7 * 24 * 3600
+
+
+def _gc_stale_ivf_indexes(keep: str) -> None:
+    """Remove sibling ``graft_ivf_index_*`` dirs that nothing will reuse:
+    marker-less leftovers (interrupted builds) immediately, completed
+    indexes once older than IVF_INDEX_GC_SECONDS. Runs only on the build
+    path (never on cache hits), so a hot index is re-created at most once
+    per GC window; ``ivf_index_build_*`` scratch dirs of concurrent
+    builders are a different prefix and never touched."""
+    import glob as _g
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    now = time.time()
+    for d in _g.glob(os.path.join(tempfile.gettempdir(), "graft_ivf_index_*")):
+        if os.path.abspath(d) == os.path.abspath(keep):
+            continue
+        m = os.path.join(d, "_GRAFT_COMPLETE")
+        try:
+            stale = (not os.path.exists(m)) or (
+                now - os.path.getmtime(m) > IVF_INDEX_GC_SECONDS
+            )
+        except OSError:
+            stale = True
+        if stale:
+            shutil.rmtree(d, ignore_errors=True)
+
 
 @functools.cache
 def _ivf_oracle() -> str | None:
@@ -1412,6 +1446,7 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             # concurrent builder won the rename; its index is identical
             shutil.rmtree(build, ignore_errors=True)
+        _gc_stale_ivf_indexes(keep=index_dir)
     probes = t["embeddings"].filter(F.col("vec_id").isin(ANN_PROBE_IDS))
     return S.ivf_index_topk(probes, index_dir, ANN_K, nprobe=IVF_NPROBE).orderBy(
         "probe_id", "rank"

@@ -242,3 +242,51 @@ def test_indexed_query_reuses_standing_index(spark):
     third = ann_topk_ivf_indexed(spark, sf).collect()
     assert third == first
     assert open(marker).read() == full_key(sf)  # rebuilt + re-marked
+
+
+def test_stale_index_dirs_are_gcd_on_build():
+    """Build-path GC (ADVICE r11, accumulation half): sibling
+    graft_ivf_index_* dirs with no completion marker are removed
+    immediately; completed dirs are removed once their marker outlives
+    IVF_INDEX_GC_SECONDS; fresh completed dirs and the just-built index
+    survive."""
+    import os
+    import tempfile
+    import time
+
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        IVF_INDEX_GC_SECONDS,
+        _gc_stale_ivf_indexes,
+    )
+
+    tmp = tempfile.gettempdir()
+
+    def mk(name, marker, old=False):
+        d = os.path.join(tmp, name)
+        os.makedirs(d, exist_ok=True)
+        if marker:
+            m = os.path.join(d, "_GRAFT_COMPLETE")
+            with open(m, "w") as f:
+                f.write("k")
+            if old:
+                past = time.time() - IVF_INDEX_GC_SECONDS - 60
+                os.utime(m, (past, past))
+        return d
+
+    keep = mk("graft_ivf_index_gctest_keep", marker=True)
+    fresh = mk("graft_ivf_index_gctest_fresh", marker=True)
+    aged = mk("graft_ivf_index_gctest_aged", marker=True, old=True)
+    interrupted = mk("graft_ivf_index_gctest_interrupted", marker=False)
+    scratch = mk("ivf_index_build_gctest", marker=False)  # other prefix
+    try:
+        _gc_stale_ivf_indexes(keep=keep)
+        assert os.path.isdir(keep)
+        assert os.path.isdir(fresh)  # completed + young: stays
+        assert not os.path.exists(aged)  # completed + old: GC'd
+        assert not os.path.exists(interrupted)  # marker-less: GC'd
+        assert os.path.isdir(scratch)  # different prefix: untouched
+    finally:
+        import shutil
+
+        for d in (keep, fresh, aged, interrupted, scratch):
+            shutil.rmtree(d, ignore_errors=True)

@@ -44,10 +44,18 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     for every shingle (no CSE across the lambda boundary) — measured 4x
     slower than splitting once per row.
     """
+    # size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
+    # generate_series(1, 0) is empty), so the greatest() idiom alone
+    # still evaluates slice(__toks, 0, n) on a short document and the
+    # whole query CRASHES (INVALID_PARAMETER_VALUE.START) — latent on
+    # curated corpora where every doc has >= n tokens, fatal on real web
+    # data (caught by tests/test_oracle_adversarial.py at r12).
     grams = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(__toks) - {SHINGLE_N - 1}, 0)),"
+            f"CASE WHEN size(__toks) >= {SHINGLE_N} THEN"
+            f" transform(sequence(1, size(__toks) - {SHINGLE_N - 1}),"
             f" i -> concat_ws(' ', slice(__toks, i, {SHINGLE_N})))"
+            " ELSE array() END"
         )
     )
     return df.withColumn("__toks", F.split(F.col(text_col), " ")).select(

@@ -1090,9 +1090,13 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # tokenize once per row; split() inside the lambda would re-tokenize per
     # gram (no CSE across the lambda boundary — measured 4x on shingles)
+    # size guard (the shingles-kernel lesson, r12): sequence(1, 0) is
+    # descending, so short docs need the explicit empty branch.
     grams_arr = (
-        "transform(sequence(1, greatest(size(__toks) - 2, 0)),"
+        "CASE WHEN size(__toks) >= 3 THEN"
+        " transform(sequence(1, size(__toks) - 2),"
         " i -> md5(concat_ws(' ', slice(__toks, i, 3))))"
+        " ELSE array() END"
     )
     positional = (
         t["documents"]
@@ -1721,9 +1725,13 @@ def sequence_packing_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     n = D.SHINGLE_N
+    # size guard (the shingles-kernel lesson, r12): sequence(1, 0) is
+    # descending, so short docs need the explicit empty branch.
     grams = (
-        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)),"
+        f"CASE WHEN size(__toks) >= {n} THEN"
+        f" transform(sequence(1, size(__toks) - {n - 1}),"
         f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+        " ELSE array() END"
     )
     return (
         t["documents"]

@@ -139,8 +139,18 @@ def with_lsh_bucket(
     bucket = None
     for p, weights in enumerate(use):
         arr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
+        # Project over the VECTOR's length, not the plane's: zip_with
+        # pads the shorter side with NULLs, so a vector with fewer than
+        # PLANE_DIM components NULL-poisons the whole fold (NULL
+        # projection -> sign test NULL -> bit 0 for every plane), sending
+        # every short vector to bucket 0 and silently degrading LSH
+        # toward all-pairs — while the DuckDB oracles index w[i] only up
+        # to len(qvec). Latent on the 64-dim testdata, caught by the r12
+        # adversarial corpus. Vectors LONGER than PLANE_DIM stay outside
+        # the contract on both sides (the plane matrix can't cover them).
         proj = F.expr(
-            f"aggregate(zip_with({qvec_col}, {arr}, (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
+            f"aggregate(zip_with({qvec_col}, slice({arr}, 1, size({qvec_col})),"
+            " (x, w) -> x * w), 0L, (acc, v) -> acc + v)"
         )
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit

@@ -1705,7 +1705,11 @@ def hopping_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM seq
     WHERE t2 IS NOT NULL AND t3 IS NOT NULL
     GROUP BY 1, 2, 3
-    ORDER BY n_paths DESC, step1, step2, step3
+    -- explicit NULLS FIRST: Spark's ASC default; DuckDB defaults NULLS
+    -- LAST, which cuts a different top-20 when NULL event types tie at
+    -- the boundary (r12 adversarial corpus finding)
+    ORDER BY n_paths DESC, step1 NULLS FIRST, step2 NULLS FIRST,
+             step3 NULLS FIRST
     LIMIT 20
     """,
     description="Sequential pattern mining over event streams: the 20 "
@@ -1769,6 +1773,7 @@ def _grouped_lower_median(counted: DataFrame, val_col: str) -> DataFrame:
         SELECT event_id, event_type,
                CAST(floor(value * 1000000) AS BIGINT) AS qv
         FROM events
+        WHERE value IS NOT NULL
     ),
     mr AS (
         SELECT event_type, qv,
@@ -1796,7 +1801,8 @@ def _grouped_lower_median(counted: DataFrame, val_col: str) -> DataFrame:
     SELECT d.event_type, CAST(m.n AS BIGINT) AS n_events,
            m.med_q / 1000000.0 AS median_value,
            m.mad_q / 1000000.0 AS mad_value,
-           CAST(SUM(CASE WHEN d.ad * 10000 > 3 * 14826 * m.mad_q
+           CAST(SUM(CASE WHEN CAST(d.ad AS HUGEINT) * 10000
+                              > 3 * 14826 * CAST(m.mad_q AS HUGEINT)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m ON m.event_type = d.event_type
     GROUP BY d.event_type, m.n, m.med_q, m.mad_q
@@ -1815,7 +1821,10 @@ def _grouped_lower_median(counted: DataFrame, val_col: str) -> DataFrame:
 )
 def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
-    q = t["events"].select(
+    # NULL values are excluded explicitly (not left to engine-specific
+    # NULL ordering inside the median windows — Spark sorts NULLS FIRST,
+    # DuckDB NULLS LAST), and the oracle filters identically.
+    q = t["events"].filter(F.col("value").isNotNull()).select(
         "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("qv")
     )
     hist = q.groupBy("event_type", "qv").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1836,10 +1845,17 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mad, "event_type")
         .groupBy("event_type", "n", "med_q", "mad_q")
         .agg(
+            # DECIMAL(20,0)-widened cross-multiply: |qv - med| can reach
+            # ~2e18 for legitimately-quantizable values (|value| up to
+            # 9.2e12), so the int64 * 10000 form overflows — ANSI mode
+            # crashes the query on wild-but-valid inputs (r12 adversarial
+            # corpus finding). decimal(20,0) * decimal(5,0) -> (26,0),
+            # exact; the oracle widens to HUGEINT.
             F.sum(
                 F.when(
-                    F.abs(F.col("qv") - F.col("med_q")) * 10000
-                    > 3 * 14826 * F.col("mad_q"),
+                    F.abs(F.col("qv") - F.col("med_q")).cast("decimal(20,0)")
+                    * 10000
+                    > F.lit(3 * 14826) * F.col("mad_q").cast("decimal(20,0)"),
                     F.col("cnt"),
                 ).otherwise(F.lit(0))
             ).alias("n_outliers")

@@ -375,7 +375,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_stats",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                    AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -386,11 +388,25 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
+    # try_cast, not cast: props is UNTRUSTED content, and under ANSI mode
+    # (the Spark 4 default) a non-numeric $.k crashes the whole query;
+    # DuckDB's plain CAST errors identically, hence TRY_CAST in the
+    # oracle too. Invalid values count toward n but not sum_k — the
+    # reject-tagging philosophy of the ingest path (r12 adversarial
+    # corpus finding).
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            # sum in DECIMAL(38,0): adversarial k values at the int64
+            # boundary overflow a long SUM under ANSI, while DuckDB
+            # promotes SUM(BIGINT) to HUGEINT — widening both sides keeps
+            # the pair exact and crash-free.
+            F.sum(
+                F.get_json_object("props", "$.k")
+                .try_cast("bigint")
+                .cast("decimal(38,0)")
+            ).alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")

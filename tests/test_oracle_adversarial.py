@@ -111,3 +111,127 @@ def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(tmp_path_factory):
+    """Hostile events table: exact (user, ts) ties (tiebreak determinism),
+    NULL user/type/value/props, malformed and wrong-typed props JSON,
+    single-event users, -0.0 and extreme values, unknown event types."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(0xBEEF)
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    types = ["click", "view", "purchase", "signup", "error", "weird_type", None]
+    props_pool = [
+        '{"k": 3}', '{"k": -7}', '{"k": 0}', "{}", None, "not json",
+        '{"k": "str"}', '{"other": 1}', '{"k": 9223372036854775807}',
+        '{"k": 2, "j": "it\'s \\"quoted\\""}',
+    ]
+    rows = []
+    for i in range(96):
+        # pockets of exact ties: groups of 3 share a timestamp
+        ts = base.replace(minute=(i // 3) % 60, second=(i // 9) % 60)
+        user = rng.choice([None, 1, 2, 3, 4, 5])
+        rows.append(
+            (
+                i,
+                ts,
+                user,
+                rng.choice(types),
+                rng.choice([None, 0.0, -0.0, 1.5, -2.25, 1e12, 1e-9, 42.0]),
+                rng.choice(props_pool),
+            )
+        )
+    rows.append((96, base, 99, "click", 1.0, '{"k": 1}'))  # single-event user
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("advevents"))
+    pq.write_table(table, os.path.join(out, "events.parquet"))
+    return out
+
+
+_EVENT_PAIRS = [
+    "event_props_stats",
+    "user_event_pivot",
+    "user_sessions",
+    "event_value_mad_outliers",
+    "hopping_event_rollup",
+    "event_pairs_within_window",
+    "event_trigram_paths",
+    "weekly_retention_cohorts",
+    "user_rolling_hour",
+    "conversion_funnel",
+]
+
+
+@pytest.mark.parametrize("name", _EVENT_PAIRS)
+def test_event_pair_survives_adversarial_corpus(spark, adversarial_events_dir, name):
+    spec = all_specs()[name]
+    assert spec.oracle is not None
+    r = compare(
+        spec.spark_fn(spark, adversarial_events_dir),
+        spec.oracle,
+        adversarial_events_dir,
+    )
+    assert r["ok"], (name, r)
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_dir(adversarial_dir):
+    """Hostile embeddings alongside the adversarial documents (shared
+    dir so doc-joining queries align): a ZERO vector (norm 0 — the
+    cosine division hazard), exact duplicates, all-negative, and
+    boundary-magnitude components."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(0xD1CE)
+    dim = 16
+    vecs = []
+    for i in range(64):
+        if i == 7:
+            v = [0.0] * dim  # zero vector: qnorm == 0
+        elif i == 8:
+            v = [-1.0] * dim
+        elif i in (9, 10):
+            v = [0.25] * dim  # exact duplicate pair
+        else:
+            v = [round(rng.uniform(-2, 2), 4) for _ in range(dim)]
+        vecs.append(v)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(64)], pa.int32()),
+        }
+    )
+    pq.write_table(
+        table, os.path.join(adversarial_dir, "embeddings.parquet")
+    )
+    return adversarial_dir
+
+
+@pytest.mark.parametrize("name", ["embedding_norm_stats", "near_dup_pairs_lsh"])
+def test_embedding_pair_survives_adversarial_corpus(
+    spark, adversarial_embeddings_dir, name
+):
+    spec = all_specs()[name]
+    assert spec.oracle is not None
+    r = compare(
+        spec.spark_fn(spark, adversarial_embeddings_dir),
+        spec.oracle,
+        adversarial_embeddings_dir,
+    )
+    assert r["ok"], (name, r)

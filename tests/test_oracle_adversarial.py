@@ -235,3 +235,107 @@ def test_embedding_pair_survives_adversarial_corpus(
         adversarial_embeddings_dir,
     )
     assert r["ok"], (name, r)
+
+
+@pytest.fixture(scope="module")
+def adversarial_retail_dir(tmp_path_factory):
+    """Hostile lineitem + orders: NULL ship/order dates, negative and
+    zero prices, discounts outside [0, 1], exact o_totalprice ties
+    across priorities, NULL flags — plausible dirty-feed content for the
+    retail aggregate/percentile surface."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(0xFEED)
+    out = str(tmp_path_factory.mktemp("advretail"))
+
+    li = []
+    for i in range(120):
+        ship = (
+            None
+            if i % 17 == 0
+            else datetime(2023, 1 + i % 12, 1 + i % 28, i % 24, 0, 0)
+        )
+        li.append(
+            (
+                i // 3,
+                i % 11,
+                i % 7,
+                i % 4,
+                rng.choice([0.0, 1.0, 49.0, -3.0, 1e6]),
+                rng.choice([0.0, -120.5, 999999.99, 0.01, 123456.789]),
+                rng.choice([0.0, 0.05, 1.0, 1.5, -0.25]),
+                rng.choice([0.0, 0.08, 0.9]),
+                rng.choice(["A", "N", "R", None]),
+                rng.choice(["O", "F", None]),
+                ship,
+            )
+        )
+    names = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    types = [
+        pa.int64(), pa.int64(), pa.int64(), pa.int32(), pa.float64(),
+        pa.float64(), pa.float64(), pa.float64(), pa.string(), pa.string(),
+        pa.timestamp("us"),
+    ]
+    pq.write_table(
+        pa.table(
+            {n: pa.array([r[j] for r in li], t) for j, (n, t) in enumerate(zip(names, types))}
+        ),
+        os.path.join(out, "lineitem.parquet"),
+    )
+
+    orders = []
+    for i in range(60):
+        # exact totalprice ties across priorities; NULL date pockets
+        orders.append(
+            (
+                i,
+                i % 9,
+                rng.choice(["O", "F", "P", None]),
+                rng.choice([100.0, 100.0, -5.25, 0.0, 7777.77]),
+                None if i % 13 == 0 else datetime(2023, 1 + i % 12, 1 + i % 28),
+                rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", None]),
+            )
+        )
+    onames = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    otypes = [
+        pa.int64(), pa.int64(), pa.string(), pa.float64(),
+        pa.timestamp("us"), pa.string(),
+    ]
+    pq.write_table(
+        pa.table(
+            {n: pa.array([r[j] for r in orders], t) for j, (n, t) in enumerate(zip(onames, otypes))}
+        ),
+        os.path.join(out, "orders.parquet"),
+    )
+    return out
+
+
+_RETAIL_PAIRS = [
+    "daily_revenue",
+    "top_items",
+    "pricing_summary",
+    "median_order_by_priority",
+    "decimal_money_totals",
+]
+
+
+@pytest.mark.parametrize("name", _RETAIL_PAIRS)
+def test_retail_pair_survives_adversarial_corpus(spark, adversarial_retail_dir, name):
+    spec = all_specs()[name]
+    assert spec.oracle is not None
+    r = compare(
+        spec.spark_fn(spark, adversarial_retail_dir),
+        spec.oracle,
+        adversarial_retail_dir,
+    )
+    assert r["ok"], (name, r)

@@ -87,6 +87,14 @@ _REGISTERED = [
     "cdc_chunk_dedup",
     "tokenizer_fertility_by_lang",
     "dedup_signal_report",
+    "doc_winnowing",
+    "pii_scrub_stats",
+    "benchmark_contamination",
+    "boilerplate_ngram_ratio",
+    "quality_top_half_per_lang",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "split_leakage_pairs",
 ]
 
 

@@ -29,6 +29,37 @@ from pyspark.sql import functions as F
 
 from retail_aws_etl_pipeline_spark.operators.caching import retaining
 
+
+def stack_padded(vals, dtype="int64", min_width: int = 0):
+    """Stack possibly-RAGGED vectors into a matrix, zero-padding each row
+    to the batch max (at least ``min_width``) columns.
+
+    ``np.stack`` raises ``all input arrays must have the same shape`` the
+    moment one corrupt row carries a short or empty embedding — certain
+    input at 100 TB, found by the r13 adversarial embeddings corpus
+    (zero-length vector). Zero-padding reproduces the DuckDB oracles'
+    semantics exactly: their per-index ``a.qvec[i] * b.qvec[i]`` yields
+    NULL past the shorter vector's end and ``list_sum`` skips NULLs, so
+    the oracle dot IS the shared-prefix dot — which trailing zeros
+    preserve bit-for-bit. An all-zero row (empty vector) then falls to
+    the ``dot > 0`` sign guard on both engines. Uniform batches take the
+    fast ``np.stack`` path.
+    """
+    import numpy as np
+
+    arrs = [np.asarray(a, dtype=dtype) for a in vals]
+    if not arrs:
+        return np.zeros((0, max(min_width, 1)), dtype=dtype)
+    widths = {a.size for a in arrs}
+    width = max(max(widths), min_width, 1)
+    if widths == {width}:
+        return np.stack(arrs)
+    out = np.zeros((len(arrs), width), dtype=dtype)
+    for i, a in enumerate(arrs):
+        out[i, : a.size] = a
+    return out
+
+
 QUANT_SCALE = 1024
 NUM_PLANES = 8
 PLANE_DIM = 64
@@ -154,6 +185,13 @@ def with_lsh_bucket(
         )
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    # A ZERO-LENGTH vector is pinned to bucket 0 (ADVICE r12): the Spark
+    # fold aggregates an empty array to the 0L init, so proj >= 0 set
+    # EVERY sign bit (bucket 2^B-1), while the DuckDB oracles' list_sum
+    # over an empty list is NULL and every CASE takes the ELSE 0 branch
+    # (bucket 0) — empty embeddings routed to opposite buckets on the two
+    # engines. Bucket 0 is the convention: no components, no signal.
+    bucket = F.when(F.size(F.col(qvec_col)) == 0, F.lit(0)).otherwise(bucket)
     return df.withColumn(
         "bucket",
         bucket.alias(
@@ -375,7 +413,7 @@ def brute_force_topk_pandas(
     import numpy as np
 
     p_ids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
-    p_mat = np.array([r["qvec"] for r in probe_rows], dtype=np.int64)
+    p_mat = stack_padded([r["qvec"] for r in probe_rows])
     p_norm = np.array([r["qnorm"] for r in probe_rows], dtype=np.int64)
 
     def score(batches):
@@ -383,9 +421,14 @@ def brute_force_topk_pandas(
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype="int64")
-            mat = np.stack(pdf["qvec"].to_numpy())  # (n, d) int64
+            mat = stack_padded(pdf["qvec"].to_numpy(), min_width=p_mat.shape[1])
             norms = pdf["qnorm"].to_numpy(dtype="int64")
-            dots = mat @ p_mat.T  # (n, P) int64 exact
+            pm = (
+                p_mat
+                if p_mat.shape[1] == mat.shape[1]
+                else np.pad(p_mat, ((0, 0), (0, mat.shape[1] - p_mat.shape[1])))
+            )
+            dots = mat @ pm.T  # (n, P) int64 exact
             for j in range(len(p_ids)):
                 mask = ids != p_ids[j]
                 cos = dots[mask, j] / np.sqrt(
@@ -477,7 +520,7 @@ def near_dup_pairs_blocked(
 
         ga, gb = key
         ids = pdf[id_col].to_numpy(dtype="int64")
-        mat = np.stack(pdf["qvec"].to_numpy()).astype("int64")
+        mat = stack_padded(pdf["qvec"].to_numpy())
         norms = pdf["qnorm"].to_numpy(dtype="int64")
         # recompute each row's block to split the group into its two sides
         if ga == gb:
@@ -538,11 +581,17 @@ def near_dup_pairs_lsh_gemm(
         if ball_pdf.empty or home_pdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         a_ids = ball_pdf[id_col].to_numpy(dtype="int64")
-        a_mat = np.stack(ball_pdf["qvec"].to_numpy()).astype("int64")
+        a_mat = stack_padded(ball_pdf["qvec"].to_numpy())
         a_norms = ball_pdf["qnorm"].to_numpy(dtype="int64")
         b_ids = home_pdf[id_col].to_numpy(dtype="int64")
-        b_mat = np.stack(home_pdf["qvec"].to_numpy()).astype("int64")
+        b_mat = stack_padded(home_pdf["qvec"].to_numpy())
         b_norms = home_pdf["qnorm"].to_numpy(dtype="int64")
+        # the two cogroup sides pad independently; equalize for the GEMM
+        w = max(a_mat.shape[1], b_mat.shape[1])
+        if a_mat.shape[1] < w:
+            a_mat = np.pad(a_mat, ((0, 0), (0, w - a_mat.shape[1])))
+        if b_mat.shape[1] < w:
+            b_mat = np.pad(b_mat, ((0, 0), (0, w - b_mat.shape[1])))
         # orientation mask: ball id strictly below home id (see docstring)
         dots = a_mat @ b_mat.T
         lhs = dots.astype("float64") ** 2
@@ -606,7 +655,7 @@ def ivf_centroids(
     base = with_quantized(df).select(id_col, "qvec")
     if sample_mod > 1:
         base = base.filter(F.pmod(F.col(id_col), F.lit(sample_mod)) == 0)
-    mat = np.array([r["qvec"] for r in base.orderBy(id_col).collect()], dtype=np.int64)
+    mat = stack_padded([r["qvec"] for r in base.orderBy(id_col).collect()])
     return _kmeans_int(mat, k)
 
 
@@ -644,8 +693,8 @@ def ivf_centroids_from_parquet(
     keep = np.ones(len(ids), dtype=bool) if sample_mod <= 1 else (ids % sample_mod == 0)
     ids = ids[keep]
     order = np.argsort(ids)
-    emb = np.stack(t["embedding"].to_numpy()[keep][order])
-    mat = np.floor(emb.astype(np.float64) * QUANT_SCALE).astype(np.int64)
+    emb = stack_padded(t["embedding"].to_numpy()[keep][order], dtype="float64")
+    mat = np.floor(emb * QUANT_SCALE).astype(np.int64)
     return _kmeans_int(mat, k)
 
 

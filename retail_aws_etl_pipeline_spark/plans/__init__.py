@@ -204,6 +204,45 @@ _UNREGISTER = {
         "bm25_query_scores",
         "cross_source_dup_matrix",
     ),
+    # r13 (the ROADMAP r13 schedule, executed as drafted: 6 registrations
+    # = 6 1:1 swaps, every one drawn from the 50-entry r10-cohort
+    # due-list; twin equivalences pinned in
+    # tests/test_r13_twin_equivalence.py BEFORE the round opened):
+    #  - doc_token_stats -> gopher_repetition_report; the per-doc
+    #    token-count layer stays registered via
+    #    tokenizer_fertility_by_lang (pinned: its per-language sums ARE
+    #    the groupBy(lang) rollup of doc_token_stats' per-doc columns)
+    #    and doc_quality (r10-due, stays in the window).
+    #  - doc_fingerprints -> duplicated_span_report, the strictly
+    #    stronger exact-dup signal (pinned: any fp_exact collision is a
+    #    full-length duplicated span); the robust-fingerprint surface
+    #    stays via doc_winnowing and the md5 layer inside
+    #    dedup_signal_report / crawl_exact_dedup_stats.
+    #  - median_order_by_priority -> c4_clean_report; the discrete-median
+    #    surface keeps three registered carriers (customer_spend_deciles
+    #    exact NTILE, sketch_accuracy_stats discrete percentiles,
+    #    customer_order_gap_stats histogram lower-median — pinned: the
+    #    shared _grouped_lower_median kernel reproduces the query).
+    #  - segment_buyers_intersect -> dedup_retained_by_quality; INTERSECT
+    #    stays via union_account_balances (U1) + distinct_buyer_counts
+    #    (pinned: INTERSECT == left-semi-join-of-distincts composition).
+    #  - supplier_nation_volume -> ngram_lm_report; the fact-to-
+    #    broadcast-dims volume family keeps four registered carriers
+    #    (two_nation_volume Q7, local_supplier_volume Q5,
+    #    nation_market_share Q8, product_type_profit Q9 — pinned: the
+    #    partial-aggregation-pushdown form is equal).
+    #  - top_revenue_suppliers -> training_shard_manifest; the
+    #    argmax-join-back surface stays via min_cost_supplier_parts (Q2)
+    #    and the _distributed_ntile family (pinned: the single-buffer
+    #    struct-argmax kernel keeps exactly the tied rows).
+    13: (
+        "doc_token_stats",
+        "doc_fingerprints",
+        "median_order_by_priority",
+        "segment_buyers_intersect",
+        "supplier_nation_volume",
+        "top_revenue_suppliers",
+    ),
 }
 
 

@@ -26,14 +26,19 @@ from retail_aws_etl_pipeline_spark.session import load_tables
 # Shared oracle fragments (DuckDB), parameterized by the operator constants
 # ---------------------------------------------------------------------------
 
-#: word 3-gram distinct shingles per doc (matches operators.dedup.shingles)
+#: word 3-gram distinct shingles per doc (matches operators.dedup.shingles).
+#: The position series is CORRELATED (len(toks)-bounded), never a fixed cap:
+#: a constant generate_series(1, 2048) silently dropped every gram past
+#: token 2048 of a long document — an oracle-side truncation the curated
+#: testdata never triggered (found by the adversarial corpus's
+#: 2,500-distinct-token doc at r13).
 GRAMS_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 grams AS (
     SELECT DISTINCT doc_id,
            array_to_string(toks[i.i:i.i + {D.SHINGLE_N - 1}], ' ') AS gram
-    FROM toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
-    WHERE i.i <= len(toks) - {D.SHINGLE_N - 1}
+    FROM toks,
+         UNNEST(generate_series(1, len(toks) - {D.SHINGLE_N - 1})) AS i(i)
 )
 """
 
@@ -946,8 +951,7 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     chars AS (
         SELECT doc_id, unicode(substr(text, i.i, 1)) AS byte
-        FROM ascii_docs, (SELECT UNNEST(generate_series(1, 1024)) AS i) i
-        WHERE i.i <= length(text)
+        FROM ascii_docs, UNNEST(generate_series(1, length(text))) AS i(i)
     )
     SELECT doc_id AS media_id, byte, COUNT(*) AS n
     FROM chars GROUP BY doc_id, byte
@@ -1064,8 +1068,7 @@ WINNOW_WINDOW = 4  # k-gram window for winnowing (MOSS-style)
         SELECT doc_id, i.i AS pos,
                md5(array_to_string(toks[i.i:i.i + 2], ' ')) AS ghash,
                len(toks) - 2 AS n_grams
-        FROM toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
-        WHERE i.i <= len(toks) - 2
+        FROM toks, UNNEST(generate_series(1, len(toks) - 2)) AS i(i)
     ),
     winmin AS (
         SELECT doc_id, pos, n_grams,
@@ -1276,15 +1279,53 @@ def _gc_stale_ivf_indexes(keep: str) -> None:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def ivf_standing_index_dir(sf_dir: str) -> tuple[str, str, str]:
+    """Standing-index location + completion-marker key for a corpus.
+
+    The SINGLE source of truth for the cache-key derivation (ADVICE r12:
+    the key was hand-duplicated in ``scripts/ivf_cold_warm.py`` and
+    ``tests/test_ivf_index.py``, so the next key field added here would
+    silently desynchronize the reproducer, which would then rmtree a
+    nonexistent dir and report a warm build as cold). Returns
+    ``(index_dir, marker_path, full_key)``; the marker file, when its
+    contents equal ``full_key``, certifies a complete current index.
+
+    The key must cover the index FORMAT, not just the input: centroid
+    count, quantization scale, and the build-code version all change the
+    at-rest bytes, and a key that omits them silently reuses a stale
+    /tmp index built by older code (ADVICE r11). Bump
+    IVF_INDEX_FORMAT_VERSION with ANY centroid-fit / quantization /
+    layout change.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st_ = os.stat(src)
+    full_key = (
+        f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
+        f":{IVF_SAMPLE_MOD}:{S.IVF_CENTROIDS}:{S.QUANT_SCALE}"
+        f":v{IVF_INDEX_FORMAT_VERSION}"
+    )
+    key = hashlib.md5(full_key.encode()).hexdigest()[:16]
+    index_dir = os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
+    marker = os.path.join(index_dir, "_GRAFT_COMPLETE")
+    return index_dir, marker, full_key
+
+
 @functools.cache
-def _ivf_oracle() -> str | None:
+def _ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     # Memoized (ADVICE r9): both the ann_topk_ivf registration and
     # IVF_INDEXED_ORACLE call this at import time, and the centroid fit
     # (parquet read + numpy Lloyd iterations) is a nontrivial side effect
-    # — one fit per process, not one per call site.
+    # — one fit per process, not one per call site. The sf_dir parameter
+    # exists for the REFIT-oracle scale proof (scripts/ivf_refit_proof.py
+    # fits the literals from sf0.1 and compares there once per round);
+    # the registered oracle stays sf0.01-pinned.
     import os
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
     cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
@@ -1403,29 +1444,13 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standing index, which is exactly the build-once/query-many
     claim this operator exists to register; a changed corpus changes
     the key and rebuilds."""
-    import hashlib
     import os
     import shutil
     import tempfile
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st_ = os.stat(src)
-    # The key must cover the index FORMAT, not just the input: centroid
-    # count, quantization scale, and the build-code version all change
-    # the at-rest bytes, and a key that omits them silently reuses a
-    # stale /tmp index built by older code (ADVICE r11). Bump
-    # IVF_INDEX_FORMAT_VERSION with ANY centroid-fit / quantization /
-    # layout change. The marker stores the full key so a read-side
-    # mismatch (e.g. a hand-edited dir) is also caught.
-    full_key = (
-        f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
-        f":{IVF_SAMPLE_MOD}:{S.IVF_CENTROIDS}:{S.QUANT_SCALE}"
-        f":v{IVF_INDEX_FORMAT_VERSION}"
-    )
-    key = hashlib.md5(full_key.encode()).hexdigest()[:16]
-    index_dir = os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
-    marker = os.path.join(index_dir, "_GRAFT_COMPLETE")
+    index_dir, marker, full_key = ivf_standing_index_dir(sf_dir)
 
     def _marker_valid() -> bool:
         try:
@@ -1434,22 +1459,41 @@ def ann_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             return False
 
-    if not _marker_valid():
+    if _marker_valid():
+        # Cache hit: refresh the marker so GC staleness means
+        # time-since-last-USE, not time-since-build (ADVICE r12: a hot
+        # index older than the GC window was deleted by any sibling
+        # build — possibly under a live lazy plan in another process).
+        try:
+            os.utime(marker)
+        except OSError:
+            pass
+    else:
         cents = S.ivf_centroids_from_parquet(src, sample_mod=IVF_SAMPLE_MOD)
         build = tempfile.mkdtemp(prefix="ivf_index_build_")
         S.ivf_index_write(t["embeddings"], build, centroids=cents)
         with open(os.path.join(build, "_GRAFT_COMPLETE"), "w") as f:
             f.write(full_key)
-        # A stale same-named dir (older format version would hash to a
-        # different name, but an interrupted build leaves a marker-less
-        # dir) blocks the rename — clear it first; the marker check above
-        # already ruled it complete-and-current out.
-        shutil.rmtree(index_dir, ignore_errors=True)
+        # Install protocol (ADVICE r12): NEVER pre-delete the target —
+        # racing cold-start builders meant the loser wiped the winner's
+        # just-completed LIVE index for a window, and any reader hitting
+        # that window got FileNotFound. Rename first; it only fails when
+        # a same-named dir exists. If that dir now carries a valid
+        # marker, a concurrent builder won — reuse its identical index
+        # (the build is deterministic). Only a marker-less/stale dir (an
+        # interrupted build) is removed, then ONE retry; a second
+        # failure is again a concurrent winner.
         try:
             os.rename(build, index_dir)
         except OSError:
-            # concurrent builder won the rename; its index is identical
-            shutil.rmtree(build, ignore_errors=True)
+            if _marker_valid():
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                shutil.rmtree(index_dir, ignore_errors=True)
+                try:
+                    os.rename(build, index_dir)
+                except OSError:
+                    shutil.rmtree(build, ignore_errors=True)
         _gc_stale_ivf_indexes(keep=index_dir)
     probes = t["embeddings"].filter(F.col("vec_id").isin(ANN_PROBE_IDS))
     return S.ivf_index_topk(probes, index_dir, ANN_K, nprobe=IVF_NPROBE).orderBy(
@@ -1978,7 +2022,7 @@ SWEEP_PLANE_COUNTS = (4, 6, 8)
 SWEEP_NPROBES = (1, 2)
 
 
-def _recall_sweep_oracle() -> str | None:
+def _recall_sweep_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     import os
 
     probe_list = ", ".join(map(str, ANN_PROBE_IDS))
@@ -2022,7 +2066,7 @@ def _recall_sweep_oracle() -> str | None:
     GROUP BY e.probe_id"""
 
     # IVF legs share the registered index's centroids (sampled fit)
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
     cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
@@ -2442,8 +2486,7 @@ def dedup_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     pairs AS (
         SELECT doc_id, toks[i.i] AS tok_a, toks[i.i + 1] AS tok_b
-        FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= len(toks) - 1
+        FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS i(i)
     )
     SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_total,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -2781,8 +2824,9 @@ _CHUNK_DEDUP_ORACLE = f"""
         SELECT doc_id, j.j AS chunk_idx,
                array_to_string(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}], ' ') AS chunk,
                len(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}]) AS n_toks
-        FROM toks, (SELECT UNNEST(generate_series(0, 2048)) AS j) j
-        WHERE j.j <= CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1
+        FROM toks,
+             UNNEST(generate_series(
+                 0, CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1)) AS j(j)
     ),
     flagged AS (
         SELECT doc_id, chunk_idx, n_toks,
@@ -2826,8 +2870,7 @@ _FLUENCY_BOTTOM_K = 100
 _FLUENCY_ORACLE = f"""
     WITH bi AS (
         SELECT doc_id, substr(text, i.i, 2) AS bg
-        FROM documents, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= len(text) - 1
+        FROM documents, UNNEST(generate_series(1, len(text) - 1)) AS i(i)
     ),
     vocab AS (SELECT bg, COUNT(*) AS freq FROM bi GROUP BY bg),
     perdoc AS (
@@ -2944,8 +2987,9 @@ _CHUNK_CORPUS_ORACLE = f"""
         SELECT doc_id, j.j AS chunk_idx,
                array_to_string(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}], ' ') AS chunk,
                len(toks[j.j * {D.CHUNK_W} + 1 : j.j * {D.CHUNK_W} + {D.CHUNK_W}]) AS n_toks
-        FROM toks, (SELECT UNNEST(generate_series(0, 2048)) AS j) j
-        WHERE j.j <= CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1
+        FROM toks,
+             UNNEST(generate_series(
+                 0, CAST(ceil(len(toks) / {D.CHUNK_W}.0) AS INT) - 1)) AS j(j)
     ),
     retained AS (
         SELECT doc_id, chunk_idx, chunk, n_toks FROM (
@@ -3280,8 +3324,8 @@ _COLLOC_ORACLE = f"""
     tot AS (SELECT SUM(n_tok) AS n FROM uni),
     pairs AS (
         SELECT toks[i.i] AS tok_a, toks[i.i + 1] AS tok_b, COUNT(*) AS n_pair
-        FROM toks, (SELECT UNNEST(generate_series(1, 4096)) AS i) i
-        WHERE i.i <= len(toks) - 1 AND toks[i.i] <> '' AND toks[i.i + 1] <> ''
+        FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS i(i)
+        WHERE toks[i.i] <> '' AND toks[i.i + 1] <> ''
         GROUP BY 1, 2
     )
     SELECT p.tok_a, p.tok_b,
@@ -3838,8 +3882,7 @@ def _curation_funnel_oracle() -> str:
     cf_toks AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM cf_k1),
     cf_grams AS (
         SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i + 2], ' ') AS gram
-        FROM cf_toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
-        WHERE i.i <= len(toks) - 2
+        FROM cf_toks, UNNEST(generate_series(1, len(toks) - 2)) AS i(i)
     ),
     cf_sizes AS (SELECT doc_id, COUNT(*) AS n FROM cf_grams GROUP BY doc_id),
     cf_common AS (
@@ -4211,8 +4254,8 @@ _BP_ORACLE = f"""
     bp_grams AS (
         SELECT DISTINCT doc_id,
                array_to_string(toks[i.i:i.i + {D.SHINGLE_N - 1}], ' ') AS gram
-        FROM bp_toks, (SELECT UNNEST(generate_series(1, 2048)) AS i) i
-        WHERE i.i <= len(toks) - {D.SHINGLE_N - 1}
+        FROM bp_toks,
+             UNNEST(generate_series(1, len(toks) - {D.SHINGLE_N - 1})) AS i(i)
     ),
     bp_sizes AS (SELECT doc_id, COUNT(*) AS n FROM bp_grams GROUP BY doc_id),
     bp_common AS (
@@ -4679,10 +4722,10 @@ def lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bitext_ivf_oracle() -> str | None:
+def _bitext_ivf_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     import os
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
         return None
     cents = S.ivf_centroids_from_parquet(path, sample_mod=IVF_SAMPLE_MOD)
@@ -5718,13 +5761,16 @@ CORPUS_SHUFFLE_ORACLE = f"""
                     AS BIGINT) AS batch_id
         FROM sb_key
     ),
+    sb_d AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sb_b GROUP BY batch_id
+    ),
     sb_src AS (
         SELECT batch_id, source, COUNT(*) AS c
-        FROM sb_b GROUP BY batch_id, source
+        FROM sb_b WHERE source IS NOT NULL GROUP BY batch_id, source
     ),
     sb_g AS (
         SELECT batch_id,
-               CAST(SUM(c) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_sources,
                CAST(MAX(c) AS BIGINT) AS top_source_docs
         FROM sb_src GROUP BY batch_id
@@ -5733,9 +5779,14 @@ CORPUS_SHUFFLE_ORACLE = f"""
         SELECT batch_id, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM sb_b GROUP BY batch_id
     )
-    SELECT g.batch_id, g.n_docs, l.n_langs, g.n_sources, g.top_source_docs
-    FROM sb_g g JOIN sb_l l ON l.batch_id = g.batch_id
-    ORDER BY g.batch_id
+    SELECT d.batch_id, d.n_docs,
+           COALESCE(l.n_langs, 0) AS n_langs,
+           COALESCE(g.n_sources, 0) AS n_sources,
+           COALESCE(g.top_source_docs, 0) AS top_source_docs
+    FROM sb_d d
+    LEFT JOIN sb_g g ON g.batch_id = d.batch_id
+    LEFT JOIN sb_l l ON l.batch_id = d.batch_id
+    ORDER BY d.batch_id
 """
 
 
@@ -5786,21 +5837,44 @@ def corpus_shuffle_batches(
     nt = _distributed_ntile(
         keyed, [F.asc("k"), F.asc("doc_id")], SHUFFLE_N_BATCHES, "batch_id"
     )
-    src = nt.groupBy("batch_id", "source").agg(F.count(F.lit(1)).alias("c"))
-    g = src.groupBy("batch_id").agg(
-        F.sum("c").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_sources"),
-        F.max("c").cast("long").alias("top_source_docs"),
+    # NULL lang/source are excluded from the distinct counts (ADVICE r12
+    # sibling of the :7933 shard-manifest fix): the row counts of a keyed
+    # sub-aggregate give NULL its own group, while COUNT(DISTINCT x)
+    # ignores NULLs — filter BEFORE the sub-agg so both engines agree on
+    # any corpus with missing metadata. n_docs comes from the batch
+    # grouping directly so NULL-source docs still count toward size.
+    docs = nt.groupBy("batch_id").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    g = (
+        nt.filter(F.col("source").isNotNull())
+        .groupBy("batch_id", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.max("c").cast("long").alias("top_source_docs"),
+        )
     )
     langs = (
-        nt.groupBy("batch_id", "lang")
+        nt.filter(F.col("lang").isNotNull())
+        .groupBy("batch_id", "lang")
         .agg(F.count(F.lit(1)).alias("cl"))
         .groupBy("batch_id")
         .agg(F.count(F.lit(1)).alias("n_langs"))
     )
-    out = g.join(langs, "batch_id").select(
-        "batch_id", "n_docs", "n_langs", "n_sources", "top_source_docs"
-    ).orderBy("batch_id")
+    out = (
+        docs.join(g, "batch_id", "left")
+        .join(langs, "batch_id", "left")
+        .select(
+            "batch_id",
+            "n_docs",
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("long").alias("n_langs"),
+            F.coalesce(F.col("n_sources"), F.lit(0)).cast("long").alias("n_sources"),
+            F.coalesce(F.col("top_source_docs"), F.lit(0))
+            .cast("long")
+            .alias("top_source_docs"),
+        )
+        .orderBy("batch_id")
+    )
     return retaining(out, *retained_caches(nt))
 
 
@@ -5966,7 +6040,12 @@ def quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.expr(
-            "CAST(size(array_distinct(split(text, ' '))) * 1000000 AS BIGINT)"
+            # BIGINT cast BEFORE the multiply (ADVICE r12 sibling of the
+            # :7749 fix): size() is INT, so the int32 product wraps (or
+            # crashes under ANSI) for any document with >2,147 distinct
+            # tokens — a ~15 KB web page — while the oracle multiplies
+            # in BIGINT.
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
             " div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("quality"),
     )
@@ -7476,8 +7555,19 @@ def _gopher_repetition_oracle() -> str:
 GOPHER_REPETITION_ORACLE = _gopher_repetition_oracle()
 
 
+@register_extra(
+    "gopher_repetition_report",
+    GOPHER_REPETITION_ORACLE,
+    description="Gopher repetition-removal battery (Rae et al. 2021 "
+    "A1.1): duplicate line/paragraph fractions (count + character), "
+    "top-{2,3,4}-gram char fractions, duplicate-{5..10}-gram char "
+    "coverage with interval-union char counting — integer evidence, "
+    "cross-multiplied thresholds, one explode + one (doc,kind,item) "
+    "groupBy; nothing quadratic in doc length.",
+    tags=("llm", "quality", "curation"),
+)
 def gopher_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the Gopher REPETITION-removal battery (Rae et al. 2021,
+    """The Gopher REPETITION-removal battery (Rae et al. 2021,
     appendix A1.1 — the other half of gopher_quality_report): duplicate
     line / paragraph fractions (count and character), top-{2,3,4}-gram
     character fractions, and duplicate-{5..10}-gram character coverage
@@ -7561,8 +7651,18 @@ def _dup_span_oracle() -> str:
 DUP_SPAN_ORACLE = _dup_span_oracle()
 
 
+@register_extra(
+    "duplicated_span_report",
+    DUP_SPAN_ORACLE,
+    description="ExactSubstr-style duplicated spans (Lee et al. 2022): "
+    "every stride-1 window occurring >=2 times anywhere marks its token "
+    "interval; overlapping marks merge into maximal per-doc spans — the "
+    "suffix-array result as windows + interval union. One content-keyed "
+    "groupBy, per-doc O(n) merge fold, no windows over raw rows.",
+    tags=("llm", "dedup"),
+)
 def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: ExactSubstr-style duplicated-span extraction (Lee et al.
+    """ExactSubstr-style duplicated-span extraction (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):
     every stride-1 {w}-token window occurring >= 2 times ANYWHERE in the
     corpus marks its token interval; overlapping marks merge into
@@ -7620,8 +7720,18 @@ def _c4_oracle() -> str:
 C4_CLEAN_ORACLE = _c4_oracle()
 
 
+@register_extra(
+    "c4_clean_report",
+    C4_CLEAN_ORACLE,
+    description="C4 cleanup battery (Raffel et al. 2020 section 2.2): "
+    "terminal-punct / min-words / javascript line retention, lorem-ipsum "
+    "+ curly-brace page gates, min-sentence gate, and the reconstructed "
+    "clean_text — all under one hash gate; pure scan-side projection "
+    "(no shuffle beyond the presentation sort, no UDF).",
+    tags=("llm", "quality", "curation"),
+)
 def c4_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the C4 cleanup battery (Raffel et al. 2020 §2.2) — the
+    """The C4 cleanup battery (Raffel et al. 2020 §2.2) — the
     canonical crawl cleanup pipeline: terminal-punctuation / min-words /
     javascript line retention, lorem-ipsum and curly-brace page gates,
     min-sentence page gate, and the cleaned text itself (kept lines in
@@ -7715,8 +7825,18 @@ def _quality_retained_oracle() -> str:
 DEDUP_QUALITY_RETAINED_ORACLE = _quality_retained_oracle()
 
 
+@register_extra(
+    "dedup_retained_by_quality",
+    DEDUP_QUALITY_RETAINED_ORACLE,
+    description="Quality-aware near-dup survivor selection (RefinedWeb/"
+    "CCNet-style keep-the-best): survivor = argmax of the integer "
+    "lexical-diversity quality key per component, ties to smallest id — "
+    "one groupBy(label) min(struct) buffer, no window, no rank "
+    "join-back; same banded near-dup graph as dedup_retained_corpus.",
+    tags=("llm", "dedup", "curation"),
+)
 def dedup_retained_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: quality-aware survivor selection — the production form of
+    """Quality-aware survivor selection — the production form of
     dedup retention. dedup_retained_corpus keeps the min-id member of
     each near-dup component because the min-id IS the component label (a
     free filter); real pipelines keep the BEST member (RefinedWeb keeps
@@ -7824,8 +7944,20 @@ def _kn_bigram_oracle() -> str:
 KN_BIGRAM_ORACLE = _kn_bigram_oracle()
 
 
+@register_extra(
+    "ngram_lm_report",
+    KN_BIGRAM_ORACLE,
+    description="Kneser-Ney bigram table (the KenLM count pass CCNet-"
+    "style perplexity filters train on): top-N bigrams with all four KN "
+    "count layers, the count-of-counts discount, and the interpolated "
+    "probability — every term ppm-quantized int64 floor-division so the "
+    "hash gate pins the smoothing arithmetic. ONE corpus-wide exchange "
+    "(the bigram groupBy, persisted); marginals join on vocab-scale "
+    "frames; the discount row broadcasts.",
+    tags=("llm", "text"),
+)
 def ngram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the distributed count pass of n-gram language-model
+    """The distributed count pass of n-gram language-model
     training (the KenLM/SRILM step perplexity-filter pipelines run
     before training — CCNet filters on exactly such a model). Emits the
     top-{n} bigrams with all four Kneser-Ney count layers (bigram count,
@@ -7904,8 +8036,19 @@ def _shard_manifest_oracle() -> str:
 SHARD_MANIFEST_ORACLE = _shard_manifest_oracle()
 
 
+@register_extra(
+    "training_shard_manifest",
+    SHARD_MANIFEST_ORACLE,
+    description="Training-export shard manifest: deterministic token-"
+    "budget shard assignment (epoch-shuffle order, distributed cumsum, "
+    "no global window) rolled up per shard into doc count, token mass, "
+    "lang/source mixing and largest doc — replay-idempotent "
+    "(md5(doc_id||salt) order) so retried exports reproduce byte-stable "
+    "shard boundaries; Expand-free distinct counts.",
+    tags=("llm", "batching"),
+)
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the writer's last mile — deterministic token-budget shard
+    """The writer's last mile — deterministic token-budget shard
     assignment (SMP.shard_assignment: epoch-shuffle order, document
     belongs to the shard containing its first token, distributed cumsum
     — no global window) rolled up into the shard MANIFEST a dataloader

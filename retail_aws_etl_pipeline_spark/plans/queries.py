@@ -376,6 +376,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                              AND regexp_matches(
+                                  json_extract_string(props, '$.k'),
+                                  '^-?[0-9]+$')
                              THEN json_extract_string(props, '$.k') END
                     AS BIGINT)) AS DECIMAL(38,0)) AS sum_k,
            COUNT(*) AS n
@@ -402,10 +405,17 @@ def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # boundary overflow a long SUM under ANSI, while DuckDB
             # promotes SUM(BIGINT) to HUGEINT — widening both sides keeps
             # the pair exact and crash-free.
+            # Integral-pattern guard on BOTH engines (ADVICE r12): the
+            # engines' TRY_CASTs disagree on decimal text — DuckDB
+            # TRY_CAST('1.5' AS BIGINT) parses and ROUNDS to 2, Spark
+            # try_cast yields NULL — so only ^-?[0-9]+$ values count
+            # toward sum_k on either side. Out-of-int64-range integral
+            # strings TRY_CAST to NULL identically on both.
             F.sum(
-                F.get_json_object("props", "$.k")
-                .try_cast("bigint")
-                .cast("decimal(38,0)")
+                F.when(
+                    F.get_json_object("props", "$.k").rlike("^-?[0-9]+$"),
+                    F.get_json_object("props", "$.k").try_cast("bigint"),
+                ).cast("decimal(38,0)")
             ).alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -21,27 +21,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from retail_aws_etl_pipeline_spark.operators.similarity import (  # noqa: E402
-    IVF_CENTROIDS,
-    QUANT_SCALE,
-)
 from retail_aws_etl_pipeline_spark.plans.extensions import (  # noqa: E402
-    IVF_INDEX_FORMAT_VERSION,
-    IVF_SAMPLE_MOD,
     ann_topk_ivf_indexed,
+    ivf_standing_index_dir,
 )
 from retail_aws_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 
 def standing_index_dir(sf_dir: str) -> str:
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        f":{IVF_SAMPLE_MOD}:{IVF_CENTROIDS}:{QUANT_SCALE}"
-        f":v{IVF_INDEX_FORMAT_VERSION}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
+    # Shared derivation (ADVICE r12): hand-duplicating the cache key here
+    # meant the next key field would silently desync the reproducer.
+    return ivf_standing_index_dir(sf_dir)[0]
 
 
 def main() -> None:

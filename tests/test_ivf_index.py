@@ -191,32 +191,20 @@ def test_indexed_query_reuses_standing_index(spark):
     return identical results; different corpora key different dirs.
     The cache key includes mtime+size, so a changed corpus rebuilds."""
     import glob
-    import hashlib
     import os
-    import tempfile
 
-    from retail_aws_etl_pipeline_spark.operators.similarity import (
-        IVF_CENTROIDS,
-        QUANT_SCALE,
-    )
     from retail_aws_etl_pipeline_spark.plans.extensions import (
-        IVF_INDEX_FORMAT_VERSION,
-        IVF_SAMPLE_MOD,
         ann_topk_ivf_indexed,
+        ivf_standing_index_dir,
     )
 
+    # Shared derivation (ADVICE r12): the key used to be hand-duplicated
+    # here, so a new key field would silently desynchronize this test.
     def full_key(sf):
-        src = os.path.join(sf, "embeddings.parquet")
-        st_ = os.stat(src)
-        return (
-            f"{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}"
-            f":{IVF_SAMPLE_MOD}:{IVF_CENTROIDS}:{QUANT_SCALE}"
-            f":v{IVF_INDEX_FORMAT_VERSION}"
-        )
+        return ivf_standing_index_dir(sf)[2]
 
     def index_dir(sf):
-        key = hashlib.md5(full_key(sf).encode()).hexdigest()[:16]
-        return os.path.join(tempfile.gettempdir(), f"graft_ivf_index_{key}")
+        return ivf_standing_index_dir(sf)[0]
 
     sf = "/root/testdata/sf0.001"
     first = ann_topk_ivf_indexed(spark, sf).collect()
@@ -225,10 +213,18 @@ def test_indexed_query_reuses_standing_index(spark):
     assert os.path.exists(marker)
     built_at = os.path.getmtime(marker)
     files_before = sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True))
+    data_mtimes = {
+        f: os.path.getmtime(f) for f in files_before if f != marker
+    }
     second = ann_topk_ivf_indexed(spark, sf).collect()
     assert second == first
-    assert os.path.getmtime(marker) == built_at  # no rebuild
+    # no rebuild: same file set, data files untouched; the MARKER mtime
+    # advances on a cache hit (ADVICE r12: GC staleness must mean
+    # time-since-last-use, else a hot week-old index gets collected by
+    # any sibling build).
     assert sorted(glob.glob(os.path.join(d, "**", "*"), recursive=True)) == files_before
+    assert {f: os.path.getmtime(f) for f in data_mtimes} == data_mtimes
+    assert os.path.getmtime(marker) >= built_at
     # a different corpus keys a different standing index
     assert index_dir("/root/testdata/sf0.01") != d
     # the marker stores the FULL key (format version included); a stale
@@ -290,3 +286,49 @@ def test_stale_index_dirs_are_gcd_on_build():
 
         for d in (keep, fresh, aged, interrupted, scratch):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_install_race_loser_keeps_winners_live_index(spark, monkeypatch):
+    """ADVICE r12: the install protocol must never pre-delete the
+    target. Simulate LOSING the cold-start race: the marker is invalid
+    when this builder checks it, and a concurrent winner installs a
+    complete index while this builder is mid-fit. The loser's rename
+    fails; the winner's dir must survive untouched (same inode — no
+    rmtree+rename window where a reader would get FileNotFound) and the
+    loser's scratch build must be discarded."""
+    import glob
+    import os
+
+    import retail_aws_etl_pipeline_spark.plans.extensions as E
+
+    sf = "/root/testdata/sf0.001"
+    first = E.ann_topk_ivf_indexed(spark, sf).collect()
+    d, marker, _full_key = E.ivf_standing_index_dir(sf)
+    valid = open(marker).read()
+    with open(marker, "w") as f:
+        f.write("stale-loser-view")  # this builder will take the cold path
+    inode_before = os.stat(d).st_ino
+
+    real_fit = E.S.ivf_centroids_from_parquet
+
+    def winner_completes_then_fit(*a, **k):
+        # the concurrent winner finishes its install mid-way through
+        # this builder's centroid fit
+        with open(marker, "w") as f:
+            f.write(valid)
+        return real_fit(*a, **k)
+
+    monkeypatch.setattr(E.S, "ivf_centroids_from_parquet", winner_completes_then_fit)
+    out = E.ann_topk_ivf_indexed(spark, sf).collect()
+    assert out == first
+    assert os.stat(d).st_ino == inode_before  # winner's dir never replaced
+    assert open(marker).read() == valid
+    # the loser's scratch build was cleaned up
+    import tempfile
+
+    leftovers = [
+        b
+        for b in glob.glob(os.path.join(tempfile.gettempdir(), "ivf_index_build_*"))
+        if "gctest" not in b
+    ]
+    assert not leftovers, leftovers

@@ -39,6 +39,10 @@ _TRICKY_DOCS = [
     "lorem ipsum filler {code} here",  # C4 page-gate triggers
     "ends without terminal punct",
     "- bullet line\n- another bullet\nreal sentence here.",
+    # >2,147 distinct tokens: any int32 `size(...) * 1000000` multiply
+    # wraps (or crashes under ANSI) on this doc while the BIGINT oracle
+    # is exact — locks the quality_by_length_decile / :7749 bug class.
+    " ".join(f"w{i}" for i in range(2500)),
 ]
 
 
@@ -77,9 +81,11 @@ def adversarial_dir(tmp_path_factory):
 #: Registered documents-only pairs whose oracles are corpus-generic
 #: (fit-literal/pinned oracles excluded by construction).
 _REGISTERED = [
-    "doc_token_stats",
+    # doc_token_stats / doc_fingerprints left the registry at the r13
+    # rotation; their surfaces face this corpus through
+    # tokenizer_fertility_by_lang / doc_winnowing + the r13 registrations
+    # below.
     "doc_lang_id",
-    "doc_fingerprints",
     "doc_quality",
     "corpus_vocabulary",
     "doc_repetition_ratio",
@@ -95,6 +101,20 @@ _REGISTERED = [
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "split_leakage_pairs",
+    # ADVICE r12 sibling-site fixes, battery-locked: BIGINT-first multiply
+    # (needs the 2,500-distinct-token doc) and NULL-lang/source-excluded
+    # distinct counts (needs the NULL lang/source rows).
+    "quality_by_length_decile",
+    "corpus_shuffle_batches",
+    # r13 registrations (documents-only, corpus-generic oracles): the
+    # rule batteries + span/retention/KN/manifest kernels face the
+    # hostile corpus from their first driver round.
+    "gopher_repetition_report",
+    "duplicated_span_report",
+    "c4_clean_report",
+    "dedup_retained_by_quality",
+    "ngram_lm_report",
+    "training_shard_manifest",
 ]
 
 
@@ -104,21 +124,6 @@ def test_registered_pair_survives_adversarial_corpus(spark, adversarial_dir, nam
     assert spec.oracle is not None
     r = compare(spec.spark_fn(spark, adversarial_dir), spec.oracle, adversarial_dir)
     assert r["ok"], (name, r)
-
-
-def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
-    """The staged r13 battery queries (oracle constants on the module,
-    not yet registered) through the same corpus — NULL lang/source
-    exercises the shard manifest's COUNT(DISTINCT) semantics, the
-    quality key exercises the BIGINT-first multiply."""
-    from retail_aws_etl_pipeline_spark.plans import extensions as E
-
-    for fn, oracle in [
-        (E.training_shard_manifest, E.SHARD_MANIFEST_ORACLE),
-        (E.c4_clean_report, E.C4_CLEAN_ORACLE),
-    ]:
-        r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
-        assert r["ok"], (fn.__name__, r)
 
 
 @pytest.fixture(scope="module")
@@ -138,6 +143,11 @@ def adversarial_events_dir(tmp_path_factory):
         '{"k": 3}', '{"k": -7}', '{"k": 0}', "{}", None, "not json",
         '{"k": "str"}', '{"other": 1}', '{"k": 9223372036854775807}',
         '{"k": 2, "j": "it\'s \\"quoted\\""}',
+        # decimal-number k (ADVICE r12): DuckDB TRY_CAST('1.5' AS BIGINT)
+        # rounds to 2 while Spark try_cast yields NULL — the integral-
+        # pattern guard must exclude it on BOTH sides.
+        '{"k": 1.5}', '{"k": -2.5}', '{"k": "007"}', '{"k": " 5"}',
+        '{"k": 1e3}',
     ]
     rows = []
     for i in range(96):
@@ -211,6 +221,11 @@ def adversarial_embeddings_dir(adversarial_dir):
     for i in range(64):
         if i == 7:
             v = [0.0] * dim  # zero vector: qnorm == 0
+        elif i == 11:
+            # ZERO-LENGTH vector (ADVICE r12): the Spark fold used to
+            # aggregate an empty array to 0L and set every sign bit
+            # (bucket 2^B-1) while DuckDB's NULL list_sum gave bucket 0.
+            v = []
         elif i == 8:
             v = [-1.0] * dim
         elif i in (9, 10):
@@ -332,7 +347,10 @@ _RETAIL_PAIRS = [
     "daily_revenue",
     "top_items",
     "pricing_summary",
-    "median_order_by_priority",
+    # median_order_by_priority left the registry at the r13 rotation;
+    # order_value_histogram keeps the orders-side bucket/percentile
+    # surface in front of the hostile numerics.
+    "order_value_histogram",
     "decimal_money_totals",
 ]
 

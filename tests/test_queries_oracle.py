@@ -15,6 +15,17 @@ ORACLE_QUERIES = sorted(n for n, s in ALL.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in ALL.items() if s.oracle is None)
 
 
+def test_suite_session_is_ansi_mode(spark):
+    """The oracle suite IS the standing ANSI gate (VERDICT r12 item 6):
+    Spark 4 defaults spark.sql.ansi.enabled=true, get_spark never
+    overrides it, and three of the five r12 adversarial finds were
+    ANSI-mode crashes (try_cast-vs-cast, int32-multiply overflow). Every
+    oracle compare below therefore already runs under ANSI semantics —
+    this pin makes sure nobody quietly turns it off and un-gates that
+    whole bug class."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, name):
     spec = ALL[name]

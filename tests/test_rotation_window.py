@@ -141,6 +141,20 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "boilerplate_ngram_ratio",
         ),
     ),
+    # ROADMAP r15 schedule (PROVISIONAL, drafted r13 — the first
+    # staged-from-scratch tranche after the queue empties at r14;
+    # pairing decisions defer to ADVICE r13/r14): the full 50-entry r12
+    # cohort comes due; the five newly-staged ops swap against these.
+    15: (
+        50,
+        (
+            "char_bigram_fluency",
+            "similarity_spectrum",
+            "lang_rebalanced_sample",
+            "token_chunk_dedup_corpus",
+            "order_value_histogram",
+        ),
+    ),
 }
 
 

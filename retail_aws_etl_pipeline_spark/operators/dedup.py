@@ -1763,3 +1763,235 @@ def quality_survivors(
         (-F.col("__w.ns")).cast("long").alias(score_col),
         "cluster_size",
     )
+
+
+# --- Bloom membership prefilter -------------------------------------------
+
+#: Bloom geometry: m = 1024 bits stored as 32 x 32-bit words (32-bit words
+#: keep every shifted bit value positive on BOTH engines — DuckDB raises
+#: on BIGINT 1<<63 where Spark silently wraps to the sign bit), k = 4
+#: probes consuming the full 32-hex md5 digest (4 x 8 hex chars).
+BLOOM_BITS = 1024
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD_BITS
+BLOOM_HASHES = 4
+
+
+def bloom_positions(text_col: str = "text") -> Column:
+    """The k deterministic bit positions of a document's content key:
+    position_i = int(md5(text)[8i : 8i+8], 16) mod BLOOM_BITS — the same
+    engine-portable md5 hash family as ``dsir_bucket``/``split_bucket``
+    (DuckDB mirror: ``CAST('0x' || substr(md5(text), 8i+1, 8) AS BIGINT)``).
+    """
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(F.col(text_col)), 1 + 8 * i, 8), 16, 10)
+            .cast("long")
+            % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def bloom_build_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the corpus Bloom filter as a <= BLOOM_WORDS-row word table
+    ``(word_idx, word)`` — the distributable form of the bitset: each
+    document contributes k single-bit words and ``bit_or`` merges them,
+    an associative partial aggregate (map-side combined like any SUM), so
+    the filter build is ONE exchange of at most BLOOM_WORDS rows per
+    partition regardless of corpus size. The word table broadcasts to
+    probes — the whole standing filter is 128 bytes of payload."""
+    pos = df.select(F.explode(bloom_positions(text_col)).alias("pos"))
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_prefilter_census(
+    hist: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom membership prefilter census — the sub-linear gate an
+    incremental exact-dedup cadence runs BEFORE the anti-join: build the
+    filter from the standing corpus, probe each ingest document, and
+    report the one-row census that tells the operator whether the
+    prefilter is worth its 128 bytes: probe count, Bloom positives, true
+    duplicates, false positives, the false-positive rate over the
+    genuinely-new documents (ppm), the set-bit count, and the
+    saturation-model FPR estimate ``(s/m)^k`` in exact integer ppm
+    (``s^4 * 1e6 div 1024^4`` — s <= 1024 keeps s^4 * 1e6 < 2^63).
+
+    The no-false-negative invariant rides the same row:
+    ``n_missed_dups`` (true duplicate, Bloom negative) is structurally 0
+    and sits under the hash gate, so a broken hash family fails the
+    oracle compare instead of silently letting duplicates through.
+
+    Plan shape: filter build = one <= 32-row exchange; the word table
+    and the distinct historical content-hash set join broadcast-side
+    onto one pass over the probes. At 100 TB the filter answers "seen
+    before?" without touching the standing corpus; only Bloom-positive
+    documents proceed to the exact anti-join.
+    """
+    words = bloom_build_words(hist, text_col)
+    probe_bits = (
+        probes.select(
+            F.col(id_col),
+            F.md5(F.col(text_col)).alias("__h"),
+            F.explode(bloom_positions(text_col)).alias("pos"),
+        )
+        .select(
+            id_col,
+            "__h",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                (F.col("word").bitwiseAND(F.col("bit")) != 0).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .groupBy(id_col, "__h")
+        .agg(F.min("hit").alias("bloom_pos"))
+    )
+    # The truth join is NOT broadcast-hinted: the distinct historical
+    # hash set grows with the standing corpus (unbounded at 100 TB) — a
+    # forced broadcast would OOM the driver exactly when the prefilter
+    # matters most. AQE picks broadcast when it happens to fit; the
+    # 128-byte word table above is the only always-broadcast side.
+    hist_hashes = hist.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    flagged = probe_bits.join(
+        hist_hashes.withColumn("__dup", F.lit(1)), "__h", "left"
+    ).select(
+        "bloom_pos", F.coalesce("__dup", F.lit(0)).alias("is_dup")
+    )
+    set_bits = words.agg(
+        F.sum(F.bit_count("word")).cast("long").alias("s")
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("bloom_pos").cast("long").alias("n_bloom_pos"),
+            F.sum("is_dup").cast("long").alias("n_true_dups"),
+            F.sum(
+                F.when((F.col("bloom_pos") == 1) & (F.col("is_dup") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when((F.col("bloom_pos") == 0) & (F.col("is_dup") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_missed_dups"),
+        )
+        .crossJoin(F.broadcast(set_bits))
+        .select(
+            "n_probes",
+            "n_bloom_pos",
+            "n_true_dups",
+            "n_false_pos",
+            "n_missed_dups",
+            F.expr(
+                "n_false_pos * 1000000L div greatest(n_probes - n_true_dups, 1L)"
+            ).alias("fpr_ppm"),
+            F.col("s").alias("bits_set"),
+            F.expr(
+                f"s * s * s * s * 1000000L div "
+                f"(CAST({BLOOM_BITS} AS BIGINT) * {BLOOM_BITS} * {BLOOM_BITS} * {BLOOM_BITS})"
+            ).alias("model_fpr_ppm"),
+        )
+    )
+
+
+def minhash_estimate_pairs(gram_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash PRECISION audit: banded candidate pairs scored by the
+    signature-estimated AND the exact Jaccard, side by side — the
+    complement of the recall audits (``lsh_dedup_recall`` asks "which
+    true near-dups does banding find?"; this asks "how far off is the
+    k-slot estimate on the candidates it surfaces?", the number that
+    decides whether a pipeline can SKIP the exact-verify join and trust
+    signatures alone at some threshold).
+
+    Per candidate pair (shares >= 1 full band): ``est_ppm`` = matching
+    signature slots * 1e6 div k, ``exact_ppm`` = |A ∩ B| * 1e6 div
+    |A ∪ B| (floor — engine-exact), and ``abs_err_ppm``. Candidates
+    necessarily share a gram (equal min-hash string => same minimizing
+    gram), so the exact leg is an inner join against the verify kernel.
+
+    Plan shape: ONE gram exchange feeds both leg (the fused
+    ``per_doc_signatures`` pass provides signatures; the exact leg is
+    the standard posting-list join restricted to candidate docs). The
+    signature frame is vocab... doc-scale (k+2 columns per doc); the
+    estimate itself adds no exchange beyond the candidate join.
+    """
+    sig = per_doc_signatures(gram_df, id_col=id_col)
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    ).alias("band_key"),
+                )
+                for b in range(NUM_BANDS)
+            ]
+        )
+    ).alias("bp")
+    band_df = sig.select(F.col(id_col), bands).select(
+        id_col, F.col("bp.band").alias("band"), F.col("bp.band_key").alias("band_key")
+    )
+    cand = candidate_pairs(band_df, id_col=id_col)
+    a_sig = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(NUM_HASHES)],
+    )
+    b_sig = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(a_sig, "id_a")
+        .join(b_sig, "id_b")
+        .withColumn("__m", matches.cast("long"))
+        .select(
+            "id_a",
+            "id_b",
+            # integer floor division (never float-divide-then-cast: the
+            # truncated double can disagree with the oracle's div at a
+            # repeating-quotient boundary)
+            F.expr(f"__m * 1000000L div {NUM_HASHES}").alias("est_ppm"),
+        )
+    )
+    exact = jaccard_counts(gram_df, pairs=cand, id_col=id_col).select(
+        "id_a",
+        "id_b",
+        F.expr("common * 1000000L div (n_a + n_b - common)").alias("exact_ppm"),
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_ppm",
+        "exact_ppm",
+        F.expr("abs(est_ppm - exact_ppm)").alias("abs_err_ppm"),
+    )

@@ -547,3 +547,63 @@ def perceptron_fit(
             w[int(r.b)] += int(r.dw)
         out.append(w)
     return out
+
+
+#: Temperature-sampling default: tau = 2, i.e. group weight n_g^(1/2).
+#: The exponent is fixed at 1/2 deliberately — floor(sqrt(n)) is
+#: integer-EXACT on both engines (IEEE-754 sqrt is correctly rounded and
+#: counts below 2^52 are exactly representable), where a general n^(1/tau)
+#: via pow/exp/log is libm-dependent and can hash-mismatch across engines.
+TEMP_TAU = 2
+
+
+def temperature_quota(
+    df: DataFrame, group_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Temperature-sampling mixture report (the mT5 / XLM-R multilingual
+    rebalancing rule): group weight w_g = floor(sqrt(n_g)) — tau=2
+    flattens the natural distribution so low-resource groups are
+    up-weighted — and the per-group quota out of a same-size resampled
+    corpus is floor(w_g * N / sum_w).
+
+    Where :func:`mixture_sample` and the rebalanced-sample family CONSUME
+    configured weights, this DERIVES them from the corpus itself — the
+    step a multilingual pretraining pipeline runs to produce the mixing
+    config. Emits, per non-NULL group (NULL metadata is excluded from
+    mixing, the shard-manifest discipline): doc count, sqrt weight,
+    natural corpus share (ppm), temperature share (ppm), the same-N
+    quota, and the resulting sampling rate (ppm of the group's own docs;
+    > 1e6 means the group is UP-sampled, i.e. repeated epochs).
+
+    Everything is integer floor arithmetic. Envelope: w_g*1e6 and
+    w_g*N stay within int64 for N up to ~4.4e12 docs (N^1.5 < 2^63);
+    beyond that, pre-divide N before the multiply.
+
+    Plan shape: one groupBy(group) count + a single-row broadcast of the
+    totals — no window, no second corpus pass.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("w_sqrt", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    )
+    totals = counts.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("w_sqrt").cast("long").alias("w_total"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            "w_sqrt",
+            F.expr("n_docs * 1000000L div n_total").alias("natural_ppm"),
+            F.expr("w_sqrt * 1000000L div w_total").alias("temp_share_ppm"),
+            F.expr("w_sqrt * n_total div w_total").alias("quota_docs"),
+            F.expr("(w_sqrt * n_total div w_total) * 1000000L div n_docs").alias(
+                "rate_ppm"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -1349,3 +1349,104 @@ def unigram_python_mirror(
     for _ in range(rounds - 1):
         scores.append(unigram_quantized_scores(recount(scores[-1]), vocab))
     return vocab, scores, recount(scores[-1])
+
+
+# ---------------------------------------------------------------------------
+# KN-model document scoring (the CCNet perplexity-filter apply step)
+# ---------------------------------------------------------------------------
+
+
+def _floor_log2_sq_thresholds() -> list[int]:
+    """Thresholds t -> smallest x with floor(log2(x^2)) == t, for x in
+    [1, KN_SCALE]. floor(log2(x^2)) >= t iff x >= ceil(2^(t/2)) =
+    isqrt(2^t - 1) + 1 — pure integer arithmetic, so the CASE ladder
+    built from these is bit-identical however either engine rounds its
+    libm log."""
+    import math
+
+    out = []
+    t = 0
+    while (1 << t) <= KN_SCALE * KN_SCALE:
+        out.append(math.isqrt((1 << t) - 1) + 1)
+        t += 1
+    return out
+
+
+def floor_log2_sq_sql(x_expr: str) -> str:
+    """SQL CASE ladder: floor(log2({x}^2)) for integer 1 <= x <= KN_SCALE
+    — the quantized log both engines compute EXACTLY (never a libm log:
+    correctly-rounded log2 is not guaranteed across engines, and one ulp
+    at an integer boundary flips the floor). Shared verbatim by the
+    Spark plan and the DuckDB oracle."""
+    thr = _floor_log2_sq_thresholds()
+    whens = " ".join(
+        f"WHEN {x_expr} >= {thr[t]} THEN {t}" for t in range(len(thr) - 1, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def kn_doc_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quantized KN log-likelihood — the APPLY step of the
+    perplexity-filter pipeline (CCNet, Wenzek et al. 2020): train an
+    n-gram LM, score every document, keep by perplexity bucket. The
+    model is :func:`kn_bigram_table` fitted on the same corpus (the
+    deterministic in-repo stand-in for CCNet's external Wikipedia LM);
+    each document's adjacent token pairs look up their interpolated KN
+    probability and contribute the EXACT integer ``floor(log2(p^2))``
+    (p in ppm; the squared form doubles the resolution to half-bit) via
+    a threshold CASE ladder — no libm log anywhere, so the score is
+    engine-reproducible and hash-gateable.
+
+    Returns (id, n_pairs, ll_q, mean_llq_ppm): ll_q = sum of per-pair
+    quantized logs (HIGHER = more probable = lower perplexity),
+    mean_llq_ppm = ll_q * 1e6 div n_pairs. Documents with fewer than 2
+    tokens have no pairs and are absent (unscorable — CCNet drops them
+    too). Every pair hits the table by construction (same corpus);
+    p_kn_ppm floors of 0 clamp to 1 so the log stays defined.
+
+    Envelope: per-pair log <= 39, ll_q <= 39 * n_pairs < 2^63 for any
+    real document; ll_q * 1e6 needs n_pairs * 39 < 9.2e12 — fine to
+    ~2.4e11 tokens per document.
+
+    Plan shape: the model build is the kernel's ONE corpus-scale
+    exchange (persisted bigram frame); scoring joins the doc-pair
+    stream against the vocab-scale table and folds per doc — the
+    standard apply shape at 100 TB (the table broadcasts when the vocab
+    fits, else it is a hash join on tok pairs).
+    """
+    table = kn_bigram_table(df, text_col=text_col)
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(__toks) - 1), "
+                "i -> struct(__toks[i - 1] AS tok_a, __toks[i] AS tok_b)) END"
+            )
+        ).alias("p"),
+    ).select(id_col, "p.tok_a", "p.tok_b")
+    scored = pairs.join(
+        table.select("tok_a", "tok_b", "p_kn_ppm"), ["tok_a", "tok_b"]
+    ).withColumn(
+        "llq",
+        F.expr(floor_log2_sq_sql("greatest(p_kn_ppm, 1L)")).cast("long"),
+    )
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("llq").cast("long").alias("ll_q"),
+        )
+        .withColumn("mean_llq_ppm", F.expr("ll_q * 1000000L div n_pairs"))
+    )
+    return retaining(out, *retained_caches(table))

@@ -8369,3 +8369,370 @@ def unigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(UNI_TOP_N)
     )
     return retaining(out, words)
+
+
+# ---------------------------------------------------------------------------
+# STAGED r15 tranche (ROADMAP "r15 schedule", drafted r13): the first
+# staged-from-scratch tranche after the pre-pinned queue empties at r14.
+# Registration happens at the r15 rotation; until then these carry the
+# full local proof battery (tests/test_staged_r15.py) like every staged
+# predecessor.
+# ---------------------------------------------------------------------------
+
+
+def _kn_doc_perplexity_oracle() -> str:
+    """Oracle for :func:`doc_perplexity_report` (STAGED r15): the full KN
+    table (no top-N cut) re-derived in DuckDB, then every document's
+    adjacent pairs look up p_kn_ppm and fold the EXACT integer
+    floor(log2(p^2)) CASE ladder (shared generator with the Spark plan —
+    never a libm log), grouped per doc and terciled by mean log-prob."""
+    from retail_aws_etl_pipeline_spark.operators.textops import (
+        KN_SCALE,
+        floor_log2_sq_sql,
+    )
+
+    ladder = floor_log2_sq_sql("GREATEST(tbl.p_kn_ppm, 1)")
+    return f"""
+    WITH kt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    kp AS (
+        SELECT doc_id, t[i] AS tok_a, t[i + 1] AS tok_b
+        FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 1)) AS i
+              FROM kt WHERE len(t) >= 2)
+    ),
+    bg AS (
+        SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM kp GROUP BY tok_a, tok_b
+    ),
+    pre AS (
+        SELECT tok_a, CAST(SUM(c) AS BIGINT) AS c_prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_followers
+        FROM bg GROUP BY tok_a
+    ),
+    lft AS (
+        SELECT tok_b, CAST(COUNT(*) AS BIGINT) AS n_left FROM bg GROUP BY tok_b
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM bg
+    ),
+    gd AS (
+        SELECT n_bigram_types,
+               CAST(CASE WHEN n1 + 2 * n2 = 0 THEN 0
+                    ELSE n1 * {KN_SCALE} // (n1 + 2 * n2) END AS BIGINT) AS d_ppm
+        FROM g
+    ),
+    tbl AS (
+        SELECT b.tok_a, b.tok_b,
+               CAST(GREATEST(b.c * {KN_SCALE} - gd.d_ppm, 0) // p.c_prefix
+                    + (gd.d_ppm * p.n_followers // p.c_prefix)
+                      * (l.n_left * {KN_SCALE} // gd.n_bigram_types) // {KN_SCALE}
+                    AS BIGINT) AS p_kn_ppm
+        FROM bg b
+        JOIN pre p ON p.tok_a = b.tok_a
+        JOIN lft l ON l.tok_b = b.tok_b, gd
+    ),
+    sc AS (
+        SELECT kp.doc_id, CAST({ladder} AS BIGINT) AS llq
+        FROM kp JOIN tbl ON tbl.tok_a = kp.tok_a AND tbl.tok_b = kp.tok_b
+    ),
+    d AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(llq) AS BIGINT) AS ll_q
+        FROM sc GROUP BY doc_id
+    ),
+    m AS (
+        SELECT doc_id, n_pairs, ll_q,
+               CAST(ll_q * 1000000 // n_pairs AS BIGINT) AS mean_llq_ppm
+        FROM d
+    )
+    SELECT doc_id, n_pairs, ll_q, mean_llq_ppm,
+           CAST(NTILE(3) OVER (ORDER BY mean_llq_ppm DESC, doc_id)
+                AS BIGINT) AS ppl_bucket
+    FROM m ORDER BY doc_id
+    """
+
+
+KN_DOC_PERPLEXITY_ORACLE = _kn_doc_perplexity_oracle()
+
+
+def doc_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: the CCNet perplexity filter proper (Wenzek et al.
+    2020) — train an n-gram LM, score every document, bucket by
+    perplexity tercile (CCNet's head/middle/tail; training recipes keep
+    head+middle or reweight by bucket). The model is the registered KN
+    bigram machinery (ngram_lm_report's kernel, full table) fitted on
+    the same corpus — the deterministic stand-in for CCNet's external
+    Wikipedia KenLM. Per-pair probability contributes the EXACT integer
+    floor(log2(p_ppm^2)) via a threshold CASE ladder generated from
+    pure-integer isqrt arithmetic (textops.floor_log2_sq_sql, shared
+    verbatim with the oracle) — no libm log on either engine, so the
+    whole score + bucket assignment sits under the hash gate.
+    Supersedes char_bigram_fluency's raw-count signal (no smoothing, no
+    conditioning) per the drafted r15 pairing. Scale: the model build
+    is ONE corpus-wide exchange; scoring is a vocab-scale join + per-doc
+    fold; the tercile is the shared _distributed_ntile (one range
+    exchange, no global window)."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_ntile
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    scores = TX.kn_doc_scores(t["documents"])
+    nt = _distributed_ntile(
+        scores, [F.desc("mean_llq_ppm"), F.asc("doc_id")], 3, "ppl_bucket"
+    )
+    out = nt.select(
+        "doc_id", "n_pairs", "ll_q", "mean_llq_ppm", "ppl_bucket"
+    ).orderBy("doc_id")
+    return retaining(out, *retained_caches(scores), *retained_caches(nt))
+
+
+#: Oracle for :func:`minhash_estimate_error` (STAGED r15). Shares the
+#: GRAMS/SIGS CTEs with the registered lsh_dedup_recall oracle family.
+MINHASH_ESTIMATE_ORACLE = f"""
+    WITH {GRAMS_CTE}, {SIGS_CTE},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                    * 1000000 // {D.NUM_HASHES} AS BIGINT) AS est_ppm
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.id_a
+        JOIN sigs sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT cm.id_a, cm.id_b,
+               CAST(cm.common * 1000000
+                    // (sa.n + sb.n - cm.common) AS BIGINT) AS exact_ppm
+        FROM common cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+    )
+    SELECT e.id_a, e.id_b, e.est_ppm, x.exact_ppm,
+           CAST(ABS(e.est_ppm - x.exact_ppm) AS BIGINT) AS abs_err_ppm
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    ORDER BY e.id_a, e.id_b
+"""
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: the PRECISION side of the LSH audit family
+    (lsh_dedup_recall covers recall): every banded candidate pair scored
+    by the k-slot signature ESTIMATE and the exact Jaccard side by side,
+    with the absolute error — the measurement that decides whether a
+    pipeline can skip the exact-verify join and trust signatures alone
+    at its threshold. similarity_spectrum (the drafted r15 swap) is the
+    decile rollup of this report's exact leg. Scale: ONE gram exchange
+    feeds both legs via the fused per_doc_signatures pass; the exact
+    leg is the posting-list join restricted to candidate docs (never
+    all-pairs)."""
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = D.shingles(t["documents"]).persist()
+    out = D.minhash_estimate_pairs(grams).orderBy("id_a", "id_b")
+    return retaining(out, grams)
+
+
+def _temperature_oracle() -> str:
+    """Oracle for :func:`temperature_mixture_report` (STAGED r15).
+    floor(sqrt(n)) is exact on both engines: counts < 2^52 are exactly
+    representable and IEEE-754 sqrt is correctly rounded — the reason
+    TEMP_TAU is fixed at 2 instead of a libm pow exponent."""
+    return """
+    WITH tc AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_sqrt
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    tt AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(SUM(w_sqrt) AS BIGINT) AS w_total
+        FROM tc
+    )
+    SELECT tc.lang, tc.n_docs, tc.w_sqrt,
+           CAST(tc.n_docs * 1000000 // tt.n_total AS BIGINT) AS natural_ppm,
+           CAST(tc.w_sqrt * 1000000 // tt.w_total AS BIGINT) AS temp_share_ppm,
+           CAST(tc.w_sqrt * tt.n_total // tt.w_total AS BIGINT) AS quota_docs,
+           CAST((tc.w_sqrt * tt.n_total // tt.w_total) * 1000000 // tc.n_docs
+                AS BIGINT) AS rate_ppm
+    FROM tc, tt ORDER BY tc.lang
+    """
+
+
+TEMPERATURE_MIXTURE_ORACLE = _temperature_oracle()
+
+
+def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: temperature-sampling mixture derivation (mT5 / XLM-R:
+    w_l proportional to n_l^(1/tau), tau=2) — DERIVES the per-language
+    mixing config the consuming samplers (corpus_mixture_sample,
+    lang_rebalanced_sample) take as input: sqrt weight, natural vs
+    temperature share, same-N quota, and the resulting per-group
+    sampling rate (> 1e6 ppm = the group is up-sampled / repeated).
+    Exponent fixed at 1/2 so the weights are integer-exact on both
+    engines (correctly-rounded IEEE sqrt + floor; a libm pow would not
+    hash-match). NULL lang is excluded from mixing — the shard-manifest
+    discipline. Scale: one groupBy(lang) + a single-row broadcast."""
+    from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return SMP.temperature_quota(t["documents"])
+
+
+def _bloom_oracle() -> str:
+    """Oracle for :func:`bloom_prefilter_stats` (STAGED r15): the same
+    md5-derived positions, 32-bit-word bit_or filter build, probe-side
+    all-k membership test, and exact-integer saturation-model FPR,
+    re-derived relationally in DuckDB."""
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_WORD_BITS,
+    )
+
+    pos_rows = " UNION ALL ".join(
+        f"SELECT doc_id, text, CAST(('0x' || substr(md5(text), {1 + 8 * i}, 8)) "
+        f"AS BIGINT) % {BLOOM_BITS} AS pos FROM bl_probe"
+        for i in range(BLOOM_HASHES)
+    )
+    hist_rows = " UNION ALL ".join(
+        f"SELECT CAST(('0x' || substr(md5(text), {1 + 8 * i}, 8)) "
+        f"AS BIGINT) % {BLOOM_BITS} AS pos FROM bl_hist"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"""
+    WITH bl_hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    bl_probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    hp AS ({hist_rows}),
+    words AS (
+        SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+                   AS word
+        FROM hp GROUP BY pos // {BLOOM_WORD_BITS}
+    ),
+    pp AS ({pos_rows}),
+    probe_flags AS (
+        SELECT p.doc_id, md5(p.text) AS h,
+               MIN(CASE WHEN w.word IS NOT NULL
+                         AND (w.word & (CAST(1 AS BIGINT)
+                              << CAST(p.pos % {BLOOM_WORD_BITS} AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS bloom_pos
+        FROM pp p
+        LEFT JOIN words w ON w.word_idx = p.pos // {BLOOM_WORD_BITS}
+        GROUP BY p.doc_id, md5(p.text)
+    ),
+    hh AS (SELECT DISTINCT md5(text) AS h FROM bl_hist),
+    flagged AS (
+        SELECT pf.bloom_pos,
+               CASE WHEN hh.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM probe_flags pf LEFT JOIN hh ON hh.h = pf.h
+    ),
+    sb AS (SELECT CAST(SUM(bit_count(word)) AS BIGINT) AS s FROM words),
+    census AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_pos,
+               CAST(SUM(is_dup) AS BIGINT) AS n_true_dups,
+               CAST(SUM(CASE WHEN bloom_pos = 1 AND is_dup = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN bloom_pos = 0 AND is_dup = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missed_dups
+        FROM flagged
+    )
+    SELECT c.n_probes, c.n_bloom_pos, c.n_true_dups, c.n_false_pos,
+           c.n_missed_dups,
+           CAST(c.n_false_pos * 1000000
+                // GREATEST(c.n_probes - c.n_true_dups, 1) AS BIGINT)
+               AS fpr_ppm,
+           sb.s AS bits_set,
+           CAST(sb.s * sb.s * sb.s * sb.s * 1000000
+                // (CAST({BLOOM_BITS} AS BIGINT) * {BLOOM_BITS}
+                    * {BLOOM_BITS} * {BLOOM_BITS}) AS BIGINT)
+               AS model_fpr_ppm
+    FROM census c, sb
+    """
+
+
+BLOOM_PREFILTER_ORACLE = _bloom_oracle()
+
+
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: Bloom membership prefilter census — the sub-linear
+    "seen before?" gate an incremental exact-dedup cadence runs BEFORE
+    its anti-join against the standing corpus. Standing half = even
+    doc_ids, ingest half = odd (the term_drift parity convention); the
+    filter is m=1024 bits as 32 x 32-bit words built by an associative
+    bit_or aggregate (map-side combined, <= 32 rows exchanged,
+    broadcast to probes), k=4 md5-derived probes consuming the full
+    digest. The one-row census carries the operating numbers (Bloom
+    positives, true dups, false positives, measured FPR ppm) plus the
+    exact-integer saturation model (s/m)^k in ppm AND the structural
+    no-false-negative invariant (n_missed_dups = 0) under the hash
+    gate. token_chunk_dedup_corpus (the drafted r15 swap) keeps its
+    fixed-window surface via the registered cdc_chunk_dedup. At 100 TB
+    the standing filter answers membership in 128 bytes; only
+    Bloom-positive documents pay the exact join."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.bloom_prefilter_census(hist, probes)
+
+
+def _key_skew_oracle() -> str:
+    """Oracle for :func:`join_key_skew_report` (STAGED r15): per key
+    family, the same NULL-excluded per-key counts, single-buffer argmax
+    (ties to smallest key) and floor skew arithmetic, UNION ALL'd."""
+    blocks = []
+    for kc in ("l_orderkey", "l_partkey", "l_suppkey"):
+        blocks.append(f"""
+    SELECT '{kc}' AS key_family,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN({{'nc': -c, 'k': k}}).k AS BIGINT) AS top_key,
+           CAST(MAX(c) AS BIGINT) AS max_per_key,
+           CAST(SUM(c) // COUNT(*) AS BIGINT) AS avg_per_key,
+           CAST(MAX(c) * 1000000 // GREATEST(SUM(c) // COUNT(*), 1) AS BIGINT)
+               AS skew_ppm
+    FROM (SELECT {kc} AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem WHERE {kc} IS NOT NULL GROUP BY {kc})""")
+    body = " UNION ALL ".join(blocks)
+    return f"SELECT * FROM ({body}) ORDER BY key_family"
+
+
+KEY_SKEW_ORACLE = _key_skew_oracle()
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: the shuffle-planning skew diagnostic — per join-key
+    family of the fact table (orderkey / partkey / suppkey), total rows,
+    distinct keys, the hottest key (deterministic single-buffer argmax,
+    ties to smallest key), max and floor-average per-key fan-out, and
+    the skew ratio in ppm: the census that tells an operator BEFORE the
+    100 TB run whether a groupBy/join key needs salting
+    (operators/skew.py::salted_aggregate) or can lean on AQE skew-join
+    splitting (joins only — a hot groupBy reducer gets no AQE help).
+    The histogram surface keeps two registered carriers per the drafted
+    r15 pairing (customer_spend_deciles, sketch_accuracy_stats). Scale:
+    one partial-aggregated count per family over the same scan;
+    per-family rollups are single-row aggregates."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    from retail_aws_etl_pipeline_spark.operators.skew import key_skew_census
+
+    return key_skew_census(t["lineitem"], ["l_orderkey", "l_partkey", "l_suppkey"])

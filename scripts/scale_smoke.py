@@ -162,13 +162,25 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     single shot measured dedup_signal_report at both 11 s and 35 s minutes
     apart); shuffle bytes are plan-determined, recorded once."""
     repeats = max(1, int(os.environ.get("SMOKE_REPEATS", "3")))
+
+    def _resolve(name):
+        # STAGED ops (no registry entry yet) resolve straight off the
+        # extensions module so their scale rows can be measured at
+        # staging time, the same protocol as registered entries.
+        if name in REGISTRY:
+            return REGISTRY[name].spark_fn
+        from retail_aws_etl_pipeline_spark.plans import extensions as _E
+
+        return getattr(_E, name)
+
     timings = {}
     for name in names:
+        fn = _resolve(name)
         best, shuffle = None, {}
         for _ in range(repeats):
             seen = set(_stage_shuffles(spark))
             t0 = time.perf_counter()
-            REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             new = {k: v for k, v in _stage_shuffles(spark).items() if k not in seen}
             spark.catalog.clearCache()

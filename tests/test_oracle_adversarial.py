@@ -126,6 +126,24 @@ def test_registered_pair_survives_adversarial_corpus(spark, adversarial_dir, nam
     assert r["ok"], (name, r)
 
 
+def test_staged_r15_pairs_survive_adversarial_corpus(spark, adversarial_dir):
+    """The staged r15 documents-side pairs through the hostile corpus
+    BEFORE registration: empty/whitespace docs exercise the perplexity
+    kernel's no-pair drop and the Bloom/minhash gram paths, NULL lang
+    exercises the temperature report's mixing exclusion, and the
+    2,500-distinct-token doc locks the correlated-series oracles."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    for fn, oracle in [
+        (E.doc_perplexity_report, E.KN_DOC_PERPLEXITY_ORACLE),
+        (E.minhash_estimate_error, E.MINHASH_ESTIMATE_ORACLE),
+        (E.temperature_mixture_report, E.TEMPERATURE_MIXTURE_ORACLE),
+        (E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
+    ]:
+        r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
+        assert r["ok"], (fn.__name__, r)
+
+
 @pytest.fixture(scope="module")
 def adversarial_events_dir(tmp_path_factory):
     """Hostile events table: exact (user, ts) ties (tiebreak determinism),

@@ -1,0 +1,282 @@
+"""Proof battery for the STAGED r15 tranche (ROADMAP "r15 schedule"):
+doc_perplexity_report, minhash_estimate_error, temperature_mixture_report,
+bloom_prefilter_stats, join_key_skew_report. Same discipline as every
+staged predecessor: DuckDB oracle compares at two gate scales, handcrafted
+semantics tests per operator, pure-Python mirrors for the novel kernels,
+and plan gates."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_aws_etl_pipeline_spark.operators import dedup as D
+from retail_aws_etl_pipeline_spark.operators import sampling as SMP
+from retail_aws_etl_pipeline_spark.operators import textops as TX
+from retail_aws_etl_pipeline_spark.operators.skew import key_skew_census
+from retail_aws_etl_pipeline_spark.plans import extensions as E
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle import compare
+
+PAIRS = [
+    ("doc_perplexity_report", E.doc_perplexity_report, E.KN_DOC_PERPLEXITY_ORACLE),
+    ("minhash_estimate_error", E.minhash_estimate_error, E.MINHASH_ESTIMATE_ORACLE),
+    (
+        "temperature_mixture_report",
+        E.temperature_mixture_report,
+        E.TEMPERATURE_MIXTURE_ORACLE,
+    ),
+    ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
+    ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", PAIRS, ids=[p[0] for p in PAIRS])
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_ORACLE])
+def test_staged_r15_matches_oracle(spark, sf, name, fn, oracle):
+    r = compare(fn(spark, sf), oracle, sf)
+    assert r["ok"], (name, sf, r)
+
+
+# --- doc_perplexity_report -------------------------------------------------
+
+
+def test_log2_ladder_is_exact():
+    """The CASE-ladder thresholds reproduce floor(log2(x^2)) for every
+    boundary and a dense sweep — pure integer check against math.log2
+    on exact powers (log2 of an int is exact when the int is a power
+    of two; elsewhere compare against integer bit-length arithmetic)."""
+    thr = TX._floor_log2_sq_thresholds()
+
+    def ladder(x: int) -> int:
+        return max(t for t, v in enumerate(thr) if x >= v)
+
+    for x in list(range(1, 3000)) + [10**6 - 1, 10**6] + [
+        v + d for v in thr for d in (-1, 0, 1) if 1 <= v + d <= 10**6
+    ]:
+        want = (x * x).bit_length() - 1  # floor(log2(y)) for y >= 1
+        assert ladder(x) == want, (x, ladder(x), want)
+
+
+def test_perplexity_buckets_order_and_unscorable_docs(spark):
+    """head (bucket 1) mean log-prob >= tail (bucket 3); documents with
+    fewer than 2 tokens are absent (unscorable, the CCNet drop rule)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),     # repetitive = high-prob pairs
+            (2, "a b a b a b c d"),
+            (3, "q w e r t y u i"),     # all-singleton transitions
+            (4, "one"),                 # unscorable: no pairs
+            (5, ""),                    # unscorable
+        ],
+        ["doc_id", "text"],
+    )
+    scores = TX.kn_doc_scores(docs)
+    rows = {r["doc_id"]: r for r in scores.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["mean_llq_ppm"] >= rows[3]["mean_llq_ppm"]
+    assert rows[1]["n_pairs"] == 7
+
+
+def test_perplexity_plan_has_no_python_and_no_global_window(spark):
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    plan = TX.kn_doc_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+
+
+# --- minhash_estimate_error -------------------------------------------------
+
+
+def test_minhash_estimate_exact_on_identical_docs(spark):
+    """Identical documents: every signature slot matches (est = 1e6) and
+    exact Jaccard = 1e6 — zero error; near-identical docs keep
+    est within the k-slot quantization grid."""
+    n = 24
+    base = " ".join(f"w{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " extra tail token")],
+        ["doc_id", "text"],
+    )
+    grams = D.shingles(docs)
+    rows = {(r.id_a, r.id_b): r for r in D.minhash_estimate_pairs(grams).collect()}
+    assert rows[(1, 2)]["est_ppm"] == 1_000_000
+    assert rows[(1, 2)]["exact_ppm"] == 1_000_000
+    assert rows[(1, 2)]["abs_err_ppm"] == 0
+    # est always lies on the k-slot quantization grid
+    grid = {s * 1_000_000 // D.NUM_HASHES for s in range(D.NUM_HASHES + 1)}
+    for r in rows.values():
+        assert r["est_ppm"] in grid, r
+
+
+def test_minhash_estimate_candidates_equal_banded_pairs(spark):
+    """The report's pair set IS the banded candidate set — no pair is
+    dropped by the est/exact joins (candidates share a gram by
+    construction, so the exact leg is total over candidates)."""
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    grams = D.shingles(docs).persist()
+    try:
+        want = {
+            (r.id_a, r.id_b)
+            for r in D.candidate_pairs(D.lsh_bands(grams)).collect()
+        }
+        got = {
+            (r.id_a, r.id_b) for r in D.minhash_estimate_pairs(grams).collect()
+        }
+        assert got == want and got
+    finally:
+        grams.unpersist()
+
+
+# --- temperature_mixture_report ---------------------------------------------
+
+
+def test_temperature_quota_arithmetic(spark):
+    """Hand-checked tau=2 weights: n = {100, 25, 1} -> w = {10, 5, 1};
+    quotas floor(w * 126 / 16); the smallest group is up-sampled
+    (rate > 1e6) and the largest down-sampled (rate < 1e6)."""
+    rows = [(i, "big") for i in range(100)]
+    rows += [(100 + i, "mid") for i in range(25)]
+    rows += [(125, "tiny"), (126, None)]  # NULL lang excluded
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = {r["lang"]: r for r in SMP.temperature_quota(docs).collect()}
+    assert set(out) == {"big", "mid", "tiny"}
+    assert out["big"]["w_sqrt"] == 10
+    assert out["mid"]["w_sqrt"] == 5
+    assert out["tiny"]["w_sqrt"] == 1
+    n_total, w_total = 126, 16
+    for lang, n in [("big", 100), ("mid", 25), ("tiny", 1)]:
+        r = out[lang]
+        assert r["n_docs"] == n
+        assert r["quota_docs"] == r["w_sqrt"] * n_total // w_total
+        assert r["rate_ppm"] == r["quota_docs"] * 1_000_000 // n
+    assert out["tiny"]["rate_ppm"] > 1_000_000  # up-sampled
+    assert out["big"]["rate_ppm"] < 1_000_000  # down-sampled
+    # quotas never exceed the corpus: sum(floor) <= n_total
+    assert sum(r["quota_docs"] for r in out.values()) <= n_total
+
+
+def test_temperature_flattens_shares(spark):
+    """tau=2 moves every group's share toward uniform: the dominant
+    group's temperature share is below its natural share, minority
+    groups' above — the mT5/XLM-R property this rule exists for."""
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_ORACLE, ["documents"])["documents"]
+    rows = SMP.temperature_quota(docs).collect()
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    if big["n_docs"] > small["n_docs"]:
+        assert big["temp_share_ppm"] <= big["natural_ppm"]
+        assert small["temp_share_ppm"] >= small["natural_ppm"]
+
+
+# --- bloom_prefilter_stats ---------------------------------------------------
+
+
+def _bloom_mirror(hist_texts, probe_texts):
+    """Pure-Python mirror of the Bloom build + probe census."""
+    m, k, wb = D.BLOOM_BITS, D.BLOOM_HASHES, D.BLOOM_WORD_BITS
+    words = {}
+    hist_hashes = set()
+    for t in hist_texts:
+        h = hashlib.md5(t.encode()).hexdigest()
+        hist_hashes.add(h)
+        for i in range(k):
+            pos = int(h[8 * i : 8 * i + 8], 16) % m
+            words[pos // wb] = words.get(pos // wb, 0) | (1 << (pos % wb))
+    n_bloom = n_dup = n_fp = n_miss = 0
+    for t in probe_texts:
+        h = hashlib.md5(t.encode()).hexdigest()
+        pos_ok = all(
+            words.get((int(h[8 * i : 8 * i + 8], 16) % m) // wb, 0)
+            & (1 << ((int(h[8 * i : 8 * i + 8], 16) % m) % wb))
+            for i in range(k)
+        )
+        dup = h in hist_hashes
+        n_bloom += pos_ok
+        n_dup += dup
+        n_fp += pos_ok and not dup
+        n_miss += dup and not pos_ok
+    s = sum(bin(w).count("1") for w in words.values())
+    return {
+        "n_probes": len(probe_texts),
+        "n_bloom_pos": n_bloom,
+        "n_true_dups": n_dup,
+        "n_false_pos": n_fp,
+        "n_missed_dups": n_miss,
+        "bits_set": s,
+    }
+
+
+def test_bloom_census_matches_python_mirror(spark):
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    texts = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    hist = [t for i, t in texts if i % 2 == 0]
+    probes = [t for i, t in texts if i % 2 == 1]
+    want = _bloom_mirror(hist, probes)
+    got = E.bloom_prefilter_stats(spark, SF_SMOKE).collect()[0].asDict()
+    for key, v in want.items():
+        assert got[key] == v, (key, got, want)
+    assert got["n_missed_dups"] == 0  # the structural no-false-negative claim
+
+
+def test_bloom_detects_planted_duplicate(spark):
+    docs = spark.createDataFrame(
+        [(0, "the standing corpus doc"), (2, "another standing doc"),
+         (1, "the standing corpus doc"), (3, "a genuinely new doc")],
+        ["doc_id", "text"],
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    probes = docs.filter(F.col("doc_id") % 2 == 1)
+    row = D.bloom_prefilter_census(hist, probes).collect()[0]
+    assert row["n_probes"] == 2
+    assert row["n_true_dups"] == 1
+    assert row["n_missed_dups"] == 0
+    assert row["n_bloom_pos"] >= 1
+    assert row["bits_set"] <= 2 * D.BLOOM_HASHES
+
+
+# --- join_key_skew_report ----------------------------------------------------
+
+
+def test_key_skew_census_on_constructed_skew(spark):
+    """One hot key 50x the rest: the census names it, ties in the argmax
+    break to the smallest key, NULL keys are excluded."""
+    rows = [(7, 1) for _ in range(50)]  # hot key 7
+    rows += [(k, 1) for k in range(10, 20)]  # 10 singleton keys
+    rows += [(None, 1)] * 5
+    df = spark.createDataFrame(rows, ["k1", "v"])
+    out = {r["key_family"]: r for r in key_skew_census(df, ["k1"]).collect()}
+    r = out["k1"]
+    assert r["n_rows"] == 60 and r["n_keys"] == 11
+    assert r["top_key"] == 7 and r["max_per_key"] == 50
+    assert r["avg_per_key"] == 60 // 11
+    assert r["skew_ppm"] == 50 * 1_000_000 // (60 // 11)
+    # argmax tie -> smallest key
+    tied = spark.createDataFrame(
+        [(3, 1), (3, 1), (9, 1), (9, 1)], ["k1", "v"]
+    )
+    assert key_skew_census(tied, ["k1"]).collect()[0]["top_key"] == 3
+
+
+def test_key_skew_plan_has_no_window(spark):
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    li = load_tables(spark, SF_SMOKE, ["lineitem"])["lineitem"]
+    plan = (
+        key_skew_census(li, ["l_orderkey", "l_partkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "Python" not in plan, plan[:2000]

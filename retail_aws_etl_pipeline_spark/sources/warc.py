@@ -56,7 +56,13 @@ def iter_warc_records(buf: bytes):
     ``http_status`` is parsed for responses only and ``payload_length``
     counts bytes after the HTTP header terminator."""
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)
+        try:
+            buf = gzip.decompress(buf)
+        except OSError as ex:
+            # BadGzipFile/zlib errors are OSError, not ValueError — fold
+            # them into the documented file-level reject contract so a
+            # corrupt-gzip shard is classified like any framing violation.
+            raise ValueError(f"corrupt gzip WARC shard: {ex}") from ex
     pos, idx = 0, 0
     while pos < len(buf):
         eol = buf.find(_CRLF, pos)
@@ -81,7 +87,19 @@ def iter_warc_records(buf: bytes):
             )
         if "content-length" not in headers:
             raise ValueError("WARC record without Content-Length")
-        n = int(headers["content-length"])
+        try:
+            n = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"bad WARC Content-Length {headers['content-length']!r}"
+            ) from None
+        if n < 0:
+            # A negative length slices an empty block (which passes the
+            # shorter-than-n check, since 0 > n) and then steps pos
+            # BACKWARD — crafted input could cycle the parser forever.
+            # Certain input at 100 TB of untrusted crawl bytes; found by
+            # the r13 hostile-WARC battery.
+            raise ValueError(f"negative WARC Content-Length {n}")
         block = buf[pos : pos + n]
         if len(block) < n:
             raise ValueError("truncated WARC: block shorter than Content-Length")

@@ -298,3 +298,85 @@ def test_sitemap_index_child_join_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- hostile-WARC battery (r13): untrusted crawl bytes ---------------------
+
+
+def _rec(headers: dict[str, str], block: bytes = b"") -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+    return f"WARC/1.0\r\n{head}\r\n".encode() + block + b"\r\n\r\n"
+
+
+def test_hostile_negative_content_length_raises_not_loops():
+    """A negative Content-Length used to slice an empty block (passing
+    the shorter-than-n check, 0 > n) and step pos BACKWARD — crafted
+    bytes could cycle the parser forever on untrusted crawl input. Must
+    raise the documented file-level ValueError instead."""
+    from retail_aws_etl_pipeline_spark.sources.warc import iter_warc_records
+
+    buf = _rec({"WARC-Type": "metadata", "Content-Length": "-14"})
+    with pytest.raises(ValueError, match="negative WARC Content-Length"):
+        list(iter_warc_records(buf))
+
+
+def test_hostile_nonnumeric_content_length_raises():
+    from retail_aws_etl_pipeline_spark.sources.warc import iter_warc_records
+
+    buf = _rec({"WARC-Type": "metadata", "Content-Length": "12 bytes"})
+    with pytest.raises(ValueError, match="bad WARC Content-Length"):
+        list(iter_warc_records(buf))
+
+
+def test_hostile_corrupt_gzip_is_a_value_error():
+    """BadGzipFile is an OSError, not ValueError — it must be folded
+    into the documented reject contract, not leak an engine-crash
+    exception class."""
+    from retail_aws_etl_pipeline_spark.sources.warc import iter_warc_records
+
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        list(iter_warc_records(b"\x1f\x8bthis is not a gzip stream"))
+
+
+def test_hostile_framing_violations_raise():
+    from retail_aws_etl_pipeline_spark.sources.warc import iter_warc_records
+
+    # block longer than buffer
+    buf = _rec({"WARC-Type": "metadata", "Content-Length": "9999"}, b"short")
+    with pytest.raises(ValueError, match="shorter than Content-Length"):
+        list(iter_warc_records(buf))
+    # missing record terminator
+    head = "WARC-Type: metadata\r\nContent-Length: 2\r\n"
+    buf = f"WARC/1.0\r\n{head}\r\n".encode() + b"xy" + b"\r\nJUNK"
+    with pytest.raises(ValueError, match="CRLF CRLF terminator"):
+        list(iter_warc_records(buf))
+    # bad version line
+    with pytest.raises(ValueError, match="bad WARC version"):
+        list(iter_warc_records(b"HTTP/1.0\r\n\r\n"))
+    # bad HTTP status line in a response record
+    block = b"HTTP/1.1 OK\r\n\r\nbody"
+    buf = _rec(
+        {"WARC-Type": "response", "Content-Length": str(len(block))}, block
+    )
+    with pytest.raises(ValueError, match="bad HTTP status line"):
+        list(iter_warc_records(buf))
+
+
+def test_hostile_but_wellformed_edges_parse():
+    """Valid-but-nasty content must PARSE: zero-length block, latin-1
+    header bytes, HTTP/0.9-ish request without a status, empty shard."""
+    from retail_aws_etl_pipeline_spark.sources.warc import iter_warc_records
+
+    assert list(iter_warc_records(b"")) == []
+    buf = _rec({"WARC-Type": "metadata", "Content-Length": "0",
+                "WARC-Target-URI": "http://ex.com/\xe9"})
+    recs = list(iter_warc_records(buf))
+    assert len(recs) == 1 and recs[0]["content_length"] == 0
+    # request record: payload split happens, no status parse
+    block = b"GET / HTTP/1.1\r\nHost: x\r\n\r\npayload"
+    buf = _rec(
+        {"WARC-Type": "request", "Content-Length": str(len(block))}, block
+    )
+    rec = list(iter_warc_records(buf))[0]
+    assert rec["http_status"] is None
+    assert rec["payload_length"] == len(b"payload")

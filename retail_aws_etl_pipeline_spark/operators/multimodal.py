@@ -531,6 +531,17 @@ def sample_bmp_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 buf, at, idx = bytes(payload), 0, 0
                 while at < len(buf):
                     size = bmp_file_size(buf, at)
+                    # The size field is payload-controlled: a declared
+                    # size below the 14-byte file header (0 in the wild)
+                    # would stop `at` advancing — the WARC
+                    # negative-Content-Length infinite-loop class — and
+                    # one past the buffer would silently truncate the
+                    # frame. Reject both as the documented ValueError.
+                    if size < 14 or at + size > len(buf):
+                        raise ValueError(
+                            f"BMP frame at {at} declares {size} bytes, "
+                            f"{len(buf) - at} available"
+                        )
                     if idx % every_n == 0:
                         rows.append((int(mid), idx, buf[at : at + size]))
                     at += size

@@ -301,8 +301,11 @@ def adversarial_retail_dir(tmp_path_factory):
         )
         li.append(
             (
-                i // 3,
-                i % 11,
+                # NULL join keys every 19th/23rd row: a NULL key never
+                # routes to a join — the skew census must exclude it on
+                # both engines (r13 staged battery).
+                None if i % 19 == 0 else i // 3,
+                None if i % 23 == 0 else i % 11,
                 i % 7,
                 i % 4,
                 rng.choice([0.0, 1.0, 49.0, -3.0, 1e6]),
@@ -383,3 +386,19 @@ def test_retail_pair_survives_adversarial_corpus(spark, adversarial_retail_dir, 
         adversarial_retail_dir,
     )
     assert r["ok"], (name, r)
+
+
+def test_staged_r15_skew_report_survives_adversarial_retail(
+    spark, adversarial_retail_dir
+):
+    """The staged join_key_skew_report through the hostile lineitem —
+    the NULL-key rows exercise the NULL-exclusion both engines must
+    agree on (a NULL key never routes to a join)."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    r = compare(
+        E.join_key_skew_report(spark, adversarial_retail_dir),
+        E.KEY_SKEW_ORACLE,
+        adversarial_retail_dir,
+    )
+    assert r["ok"], r

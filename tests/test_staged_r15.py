@@ -280,3 +280,19 @@ def test_key_skew_plan_has_no_window(spark):
         .toString()
     )
     assert "Window" not in plan and "Python" not in plan, plan[:2000]
+
+
+def test_bloom_census_plan_quality(spark):
+    """The filter word table must reach the probes as a BROADCAST (it is
+    <= 32 rows / 128 bytes by construction — a shuffle here would defeat
+    the prefilter's point at 100 TB), and nothing in the census plans a
+    Window or Python eval. The truth join is deliberately NOT
+    broadcast-hinted (the historical hash set is unbounded; AQE decides)."""
+    plan = (
+        E.bloom_prefilter_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Window" not in plan and "Python" not in plan, plan[:2000]

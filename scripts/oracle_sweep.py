@@ -39,13 +39,46 @@ SF001_PINNED = {
 }
 
 
+def _staged_pairs():
+    """(name, fn, oracle) for STAGED ops (module-level oracle constants,
+    not yet in a registry) — swept with the same protocol so their
+    at-scale proof exists before registration."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    return [
+        ("doc_perplexity_report", E.doc_perplexity_report, E.KN_DOC_PERPLEXITY_ORACLE),
+        ("minhash_estimate_error", E.minhash_estimate_error, E.MINHASH_ESTIMATE_ORACLE),
+        (
+            "temperature_mixture_report",
+            E.temperature_mixture_report,
+            E.TEMPERATURE_MIXTURE_ORACLE,
+        ),
+        ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
+        ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    staged_only = only == {"staged"}
     spark = get_spark(app_name="oracle_sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
     failed, skipped, n_ok = [], [], 0
+    if staged_only:
+        for name, fn, oracle in _staged_pairs():
+            t0 = time.perf_counter()
+            r = compare(fn(spark, sf_dir), oracle, sf_dir)
+            wall = time.perf_counter() - t0
+            if r["ok"]:
+                n_ok += 1
+                print(f"OK   {name}: {wall:.2f} s", flush=True)
+            else:
+                failed.append(name)
+                print(f"FAIL {name}: {r}", flush=True)
+        print(f"staged sweep @ {sf_dir}: {n_ok} OK, {len(failed)} failed")
+        sys.exit(1 if failed else 0)
     for name, spec in sorted(all_specs().items()):
         if only is not None and name not in only:
             continue

@@ -8736,3 +8736,144 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_aws_etl_pipeline_spark.operators.skew import key_skew_census
 
     return key_skew_census(t["lineitem"], ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def _hll_metric_oracle(metric: str, table: str, key_sql: str) -> str:
+    """One UNION-ALL block of the deterministic-HLL oracle: the same
+    md5-slice registers, clamped-rho ladder, remainder-corrected
+    harmonic estimate and LC literal table as operators/sketch.py, in
+    DuckDB SQL. NULL keys are excluded on both engines (a NULL hashes
+    to a NULL bucket — the NULL-grouping divergence class)."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_BUCKETS,
+        HLL_LC_TABLE,
+        hll_rho_sql,
+    )
+
+    m = HLL_BUCKETS
+    lc = ",".join(str(x) for x in HLL_LC_TABLE)
+    rho = hll_rho_sql("w")
+    return f"""
+    SELECT '{metric}' AS metric, s.n_rows, s.exact_distinct,
+           e.hll_estimate,
+           CAST(ABS(e.hll_estimate - s.exact_distinct) * 1000000
+                // GREATEST(s.exact_distinct, 1) AS BIGINT) AS err_ppm,
+           e.v_zero_registers, e.rc_max_register
+    FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {key_sql}) AS BIGINT) AS exact_distinct
+        FROM {table} WHERE {key_sql} IS NOT NULL
+    ) s, (
+        WITH hx AS (
+            SELECT md5(CAST({key_sql} AS VARCHAR)) AS h
+            FROM {table} WHERE {key_sql} IS NOT NULL
+        ),
+        parts AS (
+            SELECT CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+                   CAST(('0x' || substr(h, 3, 13)) AS BIGINT) AS w
+            FROM hx
+        ),
+        regs AS (
+            SELECT bucket, CAST(MAX({rho}) AS BIGINT) AS register
+            FROM parts GROUP BY bucket
+        ),
+        head AS (
+            SELECT COALESCE(MAX(register), 0) AS rc,
+                   CAST(COUNT(*) AS BIGINT) AS n_present
+            FROM regs
+        ),
+        dpre AS (
+            SELECT COALESCE(SUM(CAST(1 AS BIGINT) << CAST(h.rc - r.register AS INT)),
+                            0) AS dp
+            FROM regs r, head h
+        ),
+        est AS (
+            SELECT h.rc, {m} - h.n_present AS v,
+                   d.dp + ({m} - h.n_present)
+                       * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)) AS d,
+                   CAST({m} AS BIGINT) * {m}
+                       * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)) AS n_big
+            FROM head h, dpre d
+        ),
+        fin AS (
+            SELECT rc, v,
+                   ((n_big // d) * {HLL_ALPHA_PPM}
+                    + ((n_big % d) * {HLL_ALPHA_PPM}) // d) // 1000000 AS e_raw
+            FROM est
+        )
+        SELECT CAST(CASE WHEN v = {m} THEN 0
+                    WHEN v > 0 AND 2 * e_raw <= 5 * {m}
+                    THEN ([{lc}])[CAST(v AS INT)]
+                    ELSE e_raw END AS BIGINT) AS hll_estimate,
+               CAST(v AS BIGINT) AS v_zero_registers,
+               CAST(rc AS BIGINT) AS rc_max_register
+        FROM fin
+    ) e
+    """
+
+
+#: The three audited cardinality targets: corpus dedup headroom
+#: (distinct text hashes), fact-table join-key domain, event actor
+#: domain — the cardinalities a pipeline sizes dedup, joins and
+#: sessionization state by.
+HLL_TARGETS = [
+    ("documents.text", "documents", "text"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+]
+
+
+HLL_DISTINCT_ORACLE = " UNION ALL ".join(
+    _hll_metric_oracle(metric, table, key) for metric, table, key in HLL_TARGETS
+) + " ORDER BY metric"
+
+
+def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r15: deterministic HyperLogLog distinct estimation — the
+    sketch family RE-ENTERS the driver proof regime. approx_sketch_stats
+    is RETIRED because Spark's HLL++ register layout is engine-private
+    (no ANSI oracle can recompute it); this operator builds HLL from
+    scratch on the shared md5 hash family with every step integer-exact
+    (generated threshold ladder for the leading-zero count, clamped
+    registers bounding all arithmetic inside int64, remainder-corrected
+    harmonic estimate, Python-fitted integer LC table — see
+    operators/sketch.py), so the ESTIMATE ITSELF hash-matches DuckDB.
+    Reports, per audited cardinality target: rows, exact distinct, the
+    HLL estimate, its signed... absolute error in ppm, and the register
+    diagnostics. The exact leg doubles as the accuracy gate — at sf0.01
+    the 256-register sketch lands within ~7% (the 1.04/sqrt(m)
+    envelope). Scale: the sketch build exchanges <= 256 rows per
+    partition (per-bucket MAX is an associative partial aggregate) —
+    the cardinality answer at 100 TB costs one scan and a 256-row
+    reduce, vs the exact leg's full shuffle; err_ppm is the per-corpus
+    measured proof that the cheap path is usable."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    frames = []
+    for metric, table, key in HLL_TARGETS:
+        t = load_tables(spark, sf_dir, [table])[table]
+        base = t.filter(F.col(key).isNotNull())
+        exact = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(key)).cast("long").alias("exact_distinct"),
+        )
+        est = SK.hll_distinct(base, F.col(key))
+        frames.append(
+            exact.crossJoin(F.broadcast(est)).select(
+                F.lit(metric).alias("metric"),
+                "n_rows",
+                "exact_distinct",
+                "hll_estimate",
+                F.expr(
+                    "abs(hll_estimate - exact_distinct) * 1000000L"
+                    " div greatest(exact_distinct, 1L)"
+                ).alias("err_ppm"),
+                "v_zero_registers",
+                "rc_max_register",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("metric")

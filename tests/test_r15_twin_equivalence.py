@@ -168,3 +168,65 @@ def test_order_value_histogram_is_a_width_bucket_recount(spark):
     got = {tuple(r) for r in spec.spark_fn(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in recount.collect()}
     assert got == want and got
+
+
+def test_hll_supersedes_the_retired_approx_sketch(spark):
+    """Pairing #6 (drafted r13 session): hll_distinct_report enters and
+    approx_sketch_stats — the registry's ONE RETIRED entry — leaves
+    outright, taking the retired count to zero. The supersession claim:
+    on the same corpus the deterministic HLL's error is within the same
+    band the approx tolerance gate allows Spark's engine-private HLL++
+    (rsd ~ 1.04/sqrt(m)) — so the sketch surface keeps its accuracy
+    contract while GAINING a hash-gateable oracle. The percentile half
+    of the retired query stays via sketch_accuracy_stats (registered,
+    exact)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    li = load_tables(spark, SF_SMOKE, ["lineitem"])["lineitem"]
+    exact = li.agg(F.count_distinct("l_partkey")).collect()[0][0]
+    det = SK.hll_distinct(li, F.col("l_partkey")).collect()[0]["hll_estimate"]
+    approx = li.agg(F.approx_count_distinct("l_partkey")).collect()[0][0]
+    band = 3 * 1.04 / math.sqrt(SK.HLL_BUCKETS)
+    assert abs(det - exact) <= band * exact, (det, exact)
+    assert abs(approx - exact) <= band * exact, (approx, exact)
+
+
+def test_trigram_paths_is_a_lead_projection_recount(spark):
+    """Pairing #6's cohort victim: event_trigram_paths == the top-20
+    recount of the same per-user lead() projection (the rollup
+    precedent); the sequence-mining surface keeps user_sessions /
+    conversion_funnel / event_pairs_within_window registered and the
+    LAG/LEAD window kernel stays via customer_order_gap_stats."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.plans import all_specs
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    spec = all_specs()["event_trigram_paths"]
+    ev = load_tables(spark, SF_SMOKE, ["events"])["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(20)
+    )
+    got = {tuple(r) for r in spec.spark_fn(spark, SF_SMOKE).collect()}
+    want = {tuple(r) for r in tri.collect()}
+    assert got == want and got

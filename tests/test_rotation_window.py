@@ -153,6 +153,11 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "lang_rebalanced_sample",
             "token_chunk_dedup_corpus",
             "order_value_histogram",
+            # pairing #6: hll_distinct_report enters; this cohort victim
+            # frees its window slot, and approx_sketch_stats (RETIRED —
+            # exempt from due-lists, so not listed here) leaves the
+            # registry outright, taking the retired count to zero.
+            "event_trigram_paths",
         ),
     ),
 }

@@ -31,6 +31,7 @@ PAIRS = [
     ),
     ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
     ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
+    ("hll_distinct_report", E.hll_distinct_report, E.HLL_DISTINCT_ORACLE),
 ]
 
 
@@ -295,4 +296,104 @@ def test_bloom_census_plan_quality(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "Window" not in plan and "Python" not in plan, plan[:2000]
+
+
+# --- hll_distinct_report (deterministic HLL) ---------------------------------
+
+
+def _hll_mirror(keys):
+    """Pure-Python mirror of operators/sketch.py end to end."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_BUCKETS,
+        HLL_LC_TABLE,
+        HLL_RHO_CAP,
+        HLL_W_BITS,
+    )
+
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:15], 16)
+        rho = (HLL_W_BITS + 1) if w == 0 else HLL_W_BITS - (w.bit_length() - 1)
+        rho = min(rho, HLL_RHO_CAP)
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    m = HLL_BUCKETS
+    if not regs:
+        return 0
+    rc = max(regs.values())
+    d = sum(1 << (rc - r) for r in regs.values()) + (m - len(regs)) * (1 << rc)
+    n_big = m * m * (1 << rc)
+    e_raw = ((n_big // d) * HLL_ALPHA_PPM + ((n_big % d) * HLL_ALPHA_PPM) // d) // 1_000_000
+    v = m - len(regs)
+    if v > 0 and 2 * e_raw <= 5 * m:
+        return HLL_LC_TABLE[v - 1]
+    return e_raw
+
+
+def test_hll_matches_python_mirror_across_cardinalities(spark):
+    """The Spark estimate equals the hashlib mirror bit-for-bit at small
+    (LC branch), medium and larger cardinalities — every arithmetic step
+    (slice, ladder, clamp, remainder-corrected divide, LC lookup) pinned."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    for n in (1, 7, 150, 2000, 20000):
+        keys = [f"k{i}" for i in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        got = SK.hll_distinct(df, F.col("k")).collect()[0]["hll_estimate"]
+        assert got == _hll_mirror(keys), (n, got, _hll_mirror(keys))
+
+
+def test_hll_rho_ladder_boundaries(spark):
+    """Clamped register values at the exact ladder boundaries, through
+    the SQL expression itself."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_RHO_CAP,
+        HLL_W_BITS,
+        hll_rho_sql,
+    )
+
+    cases = [
+        (0, HLL_RHO_CAP),                # w = 0: 53, clamped
+        (1, HLL_RHO_CAP),                # 52 leading zeros, clamped
+        (1 << (HLL_W_BITS - 1), 1),      # top bit set: rho 1
+        ((1 << HLL_W_BITS) - 1, 1),      # all ones: rho 1
+        (1 << (HLL_W_BITS - HLL_RHO_CAP), HLL_RHO_CAP),
+        (1 << (HLL_W_BITS - HLL_RHO_CAP + 1), HLL_RHO_CAP - 1),
+    ]
+    df = spark.createDataFrame([(w,) for w, _ in cases], ["w"])
+    got = [
+        r[0]
+        for r in df.select(F.expr(hll_rho_sql("w")).alias("r")).collect()
+    ]
+    assert got == [want for _, want in cases], (got, cases)
+
+
+def test_hll_accuracy_within_envelope(spark):
+    """Measured error at the driver gate scale stays inside 3x the
+    1.04/sqrt(m) standard error (~20%) on every audited target — the
+    claim that makes the cheap path usable at 100 TB."""
+    rows = E.hll_distinct_report(spark, SF_ORACLE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["err_ppm"] <= 200_000, r
+
+
+def test_hll_build_is_a_bounded_aggregate(spark):
+    """The register table is <= 256 rows and the plan carries no Window
+    and no Python eval — the sketch's whole point at scale."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+    from retail_aws_etl_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    regs = SK.hll_registers(docs, F.col("text"))
+    assert regs.count() <= SK.HLL_BUCKETS
+    plan = (
+        E.hll_distinct_report(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Window" not in plan and "Python" not in plan, plan[:2000]

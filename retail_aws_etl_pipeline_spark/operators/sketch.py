@@ -148,3 +148,18 @@ def hll_distinct(df: DataFrame, key: Column) -> DataFrame:
     """End-to-end: one row (hll_estimate, v_zero_registers,
     rc_max_register) for the key's distinct cardinality."""
     return hll_estimate(hll_registers(df, key))
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Union two register tables: elementwise per-bucket MAX — the
+    property that makes HLL the DISTRIBUTED sketch. sketch(A) merged
+    with sketch(B) equals sketch(A ∪ B) BIT-IDENTICALLY (max is
+    associative/commutative/idempotent), so shards, partitions, days or
+    whole corpora can be sketched independently and combined later with
+    a <= m-row union — no rescan of either side. Pinned by
+    tests/test_staged_r15.py::test_hll_merge_equals_sketch_of_union."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )

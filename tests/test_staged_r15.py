@@ -397,3 +397,38 @@ def test_hll_build_is_a_bounded_aggregate(spark):
         .toString()
     )
     assert "Window" not in plan and "Python" not in plan, plan[:2000]
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """sketch(A) ⊔ sketch(B) == sketch(A ∪ B) bit-identically — the
+    mergeability property that makes the sketch distributable: shards
+    sketched independently combine with a <= m-row union, no rescan.
+    Also holds for overlapping inputs (max is idempotent)."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(700)], ["k"])
+    b = spark.createDataFrame(
+        [(f"b{i}",) for i in range(500)] + [(f"a{i}",) for i in range(100)],
+        ["k"],
+    )
+    merged = {
+        (r.bucket, r.register)
+        for r in SK.hll_merge(
+            SK.hll_registers(a, F.col("k")), SK.hll_registers(b, F.col("k"))
+        ).collect()
+    }
+    union = {
+        (r.bucket, r.register)
+        for r in SK.hll_registers(a.unionByName(b).distinct(), F.col("k")).collect()
+    }
+    assert merged == union and merged
+    # and therefore the estimates agree exactly
+    est_m = SK.hll_estimate(
+        SK.hll_merge(
+            SK.hll_registers(a, F.col("k")), SK.hll_registers(b, F.col("k"))
+        )
+    ).collect()[0]["hll_estimate"]
+    est_u = SK.hll_estimate(
+        SK.hll_registers(a.unionByName(b), F.col("k"))
+    ).collect()[0]["hll_estimate"]
+    assert est_m == est_u

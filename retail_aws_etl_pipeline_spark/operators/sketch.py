@@ -163,3 +163,32 @@ def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("register").cast("long").alias("register"))
     )
+
+
+def hll_overlap(
+    df_a: DataFrame, df_b: DataFrame, key_a: Column, key_b: Column
+) -> DataFrame:
+    """Sketch-algebra overlap estimate between two keyed sets: one row
+    (est_a, est_b, est_union, est_overlap) where est_union comes from
+    :func:`hll_merge` (exact register union — no rescan of either side)
+    and est_overlap = est_a + est_b - est_union (inclusion–exclusion).
+
+    The overlap estimate is SIGNED and noisy when the true intersection
+    is small relative to the sketch error (it can go negative — three
+    estimates' errors stack); the consuming report pairs it with the
+    exact intersection so the audit shows exactly where the cheap
+    algebra is trustworthy. The 100 TB shape is the point: snapshots /
+    days / sources sketched once (<= m rows each at rest) answer any
+    pairwise overlap question later WITHOUT a join over either corpus.
+    """
+    ra, rb = hll_registers(df_a, key_a), hll_registers(df_b, key_b)
+    ea = hll_estimate(ra).select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(ra, rb)).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .withColumn("est_overlap", F.expr("est_a + est_b - est_union"))
+    )

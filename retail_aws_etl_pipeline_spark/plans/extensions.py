@@ -8877,3 +8877,194 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("metric")
+
+
+def _hll_est_chain(regs: str, o: str) -> str:
+    """CTE chain turning a ``(bucket, register)`` CTE named ``regs`` into
+    a one-row estimate CTE ``{o}_e(e)`` — the same clamped/remainder-
+    corrected arithmetic as ``_hll_metric_oracle``, factored for the
+    overlap oracle's three estimates per metric."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_BUCKETS,
+        HLL_LC_TABLE,
+    )
+
+    m = HLL_BUCKETS
+    lc = ",".join(str(x) for x in HLL_LC_TABLE)
+    return f"""
+    {o}_head AS (
+        SELECT COALESCE(MAX(register), 0) AS rc,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM {regs}
+    ),
+    {o}_dp AS (
+        SELECT COALESCE(SUM(CAST(1 AS BIGINT) << CAST(h.rc - r.register AS INT)),
+                        0) AS dp
+        FROM {regs} r, {o}_head h
+    ),
+    {o}_fin AS (
+        SELECT h.rc, {m} - h.n_present AS v,
+               ((CAST({m} AS BIGINT) * {m} * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))
+                    // (d.dp + ({m} - h.n_present)
+                        * (CAST(1 AS BIGINT) << CAST(h.rc AS INT))))
+                   * {HLL_ALPHA_PPM} // 1000000
+               + (((CAST({m} AS BIGINT) * {m} * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))
+                    % (d.dp + ({m} - h.n_present)
+                        * (CAST(1 AS BIGINT) << CAST(h.rc AS INT))))
+                   * {HLL_ALPHA_PPM}
+                   // (d.dp + ({m} - h.n_present)
+                       * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))) // 1000000
+                   AS e_raw
+        FROM {o}_head h, {o}_dp d
+    ),
+    {o}_e AS (
+        SELECT CAST(CASE WHEN v = {m} THEN 0
+                    WHEN v > 0 AND 2 * e_raw <= 5 * {m}
+                    THEN ([{lc}])[CAST(v AS INT)]
+                    ELSE e_raw END AS BIGINT) AS e
+        FROM {o}_fin
+    )"""
+
+
+def _hll_overlap_metric_oracle(
+    metric: str, table: str, key: str, split: str
+) -> str:
+    """One UNION-ALL block of the overlap oracle: parity halves on
+    ``split``, three register tables (A, B, MAX-merged union), three
+    estimate chains, exact counts + the inclusion-exclusion algebra."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import hll_rho_sql
+
+    rho = hll_rho_sql("w")
+
+    def parts(half: int, name: str) -> str:
+        return f"""
+    {name}_hx AS (
+        SELECT md5(CAST({key} AS VARCHAR)) AS h
+        FROM {table} WHERE {split} % 2 = {half} AND {key} IS NOT NULL
+    ),
+    {name}_parts AS (
+        SELECT CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+               CAST(('0x' || substr(h, 3, 13)) AS BIGINT) AS w
+        FROM {name}_hx
+    ),
+    {name} AS (
+        SELECT bucket, CAST(MAX({rho}) AS BIGINT) AS register
+        FROM {name}_parts GROUP BY bucket
+    )"""
+
+    return f"""
+    SELECT '{metric}' AS metric,
+           x.exact_a, x.exact_b, x.exact_overlap,
+           ea.e AS est_a, eb.e AS est_b, eu.e AS est_union,
+           CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_overlap,
+           CAST(ABS(ea.e + eb.e - eu.e - x.exact_overlap) AS BIGINT) AS err_abs
+    FROM (
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT {key}) AS BIGINT) FROM {table}
+             WHERE {split} % 2 = 0 AND {key} IS NOT NULL) AS exact_a,
+            (SELECT CAST(COUNT(DISTINCT {key}) AS BIGINT) FROM {table}
+             WHERE {split} % 2 = 1 AND {key} IS NOT NULL) AS exact_b,
+            (SELECT CAST(COUNT(DISTINCT a.{key}) AS BIGINT) FROM {table} a
+             WHERE a.{split} % 2 = 0 AND a.{key} IS NOT NULL
+               AND a.{key} IN (SELECT {key} FROM {table}
+                               WHERE {split} % 2 = 1 AND {key} IS NOT NULL))
+                AS exact_overlap
+    ) x, (
+        WITH {parts(0, "ra")},
+        {_hll_est_chain("ra", "qa")}
+        SELECT e FROM qa_e
+    ) ea, (
+        WITH {parts(1, "rb")},
+        {_hll_est_chain("rb", "qb")}
+        SELECT e FROM qb_e
+    ) eb, (
+        WITH {parts(0, "ra")},
+        {parts(1, "rb")},
+        ru AS (
+            SELECT bucket, MAX(register) AS register
+            FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+            GROUP BY bucket
+        ),
+        {_hll_est_chain("ru", "qu")}
+        SELECT e FROM qu_e
+    ) eu
+    """
+
+
+#: Overlap targets: (metric, table, key, deterministic parity split) —
+#: two large-overlap regimes (actors / parts active in both halves) and
+#: one small-overlap regime (texts duplicated across halves) where the
+#: inclusion-exclusion noise is the thing being audited.
+HLL_OVERLAP_TARGETS = [
+    ("documents.text|doc_id", "documents", "text", "doc_id"),
+    ("events.user_id|event_id", "events", "user_id", "event_id"),
+    ("lineitem.l_partkey|l_orderkey", "lineitem", "l_partkey", "l_orderkey"),
+]
+
+
+HLL_OVERLAP_ORACLE = " UNION ALL ".join(
+    _hll_overlap_metric_oracle(*t) for t in HLL_OVERLAP_TARGETS
+) + " ORDER BY metric"
+
+
+def hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16 queue seed): sketch-ALGEBRA overlap — register-table
+    union (per-bucket MAX, exact by construction) + inclusion–exclusion
+    estimates the key overlap between two deterministic parity halves
+    of each audited table, next to the exact intersection. The 100 TB
+    claim this registers: snapshots/days/sources sketched ONCE (<= 256
+    rows each at rest) answer any pairwise overlap question later with
+    NO join over either corpus — est_union comes from hll_merge, never
+    a rescan. The small-overlap documents target deliberately sits in
+    the noisy regime (three stacked estimator errors; est_overlap is
+    SIGNED and can go negative) so the audit shows exactly where the
+    cheap algebra is trustworthy — the err_abs column against the exact
+    leg is the measured answer. Every arithmetic step is the
+    hash-gateable integer HLL of hll_distinct_report."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    frames = []
+    for metric, table, key, split in HLL_OVERLAP_TARGETS:
+        t = load_tables(spark, sf_dir, [table])[table]
+        base = t.filter(F.col(key).isNotNull())
+        a = base.filter(F.col(split) % 2 == 0)
+        b = base.filter(F.col(split) % 2 == 1)
+        exact = (
+            a.select(F.col(key).alias("__k"))
+            .distinct()
+            .join(b.select(F.col(key).alias("__k")).distinct(), "__k", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+            .crossJoin(
+                F.broadcast(
+                    a.agg(
+                        F.count_distinct(F.col(key)).cast("long").alias("exact_a")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    b.agg(
+                        F.count_distinct(F.col(key)).cast("long").alias("exact_b")
+                    )
+                )
+            )
+        )
+        est = SK.hll_overlap(a, b, F.col(key), F.col(key))
+        frames.append(
+            exact.crossJoin(F.broadcast(est)).select(
+                F.lit(metric).alias("metric"),
+                "exact_a",
+                "exact_b",
+                "exact_overlap",
+                "est_a",
+                "est_b",
+                "est_union",
+                "est_overlap",
+                F.expr("abs(est_overlap - exact_overlap)").alias("err_abs"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("metric")

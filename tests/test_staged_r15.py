@@ -32,6 +32,7 @@ PAIRS = [
     ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
     ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
     ("hll_distinct_report", E.hll_distinct_report, E.HLL_DISTINCT_ORACLE),
+    ("hll_overlap_report", E.hll_overlap_report, E.HLL_OVERLAP_ORACLE),
 ]
 
 
@@ -432,3 +433,46 @@ def test_hll_merge_equals_sketch_of_union(spark):
         SK.hll_registers(a.unionByName(b), F.col("k"))
     ).collect()[0]["hll_estimate"]
     assert est_m == est_u
+
+
+def test_hll_overlap_algebra_and_envelope(spark):
+    """Inclusion-exclusion identity holds structurally; the two
+    large-overlap targets land within 20% of the exact intersection;
+    the deliberately-noisy small-overlap target stays within the
+    stacked-error band (|err| bounded by ~3 sigma of the union size)."""
+    rows = {r["metric"]: r for r in E.hll_overlap_report(spark, SF_ORACLE).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["est_overlap"] == r["est_a"] + r["est_b"] - r["est_union"]
+    for m in ("events.user_id|event_id", "lineitem.l_partkey|l_orderkey"):
+        r = rows[m]
+        assert r["err_abs"] * 5 <= max(r["exact_overlap"], 1), r
+    noisy = rows["documents.text|doc_id"]
+    # three stacked estimates: allow 3 * 3 * 1.04/sqrt(m) of the union
+    import math
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import HLL_BUCKETS
+
+    band = 9 * 1.04 / math.sqrt(HLL_BUCKETS) * (noisy["exact_a"] + noisy["exact_b"])
+    assert noisy["err_abs"] <= band, (noisy, band)
+
+
+def test_hll_overlap_on_planted_sets(spark):
+    """Constructed halves sharing exactly 60 of 300/240 keys: the exact
+    leg reports 60; the estimate lands within the stacked envelope; a
+    fully-disjoint pair reports exact 0 with a near-zero estimate."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    a = spark.createDataFrame(
+        [(f"s{i}",) for i in range(60)] + [(f"a{i}",) for i in range(240)], ["k"]
+    )
+    b = spark.createDataFrame(
+        [(f"s{i}",) for i in range(60)] + [(f"b{i}",) for i in range(180)], ["k"]
+    )
+    r = SK.hll_overlap(a, b, F.col("k"), F.col("k")).collect()[0]
+    assert r["est_overlap"] == r["est_a"] + r["est_b"] - r["est_union"]
+    assert abs(r["est_overlap"] - 60) <= 0.3 * 540  # stacked-error band
+    d1 = spark.createDataFrame([(f"x{i}",) for i in range(200)], ["k"])
+    d2 = spark.createDataFrame([(f"y{i}",) for i in range(200)], ["k"])
+    r0 = SK.hll_overlap(d1, d2, F.col("k"), F.col("k")).collect()[0]
+    assert abs(r0["est_overlap"]) <= 0.3 * 400

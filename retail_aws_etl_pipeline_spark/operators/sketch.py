@@ -80,8 +80,16 @@ def hll_rho_sql(w_expr: str) -> str:
 def hll_registers(df: DataFrame, key: Column) -> DataFrame:
     """(bucket, register) — at most HLL_BUCKETS rows. The per-bucket MAX
     is an associative partial aggregate, so the full-corpus sketch build
-    exchanges <= m rows per partition however large the input."""
-    hashed = df.select(F.md5(key.cast("string")).alias("__h"))
+    exchanges <= m rows per partition however large the input.
+
+    NULL keys are excluded INSIDE the kernel (ADVICE r13): md5(NULL) is
+    NULL, which would otherwise land a NULL-bucket row whose NULL width
+    the rho ladder's ELSE clamp turns into register 28, inflating
+    n_present and the harmonic denominator for any caller that did not
+    pre-filter."""
+    hashed = df.filter(key.isNotNull()).select(
+        F.md5(key.cast("string")).alias("__h")
+    )
     parts = hashed.select(
         F.conv(F.substring("__h", 1, 2), 16, 10).cast("long").alias("bucket"),
         F.conv(F.substring("__h", 3, 13), 16, 10).cast("long").alias("__w"),

@@ -5840,18 +5840,25 @@ def corpus_shuffle_batches(
     # NULL lang/source are excluded from the distinct counts (ADVICE r12
     # sibling of the :7933 shard-manifest fix): the row counts of a keyed
     # sub-aggregate give NULL its own group, while COUNT(DISTINCT x)
-    # ignores NULLs — filter BEFORE the sub-agg so both engines agree on
-    # any corpus with missing metadata. n_docs comes from the batch
-    # grouping directly so NULL-source docs still count toward size.
-    docs = nt.groupBy("batch_id").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # ignores NULLs. n_docs is FUSED into the source sub-aggregate
+    # (r13 verdict): the (batch, source) grouping keeps the NULL-source
+    # group so SUM(c) is the exact batch size, while n_sources/
+    # top_source_docs exclude it at the batch level — COUNT(source)
+    # skips the NULL group key, and the MAX is NULL-guarded. One pass
+    # and one join fewer than the r13 plan, same pinned semantics.
     g = (
-        nt.filter(F.col("source").isNotNull())
-        .groupBy("batch_id", "source")
+        nt.groupBy("batch_id", "source")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("batch_id")
         .agg(
-            F.count(F.lit(1)).alias("n_sources"),
-            F.max("c").cast("long").alias("top_source_docs"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("source").alias("n_sources"),
+            F.coalesce(
+                F.max(F.when(F.col("source").isNotNull(), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("top_source_docs"),
         )
     )
     langs = (
@@ -5862,8 +5869,7 @@ def corpus_shuffle_batches(
         .agg(F.count(F.lit(1)).alias("n_langs"))
     )
     out = (
-        docs.join(g, "batch_id", "left")
-        .join(langs, "batch_id", "left")
+        g.join(langs, "batch_id", "left")
         .select(
             "batch_id",
             "n_docs",
@@ -8738,6 +8744,19 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_census(t["lineitem"], ["l_orderkey", "l_partkey", "l_suppkey"])
 
 
+def _hll_e_raw_sql(alpha_ppm: int) -> str:
+    """The one shared raw-estimate fragment over CTE columns ``n_big``
+    (m*m*2^rc) and ``d`` (the shifted harmonic denominator): sum the
+    quotient and remainder halves FIRST, then apply a single floor
+    division by 1e6.  Flooring each addend separately drifts low by 1
+    whenever the sub-remainders cross a 1e6 boundary (~35% of register
+    states — ADVICE r13), so both oracles MUST use this exact string."""
+    return (
+        f"((n_big // d) * {alpha_ppm}"
+        f" + ((n_big % d) * {alpha_ppm}) // d) // 1000000"
+    )
+
+
 def _hll_metric_oracle(metric: str, table: str, key_sql: str) -> str:
     """One UNION-ALL block of the deterministic-HLL oracle: the same
     md5-slice registers, clamped-rho ladder, remainder-corrected
@@ -8798,8 +8817,7 @@ def _hll_metric_oracle(metric: str, table: str, key_sql: str) -> str:
         ),
         fin AS (
             SELECT rc, v,
-                   ((n_big // d) * {HLL_ALPHA_PPM}
-                    + ((n_big % d) * {HLL_ALPHA_PPM}) // d) // 1000000 AS e_raw
+                   {_hll_e_raw_sql(HLL_ALPHA_PPM)} AS e_raw
             FROM est
         )
         SELECT CAST(CASE WHEN v = {m} THEN 0
@@ -8903,20 +8921,18 @@ def _hll_est_chain(regs: str, o: str) -> str:
                         0) AS dp
         FROM {regs} r, {o}_head h
     ),
-    {o}_fin AS (
+    {o}_est AS (
         SELECT h.rc, {m} - h.n_present AS v,
-               ((CAST({m} AS BIGINT) * {m} * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))
-                    // (d.dp + ({m} - h.n_present)
-                        * (CAST(1 AS BIGINT) << CAST(h.rc AS INT))))
-                   * {HLL_ALPHA_PPM} // 1000000
-               + (((CAST({m} AS BIGINT) * {m} * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))
-                    % (d.dp + ({m} - h.n_present)
-                        * (CAST(1 AS BIGINT) << CAST(h.rc AS INT))))
-                   * {HLL_ALPHA_PPM}
-                   // (d.dp + ({m} - h.n_present)
-                       * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)))) // 1000000
-                   AS e_raw
+               d.dp + ({m} - h.n_present)
+                   * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)) AS d,
+               CAST({m} AS BIGINT) * {m}
+                   * (CAST(1 AS BIGINT) << CAST(h.rc AS INT)) AS n_big
         FROM {o}_head h, {o}_dp d
+    ),
+    {o}_fin AS (
+        SELECT rc, v,
+               {_hll_e_raw_sql(HLL_ALPHA_PPM)} AS e_raw
+        FROM {o}_est
     ),
     {o}_e AS (
         SELECT CAST(CASE WHEN v = {m} THEN 0

@@ -12,11 +12,9 @@ Usage: python scripts/ivf_cold_warm.py [sf_dir]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -476,3 +476,112 @@ def test_hll_overlap_on_planted_sets(spark):
     d2 = spark.createDataFrame([(f"y{i}",) for i in range(200)], ["k"])
     r0 = SK.hll_overlap(d1, d2, F.col("k"), F.col("k")).collect()[0]
     assert abs(r0["est_overlap"]) <= 0.3 * 400
+
+
+def test_hll_registers_excludes_null_keys(spark):
+    """The PUBLIC kernel filters NULL keys itself (ADVICE r13): md5(NULL)
+    is NULL and the rho ladder's ELSE clamp would turn the NULL-bucket
+    row into register 28, inflating n_present. Registers over a
+    NULL-bearing column must equal registers over the pre-filtered
+    column, with no NULL bucket row."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    vals = [(f"k{i}",) for i in range(300)] + [(None,)] * 40
+    df = spark.createDataFrame(vals, ["k"])
+    with_nulls = {
+        (r.bucket, r.register)
+        for r in SK.hll_registers(df, F.col("k")).collect()
+    }
+    clean = {
+        (r.bucket, r.register)
+        for r in SK.hll_registers(
+            df.filter(F.col("k").isNotNull()), F.col("k")
+        ).collect()
+    }
+    assert with_nulls == clean and clean
+    assert all(b is not None for b, _ in with_nulls)
+    # all-NULL input: an empty sketch, estimate 0 (V == m path)
+    allnull = spark.createDataFrame([(None,)] * 5, "k string")
+    est = SK.hll_distinct(allnull, F.col("k")).collect()[0]["hll_estimate"]
+    assert est == 0
+
+
+def _hll_regs_mirror(keys):
+    """(bucket -> register) dict via hashlib — the mirror's front half."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_RHO_CAP,
+        HLL_W_BITS,
+    )
+
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:15], 16)
+        rho = (HLL_W_BITS + 1) if w == 0 else HLL_W_BITS - (w.bit_length() - 1)
+        regs[bucket] = max(regs.get(bucket, 0), min(rho, HLL_RHO_CAP))
+    return regs
+
+
+def test_hll_est_chain_matches_metric_oracle_arithmetic():
+    """ADVICE r13 regression: _hll_est_chain once floored the quotient
+    and remainder halves by 1e6 SEPARATELY, drifting 1 low whenever the
+    sub-remainders cross a 1e6 boundary (~35% of register states; live
+    sf0.1 mismatches: documents.text B-half 2330 vs 2331). The chain now
+    shares _hll_e_raw_sql with _hll_metric_oracle — prove it structurally
+    (the literal fragment appears in both oracles) and semantically (the
+    DuckDB chain equals the sum-first Python mirror at cardinalities
+    where the buggy split provably differs)."""
+    import duckdb
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        HLL_ALPHA_PPM,
+        HLL_BUCKETS,
+        hll_rho_sql,
+    )
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        _hll_e_raw_sql,
+        _hll_est_chain,
+    )
+
+    frag = _hll_e_raw_sql(HLL_ALPHA_PPM)
+    assert frag in E.HLL_DISTINCT_ORACLE
+    assert frag in E.HLL_OVERLAP_ORACLE
+
+    m = HLL_BUCKETS
+
+    def e_raws(n):
+        regs = _hll_regs_mirror([f"k{i}" for i in range(n)])
+        rc = max(regs.values())
+        d = sum(1 << (rc - r) for r in regs.values()) + (m - len(regs)) * (1 << rc)
+        n_big = m * m * (1 << rc)
+        q, r = divmod(n_big, d)
+        correct = (q * HLL_ALPHA_PPM + (r * HLL_ALPHA_PPM) // d) // 1_000_000
+        buggy = (q * HLL_ALPHA_PPM) // 1_000_000 + ((r * HLL_ALPHA_PPM) // d) // 1_000_000
+        return correct, buggy
+
+    # pick cardinalities (ELSE branch, no LC) where the old split drifts
+    drifting = [n for n in range(1500, 2600, 100) if e_raws(n)[0] != e_raws(n)[1]]
+    assert drifting, "no boundary-crossing cardinality in sweep — widen it"
+
+    for n in drifting[:3]:
+        sql = f"""
+        WITH hx AS (
+            SELECT md5('k' || CAST(i AS VARCHAR)) AS h
+            FROM generate_series(0, {n - 1}) AS t(i)
+        ),
+        parts AS (
+            SELECT CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS bucket,
+                   CAST(('0x' || substr(h, 3, 13)) AS BIGINT) AS w
+            FROM hx
+        ),
+        regs AS (
+            SELECT bucket,
+                   CAST(MAX({hll_rho_sql('w')}) AS BIGINT) AS register
+            FROM parts GROUP BY bucket
+        ),
+        {_hll_est_chain('regs', 'x')}
+        SELECT e FROM x_e
+        """
+        got = duckdb.connect().execute(sql).fetchone()[0]
+        assert got == e_raws(n)[0], (n, got, e_raws(n))

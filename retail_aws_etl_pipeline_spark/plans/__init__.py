@@ -243,6 +243,49 @@ _UNREGISTER = {
         "supplier_nation_volume",
         "top_revenue_suppliers",
     ),
+    # r14 (the ROADMAP r14 schedule, executed as drafted: 7 registrations
+    # = 7 1:1 swaps, every one drawn from the 50-entry r11-cohort
+    # due-list; twin equivalences pinned in
+    # tests/test_r14_twin_equivalence.py BEFORE the round opened):
+    #  - near_dup_clusters_star -> quality_classifier_report; the one
+    #    deliberate algorithm A/B — near_dup_clusters (min-label CC)
+    #    stays registered carrying the IDENTICAL oracle string, and the
+    #    large-star/small-star equality stays pinned locally.
+    #  - corpus_vocabulary -> unigram_lm_report; the trainer's seed fit
+    #    IS the word-frequency census (pinned: same exploded-token
+    #    groupBy), so the vocabulary layer rides the trainer's oracle.
+    #  - event_props_stats -> sitemap_url_inventory; semi-structured
+    #    parse surface — from_xml replaces one of two registered
+    #    JSON-parse carriers (jsonl_corpus_stats stays, the
+    #    load-bearing corpus interchange format; pinned: from_json
+    #    recomputes the query).
+    #  - split_leakage_pairs -> sitemap_index_inventory; the cross-split
+    #    rollup of the registered jaccard pair stream (the
+    #    cross_source_dup_matrix precedent at r12; pinned: rollup ==
+    #    pair-frame recompute).
+    #  - media_dims_probe -> webp_dims_probe; the header-walk discipline
+    #    re-proven on the harder container (VP8/VP8L/VP8X); PNG dims
+    #    stay driver-proven via png_decode_stats (full decode, pinned:
+    #    same IHDR on the same payloads), binary scan surface via
+    #    media_byte_histogram.
+    #  - doc_repetition_ratio -> ogg_meta_probe; gopher_repetition_report
+    #    (r13-green) strictly supersedes the repetition-ratio signal
+    #    (pinned: its dup/top-n-gram char fractions are the same
+    #    evidence); audio_meta_probe keeps the audio header surface.
+    #  - boilerplate_ngram_ratio -> avif_dims_probe; same supersession
+    #    (host_boilerplate_strip_stats + gopher_repetition_report carry
+    #    the boilerplate evidence; pinned: the per-doc rollup of the
+    #    shingle document-frequency frame recomputes the ratio);
+    #    video_meta_probe stays as the base ISO-BMFF box-walk surface.
+    14: (
+        "near_dup_clusters_star",
+        "corpus_vocabulary",
+        "event_props_stats",
+        "split_leakage_pairs",
+        "media_dims_probe",
+        "doc_repetition_ratio",
+        "boilerplate_ngram_ratio",
+    ),
 }
 
 
@@ -271,13 +314,19 @@ def newest_driver_rows(root: str | None = None) -> dict[str, int]:
     return newest
 
 
+#: Specs removed by _UNREGISTER, kept addressable for LOCAL pins only
+#: (adversarial batteries that lock a fixed bug class to the original
+#: oracle string): never in all_specs(), never driver-checked.
+UNREGISTERED: dict[str, QuerySpec] = {}
+
+
 def _rotate_driver_window() -> None:
     for rnd, names in _UNREGISTER.items():
         for name in names:
             if name in REGISTRY:
-                del REGISTRY[name]
+                UNREGISTERED[name] = REGISTRY.pop(name)
             elif name in EXTRA_REGISTRY:
-                del EXTRA_REGISTRY[name]
+                UNREGISTERED[name] = EXTRA_REGISTRY.pop(name)
             else:
                 raise RuntimeError(
                     f"_UNREGISTER[{rnd}] names {name!r}, which is in "

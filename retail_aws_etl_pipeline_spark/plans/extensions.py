@@ -6083,8 +6083,17 @@ WEBP_DIMS_ORACLE = """
 """
 
 
+@register_extra(
+    "webp_dims_probe",
+    WEBP_DIMS_ORACLE,
+    description="WebP header-walk dims probe: one Arrow-batched "
+    "O(header-bytes) kernel parsing all three bitstream flavors "
+    "(VP8 lossy / VP8L lossless / VP8X extended) against the "
+    "payload-blind id-formula oracle.",
+    tags=("multimodal", "image"),
+)
 def webp_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: WebP header probe — the web-crawl image format the
+    """WebP header probe — the web-crawl image format the
     jpeg/png/gif probe corpus lacked. The synth side writes per-id dims
     into real RIFF/WEBP headers cycling all three bitstream flavors by
     id (VP8 lossy 14-bit dims after the keyframe start code, VP8L
@@ -6109,8 +6118,16 @@ OGG_META_ORACLE = """
 """
 
 
+@register_extra(
+    "ogg_meta_probe",
+    OGG_META_ORACLE,
+    description="OGG container probe: Opus/Vorbis identification "
+    "headers from the first page's first packet (codec, channels, "
+    "rate) — O(header-bytes) per payload, payload-blind oracle.",
+    tags=("multimodal", "audio"),
+)
 def ogg_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: OGG container probe — Opus and Vorbis identification
+    """OGG container probe — Opus and Vorbis identification
     headers parsed from the first page's first packet (channels + rate),
     completing the audio twin family (wav/flac/mp3 are the registered
     audio_meta_probe). Same Arrow-batched O(page-header) kernel and the
@@ -6241,8 +6258,16 @@ AVIF_DIMS_ORACLE = """
 """
 
 
+@register_extra(
+    "avif_dims_probe",
+    AVIF_DIMS_ORACLE,
+    description="AVIF/HEIC dims probe via the shared ISO-BMFF box "
+    "walker (meta>iprp>ipco>ispe), both brands cycled per id against "
+    "the payload-blind oracle.",
+    tags=("multimodal", "image"),
+)
 def avif_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: AVIF/HEIC dims probe — the modern still-image ISO-BMFF
+    """AVIF/HEIC dims probe — the modern still-image ISO-BMFF
     containers (meta → iprp → ipco → ispe box walk, reusing the MP4
     walker's largesize/truncation discipline). Same id-formula oracle
     pattern as webp_dims_probe; an MP4's ftyp stays 'unknown' to this
@@ -7097,8 +7122,17 @@ SITEMAP_ORACLE = """
 """
 
 
+@register_extra(
+    "sitemap_url_inventory",
+    SITEMAP_ORACLE,
+    description="Crawl-frontier sitemap ingestion: <urlset> XML parsed "
+    "with from_xml, per-host URL inventory (counts, lastmod span, "
+    "changefreq census) — the semi-structured parse surface next to "
+    "the JSONL family.",
+    tags=("crawl", "xml"),
+)
 def sitemap_url_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: sitemap ingestion via Spark 4's native XML surface — the
+    """Sitemap ingestion via Spark 4's native XML surface — the
     crawl-frontier side of the WARC family (a crawler reads sitemaps to
     decide WHAT to fetch; the engine should parse them without a custom
     kernel). Synth side: <url> entries build scan-side from id formulas,
@@ -7168,8 +7202,16 @@ SITEMAP_INDEX_ORACLE = f"""
 """
 
 
+@register_extra(
+    "sitemap_index_inventory",
+    SITEMAP_INDEX_ORACLE,
+    description="Two-level sitemap walk: <sitemapindex> children joined "
+    "to their <urlset> payloads, per-child URL rollup — the recursive "
+    "frontier-discovery step over the same from_xml surface.",
+    tags=("crawl", "xml"),
+)
 def sitemap_index_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the TWO-LEVEL sitemap walk — a <sitemapindex> names child
+    """The TWO-LEVEL sitemap walk — a <sitemapindex> names child
     sitemaps, each child is a <urlset>; real crawl frontiers start at the
     index (sites cap urlsets at 50k URLs, so any large site indexes its
     sitemaps). Both levels parse with Spark's native from_xml; the index
@@ -8184,8 +8226,17 @@ def _perceptron_oracle() -> str:
 QUALITY_CLASSIFIER_ORACLE = _perceptron_oracle()
 
 
+@register_extra(
+    "quality_classifier_report",
+    QUALITY_CLASSIFIER_ORACLE,
+    description="Deterministic batch-perceptron quality classifier over "
+    "hashed bag-of-words features: per-round error census + integer "
+    "weight evolution, all under the hash gate — one corpus-scale "
+    "feature exchange, bounded model state.",
+    tags=("llm", "quality", "curation"),
+)
 def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the linear quality-classifier step (GPT-3 trained an LR
+    """The linear quality-classifier step (GPT-3 trained an LR
     filter against WebText; FineWeb-Edu a regression head) as a
     deterministic batch perceptron over hashed bag-of-words features —
     every round, all currently misclassified documents contribute y·x
@@ -8240,8 +8291,10 @@ UNI_TOP_N = 40
 
 
 @functools.cache
-def _unigram_oracle() -> str | None:
-    """Oracle for :func:`unigram_lm_report` (STAGED): the FINAL EM
+def _unigram_oracle(
+    fit_dir: str = "/root/testdata/sf0.01",
+) -> str | None:
+    """Oracle for :func:`unigram_lm_report`: the FINAL EM
     round's Viterbi segmentation + recount re-derived entirely in SQL —
     a per-word DP as a recursive CTE carrying a sliding window of the
     last UNI_MAX_PIECE_LEN dp values plus the back-pointer digits, then
@@ -8250,11 +8303,14 @@ def _unigram_oracle() -> str | None:
     words, and the pure-Python reference (textops.unigram_python_mirror
     — its own substring counter, quantizer, and Viterbi) replays rounds
     0..R-1 — the _dsir_oracle discipline. sf0.01-PINNED like
-    _ivf_oracle: the literals derive from that corpus, so the driver
-    only compares at its gate scale. Memoized; one fit per process."""
+    _ivf_oracle: the registered literals derive from that corpus, so the
+    driver only compares at its gate scale; ``fit_dir`` exists for the
+    refit path (scripts/unigram_refit_proof.py) that hash-proves the
+    operator at sf0.1 against a re-fitted oracle. Memoized; one fit per
+    (process, fit_dir)."""
     import os
 
-    path = "/root/testdata/sf0.01/documents.parquet"
+    path = os.path.join(fit_dir, "documents.parquet")
     if not os.path.exists(path):
         return None
     import duckdb
@@ -8338,8 +8394,16 @@ def _unigram_oracle() -> str | None:
 UNIGRAM_LM_ORACLE = _unigram_oracle()
 
 
+@register_extra(
+    "unigram_lm_report",
+    UNIGRAM_LM_ORACLE,
+    description="Unigram-LM tokenizer trainer (Kudo 2018): seed word "
+    "census + integer-quantized EM rounds with Viterbi segmentation, "
+    "final piece table under the hash gate — word-keyed exchanges only.",
+    tags=("llm", "tokenizer"),
+)
 def unigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED: the unigram-LM tokenizer trainer (Kudo 2018 — the OTHER
+    """The unigram-LM tokenizer trainer (Kudo 2018 — the OTHER
     production tokenizer algorithm next to BPE; SentencePiece's default)
     as deterministic hard-EM: seed vocab = every character + top-K
     substrings, quantized integer log-prob scores, then per round a

@@ -84,11 +84,15 @@ _REGISTERED = [
     # doc_token_stats / doc_fingerprints left the registry at the r13
     # rotation; their surfaces face this corpus through
     # tokenizer_fertility_by_lang / doc_winnowing + the r13 registrations
-    # below.
+    # below. corpus_vocabulary / doc_repetition_ratio /
+    # boilerplate_ngram_ratio / split_leakage_pairs left at the r14
+    # rotation; their surfaces face this corpus through unigram_lm_report
+    # (the trainer's seed fit IS the word census),
+    # gopher_repetition_report (the superseding repetition evidence), and
+    # the registered jaccard pair stream (simhash_near_pairs /
+    # ngram_jaccard_pairs below).
     "doc_lang_id",
     "doc_quality",
-    "corpus_vocabulary",
-    "doc_repetition_ratio",
     "gopher_quality_report",
     "cdc_chunk_dedup",
     "tokenizer_fertility_by_lang",
@@ -96,11 +100,9 @@ _REGISTERED = [
     "doc_winnowing",
     "pii_scrub_stats",
     "benchmark_contamination",
-    "boilerplate_ngram_ratio",
     "quality_top_half_per_lang",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
-    "split_leakage_pairs",
     # ADVICE r12 sibling-site fixes, battery-locked: BIGINT-first multiply
     # (needs the 2,500-distinct-token doc) and NULL-lang/source-excluded
     # distinct counts (needs the NULL lang/source rows).
@@ -115,6 +117,16 @@ _REGISTERED = [
     "dedup_retained_by_quality",
     "ngram_lm_report",
     "training_shard_manifest",
+    # r14 registrations that read corpus TEXT (the sitemap pair and the
+    # media probes synthesize payloads from doc_id alone, so the hostile
+    # text cannot reach them): the perceptron oracle unrolls the FULL
+    # training in SQL, so it is corpus-generic and trains on the hostile
+    # corpus's hashed features here. unigram_lm_report is deliberately
+    # NOT listed — its oracle embeds sf0.01-fitted piece-score literals
+    # (the _ivf_oracle discipline), i.e. a fit-literal/pinned oracle
+    # excluded by construction; its at-scale proof is the refit-oracle
+    # hash run (scripts/unigram_refit_proof.py).
+    "quality_classifier_report",
 ]
 
 
@@ -199,7 +211,10 @@ def adversarial_events_dir(tmp_path_factory):
 
 
 _EVENT_PAIRS = [
-    "event_props_stats",
+    # event_props_stats left the registry at the r14 rotation (the
+    # from_xml sitemap pair replaces one of two JSON-parse carriers);
+    # its integral-guard finding stays locked by the direct pair test
+    # below (the function and oracle remain in plans/queries.py).
     "user_event_pivot",
     "user_sessions",
     "event_value_mad_outliers",
@@ -222,6 +237,25 @@ def test_event_pair_survives_adversarial_corpus(spark, adversarial_events_dir, n
         adversarial_events_dir,
     )
     assert r["ok"], (name, r)
+
+
+def test_event_props_stats_survives_adversarial_corpus(
+    spark, adversarial_events_dir
+):
+    """event_props_stats left the registry at r14 (from_xml sitemap swap)
+    but its integral-guard finding (DuckDB TRY_CAST rounds '1.5', Spark
+    try_casts to NULL — r12 adversarial corpus) stays locked against the
+    ORIGINAL oracle string via the UNREGISTERED spec store."""
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
+
+    spec = UNREGISTERED["event_props_stats"]
+    assert spec.oracle is not None
+    r = compare(
+        spec.spark_fn(spark, adversarial_events_dir),
+        spec.oracle,
+        adversarial_events_dir,
+    )
+    assert r["ok"], r
 
 
 @pytest.fixture(scope="module")

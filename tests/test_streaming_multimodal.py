@@ -1198,3 +1198,151 @@ def test_frame_sampler_kernel_rejects_zero_size_frame(spark):
     )
     with pytest.raises(Exception, match="declares 0 bytes"):
         MM.sample_bmp_frames(media, every_n=1).collect()
+
+
+# --- hostile probe-format battery (r14): webp/ogg/avif join BMP/WARC -------
+
+
+def test_hostile_webp_payloads_reject():
+    """Payload-controlled WebP structure: truncations at every layer,
+    a lying keyframe start code, a wrong VP8L signature byte, and an
+    unrecognized first chunk must all raise the documented ValueError —
+    never parse garbage dims, never loop (r14 hostile-binary battery)."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _webp_header_bytes,
+        probe_image_dims,
+    )
+
+    good = _webp_header_bytes(321, 123, "vp8")
+    for cut in (13, 19):  # inside magic / before first chunk payload
+        with pytest.raises(ValueError):
+            probe_image_dims(good[:cut])
+    for variant, cut in (("vp8", 25), ("vp8l", 22), ("vp8x", 26)):
+        with pytest.raises(ValueError):
+            probe_image_dims(_webp_header_bytes(321, 123, variant)[:cut])
+    # keyframe start code lied about (one flipped byte)
+    bad_start = bytearray(good)
+    bad_start[23] ^= 0xFF
+    with pytest.raises(ValueError, match="start code"):
+        probe_image_dims(bytes(bad_start))
+    # VP8L signature byte wrong
+    lossless = bytearray(_webp_header_bytes(10, 10, "vp8l"))
+    lossless[20] = 0x30
+    with pytest.raises(ValueError, match="VP8L signature"):
+        probe_image_dims(bytes(lossless))
+    # first chunk is something else entirely (ALPH before the bitstream)
+    alph = bytearray(good)
+    alph[12:16] = b"ALPH"
+    with pytest.raises(ValueError, match="unrecognized WebP"):
+        probe_image_dims(bytes(alph))
+    # RIFF that is not WEBP falls through to unknown, no crash
+    wave = bytearray(good)
+    wave[8:12] = b"WAVE"
+    assert probe_image_dims(bytes(wave))[0] == "unknown"
+
+
+def test_hostile_ogg_payloads_reject():
+    """OGG page-header lies: unsupported page version, a segment table
+    whose declared length (nseg up to 255) runs past the buffer,
+    truncated identification packets, unknown codecs — all reject."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _ogg_header_bytes,
+        probe_audio_meta,
+    )
+
+    good = _ogg_header_bytes("opus", 48000, 2)
+    with pytest.raises(ValueError, match="no page header"):
+        probe_audio_meta(good[:26])
+    ver = bytearray(good)
+    ver[4] = 1
+    with pytest.raises(ValueError, match="page version"):
+        probe_audio_meta(bytes(ver))
+    # nseg lies: claims 255 segment-table entries in a short buffer
+    nseg = bytearray(good)
+    nseg[26] = 255
+    with pytest.raises(ValueError, match="segment table"):
+        probe_audio_meta(bytes(nseg))
+    # identification packet truncated mid-field: cut one byte short of
+    # the probe's required p+16 (the packets carry fields past +16, so
+    # trimming trailing bytes alone is a legal parse)
+    for codec, matcher in (("opus", "OpusHead"), ("vorbis", "vorbis")):
+        full = _ogg_header_bytes(codec, 44100, 1)
+        p = 27 + full[26]
+        with pytest.raises(ValueError, match=matcher):
+            probe_audio_meta(full[: p + 15])
+    # unknown first packet codec
+    unk = bytearray(good)
+    p = 27 + good[26]
+    unk[p : p + 8] = b"XXXXHead"
+    with pytest.raises(ValueError, match="unrecognized first packet"):
+        probe_audio_meta(bytes(unk))
+
+
+def test_hostile_avif_box_walks_reject():
+    """ISO-BMFF size-field lies on the still-image walk: a box size
+    below the 8-byte header (the BMP zero-size infinite-loop class), a
+    size past the buffer, an endianness-lied size (little-endian write
+    of a sane big-endian value = huge), a truncated largesize header,
+    a truncated ispe, and a brand with no ispe at all — every one the
+    documented ValueError; size==0 (to-end) stays a clean parse."""
+    import struct
+
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _avif_header_bytes,
+        probe_image_dims,
+    )
+
+    good = _avif_header_bytes(640, 480, b"avif")
+    assert probe_image_dims(good) == ("avif", 640, 480)
+    ftyp_len = 20  # box(ftyp, brand + minor + compatible) == 8 + 12
+
+    def with_meta_size(raw: bytes) -> bytes:
+        return good[:ftyp_len] + raw + good[ftyp_len + 4 :]
+
+    with pytest.raises(ValueError, match="declares"):
+        probe_image_dims(with_meta_size(struct.pack(">I", 4)))  # < header
+    with pytest.raises(ValueError, match="declares"):
+        probe_image_dims(with_meta_size(struct.pack(">I", 1 << 24)))  # past end
+    # endianness lie: the meta box's true size written little-endian
+    true_size = struct.unpack(">I", good[ftyp_len : ftyp_len + 4])[0]
+    with pytest.raises(ValueError, match="declares"):
+        probe_image_dims(with_meta_size(struct.pack("<I", true_size)))
+    # largesize marker with the 8 extra bytes missing
+    with pytest.raises(ValueError, match="largesize"):
+        probe_image_dims(good[:ftyp_len] + struct.pack(">I", 1) + b"meta")
+    # truncated ispe payload (declares 12-byte body, buffer ends early)
+    with pytest.raises(ValueError):
+        probe_image_dims(good[:-4])
+    # well-formed walk with no ispe anywhere
+    no_ispe = good[:ftyp_len] + good[ftyp_len:].replace(b"ispe", b"xspe")
+    with pytest.raises(ValueError, match="no ispe"):
+        probe_image_dims(no_ispe)
+    # size==0 = to-end-of-container: legal, parses clean
+    to_end = bytearray(good)
+    to_end[ftyp_len : ftyp_len + 4] = struct.pack(">I", 0)
+    assert probe_image_dims(bytes(to_end)) == ("avif", 640, 480)
+
+
+def test_hostile_probe_payload_fails_kernel_not_hangs(spark):
+    """End-to-end through the mapInPandas probe kernel: one hostile WebP
+    in a batch fails the job with the documented ValueError instead of
+    emitting garbage dims or hanging an executor (the BMP/WARC
+    reject-the-shard discipline)."""
+    import pytest
+
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    bad = bytearray(MM._webp_header_bytes(64, 64, "vp8"))
+    bad[23] ^= 0xFF  # lie about the keyframe start code
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bad))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="start code"):
+        MM.probe_dims(media).collect()

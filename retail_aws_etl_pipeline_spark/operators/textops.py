@@ -30,6 +30,23 @@ WORD_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 EN_STOPWORDS = LANG_MARKERS["en"]
 
+#: Bad-words blocklist for the C4-style document gate (Raffel et al. 2020
+#: §2.2 filter pages containing blocklisted words; the public pipeline
+#: used the "List of Dirty, Naughty, Obscene..." list). A small
+#: representative stand-in of spam/adult block tokens — the OPERATOR is
+#: the deliverable (exact lowercase token membership, per-language block
+#: census); swap the list for a production one at deploy time.
+BADWORDS = [
+    "casino",
+    "jackpot",
+    "viagra",
+    "xxx",
+    "porn",
+    "lottery",
+    "pills",
+    "escort",
+]
+
 
 def whitespace_tokens(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text

@@ -435,26 +435,39 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
+def _langid_scored_cte() -> str:
+    """The ``scored`` CTE body shared by the lang-ID oracle and the
+    staged confusion-census oracle: per-language marker scores + CJK
+    char count, mirroring :func:`textops.with_lang_scores` exactly —
+    ONE generator so the two oracles cannot drift."""
     score = {
         lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
         for lang, ms in TX.LANG_MARKERS.items()
     }
     return f"""
-    WITH scored AS (
         SELECT doc_id, lang,
                {score['en']} AS score_en, {score['de']} AS score_de,
                {score['fr']} AS score_fr, {score['es']} AS score_es,
                length(regexp_replace(text, '[^{TX.CJK_RANGE}]', '', 'g')) AS cjk_chars
         FROM documents
-    )
-    SELECT doc_id, lang, score_en, score_de, score_fr, score_es, cjk_chars,
-           CASE WHEN cjk_chars > 0 THEN 'zh'
+    """
+
+
+#: The fixed-precedence prediction CASE over a ``scored`` row — the other
+#: shared half of the lang-ID oracle family.
+_LANGID_PRED_SQL = """CASE WHEN cjk_chars > 0 THEN 'zh'
                 WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
                 WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                 WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
                 WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-                ELSE 'es' END AS lang_pred
+                ELSE 'es' END"""
+
+
+def _lang_oracle() -> str:
+    return f"""
+    WITH scored AS ({_langid_scored_cte()})
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es, cjk_chars,
+           {_LANGID_PRED_SQL} AS lang_pred
     FROM scored
     ORDER BY doc_id
     """
@@ -9148,3 +9161,447 @@ def hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# STAGED r16 tranche (ROADMAP "r16 schedule", drafted r14): five new ops
+# + the r13-staged hll_overlap_report complete the six swaps against the
+# r13 cohort. Registration happens at the r16 rotation; until then these
+# carry the full local proof battery (tests/test_staged_r16.py) like
+# every staged predecessor.
+# ---------------------------------------------------------------------------
+
+
+def _badwords_in_sql() -> str:
+    return ", ".join(f"'{w}'" for w in TX.BADWORDS)
+
+
+#: Oracle for :func:`badwords_filter_report` (STAGED r16). Exact lowercase
+#: token membership against the documented blocklist; NULL lang excluded
+#: (the shard-manifest discipline); top blocked word ties break to the
+#: lexicographically smallest via the DuckDB named-struct argmax.
+BADWORDS_FILTER_ORACLE = f"""
+    WITH bw_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(
+                   list_transform(string_split(text, ' '), t -> lower(t)),
+                   t -> t IN ({_badwords_in_sql()}))) AS BIGINT) AS n_bad
+        FROM documents WHERE lang IS NOT NULL
+    ),
+    bw_base AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_blocked_docs,
+               CAST(SUM(n_bad) AS BIGINT) AS n_blocked_tokens
+        FROM bw_doc GROUP BY lang
+    ),
+    bw_words AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang,
+                   unnest(list_filter(
+                       list_transform(string_split(text, ' '), t -> lower(t)),
+                       t -> t IN ({_badwords_in_sql()}))) AS w
+            FROM documents WHERE lang IS NOT NULL
+        ) GROUP BY lang, w
+    ),
+    bw_top AS (
+        SELECT lang, MIN({{'nc': -c, 'w': w}}).w AS top_badword
+        FROM bw_words GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs, b.n_blocked_docs, b.n_blocked_tokens,
+           b.n_blocked_docs * 1000000 // b.n_docs AS block_rate_ppm,
+           t.top_badword
+    FROM bw_base b LEFT JOIN bw_top t ON t.lang = b.lang
+    ORDER BY b.lang
+"""
+
+
+def badwords_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r16: the C4 bad-words document gate (Raffel et al. 2020
+    §2.2 — the one rule battery the C4/Gopher trio was still missing) as
+    a per-language block census: docs, blocked docs (any lowercase token
+    on the blocklist), blocked-token occurrences, block rate ppm, and
+    the deterministic top blocked word (count desc, lex asc via the
+    single-buffer min(struct) argmax). NULL lang is excluded like every
+    keyed census (the shard-manifest discipline). Scale shape: one
+    scan-side membership projection for the doc census + one
+    (lang, word)-keyed exchange bounded by |blocklist| x |langs| for the
+    top word — the blocklist rides the plan as literals, never a join."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.col("lang").isNotNull())
+    bl = _badwords_in_sql()
+    hits = f"filter(transform(split(text, ' '), t -> lower(t)), t -> t IN ({bl}))"
+    base = (
+        docs.select("lang", F.expr(f"size({hits})").cast("long").alias("n_bad"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_bad") > 0).cast("long")).cast("long").alias(
+                "n_blocked_docs"
+            ),
+            F.sum("n_bad").cast("long").alias("n_blocked_tokens"),
+        )
+    )
+    top = (
+        docs.select("lang", F.explode(F.expr(hits)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("w").alias("w")))
+            .getField("w")
+            .alias("top_badword")
+        )
+    )
+    return (
+        base.join(top, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_blocked_docs",
+            "n_blocked_tokens",
+            F.expr("n_blocked_docs * 1000000L div n_docs").alias(
+                "block_rate_ppm"
+            ),
+            "top_badword",
+        )
+        .orderBy("lang")
+    )
+
+
+#: The n-gram sizes the corpus-diversity census sweeps.
+NGRAM_DIVERSITY_SIZES = (1, 2, 3)
+
+
+def _ngram_diversity_oracle() -> str:
+    legs = []
+    for n in NGRAM_DIVERSITY_SIZES:
+        legs.append(f"""
+        SELECT source, CAST({n} AS BIGINT) AS n,
+               array_to_string(t[i:i + {n - 1}], ' ') AS gram
+        FROM (SELECT source, t,
+                     UNNEST(generate_series(1, len(t) - {n - 1})) AS i
+              FROM nd_toks WHERE len(t) >= {n})""")
+    body = " UNION ALL ".join(legs)
+    return f"""
+    WITH nd_toks AS (
+        SELECT source, string_split(text, ' ') AS t
+        FROM documents WHERE source IS NOT NULL
+    ),
+    nd_grams AS ({body}),
+    nd_cnt AS (
+        SELECT source, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+        FROM nd_grams GROUP BY source, n, gram
+    )
+    SELECT source, n,
+           CAST(SUM(c) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(COUNT(*) AS BIGINT) * 1000000
+               // GREATEST(CAST(SUM(c) AS BIGINT), 1) AS diversity_ppm,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+               // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS hapax_ppm
+    FROM nd_cnt GROUP BY source, n
+    ORDER BY source, n
+"""
+
+
+#: Oracle for :func:`ngram_diversity_report` (STAGED r16). Correlated
+#: len()-bounded lateral series (the r13 fixed-cap lesson) per n-gram size.
+NGRAM_DIVERSITY_ORACLE = _ngram_diversity_oracle()
+
+
+def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r16: corpus-level n-gram diversity census per source — the
+    self-BLEU-style mode-collapse / boilerplate-saturation audit at
+    CORPUS granularity (gopher_repetition_report is the per-DOC half):
+    for n in {{1,2,3}}, total n-grams, distinct n-grams, singletons
+    (hapax), diversity ppm (distinct/total) and hapax ppm
+    (singletons/distinct). A source whose diversity collapses as n grows
+    is template-dominated; a healthy corpus keeps hapax mass high.
+    NULL source excluded. Scale shape: ONE explode over the three sizes
+    (same single-pass discipline as the repetition battery) into one
+    (source, n, gram)-keyed exchange; the rollup is |sources| x 3 rows.
+    At 100 TB the gram exchange dominates — hash the gram strings
+    (xxhash64) the way gopher_repetition_report's hash_ngrams knob does
+    if the shuffle bytes bind; counts are unchanged."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.col("source").isNotNull())
+    arrays = ", ".join(
+        f"CASE WHEN size(__toks) >= {n} THEN"
+        f" transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> named_struct('n', {n}L, 'gram',"
+        f" concat_ws(' ', slice(__toks, i, {n}))))"
+        " ELSE array() END"
+        for n in NGRAM_DIVERSITY_SIZES
+    )
+    grams = (
+        docs.withColumn("__toks", F.split("text", " "))
+        .select("source", F.explode(F.expr(f"concat({arrays})")).alias("g"))
+        .select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    cnt = grams.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        cnt.groupBy("source", "n")
+        .agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias(
+                "n_singletons"
+            ),
+        )
+        .select(
+            "source",
+            "n",
+            "n_total",
+            "n_distinct",
+            "n_singletons",
+            F.expr("n_distinct * 1000000L div greatest(n_total, 1L)").alias(
+                "diversity_ppm"
+            ),
+            F.expr(
+                "n_singletons * 1000000L div greatest(n_distinct, 1L)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+#: Head/tail affix width (tokens) for the template-family census.
+AFFIX_K = 8
+
+#: Oracle for :func:`template_affix_report` (STAGED r16).
+TEMPLATE_AFFIX_ORACLE = f"""
+    WITH ta_toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    ta_elig AS (SELECT t FROM ta_toks WHERE len(t) >= {AFFIX_K}),
+    ta_aff AS (
+        SELECT 'head' AS kind, array_to_string(t[1:{AFFIX_K}], ' ') AS affix
+        FROM ta_elig
+        UNION ALL
+        SELECT 'tail', array_to_string(t[len(t) - {AFFIX_K - 1}:len(t)], ' ')
+        FROM ta_elig
+    ),
+    ta_fam AS (
+        SELECT kind, affix, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ta_aff GROUP BY kind, affix HAVING COUNT(*) >= 2
+    ),
+    ta_agg AS (
+        SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_families,
+               CAST(SUM(c) AS BIGINT) AS n_docs_in_families,
+               CAST(MAX(c) AS BIGINT) AS top_family_docs,
+               MIN({{'nc': -c, 'a': affix}}).a AS top_family_affix
+        FROM ta_fam GROUP BY kind
+    ),
+    ta_base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible_docs FROM ta_elig
+    ),
+    ta_kinds AS (SELECT 'head' AS kind UNION ALL SELECT 'tail')
+    SELECT k.kind, b.n_eligible_docs,
+           CAST(COALESCE(a.n_families, 0) AS BIGINT) AS n_families,
+           CAST(COALESCE(a.n_docs_in_families, 0) AS BIGINT)
+               AS n_docs_in_families,
+           CAST(COALESCE(a.top_family_docs, 0) AS BIGINT) AS top_family_docs,
+           a.top_family_affix
+    FROM ta_kinds k CROSS JOIN ta_base b
+    LEFT JOIN ta_agg a ON a.kind = k.kind
+    ORDER BY k.kind
+"""
+
+
+def template_affix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r16: head/tail template-family census — the
+    boilerplate-template detector near-dup banding misses when only the
+    AFFIX repeats (mail headers, scraped navigation preambles, footer
+    sign-offs): documents sharing their exact first / last {AFFIX_K}
+    tokens form a family; report per kind the family count, docs inside
+    families, the largest family and its affix (count desc, lex asc via
+    the single-buffer argmax). Docs shorter than the affix width are
+    excluded (a 1-token "family" is not a template). Scale shape: one
+    (kind, affix)-keyed exchange over 2 rows/doc; rollup is 2 rows; the
+    eligible-doc count rides as a broadcast single-row aggregate."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    elig = (
+        t["documents"]
+        .withColumn("__toks", F.split("text", " "))
+        .filter(F.expr(f"size(__toks) >= {AFFIX_K}"))
+    )
+    aff = elig.select(
+        F.explode(
+            F.expr(
+                f"array(named_struct('kind', 'head', 'affix',"
+                f" concat_ws(' ', slice(__toks, 1, {AFFIX_K}))),"
+                f" named_struct('kind', 'tail', 'affix',"
+                f" concat_ws(' ', slice(__toks, -{AFFIX_K}, {AFFIX_K}))))"
+            )
+        ).alias("a")
+    ).select("a.kind", "a.affix")
+    agg = (
+        aff.groupBy("kind", "affix")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_families"),
+            F.sum("c").cast("long").alias("n_docs_in_families"),
+            F.max("c").cast("long").alias("top_family_docs"),
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("affix").alias("a")))
+            .getField("a")
+            .alias("top_family_affix"),
+        )
+    )
+    kinds = spark.range(1).select(
+        F.explode(F.array(F.lit("head"), F.lit("tail"))).alias("kind")
+    )
+    base = elig.agg(F.count(F.lit(1)).cast("long").alias("n_eligible_docs"))
+    return (
+        kinds.crossJoin(F.broadcast(base))
+        .join(agg, "kind", "left")
+        .select(
+            "kind",
+            "n_eligible_docs",
+            F.coalesce(F.col("n_families"), F.lit(0)).cast("long").alias(
+                "n_families"
+            ),
+            F.coalesce(F.col("n_docs_in_families"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_families"),
+            F.coalesce(F.col("top_family_docs"), F.lit(0))
+            .cast("long")
+            .alias("top_family_docs"),
+            "top_family_affix",
+        )
+        .orderBy("kind")
+    )
+
+
+#: Oracle for :func:`corpus_snapshot_delta` (STAGED r16). The two
+#: simulated epochs are deterministic doc_id slices; epoch B edits the
+#: doc_id % 8 == 2 stratum so every status is populated.
+CORPUS_DELTA_ORACLE = """
+    WITH cd_a AS (
+        SELECT doc_id, text AS text_a FROM documents WHERE doc_id % 4 != 0
+    ),
+    cd_b AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 8 = 2 THEN text || ' v2' ELSE text END
+                   AS text_b
+        FROM documents WHERE doc_id % 4 != 1
+    ),
+    cd_j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.text_a, b.text_b
+        FROM cd_a a FULL JOIN cd_b b ON a.doc_id = b.doc_id
+    )
+    SELECT CASE WHEN text_a IS NULL THEN 'added'
+                WHEN text_b IS NULL THEN 'removed'
+                WHEN text_a = text_b THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(COALESCE(text_b, text_a))) AS BIGINT)
+               AS n_content_hashes
+    FROM cd_j GROUP BY 1 ORDER BY status
+"""
+
+
+def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r16: epoch-over-epoch corpus diff — the audit an
+    incremental training-data refresh runs before re-sharding (how many
+    docs arrived, left, changed in place?): FULL OUTER join of two
+    snapshots on doc identity, per-status doc counts + distinct content
+    hashes. The snapshots here are deterministic doc_id slices (A drops
+    the %4==0 stratum, B drops %4==1 and edits %8==2) so added /
+    removed / changed / unchanged are all populated and the whole frame
+    sits under the hash gate; in production the two sides are the
+    previous and current snapshot paths. Scale shape: one id-keyed
+    FULL OUTER exchange (both sides shuffle on the same key — AQE can
+    co-locate) + a 4-row rollup; content hashing rides scan-side."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    a = docs.filter("doc_id % 4 != 0").select(
+        "doc_id", F.col("text").alias("text_a")
+    )
+    b = docs.filter("doc_id % 4 != 1").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 8 = 2 THEN concat(text, ' v2') ELSE text END"
+        ).alias("text_b"),
+    )
+    status = (
+        F.when(F.col("text_a").isNull(), "added")
+        .when(F.col("text_b").isNull(), "removed")
+        .when(F.col("text_a") == F.col("text_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            status.alias("status"),
+            F.md5(F.coalesce("text_b", "text_a")).alias("h"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("h").cast("long").alias("n_content_hashes"),
+        )
+        .orderBy("status")
+    )
+
+
+#: Oracle for :func:`langid_confusion_report` (STAGED r16): the shared
+#: scored CTE + prediction CASE (one generator with doc_lang_id's oracle,
+#: so the two cannot drift), rolled into the labeled confusion census.
+LANGID_CONFUSION_ORACLE = f"""
+    WITH scored AS ({_langid_scored_cte()}),
+    lc_pred AS (
+        SELECT lang, {_LANGID_PRED_SQL} AS lang_pred
+        FROM scored WHERE lang IS NOT NULL
+    ),
+    lc_pairs AS (
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lc_pred GROUP BY lang, lang_pred
+    ),
+    lc_tot AS (
+        SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+        FROM lc_pairs GROUP BY lang
+    )
+    SELECT p.lang, p.lang_pred, p.n_docs,
+           p.n_docs * 1000000 // t.n_true AS share_ppm
+    FROM lc_pairs p JOIN lc_tot t USING (lang)
+    ORDER BY lang, lang_pred
+"""
+
+
+def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r16: language-ID confusion census — the curation QA gate
+    for the lang-ID heuristic the pipeline routes on (doc_lang_id):
+    labeled docs grouped by (true lang, predicted lang) with per-truth
+    share ppm, so a drifting predictor (or a mislabeled corpus slice)
+    shows up as off-diagonal mass. Reuses the registered
+    with_lang_scores kernel verbatim; the oracle shares doc_lang_id's
+    scored CTE + precedence CASE through one generator. NULL lang
+    excluded (unlabeled docs have no truth row). Scale shape: scan-side
+    scoring + one (lang, lang_pred) exchange (|langs|^2 rows) + a
+    broadcast-size totals join."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.col("lang").isNotNull())
+    pairs = (
+        TX.with_lang_scores(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = pairs.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("n_true"))
+    return (
+        pairs.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.expr("n_docs * 1000000L div n_true").alias("share_ppm"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

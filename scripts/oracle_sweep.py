@@ -55,6 +55,16 @@ def _staged_pairs():
         ),
         ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
         ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
+        # staged r16 tranche (drafted r14)
+        ("badwords_filter_report", E.badwords_filter_report, E.BADWORDS_FILTER_ORACLE),
+        ("ngram_diversity_report", E.ngram_diversity_report, E.NGRAM_DIVERSITY_ORACLE),
+        ("template_affix_report", E.template_affix_report, E.TEMPLATE_AFFIX_ORACLE),
+        ("corpus_snapshot_delta", E.corpus_snapshot_delta, E.CORPUS_DELTA_ORACLE),
+        (
+            "langid_confusion_report",
+            E.langid_confusion_report,
+            E.LANGID_CONFUSION_ORACLE,
+        ),
     ]
 
 

@@ -156,6 +156,26 @@ def test_staged_r15_pairs_survive_adversarial_corpus(spark, adversarial_dir):
         assert r["ok"], (fn.__name__, r)
 
 
+def test_staged_r16_pairs_survive_adversarial_corpus(spark, adversarial_dir):
+    """The staged r16 documents-side pairs through the hostile corpus
+    BEFORE registration (all five are corpus-generic): quote/backslash
+    docs exercise the affix and n-gram string keys through both engines'
+    literal paths, empty/whitespace docs the short-doc guards, NULL
+    lang/source the keyed-census exclusions, and the 2,500-distinct-token
+    doc the correlated-series n-gram oracles."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    for fn, oracle in [
+        (E.badwords_filter_report, E.BADWORDS_FILTER_ORACLE),
+        (E.ngram_diversity_report, E.NGRAM_DIVERSITY_ORACLE),
+        (E.template_affix_report, E.TEMPLATE_AFFIX_ORACLE),
+        (E.corpus_snapshot_delta, E.CORPUS_DELTA_ORACLE),
+        (E.langid_confusion_report, E.LANGID_CONFUSION_ORACLE),
+    ]:
+        r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
+        assert r["ok"], (fn.__name__, r)
+
+
 @pytest.fixture(scope="module")
 def adversarial_events_dir(tmp_path_factory):
     """Hostile events table: exact (user, ts) ties (tiebreak determinism),

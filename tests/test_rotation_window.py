@@ -160,6 +160,21 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "event_trigram_paths",
         ),
     ),
+    # ROADMAP r16 schedule (PROVISIONAL, drafted r14 — pairing decisions
+    # defer to ADVICE r14/r15): the full 50-entry r13 cohort comes due;
+    # the six staged ops (hll_overlap_report from r13 + the five staged
+    # r14) swap against these.
+    16: (
+        50,
+        (
+            "returned_order_priorities",
+            "monthly_revenue_yoy",
+            "customer_order_history",
+            "large_volume_orders",
+            "part_revenue_share",
+            "partkey_skew_report",
+        ),
+    ),
 }
 
 

@@ -81,6 +81,21 @@ def test_unregistered_names_are_gone():
             )
 
 
+def test_unregistered_specs_stay_locally_addressable():
+    """Every swapped-out spec lands in the UNREGISTERED store with its
+    ORIGINAL oracle intact — the adversarial battery pins fixed bug
+    classes (e.g. event_props_stats' integral guard) against it, so the
+    store is load-bearing, not a convenience."""
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
+
+    for rnd, names in _UNREGISTER.items():
+        for name in names:
+            assert name in UNREGISTERED, f"{name} (r{rnd}) not in the store"
+    spec = UNREGISTERED["event_props_stats"]
+    assert spec.oracle and "json_valid" in spec.oracle
+    assert not set(UNREGISTERED) & (set(REGISTRY) | set(EXTRA_REGISTRY))
+
+
 def test_retired_entries_remain_locally_covered():
     """Retirement removes the driver row, not the registration — the
     local oracle suite must still see the entry."""

@@ -529,24 +529,53 @@ def perceptron_fit(
 
     Returns the weight vector AFTER each round (len = ``rounds``).
     """
+    return perceptron_fit_trace(feats, rounds, id_col)[0]
+
+
+def perceptron_fit_trace(
+    feats: DataFrame, rounds: int = PCTRON_ROUNDS, id_col: str = "doc_id"
+) -> tuple[list[list[int]], list[tuple[int, int, int]]]:
+    """:func:`perceptron_fit` plus the per-round error census
+    (n_mis, n_mis_pos, n_mis_neg) under each round's INCOMING weights.
+
+    The census rides the SAME margins pass the update aggregate consumes
+    (the per-round margins frame is persisted for its two consumers and
+    released immediately) — the r13 plan recomputed every round's
+    margins a second time on the trace side, doubling the corpus passes
+    the report executes."""
     n_w = DSIR_BUCKETS + 1
     w = [0] * n_w
     out: list[list[int]] = []
+    trace: list[tuple[int, int, int]] = []
+    mis = F.col("margin") <= 0
     for _ in range(rounds):
-        m = _perceptron_margins(feats, w, id_col)
+        m = _perceptron_margins(feats, w, id_col).persist()
+        cen = m.agg(
+            F.coalesce(F.sum(mis.cast("long")), F.lit(0)).alias("n_mis"),
+            F.coalesce(
+                F.sum((mis & (F.col("y") == 1)).cast("long")), F.lit(0)
+            ).alias("n_mis_pos"),
+            F.coalesce(
+                F.sum((mis & (F.col("y") == -1)).cast("long")), F.lit(0)
+            ).alias("n_mis_neg"),
+        ).collect()[0]
         delta = (
-            m.filter(F.col("margin") <= 0)
+            m.filter(mis)
             .select(id_col)
             .join(feats, id_col)
             .groupBy("b")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
             .collect()
         )
+        m.unpersist()
         w = list(w)
         for r in delta:
             w[int(r.b)] += int(r.dw)
         out.append(w)
-    return out
+        trace.append(
+            (int(cen["n_mis"]), int(cen["n_mis_pos"]), int(cen["n_mis_neg"]))
+        )
+    return out, trace
 
 
 #: Temperature-sampling default: tau = 2, i.e. group weight n_g^(1/2).

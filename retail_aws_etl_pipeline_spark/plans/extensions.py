@@ -8265,37 +8265,38 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect per round (the DSIR/IVF fit discipline). Target = lang=='en'
     (the same proxy label DSIR fits against)."""
     from retail_aws_etl_pipeline_spark.operators import sampling as SMP
-    from retail_aws_etl_pipeline_spark.operators.caching import retaining
-
     t = load_tables(spark, sf_dir, ["documents"])
     feats = SMP.perceptron_features(
         t["documents"], F.col("lang") == "en"
     ).persist()
-    ws = SMP.perceptron_fit(feats)
-    frames = []
-    prev = [0] * (SMP.DSIR_BUCKETS + 1)
-    for i, w in enumerate(ws, start=1):
-        m = SMP._perceptron_margins(feats, prev, "doc_id")
-        mis = F.col("margin") <= 0
-        frames.append(
-            m.agg(
-                F.sum(mis.cast("long")).alias("n_mis"),
-                F.sum((mis & (F.col("y") == 1)).cast("long")).alias("n_mis_pos"),
-                F.sum((mis & (F.col("y") == -1)).cast("long")).alias("n_mis_neg"),
-            ).select(
-                F.lit(i).cast("long").alias("iteration"),
-                F.col("n_mis"),
-                F.col("n_mis_pos"),
-                F.col("n_mis_neg"),
-                F.lit(sum(abs(v) for v in w)).cast("long").alias("w_l1"),
-                F.lit(w[SMP.PCTRON_BIAS]).cast("long").alias("w_bias"),
-            )
+    # The fit is eager (bounded <=257-row collect per round) and the
+    # census rides the SAME per-round margins pass (perceptron_fit_trace
+    # — the r13 report re-executed every round's margins lazily on top
+    # of the fit's eager passes, doubling the corpus passes the query
+    # paid at execution time). The emitted frame is the collected trace
+    # as literals — the weights were already literal-derived (w_l1 /
+    # w_bias came from the collected fit), so the hash gate's rigor is
+    # unchanged: every value was computed by the Spark aggregates above.
+    ws, trace = SMP.perceptron_fit_trace(feats)
+    feats.unpersist()
+    rows = [
+        (
+            i,
+            n_mis,
+            n_mis_pos,
+            n_mis_neg,
+            sum(abs(v) for v in w),
+            w[SMP.PCTRON_BIAS],
         )
-        prev = w
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return retaining(out.orderBy("iteration"), feats)
+        for i, (w, (n_mis, n_mis_pos, n_mis_neg)) in enumerate(
+            zip(ws, trace), start=1
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "iteration long, n_mis long, n_mis_pos long, n_mis_neg long,"
+        " w_l1 long, w_bias long",
+    ).orderBy("iteration")
 
 
 #: Pieces emitted by unigram_lm_report (final-count desc, piece-lex

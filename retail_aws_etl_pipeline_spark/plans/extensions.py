@@ -9606,3 +9606,231 @@ def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED r17 seeds (built r14, beyond the r16 tranche): the remaining two
+# members of the deterministic sketch family — frequency (count-min) and
+# quantiles (bottom-k hash sample) — completing the arc the HLL started:
+# every sketch primitive a 100 TB pipeline actually uses (distinct /
+# frequency / quantile), each with an integer-exact, hash-gateable
+# estimate. Pairing decided at r16/r17 open against the then-current
+# ADVICE; until then they carry the full local battery
+# (tests/test_staged_r17_seeds.py).
+# ---------------------------------------------------------------------------
+
+#: Probe set size for the count-min audit (the exact top-K heavy hitters).
+CMS_TOPK = 16
+
+
+def _countmin_oracle() -> str:
+    """Oracle for :func:`countmin_topk_report`: the same seeded md5
+    column addressing, exact int64 cell sums, and min-over-rows point
+    reads, re-derived relationally."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import CMS_DEPTH
+
+    def col_sql(row: int) -> str:
+        seed = f"'cm{row}:' || tok"
+        return f"CAST(('0x' || substr(md5({seed}), 1, 2)) AS BIGINT)"
+
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS row,"
+        f" {col_sql(r)} AS col, n FROM cm_vocab"
+        for r in range(CMS_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, n, CAST({r} AS BIGINT) AS row,"
+        f" {col_sql(r)} AS col FROM cm_topk"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH cm_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cm_vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM cm_tok GROUP BY tok
+    ),
+    cm_cells AS (
+        SELECT row, col, CAST(SUM(n) AS BIGINT) AS cell
+        FROM ({legs}) GROUP BY row, col
+    ),
+    cm_topk AS (
+        SELECT tok, n FROM cm_vocab ORDER BY n DESC, tok ASC LIMIT {CMS_TOPK}
+    ),
+    cm_probe AS ({probes})
+    SELECT p.tok, p.n AS exact_n,
+           CAST(MIN(COALESCE(c.cell, 0)) AS BIGINT) AS est_n,
+           CAST(MIN(COALESCE(c.cell, 0)) - p.n AS BIGINT) AS overcount
+    FROM cm_probe p LEFT JOIN cm_cells c ON c.row = p.row AND c.col = p.col
+    GROUP BY p.tok, p.n
+    ORDER BY exact_n DESC, tok ASC
+"""
+
+
+COUNTMIN_TOPK_ORACLE = _countmin_oracle()
+
+
+def countmin_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17 seed: count-min heavy-hitter audit (Cormode &
+    Muthukrishnan 2005) — the FREQUENCY member of the deterministic
+    sketch family. The corpus token stream is counted once (the one
+    corpus-scale exchange), sketched into d x w = 1024 exact int64
+    cells, and the exact top-{CMS_TOPK} tokens are read back from the
+    sketch: (token, exact_n, est_n, overcount). overcount >= 0 is
+    STRUCTURAL (count-min never undercounts — pinned by test); expected
+    overcount ~ N/w. The 100 TB shape is the point: per-shard sketches
+    merge by elementwise + (<= 1024 rows each at rest) and answer any
+    point-frequency question later without rescanning — the estimate
+    itself sits under the hash gate like the HLL's."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    vocab = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    cells = SK.cms_cells(vocab, "tok", "n")
+    topk = vocab.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOPK)
+    est = SK.cms_estimates(cells, topk, "tok")
+    out = (
+        topk.join(est, "tok")
+        .select(
+            "tok",
+            F.col("n").alias("exact_n"),
+            "est_n",
+            (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+
+    return retaining(out, *retained_caches(vocab))
+
+
+#: Quantile percents the hash-sample audit reads (percentile_disc
+#: convention: smallest value whose cume rank reaches q).
+HASH_SAMPLE_QS = ((25, 4, 1), (50, 2, 1), (75, 4, 3), (90, 10, 9))
+
+
+def _hash_sample_oracle() -> str:
+    """Oracle for :func:`hash_sample_quantile_report`: the same bottom-k
+    selection (ORDER BY md5 hex), the same integer-exact cum-histogram
+    discrete quantiles on both the sample and the full column."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import BOTTOMK_K
+
+    def qcols(src: str, suffix: str) -> str:
+        return ", ".join(
+            f"(SELECT MIN(CASE WHEN cum * {mul} >= {rhs} * n THEN v END)"
+            f" FROM {src}) AS q{q}_{suffix}"
+            for q, mul, rhs in HASH_SAMPLE_QS
+        )
+
+    return f"""
+    WITH hs_all AS (
+        SELECT md5(COALESCE(CAST(l_orderkey AS VARCHAR), '~') || ':'
+                   || COALESCE(CAST(l_linenumber AS VARCHAR), '~')) AS h,
+               l_extendedprice AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    hs_s AS (SELECT v FROM hs_all ORDER BY h ASC, v ASC LIMIT {BOTTOMK_K}),
+    hs_sc AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hs_s) AS n
+        FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM hs_s GROUP BY v)
+    ),
+    hs_fc AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hs_all) AS n
+        FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM hs_all GROUP BY v)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hs_all) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hs_s) AS sample_k,
+           {qcols('hs_sc', 'est')},
+           {qcols('hs_fc', 'exact')}
+"""
+
+
+HASH_SAMPLE_ORACLE = _hash_sample_oracle()
+
+
+def hash_sample_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17 seed: bottom-k hash-sample quantile audit (Cohen &
+    Kaplan 2007) — the QUANTILE member of the deterministic sketch
+    family. The k rows with the smallest md5(row-key) are a uniform,
+    deterministic, MERGEABLE sample; discrete (element-picking)
+    quantiles read from it sit next to the exact full-column quantiles
+    in one row: (n_rows, sample_k, q{{25,50,75,90}}_est/_exact). Both
+    legs use the integer-exact cum-histogram rank thresholds
+    (sketch_accuracy_stats' discipline — no percentile interpolation
+    floats). 100 TB shape: the sample is a TakeOrderedAndProject
+    (per-partition top-k + a k-row merge, never a global sort), shards'
+    samples re-merge by re-taking the bottom k, and the exact leg —
+    needed only for the audit — is one value-domain histogram."""
+    from pyspark.sql import Window as W
+
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    # NULL values are excluded on both engines (standard quantile
+    # semantics — SQL percentile aggregates ignore NULLs); the row key
+    # is made TOTAL with COALESCE sentinels so dirty rows with NULL join
+    # keys still participate in the sample (the engines order NULL
+    # hashes at opposite ends — the kernel refuses NULL keys outright).
+    li = t["lineitem"].filter(F.col("l_extendedprice").isNotNull())
+    row_key = F.concat(
+        F.coalesce(F.col("l_orderkey").cast("string"), F.lit("~")),
+        F.lit(":"),
+        F.coalesce(F.col("l_linenumber").cast("string"), F.lit("~")),
+    )
+    sample = SK.bottomk_sample(li, row_key, F.col("l_extendedprice"))
+
+    def disc_quantiles(values: DataFrame, suffix: str) -> DataFrame:
+        hist = values.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("c").over(w))
+        tot = hist.agg(F.sum("c").cast("long").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                *[
+                    F.min(
+                        F.when(
+                            F.col("cum") * mul >= rhs * F.col("n"), F.col("v")
+                        )
+                    ).alias(f"q{q}_{suffix}")
+                    for q, mul, rhs in HASH_SAMPLE_QS
+                ]
+            )
+        )
+
+    est = disc_quantiles(sample.select("v"), "est")
+    exact = disc_quantiles(
+        li.select(F.col("l_extendedprice").alias("v")), "exact"
+    )
+    counts = li.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).crossJoin(
+        F.broadcast(
+            sample.agg(F.count(F.lit(1)).cast("long").alias("sample_k"))
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            "sample_k",
+            "q25_est",
+            "q25_exact",
+            "q50_est",
+            "q50_exact",
+            "q75_est",
+            "q75_exact",
+            "q90_est",
+            "q90_exact",
+        )
+    )

@@ -65,6 +65,13 @@ def _staged_pairs():
             E.langid_confusion_report,
             E.LANGID_CONFUSION_ORACLE,
         ),
+        # staged r17 seeds (built r14): the frequency + quantile sketches
+        ("countmin_topk_report", E.countmin_topk_report, E.COUNTMIN_TOPK_ORACLE),
+        (
+            "hash_sample_quantile_report",
+            E.hash_sample_quantile_report,
+            E.HASH_SAMPLE_ORACLE,
+        ),
     ]
 
 

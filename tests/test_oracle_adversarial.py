@@ -171,9 +171,28 @@ def test_staged_r16_pairs_survive_adversarial_corpus(spark, adversarial_dir):
         (E.template_affix_report, E.TEMPLATE_AFFIX_ORACLE),
         (E.corpus_snapshot_delta, E.CORPUS_DELTA_ORACLE),
         (E.langid_confusion_report, E.LANGID_CONFUSION_ORACLE),
+        # r17 seed: the count-min audit reads the same hostile token
+        # stream (quotes/backslashes/CJK through the seeded md5 legs)
+        (E.countmin_topk_report, E.COUNTMIN_TOPK_ORACLE),
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)
+
+
+def test_staged_hash_sample_survives_adversarial_retail(
+    spark, adversarial_retail_dir
+):
+    """The r17-seed quantile audit through the hostile lineitem: NULL
+    join keys ride the COALESCE-sentinel row key into the sample, and
+    the NULL-hash ordering divergence the kernel refuses never arises."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    r = compare(
+        E.hash_sample_quantile_report(spark, adversarial_retail_dir),
+        E.HASH_SAMPLE_ORACLE,
+        adversarial_retail_dir,
+    )
+    assert r["ok"], r
 
 
 @pytest.fixture(scope="module")

@@ -609,3 +609,66 @@ def ivf_retrieval_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_hll_batch_processor(key_col: str, delta_dir: str):
+    """The foreachBatch body of :func:`hll_register_stream`, exposed so
+    tests can replay a batch verbatim (the at-least-once crash point).
+    Idempotent twice over: the per-batch register table lands in its own
+    ``__batch_id`` partition under dynamic overwrite (a retry replaces
+    itself), and the snapshot fold is per-bucket MAX — idempotent even
+    if a duplicate partition ever survived."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import hll_registers
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, F.col(key_col))
+        (
+            regs.withColumn("__batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(delta_dir)
+        )
+
+    return process
+
+
+def hll_register_stream(
+    docs: DataFrame, key_col: str, delta_dir: str, checkpoint_dir: str
+):
+    """Incremental distinct-count sketch maintenance under streaming
+    ingest: each micro-batch sketches ONLY its own rows into a
+    <= HLL_BUCKETS-row register table appended as a ``__batch_id``
+    partition (the feature_delta_stream base+delta discipline), so the
+    standing corpus cardinality is answerable at any moment from
+    :func:`read_hll_snapshot` — one per-bucket MAX fold over a table
+    whose size is batches x <= 256 rows, NEVER a rescan of the corpus.
+    MAX-merge idempotence (sketch algebra) makes any arrival
+    interleaving AND any foreachBatch retry converge to the one-shot
+    batch sketch bit-identically — pinned by the stream==batch test.
+
+    The 100 TB shape: the stream pays one scan per batch at arrival
+    time; every later "how many distincts so far?" is a 256-row read.
+    """
+    return (
+        docs.writeStream.foreachBatch(make_hll_batch_processor(key_col, delta_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_snapshot(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """Current (bucket, register) table from the delta partitions: one
+    per-bucket MAX fold — the same merge :func:`operators.sketch.hll_merge`
+    defines, so the snapshot IS sketch(all rows so far)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(delta_dir)
+        .groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+    )

@@ -214,3 +214,62 @@ def test_bottomk_plan_is_take_ordered_not_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Python" not in plan, plan[:2000]
+
+
+# --- streamed sketch maintenance ----------------------------------------------
+
+
+def test_streamed_hll_equals_batch_sketch(spark, tmp_path):
+    """Incremental sketch maintenance under streaming ingest: three
+    arrival waves through hll_register_stream, then the snapshot's
+    register table AND estimate must equal the one-shot batch sketch
+    BIT-IDENTICALLY (MAX-merge idempotence). A verbatim foreachBatch
+    retry of the last batch (the at-least-once crash point) must change
+    nothing."""
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        hll_register_stream,
+        make_hll_batch_processor,
+        read_hll_snapshot,
+    )
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    src = str(tmp_path / "waves")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    delta = str(tmp_path / "hll_delta")
+    q = hll_register_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        key_col="text",
+        delta_dir=delta,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    snap = {
+        (r["bucket"], r["register"])
+        for r in read_hll_snapshot(spark, delta).collect()
+    }
+    batch = {
+        (r["bucket"], r["register"])
+        for r in SK.hll_registers(docs, F.col("text")).collect()
+    }
+    assert snap == batch and snap
+    est_stream = SK.hll_estimate(read_hll_snapshot(spark, delta)).collect()[0]
+    est_batch = SK.hll_distinct(docs, F.col("text")).collect()[0]
+    assert tuple(est_stream) == tuple(est_batch)
+
+    # retry the LAST wave verbatim: partition replaces itself, MAX fold
+    # is idempotent — snapshot unchanged.
+    make_hll_batch_processor("text", delta)(
+        docs.filter(F.col("doc_id") % 3 == 2), 2
+    )
+    assert {
+        (r["bucket"], r["register"])
+        for r in read_hll_snapshot(spark, delta).collect()
+    } == batch

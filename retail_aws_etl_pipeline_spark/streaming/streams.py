@@ -672,3 +672,65 @@ def read_hll_snapshot(spark: SparkSession, delta_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("register").cast("long").alias("register"))
     )
+
+
+def make_cms_batch_processor(key_col: str, delta_dir: str):
+    """The foreachBatch body of :func:`cms_cell_stream` (exposed for
+    verbatim-replay tests). Unlike the HLL's MAX fold, count-min merges
+    by SUM — which is NOT idempotent — so the per-batch partition under
+    dynamic overwrite is the load-bearing idempotence here: a retried
+    batch REPLACES its own cells instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import cms_cells
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        counted = (
+            batch_df.filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        cells = cms_cells(counted, key_col, "__n")
+        (
+            cells.withColumn("__batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(delta_dir)
+        )
+
+    return process
+
+
+def cms_cell_stream(
+    docs: DataFrame, key_col: str, delta_dir: str, checkpoint_dir: str
+):
+    """Incremental FREQUENCY-sketch maintenance under streaming ingest —
+    the count-min twin of :func:`hll_register_stream`: each micro-batch
+    counts its own keys and sketches them into <= d*w cells appended as
+    a ``__batch_id`` partition; the standing sketch is
+    :func:`read_cms_snapshot`'s per-cell SUM fold (the cms_merge
+    algebra), answerable at any moment without a corpus rescan. Sum is
+    not idempotent, so exactly-once STORAGE comes from the
+    batch-partitioned dynamic overwrite (a retry replaces itself) — the
+    stream==batch + verbatim-retry test pins both properties."""
+    return (
+        docs.writeStream.foreachBatch(make_cms_batch_processor(key_col, delta_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_snapshot(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """Current (row, col, cell) table from the delta partitions: one
+    per-cell SUM fold — exactly :func:`operators.sketch.cms_merge` over
+    every batch's sketch, so the snapshot IS sketch(all rows so far)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(delta_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )

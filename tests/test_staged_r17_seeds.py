@@ -273,3 +273,60 @@ def test_streamed_hll_equals_batch_sketch(spark, tmp_path):
         (r["bucket"], r["register"])
         for r in read_hll_snapshot(spark, delta).collect()
     } == batch
+
+
+def test_streamed_cms_equals_batch_sketch(spark, tmp_path):
+    """The count-min twin of the streamed-HLL pin: three arrival waves
+    through cms_cell_stream, snapshot == one-shot batch sketch
+    bit-identically. Sum-merge is NOT idempotent, so the verbatim
+    last-batch retry specifically proves the batch-partitioned dynamic
+    overwrite prevents double counting (the load-bearing half here)."""
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        cms_cell_stream,
+        make_cms_batch_processor,
+        read_cms_snapshot,
+    )
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
+    src = str(tmp_path / "waves")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    delta = str(tmp_path / "cms_delta")
+    q = cms_cell_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        key_col="text",
+        delta_dir=delta,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    counted = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("text")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    batch = {
+        (r["row"], r["col"]): r["cell"]
+        for r in SK.cms_cells(counted, "text", "__n").collect()
+    }
+    snap = {
+        (r["row"], r["col"]): r["cell"]
+        for r in read_cms_snapshot(spark, delta).collect()
+    }
+    assert snap == batch and snap
+
+    # verbatim retry of the LAST wave: without the batch-partitioned
+    # overwrite this would double-count (sum is not idempotent).
+    make_cms_batch_processor("text", delta)(
+        docs.filter(F.col("doc_id") % 3 == 2), 2
+    )
+    assert {
+        (r["row"], r["col"]): r["cell"]
+        for r in read_cms_snapshot(spark, delta).collect()
+    } == batch

@@ -284,9 +284,12 @@ def cms_estimates(cells: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
             )
         ).alias("g"),
     ).select(key_col, F.col("g.row").alias("row"), F.col("g.col").alias("col"))
+    # Broadcast the CELLS side: Spark cannot build a BroadcastHashJoin
+    # on the stream (left) side of a left-outer join, so hinting the
+    # probes would be silently ignored.  The cells table is bounded at
+    # d*w rows by construction, always broadcastable.
     return (
-        F.broadcast(probes)
-        .join(cells, ["row", "col"], "left")
+        probes.join(F.broadcast(cells), ["row", "col"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).cast("long").alias("est_n"))
     )

@@ -56,10 +56,12 @@ MAX_STALENESS_ROUNDS = 3
 #: Queries deliberately outside the driver proof surface, with the reason.
 #: They stay registered (local oracle coverage continues) but are never
 #: auto-promoted into the window and are exempt from the staleness SLO.
-RETIRED = {
-    "approx_sketch_stats": "oracle-less HLL/GK demo; tolerance-gated "
-    "locally against its driver-green exact twin sketch_accuracy_stats",
-}
+#: EMPTY since r15: approx_sketch_stats — the one entry ever retired
+#: (oracle-less HLL/GK demo over Spark's engine-private HLL++) — left the
+#: registry outright when hll_distinct_report put the sketch surface
+#: under the hash gate; its tolerance battery now pins the UNREGISTERED
+#: spec (tests/test_extensions.py).
+RETIRED: dict[str, str] = {}
 
 #: Removed from the registry outright, by round, under the weakest-variant
 #: rule (COVERAGE.md §rotation): the registry sits at its
@@ -286,6 +288,56 @@ _UNREGISTER = {
         "doc_repetition_ratio",
         "boilerplate_ngram_ratio",
     ),
+    # r15 (the ROADMAP r15 schedule, executed as drafted: 6 registrations
+    # = 6 1:1 swaps, every victim drawn from the 50-entry r12-cohort
+    # due-list; twin equivalences pinned in
+    # tests/test_r15_twin_equivalence.py BEFORE the round opened), PLUS
+    # the drafted deletion of the one RETIRED entry:
+    #  - char_bigram_fluency -> doc_perplexity_report; the perplexity
+    #    model's count layer IS the registered KN table (ngram_lm_report's
+    #    kernel — pinned row-for-row), and on a constructed fluency corpus
+    #    the flagged docs land in the perplexity tail bucket, so the
+    #    fluency-filter signal survives with smoothing + conditioning
+    #    gained.
+    #  - similarity_spectrum -> minhash_estimate_error; the spectrum is
+    #    the decile rollup of the exact-Jaccard pair surface whose kernel
+    #    stays registered (ngram_jaccard_pairs verify + lsh_dedup_recall
+    #    candidates); pinned: the spectrum recomputes from the shared
+    #    jaccard_counts kernel.
+    #  - lang_rebalanced_sample -> temperature_mixture_report; the new
+    #    query DERIVES the per-language mixing config the samplers
+    #    consume; pinned: on a uniform corpus the temperature quota is the
+    #    rebalanced sampler's no-op point (rate exactly 1e6 per group);
+    #    hash-gate selection semantics stay via corpus_mixture_sample.
+    #  - token_chunk_dedup_corpus -> bloom_prefilter_stats;
+    #    exact-duplicate membership transfers (pinned: a planted mirror is
+    #    caught by BOTH the chunk dedup and the Bloom census, whose
+    #    no-false-negative invariant passes it to the exact join); the
+    #    chunk-level surface stays via the registered cdc_chunk_dedup.
+    #  - order_value_histogram -> join_key_skew_report; the histogram is a
+    #    one-groupBy width_bucket recount of the orders scan (pinned: the
+    #    rollup precedent); the percentile/bucket surface keeps
+    #    customer_spend_deciles + sketch_accuracy_stats registered.
+    #  - event_trigram_paths -> hll_distinct_report; the trigram query is
+    #    the top-20 recount of the registered per-user lead() projection
+    #    (pinned); sequence mining stays via user_sessions /
+    #    conversion_funnel / event_pairs_within_window.
+    #  - approx_sketch_stats (RETIRED since r5, exempt from due-lists)
+    #    leaves the registry OUTRIGHT with hll_distinct_report's entry:
+    #    the deterministic HLL puts the sketch surface under the hash gate
+    #    (pinned: its error sits inside the same 3*1.04/sqrt(m) band the
+    #    tolerance gate allowed HLL++), the percentile half stays via
+    #    sketch_accuracy_stats, and the HLL++/GK tolerance battery keeps
+    #    pinning the UNREGISTERED spec. RETIRED is now empty.
+    15: (
+        "char_bigram_fluency",
+        "similarity_spectrum",
+        "lang_rebalanced_sample",
+        "token_chunk_dedup_corpus",
+        "order_value_histogram",
+        "event_trigram_paths",
+        "approx_sketch_stats",
+    ),
 }
 
 
@@ -315,8 +367,10 @@ def newest_driver_rows(root: str | None = None) -> dict[str, int]:
 
 
 #: Specs removed by _UNREGISTER, kept addressable for LOCAL pins only
-#: (adversarial batteries that lock a fixed bug class to the original
-#: oracle string): never in all_specs(), never driver-checked.
+#: (adversarial batteries that lock a fixed bug class to the spec's
+#: current oracle string as it stood at unregistration — including any
+#: later-than-original robustness fixes, e.g. event_props_stats' r14
+#: json_valid guard nesting): never in all_specs(), never driver-checked.
 UNREGISTERED: dict[str, QuerySpec] = {}
 
 

@@ -8456,16 +8456,16 @@ def unigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED r15 tranche (ROADMAP "r15 schedule", drafted r13): the first
-# staged-from-scratch tranche after the pre-pinned queue empties at r14.
-# Registration happens at the r15 rotation; until then these carry the
-# full local proof battery (tests/test_staged_r15.py) like every staged
-# predecessor.
+# r15 tranche (ROADMAP "r15 schedule", drafted r13, REGISTERED r15): the
+# first staged-from-scratch tranche after the pre-pinned queue emptied at
+# r14. Each registration swaps against its drafted r12-cohort victim via
+# _UNREGISTER[15] (plans/__init__.py); twin pins in
+# tests/test_r15_twin_equivalence.py predate the round.
 # ---------------------------------------------------------------------------
 
 
 def _kn_doc_perplexity_oracle() -> str:
-    """Oracle for :func:`doc_perplexity_report` (STAGED r15): the full KN
+    """Oracle for :func:`doc_perplexity_report`: the full KN
     table (no top-N cut) re-derived in DuckDB, then every document's
     adjacent pairs look up p_kn_ppm and fold the EXACT integer
     floor(log2(p^2)) CASE ladder (shared generator with the Spark plan —
@@ -8541,8 +8541,17 @@ def _kn_doc_perplexity_oracle() -> str:
 KN_DOC_PERPLEXITY_ORACLE = _kn_doc_perplexity_oracle()
 
 
+@register_extra(
+    "doc_perplexity_report",
+    KN_DOC_PERPLEXITY_ORACLE,
+    description="CCNet perplexity filter: KN bigram LM scores every "
+    "document via the exact integer floor(log2(p^2)) ladder, tercile "
+    "buckets by _distributed_ntile — model build is one corpus "
+    "exchange, scoring a vocab-scale join, all under the hash gate.",
+    tags=("llm", "quality", "curation"),
+)
 def doc_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: the CCNet perplexity filter proper (Wenzek et al.
+    """The CCNet perplexity filter proper (Wenzek et al.
     2020) — train an n-gram LM, score every document, bucket by
     perplexity tercile (CCNet's head/middle/tail; training recipes keep
     head+middle or reweight by bucket). The model is the registered KN
@@ -8575,7 +8584,7 @@ def doc_perplexity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retaining(out, *retained_caches(scores), *retained_caches(nt))
 
 
-#: Oracle for :func:`minhash_estimate_error` (STAGED r15). Shares the
+#: Oracle for :func:`minhash_estimate_error`. Shares the
 #: GRAMS/SIGS CTEs with the registered lsh_dedup_recall oracle family.
 MINHASH_ESTIMATE_ORACLE = f"""
     WITH {GRAMS_CTE}, {SIGS_CTE},
@@ -8615,8 +8624,17 @@ MINHASH_ESTIMATE_ORACLE = f"""
 """
 
 
+@register_extra(
+    "minhash_estimate_error",
+    MINHASH_ESTIMATE_ORACLE,
+    description="MinHash precision audit: every banded candidate pair "
+    "scored by the k-slot signature estimate AND exact Jaccard with "
+    "abs error in ppm — one gram exchange feeds both legs, exact leg "
+    "is the candidate-restricted posting-list join.",
+    tags=("llm", "dedup", "similarity"),
+)
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: the PRECISION side of the LSH audit family
+    """The PRECISION side of the LSH audit family
     (lsh_dedup_recall covers recall): every banded candidate pair scored
     by the k-slot signature ESTIMATE and the exact Jaccard side by side,
     with the absolute error — the measurement that decides whether a
@@ -8635,7 +8653,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _temperature_oracle() -> str:
-    """Oracle for :func:`temperature_mixture_report` (STAGED r15).
+    """Oracle for :func:`temperature_mixture_report`.
     floor(sqrt(n)) is exact on both engines: counts < 2^52 are exactly
     representable and IEEE-754 sqrt is correctly rounded — the reason
     TEMP_TAU is fixed at 2 instead of a libm pow exponent."""
@@ -8663,8 +8681,17 @@ def _temperature_oracle() -> str:
 TEMPERATURE_MIXTURE_ORACLE = _temperature_oracle()
 
 
+@register_extra(
+    "temperature_mixture_report",
+    TEMPERATURE_MIXTURE_ORACLE,
+    description="Temperature-sampling mixture config (tau=2, integer-"
+    "exact sqrt weights): per-language natural vs temperature share, "
+    "same-N quota and sampling rate — one groupBy(lang) plus a "
+    "single-row broadcast.",
+    tags=("llm", "sampling", "mixture"),
+)
 def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: temperature-sampling mixture derivation (mT5 / XLM-R:
+    """Temperature-sampling mixture derivation (mT5 / XLM-R:
     w_l proportional to n_l^(1/tau), tau=2) — DERIVES the per-language
     mixing config the consuming samplers (corpus_mixture_sample,
     lang_rebalanced_sample) take as input: sqrt weight, natural vs
@@ -8681,7 +8708,7 @@ def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_oracle() -> str:
-    """Oracle for :func:`bloom_prefilter_stats` (STAGED r15): the same
+    """Oracle for :func:`bloom_prefilter_stats`: the same
     md5-derived positions, 32-bit-word bit_or filter build, probe-side
     all-k membership test, and exact-integer saturation-model FPR,
     re-derived relationally in DuckDB."""
@@ -8756,8 +8783,17 @@ def _bloom_oracle() -> str:
 BLOOM_PREFILTER_ORACLE = _bloom_oracle()
 
 
+@register_extra(
+    "bloom_prefilter_stats",
+    BLOOM_PREFILTER_ORACLE,
+    description="Bloom membership prefilter census: 32x32-bit-word "
+    "bit_or filter build (<=32 rows exchanged, broadcast to probes), "
+    "k=4 md5 probes, measured + saturation-model FPR and the "
+    "no-false-negative invariant under the hash gate.",
+    tags=("llm", "dedup", "sketch"),
+)
 def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: Bloom membership prefilter census — the sub-linear
+    """Bloom membership prefilter census — the sub-linear
     "seen before?" gate an incremental exact-dedup cadence runs BEFORE
     its anti-join against the standing corpus. Standing half = even
     doc_ids, ingest half = odd (the term_drift parity convention); the
@@ -8780,7 +8816,7 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _key_skew_oracle() -> str:
-    """Oracle for :func:`join_key_skew_report` (STAGED r15): per key
+    """Oracle for :func:`join_key_skew_report`: per key
     family, the same NULL-excluded per-key counts, single-buffer argmax
     (ties to smallest key) and floor skew arithmetic, UNION ALL'd."""
     blocks = []
@@ -8803,8 +8839,17 @@ def _key_skew_oracle() -> str:
 KEY_SKEW_ORACLE = _key_skew_oracle()
 
 
+@register_extra(
+    "join_key_skew_report",
+    KEY_SKEW_ORACLE,
+    description="Shuffle-planning skew census per fact join-key family: "
+    "rows, distinct keys, deterministic hottest-key argmax, max/avg "
+    "fan-out and skew ppm — one partial-aggregated count per family, "
+    "single-row rollups.",
+    tags=("plan", "skew", "diagnostics"),
+)
 def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: the shuffle-planning skew diagnostic — per join-key
+    """The shuffle-planning skew diagnostic — per join-key
     family of the fact table (orderkey / partkey / suppkey), total rows,
     distinct keys, the hottest key (deterministic single-buffer argmax,
     ties to smallest key), max and floor-average per-key fan-out, and
@@ -8925,8 +8970,17 @@ HLL_DISTINCT_ORACLE = " UNION ALL ".join(
 ) + " ORDER BY metric"
 
 
+@register_extra(
+    "hll_distinct_report",
+    HLL_DISTINCT_ORACLE,
+    description="Deterministic integer-exact HyperLogLog vs exact "
+    "distinct on three cardinality targets: estimate, err_ppm and "
+    "register diagnostics all hash-gated — the sketch build exchanges "
+    "<=256 rows per partition.",
+    tags=("llm", "sketch", "cardinality"),
+)
 def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r15: deterministic HyperLogLog distinct estimation — the
+    """Deterministic HyperLogLog distinct estimation — the
     sketch family RE-ENTERS the driver proof regime. approx_sketch_stats
     is RETIRED because Spark's HLL++ register layout is engine-private
     (no ANSI oracle can recompute it); this operator builds HLL from
@@ -9705,12 +9759,12 @@ def countmin_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), F.asc("tok"))
     )
-    from retail_aws_etl_pipeline_spark.operators.caching import (
-        retained_caches,
-        retaining,
-    )
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
 
-    return retaining(out, *retained_caches(vocab))
+    # vocab was persisted HERE (not tagged by an upstream operator), so
+    # tag the frame itself — retained_caches(vocab) is always [] and
+    # would leak the persisted blocks past release_caches(out).
+    return retaining(out, vocab)
 
 
 #: Quantile percents the hash-sample audit reads (percentile_disc

@@ -45,16 +45,16 @@ def _staged_pairs():
     at-scale proof exists before registration."""
     from retail_aws_etl_pipeline_spark.plans import extensions as E
 
+    # The r15 tranche (doc_perplexity_report, minhash_estimate_error,
+    # temperature_mixture_report, bloom_prefilter_stats,
+    # join_key_skew_report, hll_distinct_report) registered at r15 and
+    # moved to the registry sweep above. Classification: ALL SIX are
+    # corpus-generic — no fit-time literals in any oracle (the KN table,
+    # Bloom words, HLL registers and skew counts are re-derived from the
+    # swept corpus in SQL; HLL_LC_TABLE is a function of m alone, not of
+    # any corpus) — so none joins SF001_PINNED and none needs a refit
+    # script.
     return [
-        ("doc_perplexity_report", E.doc_perplexity_report, E.KN_DOC_PERPLEXITY_ORACLE),
-        ("minhash_estimate_error", E.minhash_estimate_error, E.MINHASH_ESTIMATE_ORACLE),
-        (
-            "temperature_mixture_report",
-            E.temperature_mixture_report,
-            E.TEMPERATURE_MIXTURE_ORACLE,
-        ),
-        ("bloom_prefilter_stats", E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
-        ("join_key_skew_report", E.join_key_skew_report, E.KEY_SKEW_ORACLE),
         # staged r16 tranche (drafted r14)
         ("badwords_filter_report", E.badwords_filter_report, E.BADWORDS_FILTER_ORACLE),
         ("ngram_diversity_report", E.ngram_diversity_report, E.NGRAM_DIVERSITY_ORACLE),

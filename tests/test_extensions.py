@@ -29,10 +29,18 @@ GK_ACCURACY = 10000  # Spark default for approx_percentile
 
 
 def test_approx_sketch_within_tolerance(spark):
+    # approx_sketch_stats left the registry outright at r15 (the
+    # deterministic hll_distinct_report put the sketch surface under the
+    # hash gate); the HLL++/GK tolerance gate keeps pinning the
+    # UNREGISTERED spec so the engine-private kernels stay accuracy-proven.
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
+
     specs = all_specs()
     approx = {
         r["l_returnflag"]: r
-        for r in specs["approx_sketch_stats"].spark_fn(spark, SF_ORACLE).collect()
+        for r in UNREGISTERED["approx_sketch_stats"]
+        .spark_fn(spark, SF_ORACLE)
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r
@@ -83,17 +91,28 @@ def test_approx_sketch_within_tolerance(spark):
 def test_sketch_window_membership():
     """The exact twin stays driver-checkable (oracle'd — window membership
     itself rotates under the COVERAGE.md §rotation SLO, enforced by
-    test_window_slo.py); the approx sketch stays retired (oracle-less,
-    local tolerance gate only, never in the window)."""
-    from retail_aws_etl_pipeline_spark.plans import EXTRA_REGISTRY, REGISTRY
+    test_window_slo.py); since r15 the approx sketch is UNREGISTERED
+    outright (hll_distinct_report carries the hash-gated sketch surface;
+    the local tolerance gate above keeps the HLL++/GK kernels proven) and
+    the RETIRED table is empty — every registered entry is oracle'd."""
+    from retail_aws_etl_pipeline_spark.plans import (
+        EXTRA_REGISTRY,
+        REGISTRY,
+        RETIRED,
+        UNREGISTERED,
+    )
     from retail_aws_etl_pipeline_spark.plans.queries import all_specs
 
     assert all_specs()["sketch_accuracy_stats"].oracle is not None
-    assert "approx_sketch_stats" in EXTRA_REGISTRY
-    assert EXTRA_REGISTRY["approx_sketch_stats"].oracle is None
-    # the whole driver window must be hash-checkable (VERDICT r5 #1)
-    oracle_less = [n for n, s in REGISTRY.items() if s.oracle is None]
-    assert oracle_less == [], f"driver window has unprovable entries: {oracle_less}"
+    assert all_specs()["hll_distinct_report"].oracle is not None
+    assert "approx_sketch_stats" not in REGISTRY
+    assert "approx_sketch_stats" not in EXTRA_REGISTRY
+    assert "approx_sketch_stats" in UNREGISTERED
+    assert RETIRED == {}
+    # the whole driver window must be hash-checkable (VERDICT r5 #1) —
+    # and with RETIRED empty, so must the ENTIRE registry.
+    oracle_less = [n for n, s in all_specs().items() if s.oracle is None]
+    assert oracle_less == [], f"registry has unprovable entries: {oracle_less}"
 
 
 def test_chunk_dedup_handcrafted(spark):

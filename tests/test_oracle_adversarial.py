@@ -127,6 +127,22 @@ _REGISTERED = [
     # excluded by construction; its at-scale proof is the refit-oracle
     # hash run (scripts/unigram_refit_proof.py).
     "quality_classifier_report",
+    # r15 documents-side registrations (corpus-generic oracles — the
+    # staged battery ran these same four pairs here since r14):
+    # empty/whitespace docs exercise the perplexity kernel's no-pair
+    # drop and the Bloom/minhash gram paths, NULL lang the temperature
+    # report's mixing exclusion, the 2,500-distinct-token doc the
+    # correlated-series oracles. char_bigram_fluency /
+    # similarity_spectrum / lang_rebalanced_sample /
+    # token_chunk_dedup_corpus left at the r15 rotation; their surfaces
+    # face this corpus through these successors plus cdc_chunk_dedup
+    # and corpus_mixture_sample. hll_distinct_report is registered but
+    # reads three tables (documents+lineitem+events), so it gets its own
+    # tri-table hostile battery below instead of this documents-only one.
+    "doc_perplexity_report",
+    "minhash_estimate_error",
+    "temperature_mixture_report",
+    "bloom_prefilter_stats",
 ]
 
 
@@ -136,24 +152,6 @@ def test_registered_pair_survives_adversarial_corpus(spark, adversarial_dir, nam
     assert spec.oracle is not None
     r = compare(spec.spark_fn(spark, adversarial_dir), spec.oracle, adversarial_dir)
     assert r["ok"], (name, r)
-
-
-def test_staged_r15_pairs_survive_adversarial_corpus(spark, adversarial_dir):
-    """The staged r15 documents-side pairs through the hostile corpus
-    BEFORE registration: empty/whitespace docs exercise the perplexity
-    kernel's no-pair drop and the Bloom/minhash gram paths, NULL lang
-    exercises the temperature report's mixing exclusion, and the
-    2,500-distinct-token doc locks the correlated-series oracles."""
-    from retail_aws_etl_pipeline_spark.plans import extensions as E
-
-    for fn, oracle in [
-        (E.doc_perplexity_report, E.KN_DOC_PERPLEXITY_ORACLE),
-        (E.minhash_estimate_error, E.MINHASH_ESTIMATE_ORACLE),
-        (E.temperature_mixture_report, E.TEMPERATURE_MIXTURE_ORACLE),
-        (E.bloom_prefilter_stats, E.BLOOM_PREFILTER_ORACLE),
-    ]:
-        r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
-        assert r["ok"], (fn.__name__, r)
 
 
 def test_staged_r16_pairs_survive_adversarial_corpus(spark, adversarial_dir):
@@ -259,7 +257,11 @@ _EVENT_PAIRS = [
     "event_value_mad_outliers",
     "hopping_event_rollup",
     "event_pairs_within_window",
-    "event_trigram_paths",
+    # event_trigram_paths left the registry at the r15 rotation
+    # (hll_distinct_report took its slot); its lead()-projection surface
+    # faces this corpus through user_sessions / conversion_funnel /
+    # event_pairs_within_window, and the UNREGISTERED pin below keeps
+    # the tiebreak-determinism class locked to its oracle string.
     "weekly_retention_cohorts",
     "user_rolling_hour",
     "conversion_funnel",
@@ -284,7 +286,10 @@ def test_event_props_stats_survives_adversarial_corpus(
     """event_props_stats left the registry at r14 (from_xml sitemap swap)
     but its integral-guard finding (DuckDB TRY_CAST rounds '1.5', Spark
     try_casts to NULL — r12 adversarial corpus) stays locked against the
-    ORIGINAL oracle string via the UNREGISTERED spec store."""
+    spec's CURRENT oracle string via the UNREGISTERED spec store.  That
+    string carries the r14 json_valid guard-nesting fix (nested CASE
+    replacing the non-short-circuit AND), so it is not the verbatim
+    pre-r14 text — the pinned bug class is the same."""
     from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
 
     spec = UNREGISTERED["event_props_stats"]
@@ -441,10 +446,12 @@ _RETAIL_PAIRS = [
     "daily_revenue",
     "top_items",
     "pricing_summary",
-    # median_order_by_priority left the registry at the r13 rotation;
-    # order_value_histogram keeps the orders-side bucket/percentile
-    # surface in front of the hostile numerics.
-    "order_value_histogram",
+    # median_order_by_priority left at r13 and its replacement bucket
+    # carrier order_value_histogram left at r15 (join_key_skew_report
+    # took the slot); the orders-side bucket surface stays in front of
+    # the hostile numerics via the UNREGISTERED pin below, and the
+    # registered skew census faces the NULL-key lineitem here.
+    "join_key_skew_report",
     "decimal_money_totals",
 ]
 
@@ -461,17 +468,201 @@ def test_retail_pair_survives_adversarial_corpus(spark, adversarial_retail_dir, 
     assert r["ok"], (name, r)
 
 
-def test_staged_r15_skew_report_survives_adversarial_retail(
+def test_order_value_histogram_survives_adversarial_retail(
     spark, adversarial_retail_dir
 ):
-    """The staged join_key_skew_report through the hostile lineitem —
-    the NULL-key rows exercise the NULL-exclusion both engines must
-    agree on (a NULL key never routes to a join)."""
-    from retail_aws_etl_pipeline_spark.plans import extensions as E
+    """order_value_histogram left the registry at the r15 rotation but
+    the orders-side bucket/percentile surface stays locked against the
+    hostile numerics (negative prices below the bucket range, exact
+    ties, NULL dates) via the UNREGISTERED spec store."""
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
 
+    spec = UNREGISTERED["order_value_histogram"]
+    assert spec.oracle is not None
     r = compare(
-        E.join_key_skew_report(spark, adversarial_retail_dir),
-        E.KEY_SKEW_ORACLE,
+        spec.spark_fn(spark, adversarial_retail_dir),
+        spec.oracle,
         adversarial_retail_dir,
     )
     assert r["ok"], r
+
+
+def test_event_trigram_paths_survives_adversarial_events(
+    spark, adversarial_events_dir
+):
+    """event_trigram_paths left the registry at the r15 rotation but its
+    (ts, event_id) tiebreak-determinism class (exact user/ts ties in
+    this corpus) stays locked via the UNREGISTERED spec store."""
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
+
+    spec = UNREGISTERED["event_trigram_paths"]
+    assert spec.oracle is not None
+    r = compare(
+        spec.spark_fn(spark, adversarial_events_dir),
+        spec.oracle,
+        adversarial_events_dir,
+    )
+    assert r["ok"], r
+
+
+def test_bloom_census_at_the_bit_word_boundary(spark, tmp_path):
+    """VERDICT r14 item #8: an adversarial word set AT the 32-bit word
+    boundary. Tokens are searched deterministically (same md5 position
+    formula as the kernel) so that every standing document plants at
+    least one probe position with pos % 32 in {0, 31} — the first/last
+    bit of a filter word, where a wrong shift direction, an off-by-one
+    in the word index split, or sign trouble in `1 << 31` on an INT
+    word would flip membership. The census must still hash-match the
+    oracle and hold the no-false-negative invariant."""
+    import hashlib
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        BLOOM_WORD_BITS,
+    )
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    def positions(text: str) -> list[int]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return [
+            int(h[8 * i : 8 * i + 8], 16) % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    # Deterministic search: texts whose probe set touches a word edge.
+    edge_texts = []
+    i = 0
+    while len(edge_texts) < 12:
+        t = f"edge candidate {i}"
+        if any(p % BLOOM_WORD_BITS in (0, BLOOM_WORD_BITS - 1) for p in positions(t)):
+            edge_texts.append(t)
+        i += 1
+
+    rows = []
+    # Even ids = standing half; make every edge text a planted dup by
+    # mirroring it at an odd id (doc_id parity is the split convention).
+    for j, t in enumerate(edge_texts):
+        rows.append((2 * j, t, "en", "edge", len(t)))
+        rows.append((2 * j + 1, t, "en", "edge", len(t)))
+    # Fresh odd-id probes that must NOT be missed dups; some share a
+    # word index with the planted edges (same pos // 32) to stress the
+    # word-level bit_or merge.
+    for k in range(8):
+        rows.append((2 * len(edge_texts) + 2 * k + 1,
+                     f"fresh probe {k}", "en", "edge", 10))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "length": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    r = compare(E.bloom_prefilter_stats(spark, out), E.BLOOM_PREFILTER_ORACLE, out)
+    assert r["ok"], r
+    row = E.bloom_prefilter_stats(spark, out).collect()[0]
+    assert row["n_true_dups"] == len(edge_texts)
+    assert row["n_missed_dups"] == 0  # structural: Bloom has no false negatives
+
+
+def test_key_skew_census_under_pathological_single_key(spark, tmp_path):
+    """VERDICT r14 item #8: pathological single-key skew — one orderkey
+    owns ~90% of the fact rows (the shape that melts an unsalted
+    shuffle). The census must agree with the oracle AND surface the hot
+    key with the right ppm ratio; ties between equally-hot keys resolve
+    to the smallest key on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    rows = []
+    for i in range(180):
+        rows.append((7, i % 5, i % 3))  # the hot orderkey
+    for i in range(20):
+        rows.append((100 + i, 50 + i, 30 + i))
+    # two more suppkey groups well below the max, so the max-count tie
+    # is the three-way 60/60/60 among suppkeys 0/1/2 from the hot block
+    rows += [(9999, 9999, 1000)] * 10 + [(9998, 9998, 1001)] * 10
+
+    out = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    r = compare(E.join_key_skew_report(spark, out), E.KEY_SKEW_ORACLE, out)
+    assert r["ok"], r
+    got = {x["key_family"]: x for x in E.join_key_skew_report(spark, out).collect()}
+    assert got["l_orderkey"]["top_key"] == 7
+    assert got["l_orderkey"]["max_per_key"] == 180
+    # skew ppm = max / floor-avg in ppm: 220 rows over 23 keys gives
+    # floor-avg 9, so the hot family reads exactly 180/9 = 20x
+    assert got["l_orderkey"]["skew_ppm"] == 20 * 1_000_000
+    # deterministic argmax: suppkeys 0/1/2 tie at 60 rows each and the
+    # single-buffer argmax must resolve to the SMALLEST key on both engines
+    assert got["l_suppkey"]["max_per_key"] == 60
+    assert got["l_suppkey"]["top_key"] == 0
+
+
+def test_hll_distinct_report_survives_hostile_tri_table(spark, tmp_path):
+    """hll_distinct_report registered at r15 reads three tables, so the
+    documents-only battery can't carry it; this tri-table corpus packs
+    its hostile cases: NULL keys in every target column (excluded from
+    rows AND registers on both engines), duplicate-heavy text (exact
+    distinct far below rows), a single-user events table (distinct = 1,
+    the near-empty-register regime where the linear-counting branch and
+    its integer table are live), and unicode/quote keys through the
+    md5(CAST ... AS VARCHAR) leg."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    out = str(tmp_path)
+    texts = (["same doc body"] * 40) + [None] * 5 + [
+        "naïve 日本語 'quoted' \\slash", "second", "third",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    partkeys = [None if i % 7 == 0 else i % 13 for i in range(90)]
+    pq.write_table(
+        pa.table({"l_partkey": pa.array(partkeys, pa.int64())}),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    users = [None if i % 11 == 0 else 42 for i in range(50)]
+    pq.write_table(
+        pa.table({"user_id": pa.array(users, pa.int64())}),
+        os.path.join(out, "events.parquet"),
+    )
+
+    r = compare(E.hll_distinct_report(spark, out), E.HLL_DISTINCT_ORACLE, out)
+    assert r["ok"], r
+    got = {x["metric"]: x for x in E.hll_distinct_report(spark, out).collect()}
+    # NULL exclusion: n_rows counts only non-NULL keys on both engines
+    assert got["documents.text"]["n_rows"] == 43
+    assert got["events.user_id"]["exact_distinct"] == 1
+    # single-key regime: linear counting must land exactly
+    assert got["events.user_id"]["hll_estimate"] == 1

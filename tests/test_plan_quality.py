@@ -335,7 +335,11 @@ def test_char_bigram_fluency_plan(spark):
     """The bigram 'model' joins back by BROADCAST (vocab is charset²-
     bounded), ranking is TakeOrderedAndProject, scan pruned to
     doc_id + text."""
-    df = REGISTRY["char_bigram_fluency"].spark_fn(spark, SF_SMOKE)
+    # unregistered at r15 (doc_perplexity_report is the registered
+    # smoothed successor); the implementation + this plan gate stay.
+    from retail_aws_etl_pipeline_spark.plans.extensions import char_bigram_fluency
+
+    df = char_bigram_fluency(spark, SF_SMOKE)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan
@@ -403,7 +407,14 @@ def test_lang_rebalanced_sample_zero_shuffle(spark):
     """The hash-gate sample is a pure scan-side projection: no Exchange of
     any kind before the final presentation sort, no joins, no windows —
     the property that makes it streaming/backfill-safe at any scale."""
-    df = REGISTRY["lang_rebalanced_sample"].spark_fn(spark, SF_SMOKE)
+    # unregistered at r15 (temperature_mixture_report derives the config
+    # this sampler consumes; corpus_mixture_sample keeps the hash-gate
+    # selection registered); the implementation + this plan gate stay.
+    from retail_aws_etl_pipeline_spark.plans.extensions import (
+        lang_rebalanced_sample,
+    )
+
+    df = lang_rebalanced_sample(spark, SF_SMOKE)
     # Strip the orderBy: presentation-only (the driver compare is
     # order-insensitive); the operator itself is the filter projection.
     core = df._jdf.queryExecution().executedPlan().toString()

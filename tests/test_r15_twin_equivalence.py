@@ -86,7 +86,10 @@ def test_spectrum_is_the_rollup_of_the_shared_jaccard_kernel(spark):
     the same grams — the generating kernel stays registered through the
     dedup verify family, so unregistering the rollup loses no proof
     surface."""
-    spec = all_specs()["similarity_spectrum"]
+    # unregistered at r15 (minhash_estimate_error is the registered
+    # precision successor); the implementation stays, called directly.
+    from retail_aws_etl_pipeline_spark.plans.extensions import similarity_spectrum
+
     docs = load_tables(spark, SF_SMOKE, ["documents"])["documents"]
     grams = D.shingles(docs).persist()
     try:
@@ -104,7 +107,7 @@ def test_spectrum_is_the_rollup_of_the_shared_jaccard_kernel(spark):
         }
         got = {
             (r["jaccard_decile"], r["n_pairs"])
-            for r in spec.spark_fn(spark, SF_SMOKE).collect()
+            for r in similarity_spectrum(spark, SF_SMOKE).collect()
         }
         assert got == rolled and got
     finally:
@@ -149,7 +152,10 @@ def test_order_value_histogram_is_a_width_bucket_recount(spark):
     the orders scan — the swapped-out query is a rollup whose inputs and
     bucket expression stay registered (customer_spend_deciles /
     sketch_accuracy_stats keep the percentile surface)."""
-    spec = all_specs()["order_value_histogram"]
+    # unregistered at r15 (join_key_skew_report takes the slot); the
+    # implementation stays, called directly.
+    from retail_aws_etl_pipeline_spark.plans.analytics import order_value_histogram
+
     orders = load_tables(spark, SF_SMOKE, ["orders"])["orders"]
     recount = (
         orders.select(
@@ -165,7 +171,7 @@ def test_order_value_histogram_is_a_width_bucket_recount(spark):
             F.max("o_totalprice").alias("max_price"),
         )
     )
-    got = {tuple(r) for r in spec.spark_fn(spark, SF_SMOKE).collect()}
+    got = {tuple(r) for r in order_value_histogram(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in recount.collect()}
     assert got == want and got
 
@@ -208,7 +214,10 @@ def test_trigram_paths_is_a_lead_projection_recount(spark):
     from retail_aws_etl_pipeline_spark.plans import all_specs
     from retail_aws_etl_pipeline_spark.session import load_tables
 
-    spec = all_specs()["event_trigram_paths"]
+    # unregistered at r15 (hll_distinct_report takes the slot); the
+    # implementation stays, called directly.
+    from retail_aws_etl_pipeline_spark.plans.analytics import event_trigram_paths
+
     ev = load_tables(spark, SF_SMOKE, ["events"])["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     tri = (
@@ -227,6 +236,6 @@ def test_trigram_paths_is_a_lead_projection_recount(spark):
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(20)
     )
-    got = {tuple(r) for r in spec.spark_fn(spark, SF_SMOKE).collect()}
+    got = {tuple(r) for r in event_trigram_paths(spark, SF_SMOKE).collect()}
     want = {tuple(r) for r in tri.collect()}
     assert got == want and got

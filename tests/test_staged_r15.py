@@ -1,9 +1,10 @@
-"""Proof battery for the STAGED r15 tranche (ROADMAP "r15 schedule"):
-doc_perplexity_report, minhash_estimate_error, temperature_mixture_report,
-bloom_prefilter_stats, join_key_skew_report. Same discipline as every
-staged predecessor: DuckDB oracle compares at two gate scales, handcrafted
-semantics tests per operator, pure-Python mirrors for the novel kernels,
-and plan gates."""
+"""Proof battery for the r15 tranche (ROADMAP "r15 schedule", staged r13,
+REGISTERED r15): doc_perplexity_report, minhash_estimate_error,
+temperature_mixture_report, bloom_prefilter_stats, join_key_skew_report.
+Same discipline as every staged predecessor: DuckDB oracle compares at two
+gate scales, handcrafted semantics tests per operator, pure-Python mirrors
+for the novel kernels, and plan gates. Kept after registration — these are
+the operators' standing local batteries."""
 
 from __future__ import annotations
 

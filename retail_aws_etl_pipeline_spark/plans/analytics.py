@@ -2101,6 +2101,49 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
     assumption ADVICE r7 flagged on sorted_neighborhood_candidates).
     Once materialized, ``__pid`` is a STORED column, so the global rank
     no longer depends on any later partitioning at all."""
+    ranked = _distributed_rank(df, sort_cols, partitions=partitions)
+    k = n_buckets
+    bucket = F.expr(
+        f"""
+        CASE WHEN __rn <= (__n % {k}) * (__n div {k} + 1)
+             THEN (__rn + (__n div {k})) div (__n div {k} + 1)
+             ELSE (__n % {k})
+                  + (__rn - (__n % {k}) * (__n div {k} + 1) + (__n div {k}) - 1)
+                    div (__n div {k})
+        END
+        """
+    ).cast("long")
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+
+    return retaining(
+        ranked.withColumn(out_col, bucket).drop(
+            "__pid", "__lrn", "__offset", "__n", "__rn"
+        ),
+        *retained_caches(ranked),
+    )
+
+
+def _distributed_rank(
+    df: DataFrame,
+    sort_cols: list,
+    out_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER without a global window — the rank core of
+    :func:`_distributed_ntile`, factored (r15) so rank-consuming queries
+    (the Zipf census, vocab coverage) share the same audited plan shape:
+    range repartition on the sort key, per-partition row_number windowed
+    by spark_partition_id, broadcast triangular prefix-sum offsets. With
+    ``out_col=None`` (the ntile-internal form) the working columns
+    ``__pid __lrn __offset __rn __n`` are kept for the bucket formula;
+    with a name, the rank lands in ``out_col`` (1-based, long) and the
+    working columns are dropped. ``sort_cols`` must end in a unique
+    tiebreaker. The ranged frame is persisted (both branches consume it;
+    RangePartitioner samples at execution time) and tagged via
+    ``retaining`` for caller-owned release."""
     if partitions is None:
         partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -2126,25 +2169,13 @@ def _distributed_ntile(df: DataFrame, sort_cols: list, n_buckets: int, out_col: 
         .crossJoin(F.broadcast(total))
         .withColumn("__rn", (F.col("__offset") + F.col("__lrn")).cast("long"))
     )
-    k = n_buckets
-    bucket = F.expr(
-        f"""
-        CASE WHEN __rn <= (__n % {k}) * (__n div {k} + 1)
-             THEN (__rn + (__n div {k})) div (__n div {k} + 1)
-             ELSE (__n % {k})
-                  + (__rn - (__n % {k}) * (__n div {k} + 1) + (__n div {k}) - 1)
-                    div (__n div {k})
-        END
-        """
-    ).cast("long")
     from retail_aws_etl_pipeline_spark.operators.caching import retaining
 
-    return retaining(
-        ranked.withColumn(out_col, bucket).drop(
+    if out_col is not None:
+        ranked = ranked.withColumn(out_col, F.col("__rn")).drop(
             "__pid", "__lrn", "__offset", "__n", "__rn"
-        ),
-        ranged,
-    )
+        )
+    return retaining(ranked, ranged)
 
 
 @register(

@@ -6509,18 +6509,18 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Oracle for :func:`gopher_quality_report` (STAGED). Every Gopher rule is
-#: an exact integer comparison (ratio thresholds cross-multiplied), so the
-#: oracle recomputes the whole battery in DuckDB list algebra with no
-#: tolerance — same discipline as the quality/fingerprint oracles.
-GOPHER_QUALITY_ORACLE = f"""
-    WITH base AS (
+def _gopher_m_cte(base: str, m: str) -> str:
+    """The Gopher metric CTE pair over ``documents``, with caller-chosen
+    CTE names — ONE shared fragment (the ADVICE r13 _hll_e_raw_sql
+    discipline) so :data:`GOPHER_QUALITY_ORACLE` and the r17-staged
+    agreement oracle can never drift on the rule metrics."""
+    return f"""{base} AS (
         SELECT doc_id, text,
                string_split(text, ' ') AS toks,
                string_split(text, chr(10)) AS lines
         FROM documents
     ),
-    m AS (
+    {m} AS (
         SELECT doc_id,
                len(toks) AS n_words,
                list_sum(list_transform(toks, x -> length(x))) AS sum_len,
@@ -6537,27 +6537,43 @@ GOPHER_QUALITY_ORACLE = f"""
                    f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
                    for w in TX.GOPHER_STOPWORDS
                )} AS n_stop_kinds
-        FROM base
-    )
+        FROM {base}
+    )"""
+
+
+#: Per-rule SQL over the metric CTE's columns — shared verbatim by the
+#: flag SELECT and the composite (and, r17, the agreement oracle).
+_GOPHER_FLAG_SQL = {
+    "word_count_ok": f"(n_words >= {TX.GOPHER_MIN_WORDS}"
+    f" AND n_words <= {TX.GOPHER_MAX_WORDS})",
+    "mean_word_len_ok": "(sum_len >= 3 * n_words AND sum_len <= 10 * n_words)",
+    "symbol_ratio_ok": "((n_hash + n_ell) * 10 <= n_words)",
+    "bullet_lines_ok": "(n_bullet * 10 <= n_lines * 9)",
+    "ellipsis_lines_ok": "(n_ell_lines * 10 <= n_lines * 3)",
+    "alpha_word_ok": "(n_alpha * 5 >= n_words * 4)",
+    "stopword_ok": "(n_stop_kinds >= 2)",
+}
+
+#: The composite gate: AND of every rule, in rule order.
+_GOPHER_PASS_SQL = "(" + " AND ".join(_GOPHER_FLAG_SQL.values()) + ")"
+
+
+#: Oracle for :func:`gopher_quality_report`. Every Gopher rule is
+#: an exact integer comparison (ratio thresholds cross-multiplied), so the
+#: oracle recomputes the whole battery in DuckDB list algebra with no
+#: tolerance — same discipline as the quality/fingerprint oracles.
+#: Built from the shared fragments above (r15 factoring; semantics
+#: unchanged — every flag and the composite are the same expressions).
+_GOPHER_FLAG_SELECT = (",\n           ").join(
+    f"{sql} AS {name}" for name, sql in _GOPHER_FLAG_SQL.items()
+)
+
+GOPHER_QUALITY_ORACLE = f"""
+    WITH {_gopher_m_cte("base", "m")}
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           (n_words >= {TX.GOPHER_MIN_WORDS}
-            AND n_words <= {TX.GOPHER_MAX_WORDS}) AS word_count_ok,
-           (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-               AS mean_word_len_ok,
-           ((n_hash + n_ell) * 10 <= n_words) AS symbol_ratio_ok,
-           (n_bullet * 10 <= n_lines * 9) AS bullet_lines_ok,
-           (n_ell_lines * 10 <= n_lines * 3) AS ellipsis_lines_ok,
-           (n_alpha * 5 >= n_words * 4) AS alpha_word_ok,
-           (n_stop_kinds >= 2) AS stopword_ok,
-           ((n_words >= {TX.GOPHER_MIN_WORDS}
-             AND n_words <= {TX.GOPHER_MAX_WORDS})
-            AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
-            AND ((n_hash + n_ell) * 10 <= n_words)
-            AND (n_bullet * 10 <= n_lines * 9)
-            AND (n_ell_lines * 10 <= n_lines * 3)
-            AND (n_alpha * 5 >= n_words * 4)
-            AND (n_stop_kinds >= 2)) AS gopher_pass
+           {_GOPHER_FLAG_SELECT},
+           {_GOPHER_PASS_SQL} AS gopher_pass
     FROM m ORDER BY doc_id
 """
 
@@ -7738,17 +7754,18 @@ def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_span_stats(docs).orderBy("doc_id")
 
 
-def _c4_oracle() -> str:
-    """Oracle for :func:`c4_clean_report` (STAGED): the identical line
-    lambda in DuckDB list algebra; sentences counted by terminal-marker
-    characters of the kept-line join; page gates recomputed from raw."""
+def _c4_page_cte(base: str, b: str) -> str:
+    """The C4 line-retention + page-metric CTE pair over ``documents``,
+    with caller-chosen CTE names — ONE shared fragment (the
+    _hll_e_raw_sql discipline) so :data:`C4_CLEAN_ORACLE` and the
+    r17-staged agreement oracle can never drift on the line lambda or
+    the page metrics."""
     term = " OR ".join(f"ends_with(l, '{e}')" for e in TX.C4_TERMINALS)
     keep = (
         f"l -> ({term}) AND len(string_split(l, ' ')) >= {TX.C4_MIN_LINE_WORDS}"
         " AND NOT contains(lower(l), 'javascript')"
     )
-    return f"""
-    WITH c4 AS (
+    return f"""{base} AS (
         SELECT doc_id,
                string_split(text, chr(10)) AS lines,
                list_filter(string_split(text, chr(10)), {keep}) AS kept,
@@ -7756,7 +7773,7 @@ def _c4_oracle() -> str:
                contains(text, chr(123)) AS has_brace
         FROM documents
     ),
-    c4b AS (
+    {b} AS (
         SELECT doc_id,
                CAST(len(lines) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
@@ -7768,12 +7785,28 @@ def _c4_oracle() -> str:
                           '.!?', ''))
                     AS BIGINT) AS n_sentences,
                has_lorem, has_brace
-        FROM c4
-    )
+        FROM {base}
+    )"""
+
+
+#: The C4 page gate over the page-metric CTE's columns — shared verbatim.
+_C4_PAGE_KEPT_SQL = (
+    "(NOT has_lorem AND NOT has_brace"
+    f" AND n_sentences >= {TX.C4_MIN_SENTENCES})"
+)
+
+
+def _c4_oracle() -> str:
+    """Oracle for :func:`c4_clean_report`: the identical line
+    lambda in DuckDB list algebra; sentences counted by terminal-marker
+    characters of the kept-line join; page gates recomputed from raw.
+    Built from the shared fragments above (r15 factoring; semantics
+    unchanged)."""
+    return f"""
+    WITH {_c4_page_cte("c4", "c4b")}
     SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
            clean_text,
-           (NOT has_lorem AND NOT has_brace
-            AND n_sentences >= {TX.C4_MIN_SENTENCES}) AS page_kept
+           {_C4_PAGE_KEPT_SQL} AS page_kept
     FROM c4b ORDER BY doc_id
     """
 
@@ -9888,3 +9921,423 @@ def hash_sample_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q90_exact",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED r17 tranche (built r15, completing the seeds to the ~6/round
+# rate): the streamed-sketch registry entry (stream==batch sketch algebra
+# under the hash gate), the quality-gate agreement census (Cohen's kappa
+# between the registered C4 and Gopher batteries), and the two
+# rank-spectrum audits over the word census (Zipf fit, vocab coverage)
+# sharing the factored _distributed_rank kernel. Pairing decided at
+# r16/r17 open against the then-current ADVICE; until then these carry
+# the full local battery (tests/test_staged_r17.py).
+# ---------------------------------------------------------------------------
+
+
+def _streamed_hll_oracle() -> str:
+    """Oracle for :func:`streamed_hll_snapshot_report`: the from-scratch
+    batch HLL re-derivation (the SAME shared block hll_distinct_report
+    uses for this target — stream==batch is exactly the claim), plus the
+    per-wave distinct-bucket recount proving the delta table really is
+    per-batch partials (wave = event_id parity, the staging split)."""
+    block = _hll_metric_oracle("events.user_id", "events", "user_id")
+    return f"""
+    SELECT o.*, w.n_delta_rows FROM ({block}) o CROSS JOIN (
+        SELECT CAST(SUM(nb) AS BIGINT) AS n_delta_rows FROM (
+            SELECT event_id % 2 AS wave,
+                   COUNT(DISTINCT CAST(('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)) AS nb
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY event_id % 2
+        )
+    ) w
+    """
+
+
+STREAMED_HLL_SNAPSHOT_ORACLE = _streamed_hll_oracle()
+
+
+def streamed_hll_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17: incremental sketch maintenance under the driver hash
+    gate — the fourth streaming guarantee in the window (after dedup
+    state, windowed completeness, and partial-aggregate reassembly):
+    SKETCH-ALGEBRA reassembly. Events arrive in two disjoint waves
+    (event_id parity, staged as separate files, maxFilesPerTrigger=1 →
+    separate micro-batches); each batch sketches ONLY its own rows into
+    a ≤256-row register partition (streaming/streams.py::
+    hll_register_stream); the snapshot's per-bucket MAX fold must equal
+    the one-shot batch sketch BIT-IDENTICALLY (MAX-merge is the sketch
+    algebra), so the estimate hash-matches the from-scratch SQL
+    re-derivation — the same shared oracle block as hll_distinct_report.
+    n_delta_rows additionally pins that the delta table is genuinely
+    per-batch partials (sum of per-wave distinct buckets), not a
+    one-shot sketch. 100 TB shape: the stream pays one scan per batch
+    at arrival; every later cardinality read is a ≤(batches×256)-row
+    fold — never a corpus rescan."""
+    import shutil
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        hll_register_stream,
+        read_hll_snapshot,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    keyed = events.select("event_id", "user_id")
+    staging = tempfile.mkdtemp(prefix="streamed_hll_src_")
+    delta = tempfile.mkdtemp(prefix="streamed_hll_delta_")
+    ckpt = tempfile.mkdtemp(prefix="streamed_hll_ckpt_")
+    try:
+        for i in range(2):  # disjoint waves -> separate micro-batches
+            (
+                keyed.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(staging)
+            )
+        stream = (
+            spark.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = hll_register_stream(stream, "user_id", delta_dir=delta, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        # bounded driver scalar: the delta table is ≤ batches × 256 rows
+        n_delta = spark.read.parquet(delta).count()
+        snap = read_hll_snapshot(spark, delta).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    est = SK.hll_estimate(snap)
+    exact = events.filter(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("exact_distinct"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.lit("events.user_id").alias("metric"),
+        "n_rows",
+        "exact_distinct",
+        "hll_estimate",
+        F.expr(
+            "abs(hll_estimate - exact_distinct) * 1000000L"
+            " div greatest(exact_distinct, 1L)"
+        ).alias("err_ppm"),
+        "v_zero_registers",
+        "rc_max_register",
+        F.lit(n_delta).cast("long").alias("n_delta_rows"),
+    )
+
+
+#: Oracle for :func:`quality_gate_agreement_report`. Both gates come from
+#: the SAME shared fragments their registered oracles are built from
+#: (_gopher_m_cte/_GOPHER_PASS_SQL, _c4_page_cte/_C4_PAGE_KEPT_SQL), so
+#: the agreement census can never drift from the gate definitions.
+QUALITY_GATE_AGREEMENT_ORACLE = f"""
+    WITH {_gopher_m_cte("qa_gb", "qa_gm")},
+    qa_g AS (SELECT doc_id, {_GOPHER_PASS_SQL} AS g FROM qa_gm),
+    {_c4_page_cte("qa_cb", "qa_cc")},
+    qa_c AS (SELECT doc_id, {_C4_PAGE_KEPT_SQL} AS c FROM qa_cc),
+    qa_j AS (
+        SELECT d.source, g.g, c.c
+        FROM documents d
+        JOIN qa_g g ON g.doc_id = d.doc_id
+        JOIN qa_c c ON c.doc_id = d.doc_id
+        WHERE d.source IS NOT NULL
+    ),
+    qa_s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both_keep,
+               CAST(SUM(CASE WHEN NOT g AND NOT c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both_drop,
+               CAST(SUM(CASE WHEN g AND NOT c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gopher_only,
+               CAST(SUM(CASE WHEN NOT g AND c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c4_only
+        FROM qa_j GROUP BY source
+    ),
+    qa_p AS (
+        SELECT *,
+               (n_both_keep + n_both_drop) * 1000000 // n_docs AS po_ppm,
+               ((n_both_keep + n_gopher_only) * (n_both_keep + n_c4_only)
+                + (n_both_drop + n_c4_only) * (n_both_drop + n_gopher_only))
+                   * 1000000 // (n_docs * n_docs) AS pe_ppm
+        FROM qa_s
+    )
+    SELECT source, n_docs, n_both_keep, n_both_drop, n_gopher_only, n_c4_only,
+           CAST(po_ppm AS BIGINT) AS po_ppm,
+           CAST(pe_ppm AS BIGINT) AS pe_ppm,
+           CAST((po_ppm - pe_ppm) * 1000000
+                // GREATEST(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm
+    FROM qa_p ORDER BY source
+"""
+
+
+def quality_gate_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17: inter-gate agreement census — Cohen's kappa (in ppm)
+    between the two registered document gates (C4 page_kept, Gopher
+    gopher_pass), per source. Running several quality gates and
+    reconciling them is standard curation practice (Dolma, FineWeb ship
+    multiple filter verdicts per doc); the kappa census is the QA view
+    that says whether two gates agree beyond chance — a gate pair with
+    near-zero kappa is measuring different things and their intersection
+    needs review before it gates 100 TB. Every quantity is integer
+    (observed/chance agreement in ppm, kappa via single-floor divisions;
+    both engines truncate integer division toward zero, verified r15,
+    so the possibly-negative kappa numerator is portable). Envelope:
+    pe's n² term needs n_docs < 3.0e9 per source — shard the census by
+    epoch above that. Scale shape: BOTH gate batteries are scan-side
+    projections computed in ONE chained pass (no join between gates),
+    then a single groupBy(source) whose output is |sources| rows. NULL
+    source is excluded (the manifest discipline)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].filter(F.col("source").isNotNull())
+    flagged = TX.c4_clean_flags(TX.gopher_quality_flags(docs))
+    g, c = F.col("gopher_pass"), F.col("page_kept")
+    s = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((g & c).cast("long")).cast("long").alias("n_both_keep"),
+        F.sum(((~g) & (~c)).cast("long")).cast("long").alias("n_both_drop"),
+        F.sum((g & (~c)).cast("long")).cast("long").alias("n_gopher_only"),
+        F.sum(((~g) & c).cast("long")).cast("long").alias("n_c4_only"),
+    )
+    p = s.withColumn(
+        "po_ppm",
+        F.expr("(n_both_keep + n_both_drop) * 1000000L div n_docs"),
+    ).withColumn(
+        "pe_ppm",
+        F.expr(
+            "((n_both_keep + n_gopher_only) * (n_both_keep + n_c4_only)"
+            " + (n_both_drop + n_c4_only) * (n_both_drop + n_gopher_only))"
+            " * 1000000L div (n_docs * n_docs)"
+        ),
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        "n_both_keep",
+        "n_both_drop",
+        "n_gopher_only",
+        "n_c4_only",
+        "po_ppm",
+        "pe_ppm",
+        F.expr(
+            "(po_ppm - pe_ppm) * 1000000L"
+            " div greatest(1000000L - pe_ppm, 1L)"
+        ).alias("kappa_ppm"),
+    ).orderBy("source")
+
+
+def _word_census_cte(v: str) -> str:
+    """The corpus word census as a CTE — shared by the Zipf and coverage
+    oracles (and semantically the same exploded-token groupBy the
+    unigram trainer's seed fit runs)."""
+    return f"""{v} AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok <> '' GROUP BY tok
+    )"""
+
+
+def _zipf_oracle() -> str:
+    """Oracle for :func:`zipf_fit_report`: the same census, ROW_NUMBER
+    rank, and the SAME generated floor-log2 threshold ladder (shared
+    verbatim with the Spark plan — never a libm log)."""
+    from retail_aws_etl_pipeline_spark.operators.sketch import floor_log2_sql
+
+    return f"""
+    WITH {_word_census_cte("zf_v")},
+    zf_r AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+        FROM zf_v
+    ),
+    zf_t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM zf_v),
+    zf_b AS (
+        SELECT CAST({floor_log2_sql("rank")} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS occ,
+               CAST(MAX(n) AS BIGINT) AS top_freq
+        FROM zf_r GROUP BY 1
+    )
+    SELECT b.bucket,
+           CAST(CAST(1 AS BIGINT) << CAST(b.bucket AS INT) AS BIGINT)
+               AS first_rank,
+           b.n_types, b.occ,
+           CAST(b.occ * 1000000 // t.total AS BIGINT) AS mass_ppm,
+           b.top_freq,
+           CAST({floor_log2_sql("b.top_freq")} AS BIGINT) AS llq_top
+    FROM zf_b b, zf_t t ORDER BY b.bucket
+    """
+
+
+ZIPF_FIT_ORACLE = _zipf_oracle()
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17: Zipf-law fit census over the corpus word frequencies —
+    the tokenizer/vocab-planning diagnostic (Zipf 1949; every natural
+    corpus should show log-frequency falling ~linearly in log-rank, and
+    a corpus that DOESN'T — a flat head or a truncated tail — signals
+    boilerplate flooding or dedup damage). Types are ranked by
+    (frequency desc, token asc) via the factored _distributed_rank (one
+    range exchange over the VOCAB, never a global window), bucketed by
+    floor(log2(rank)) through the same generated threshold ladder the
+    oracle embeds, and each octave reports types, occurrence mass (ppm,
+    single-floor), top frequency and its floor-log2 — adjacent llq_top
+    deltas read out the Zipf slope in whole bits. Envelope: occ * 1e6
+    exact for per-corpus token counts < 9.2e12 (shard above). Scale:
+    census = one map-combined token exchange; rank = one vocab-scale
+    range exchange; the report is ≤52 rows."""
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_rank
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    census = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = _distributed_rank(
+        census, [F.desc("n"), F.asc("tok")], out_col="rank"
+    )
+    tot = ranked.agg(F.sum("n").cast("long").alias("__total"))
+    out = (
+        ranked.withColumn(
+            "bucket", F.expr(SK.floor_log2_sql("rank")).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("n").cast("long").alias("occ"),
+            F.max("n").cast("long").alias("top_freq"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr("shiftleft(1L, CAST(bucket AS INT))").alias("first_rank"),
+            "n_types",
+            "occ",
+            F.expr("occ * 1000000L div __total").alias("mass_ppm"),
+            "top_freq",
+            F.expr(SK.floor_log2_sql("top_freq")).cast("long").alias("llq_top"),
+        )
+        .orderBy("bucket")
+    )
+    return retaining(out, *retained_caches(ranked))
+
+
+#: Vocabulary sizes the coverage audit reads (powers of 4: head through
+#: a realistic small-tokenizer vocab).
+VOCAB_COVERAGE_KS = (16, 64, 256, 1024, 4096)
+
+
+def _vocab_coverage_oracle() -> str:
+    """Oracle for :func:`vocab_coverage_report`: same census + rank, one
+    conditional-sum row, unrolled per K (single-floor ppm)."""
+    cov_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN rank <= {k} THEN n ELSE 0 END) AS BIGINT)"
+        f" AS cov_{k}"
+        for k in VOCAB_COVERAGE_KS
+    )
+    blocks = " UNION ALL ".join(
+        f"""
+        SELECT CAST({k} AS BIGINT) AS vocab_k,
+               CAST(LEAST({k}, n_types) AS BIGINT) AS n_types_used,
+               cov_{k} AS covered_occ,
+               CAST(cov_{k} * 1000000 // total AS BIGINT) AS coverage_ppm,
+               CAST((total - cov_{k}) * 1000000 // total AS BIGINT) AS oov_ppm
+        FROM vc_a"""
+        for k in VOCAB_COVERAGE_KS
+    )
+    return f"""
+    WITH {_word_census_cte("vc_v")},
+    vc_r AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+        FROM vc_v
+    ),
+    vc_a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS total, {cov_cols}
+        FROM vc_r
+    )
+    SELECT * FROM ({blocks}) ORDER BY vocab_k
+    """
+
+
+VOCAB_COVERAGE_ORACLE = _vocab_coverage_oracle()
+
+
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17: vocabulary coverage / OOV-rate audit — the
+    vocab-size-selection number tokenizer planning actually reads: for
+    each candidate vocab size K, the share of corpus token OCCURRENCES
+    covered by the top-K types (frequency desc, token asc — the same
+    total order as the Zipf census) and the residual OOV rate, both in
+    single-floor ppm. The coverage CDF across the K ladder is the
+    curve whose knee picks the vocab size; the unigram/BPE trainers
+    (registered) build the pieces, this audits what a WORD-level vocab
+    of each size would cover. Scale: shares the census + one
+    vocab-scale rank exchange with zipf_fit_report, then ONE
+    conditional-sum row unrolled to |KS| output rows — the coverage
+    read is free once the rank exists."""
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
+    from retail_aws_etl_pipeline_spark.plans.analytics import _distributed_rank
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    census = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = _distributed_rank(
+        census, [F.desc("n"), F.asc("tok")], out_col="rank"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("total"),
+        *[
+            F.sum(F.when(F.col("rank") <= k, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"cov_{k}")
+            for k in VOCAB_COVERAGE_KS
+        ],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("vocab_k"),
+                        F.col(f"cov_{k}").alias("covered_occ"),
+                    )
+                    for k in VOCAB_COVERAGE_KS
+                ]
+            )
+        ).alias("s"),
+        "n_types",
+        "total",
+    )
+    out = rows.select(
+        F.col("s.vocab_k").alias("vocab_k"),
+        F.least(F.col("s.vocab_k"), F.col("n_types"))
+        .cast("long")
+        .alias("n_types_used"),
+        F.col("s.covered_occ").alias("covered_occ"),
+        F.expr("s.covered_occ * 1000000L div total").alias("coverage_ppm"),
+        F.expr("(total - s.covered_occ) * 1000000L div total").alias("oov_ppm"),
+    ).orderBy("vocab_k")
+    return retaining(out, *retained_caches(ranked))

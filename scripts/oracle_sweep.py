@@ -72,6 +72,22 @@ def _staged_pairs():
             E.hash_sample_quantile_report,
             E.HASH_SAMPLE_ORACLE,
         ),
+        # staged r17 tranche completion (built r15): all corpus-generic
+        # (the agreement oracle shares the registered gate fragments;
+        # the rank-spectrum oracles embed only the generated log2
+        # ladder; the streamed sketch re-derives registers from scratch)
+        (
+            "streamed_hll_snapshot_report",
+            E.streamed_hll_snapshot_report,
+            E.STREAMED_HLL_SNAPSHOT_ORACLE,
+        ),
+        (
+            "quality_gate_agreement_report",
+            E.quality_gate_agreement_report,
+            E.QUALITY_GATE_AGREEMENT_ORACLE,
+        ),
+        ("zipf_fit_report", E.zipf_fit_report, E.ZIPF_FIT_ORACLE),
+        ("vocab_coverage_report", E.vocab_coverage_report, E.VOCAB_COVERAGE_ORACLE),
     ]
 
 

@@ -154,9 +154,9 @@ def test_registered_pair_survives_adversarial_corpus(spark, adversarial_dir, nam
     assert r["ok"], (name, r)
 
 
-def test_staged_r16_pairs_survive_adversarial_corpus(spark, adversarial_dir):
-    """The staged r16 documents-side pairs through the hostile corpus
-    BEFORE registration (all five are corpus-generic): quote/backslash
+def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
+    """The staged r16 + r17 documents-side pairs through the hostile
+    corpus BEFORE registration (all corpus-generic): quote/backslash
     docs exercise the affix and n-gram string keys through both engines'
     literal paths, empty/whitespace docs the short-doc guards, NULL
     lang/source the keyed-census exclusions, and the 2,500-distinct-token
@@ -172,9 +172,38 @@ def test_staged_r16_pairs_survive_adversarial_corpus(spark, adversarial_dir):
         # r17 seed: the count-min audit reads the same hostile token
         # stream (quotes/backslashes/CJK through the seeded md5 legs)
         (E.countmin_topk_report, E.COUNTMIN_TOPK_ORACLE),
+        # r17 tranche completion (built r15), documents-side: the
+        # agreement census runs BOTH gate batteries over the hostile
+        # text (empty docs, CJK, the 2,500-distinct-token doc), and the
+        # rank-spectrum pair pushes the hostile token stream (quotes,
+        # backslashes, 300-char tokens) through the census + rank + the
+        # generated log2 ladders.
+        (
+            E.quality_gate_agreement_report,
+            E.QUALITY_GATE_AGREEMENT_ORACLE,
+        ),
+        (E.zipf_fit_report, E.ZIPF_FIT_ORACLE),
+        (E.vocab_coverage_report, E.VOCAB_COVERAGE_ORACLE),
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)
+
+
+def test_staged_streamed_hll_survives_adversarial_events(
+    spark, adversarial_events_dir
+):
+    """The r17-staged streamed-sketch report through the hostile events
+    corpus: NULL user_ids must be excluded from registers AND the
+    per-wave delta recount on both engines, and exact (user, ts) ties
+    don't perturb the order-free MAX fold."""
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    r = compare(
+        E.streamed_hll_snapshot_report(spark, adversarial_events_dir),
+        E.STREAMED_HLL_SNAPSHOT_ORACLE,
+        adversarial_events_dir,
+    )
+    assert r["ok"], r
 
 
 def test_staged_hash_sample_survives_adversarial_retail(

@@ -190,6 +190,22 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "partkey_skew_report",
         ),
     ),
+    # ROADMAP r17 schedule (PROVISIONAL, drafted r15 — pairing decisions
+    # defer to ADVICE r15/r16): the full 50-entry r14 cohort comes due;
+    # the six staged r17 ops (the two r14 sketch seeds + the four built
+    # at r15) swap against these. Twin pins:
+    # tests/test_r17_twin_equivalence.py.
+    17: (
+        50,
+        (
+            "fuzzy_part_names",  # <- countmin_topk_report
+            "length_bucket_padding_stats",  # <- hash_sample_quantile_report
+            "user_rolling_hour",  # <- streamed_hll_snapshot_report
+            "quality_top_half_per_lang",  # <- quality_gate_agreement_report
+            "grouping_sets_revenue",  # <- zipf_fit_report
+            "embedding_norm_stats",  # <- vocab_coverage_report
+        ),
+    ),
 }
 
 

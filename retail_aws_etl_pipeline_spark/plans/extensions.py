@@ -10341,3 +10341,216 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(total - s.covered_occ) * 1000000L div total").alias("oov_ppm"),
     ).orderBy("vocab_k")
     return retaining(out, *retained_caches(ranked))
+
+
+# ---------------------------------------------------------------------------
+# STAGED r18 seeds (built r15, beyond the r17 tranche): the count-min
+# twin of the streamed-HLL registry entry (SUM-fold sketch reassembly
+# under the hash gate) and the single-score distribution-drift monitor
+# (quantized PSI over DSIR feature buckets — the alerting complement to
+# term_drift_report's top-movers view). Pairing decided at r17/r18 open
+# against the then-current ADVICE; until then they carry the local
+# battery (tests/test_staged_r18_seeds.py).
+# ---------------------------------------------------------------------------
+
+
+def streamed_cms_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 seed: incremental FREQUENCY-sketch maintenance under
+    the hash gate — the count-min twin of streamed_hll_snapshot_report.
+    The corpus token stream arrives in two disjoint waves (doc_id
+    parity, maxFilesPerTrigger=1 → separate micro-batches); each batch
+    counts ONLY its own tokens into ≤ d·w cells appended as a
+    __batch_id partition (streaming/streams.py::cms_cell_stream — SUM
+    is not idempotent, so exactly-once storage is the batch-partitioned
+    dynamic overwrite), and the snapshot's per-cell SUM fold must equal
+    the one-shot batch sketch EXACTLY (integer sums are associative
+    across any wave split). The top-K read-back therefore hash-matches
+    the SAME oracle string as countmin_topk_report — the
+    streamed_hourly_rollup verbatim-twin precedent: stream == batch is
+    the whole claim. 100 TB shape: arrival-time scan per batch; any
+    later point-frequency answer is a ≤(batches × 1024)-row fold."""
+    import shutil
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.operators import sketch as SK
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        cms_cell_stream,
+        read_cms_snapshot,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    staging = tempfile.mkdtemp(prefix="streamed_cms_src_")
+    delta = tempfile.mkdtemp(prefix="streamed_cms_delta_")
+    ckpt = tempfile.mkdtemp(prefix="streamed_cms_ckpt_")
+    try:
+        for i in range(2):  # disjoint waves -> separate micro-batches
+            (
+                toks.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(staging)
+            )
+        stream = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = cms_cell_stream(stream, "tok", delta_dir=delta, checkpoint_dir=ckpt)
+        q.awaitTermination()
+        cells = read_cms_snapshot(spark, delta).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    topk = vocab.orderBy(F.desc("n"), F.asc("tok")).limit(CMS_TOPK)
+    est = SK.cms_estimates(cells, topk, "tok")
+    out = (
+        topk.join(est, "tok")
+        .select(
+            "tok",
+            F.col("n").alias("exact_n"),
+            "est_n",
+            (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+    )
+    return retaining(out, vocab)
+
+
+#: The streamed count-min entry shares the batch oracle VERBATIM —
+#: stream == batch (SUM-fold reassembly) is the registered claim.
+STREAMED_CMS_TOPK_ORACLE = COUNTMIN_TOPK_ORACLE
+
+
+def _token_psi_oracle() -> str:
+    """Oracle for :func:`token_drift_psi_report`: the same DSIR feature
+    buckets (first 16 md5 bits mod 256), parity-half conditional sums,
+    single-floor ppm shares, and the SAME generated floor-log2-squared
+    ladder (textops.floor_log2_sq_sql, shared verbatim) for the
+    quantized log factor."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import DSIR_BUCKETS
+
+    llq_a = TX.floor_log2_sq_sql("GREATEST(p_ppm, 1)")
+    llq_b = TX.floor_log2_sq_sql("GREATEST(q_ppm, 1)")
+    return f"""
+    WITH psi_tok AS (
+        SELECT doc_id % 2 AS half,
+               CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    psi_b AS (
+        SELECT bucket,
+               CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_b
+        FROM psi_tok GROUP BY bucket
+    ),
+    psi_t AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+        FROM psi_b
+    ),
+    psi_p AS (
+        SELECT bucket, n_a, n_b,
+               CAST(n_a * 1000000 // GREATEST(t.t_a, 1) AS BIGINT) AS p_ppm,
+               CAST(n_b * 1000000 // GREATEST(t.t_b, 1) AS BIGINT) AS q_ppm
+        FROM psi_b, psi_t t
+    ),
+    psi_q AS (
+        SELECT bucket, n_a, n_b, p_ppm, q_ppm,
+               CAST({llq_a} AS BIGINT) AS llq_a,
+               CAST({llq_b} AS BIGINT) AS llq_b
+        FROM psi_p
+    )
+    SELECT bucket, n_a, n_b, p_ppm, q_ppm, llq_a, llq_b,
+           CAST((p_ppm - q_ppm) * (llq_a - llq_b) AS BIGINT) AS psi_contrib
+    FROM psi_q ORDER BY bucket
+    """
+
+
+TOKEN_PSI_ORACLE = _token_psi_oracle()
+
+
+def token_drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 seed: quantized population-stability drift score over
+    hashed token-feature buckets — the single-number distribution-drift
+    MONITOR (the quantity an ingest pipeline alerts on between corpus
+    snapshots), complementing term_drift_report's top-movers view: that
+    query names WHICH terms moved; this one scores HOW MUCH the whole
+    token distribution moved, over the same DSIR feature buckets the
+    registered importance sampler hashes into (operators/sampling.py::
+    dsir_bucket — shared kernel). Epoch halves are the standing doc_id
+    parity convention. Per bucket: occurrence counts, single-floor ppm
+    shares, the quantized half-bit logs via the SAME generated
+    floor-log2-squared ladder as the perplexity family (no libm log —
+    textops.floor_log2_sq_sql, shared verbatim with the oracle), and
+    the PSI contribution (p-q)·(llq_p - llq_q) ≥ 0 (the ladder is
+    monotone, so both factors share sign — pinned). sum(psi_contrib) is
+    the corpus drift score in ppm·half-bits. Integer division truncates
+    toward zero identically on both engines (verified r15), so every
+    column is hash-gateable. Scale: one exploded-token pass with the
+    parity flag, one 256-bucket conditional groupBy (map-side
+    combined), a one-row broadcast of the half totals — the report is
+    ≤256 rows however large the corpus."""
+    from retail_aws_etl_pipeline_spark.operators.sampling import dsir_bucket
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("half", dsir_bucket(F.col("tok")).alias("bucket"))
+    )
+    b = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    t = b.agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+    )
+    p = b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr("n_a * 1000000L div greatest(t_a, 1L)").alias("p_ppm"),
+        F.expr("n_b * 1000000L div greatest(t_b, 1L)").alias("q_ppm"),
+    )
+    q = p.withColumn(
+        "llq_a",
+        F.expr(TX.floor_log2_sq_sql("GREATEST(p_ppm, 1)")).cast("long"),
+    ).withColumn(
+        "llq_b",
+        F.expr(TX.floor_log2_sq_sql("GREATEST(q_ppm, 1)")).cast("long"),
+    )
+    return q.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "p_ppm",
+        "q_ppm",
+        "llq_a",
+        "llq_b",
+        F.expr("(p_ppm - q_ppm) * (llq_a - llq_b)")
+        .cast("long")
+        .alias("psi_contrib"),
+    ).orderBy("bucket")

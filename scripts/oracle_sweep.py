@@ -88,6 +88,15 @@ def _staged_pairs():
         ),
         ("zipf_fit_report", E.zipf_fit_report, E.ZIPF_FIT_ORACLE),
         ("vocab_coverage_report", E.vocab_coverage_report, E.VOCAB_COVERAGE_ORACLE),
+        # staged r18 seeds (built r15): the streamed count-min twin
+        # (verbatim batch oracle) + the quantized-PSI drift monitor —
+        # both corpus-generic.
+        (
+            "streamed_cms_topk_report",
+            E.streamed_cms_topk_report,
+            E.STREAMED_CMS_TOPK_ORACLE,
+        ),
+        ("token_drift_psi_report", E.token_drift_psi_report, E.TOKEN_PSI_ORACLE),
     ]
 
 

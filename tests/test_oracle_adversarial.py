@@ -184,6 +184,13 @@ def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
         ),
         (E.zipf_fit_report, E.ZIPF_FIT_ORACLE),
         (E.vocab_coverage_report, E.VOCAB_COVERAGE_ORACLE),
+        # r18 seeds (built r15), documents-side: the streamed count-min
+        # twin drains the hostile token stream through per-batch cells,
+        # and the PSI monitor hashes it through the DSIR buckets + the
+        # generated log ladder (NULL lang/source rows keep their tokens
+        # — the census is unconditional).
+        (E.streamed_cms_topk_report, E.STREAMED_CMS_TOPK_ORACLE),
+        (E.token_drift_psi_report, E.TOKEN_PSI_ORACLE),
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)

@@ -681,6 +681,44 @@ def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
                                 int.from_bytes(buf[e0 + 8 : e0 + 12], "big"),
                             )
         raise ValueError(f"{fmt} with no ispe item property")
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: the ONE dual-endian header walk in the probe family. The
+        # first two bytes pick the byte order for EVERYTHING after them
+        # (magic 42, IFD offset, tag/type/count/value fields), and a
+        # count-1 SHORT value is LEFT-JUSTIFIED in its 4-byte value slot
+        # — i.e. occupies the first two bytes under either endianness,
+        # the classic parser trap (a reader that always takes the low
+        # half is correct on 'II' and silently wrong on 'MM').
+        endian = "little" if buf[:2] == b"II" else "big"
+        if len(buf) < 8:
+            raise ValueError("truncated TIFF: no IFD offset")
+        ifd = int.from_bytes(buf[4:8], endian)
+        if ifd + 2 > len(buf):
+            raise ValueError("truncated TIFF: IFD offset beyond EOF")
+        n_entries = int.from_bytes(buf[ifd : ifd + 2], endian)
+        if ifd + 2 + 12 * n_entries > len(buf):
+            raise ValueError("truncated TIFF: IFD entries beyond EOF")
+        width = height = None
+        for i in range(n_entries):
+            e = ifd + 2 + 12 * i
+            tag = int.from_bytes(buf[e : e + 2], endian)
+            typ = int.from_bytes(buf[e + 2 : e + 4], endian)
+            cnt = int.from_bytes(buf[e + 4 : e + 8], endian)
+            if tag not in (256, 257):
+                continue
+            if cnt != 1 or typ not in (3, 4):
+                raise ValueError(f"unsupported TIFF dims entry: tag {tag} type {typ} count {cnt}")
+            if typ == 3:  # SHORT, left-justified in the value slot
+                val = int.from_bytes(buf[e + 8 : e + 10], endian)
+            else:  # LONG fills the slot
+                val = int.from_bytes(buf[e + 8 : e + 12], endian)
+            if tag == 256:
+                width = val
+            else:
+                height = val
+        if width is None or height is None:
+            raise ValueError("TIFF IFD0 missing ImageWidth/ImageLength")
+        return ("tiff", width, height)
     return ("unknown", None, None)
 
 
@@ -706,6 +744,59 @@ def _gif_header_bytes(w: int, h: int) -> bytes:
     import struct
 
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x70\x00\x00" + b"\x3b"
+
+
+def _tiff_header_bytes(w: int, h: int, endian: str, wide_types: bool) -> bytes:
+    """Minimal structurally-valid TIFF: byte-order marker, magic 42, IFD
+    at offset 8 with four entries — a NewSubfileType distractor before
+    the dims, ImageWidth (256) / ImageLength (257), a Compression
+    distractor after — and a zero next-IFD pointer. ``wide_types``
+    stores the dims as LONG (type 4); otherwise SHORT (type 3)
+    left-justified in the 4-byte value slot per the spec, which under
+    big-endian means the HIGH half of the slot — the trap the probe's
+    dual-endian walk exists to parse."""
+
+    def u(v: int, n: int) -> bytes:
+        return v.to_bytes(n, endian)
+
+    def entry(tag: int, typ: int, val: int) -> bytes:
+        if typ == 3:  # SHORT: left-justified 2 bytes + 2 pad
+            slot = u(val, 2) + b"\x00\x00"
+        else:  # LONG fills the slot
+            slot = u(val, 4)
+        return u(tag, 2) + u(typ, 2) + u(1, 4) + slot
+
+    order = b"II" if endian == "little" else b"MM"
+    dims_type = 4 if wide_types else 3
+    entries = (
+        entry(254, 4, 0)  # NewSubfileType distractor
+        + entry(256, dims_type, w)
+        + entry(257, dims_type, h)
+        + entry(259, 3, 1)  # Compression=none distractor
+    )
+    return order + u(42, 2) + u(8, 4) + u(4, 2) + entries + u(0, 4)
+
+
+def synth_tiff_media(ids: DataFrame, id_col: str) -> DataFrame:
+    """(id) → MEDIA_SCHEMA rows cycling the four TIFF layout corners by
+    id (little/big endian × SHORT/LONG dims types), each a real
+    header-valid payload with per-id dims (``_probe_dims_for`` — the
+    shared formula, so the one id-formula oracle covers this probe
+    too). meta dims stay NULL: the dims exist only inside the bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = _probe_dims_for(mid)
+                payload = _tiff_header_bytes(
+                    w, h, ("little", "big")[mid % 2], bool((mid // 2) % 2)
+                )
+                rows.append((mid, "image", payload, ("tiff", None, None, None, None)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 #: Dims formulas for the synthetic probe corpus (shared with the oracle —

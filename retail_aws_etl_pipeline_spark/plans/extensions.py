@@ -10554,3 +10554,132 @@ def token_drift_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_contrib"),
     ).orderBy("bucket")
+
+
+#: Oracle for :func:`tiff_dims_probe` (STAGED r18 seed). Identical dims
+#: formula to the jpeg/png/gif/webp corpus; only the format literal
+#: differs — the oracle never sees the payload bytes.
+TIFF_DIMS_ORACLE = """
+    SELECT doc_id AS media_id,
+           'tiff' AS format,
+           CAST(16 + doc_id % 100 AS INT) AS width,
+           CAST(9 + (doc_id * 7) % 100 AS INT) AS height
+    FROM documents ORDER BY media_id
+"""
+
+
+def tiff_dims_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 seed: TIFF header probe — the ONE dual-endian walk in
+    the probe family (jpeg/png/gif/webp/avif are each single-endian).
+    The synth side writes per-id dims into real TIFF headers cycling
+    all four layout corners by id (II/MM byte order × SHORT/LONG dims
+    types, with distractor tags around the dims entries); the probe
+    must honor the byte-order marker for every later field AND the
+    spec's left-justified count-1 SHORT value slot — under 'MM' the
+    value sits in the HIGH half, where an endian-naive reader silently
+    misparses rather than erroring, which is exactly why the four-corner
+    corpus is cycled. Same Arrow-batched O(header-bytes) kernel and the
+    same payload-blind id-formula oracle as the rest of the family."""
+    from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+
+    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    return MM.probe_dims(MM.synth_tiff_media(ids, "doc_id")).orderBy("media_id")
+
+
+def _source_priority_oracle() -> str:
+    """Oracle for :func:`source_priority_dedup_report`: the same named-
+    struct argmin winner (priority = source string rank, ties to the
+    smallest doc_id) and the same per-source census, re-derived
+    relationally. NULL source/text are excluded in the CTE — the struct
+    MIN would otherwise diverge on NULL ordering between engines."""
+    return """
+    WITH sp_docs AS (
+        SELECT doc_id, source, md5(text) AS h
+        FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    sp_win AS (
+        SELECT h, MIN({'s': source, 'd': doc_id}) AS win
+        FROM sp_docs GROUP BY h
+    ),
+    sp_g AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM sp_docs GROUP BY h
+    ),
+    sp_j AS (
+        SELECT d.source, d.doc_id, g.n_copies,
+               CASE WHEN w.win.s = d.source AND w.win.d = d.doc_id
+                    THEN 1 ELSE 0 END AS kept,
+               CASE WHEN w.win.s <> d.source THEN 1 ELSE 0 END AS cross_loss
+        FROM sp_docs d
+        JOIN sp_win w ON w.h = d.h
+        JOIN sp_g g ON g.h = d.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_dup_groups,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN kept = 0 AND cross_loss = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost_cross_source
+    FROM sp_j GROUP BY source ORDER BY source
+    """
+
+
+SOURCE_PRIORITY_DEDUP_ORACLE = _source_priority_oracle()
+
+
+def source_priority_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 seed: SOURCE-PRIORITY exact dedup census — the policy
+    layer production dedup actually runs (Dolma, RefinedWeb: when the
+    same document appears in several sources, keep the copy from the
+    most-trusted source, not an arbitrary one): exact-duplicate groups
+    (md5(text)) each elect ONE winner by (source priority, doc_id), and
+    the per-source census reports what the policy did — docs, docs in
+    multi-copy groups, kept, dropped, and the copies LOST TO A
+    DIFFERENT source (the number that tells a source owner their corpus
+    is being deduplicated away). Priority here is the source string's
+    sort order (a production deployment supplies its curated rank map —
+    the policy shape is what's under test); the winner is one
+    single-buffer struct argmin per group, deterministic on both
+    engines. NULL source/text are excluded INSIDE the kernel (struct
+    MIN diverges on NULL ordering between engines — the standing
+    NULL-ORDER-BY class). Scale: one content-keyed exchange (the same
+    md5-groups shuffle every exact-dedup entry pays), a broadcast-size
+    winner join back, and a |sources|-row census."""
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "source", F.md5("text").alias("h"))
+    )
+    grp = docs.groupBy("h").agg(
+        F.min(F.struct(F.col("source").alias("s"), F.col("doc_id").alias("d"))).alias("win"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    j = docs.join(grp, "h").select(
+        "source",
+        "n_copies",
+        (
+            (F.col("win.s") == F.col("source")) & (F.col("win.d") == F.col("doc_id"))
+        )
+        .cast("long")
+        .alias("kept"),
+        (F.col("win.s") != F.col("source")).cast("long").alias("cross_loss"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("long"))
+            .cast("long")
+            .alias("n_in_dup_groups"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.lit(1) - F.col("kept")).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when((F.col("kept") == 0) & (F.col("cross_loss") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_lost_cross_source"),
+        )
+        .orderBy("source")
+    )

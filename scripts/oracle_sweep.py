@@ -97,6 +97,12 @@ def _staged_pairs():
             E.STREAMED_CMS_TOPK_ORACLE,
         ),
         ("token_drift_psi_report", E.token_drift_psi_report, E.TOKEN_PSI_ORACLE),
+        ("tiff_dims_probe", E.tiff_dims_probe, E.TIFF_DIMS_ORACLE),
+        (
+            "source_priority_dedup_report",
+            E.source_priority_dedup_report,
+            E.SOURCE_PRIORITY_DEDUP_ORACLE,
+        ),
     ]
 
 

@@ -191,6 +191,17 @@ def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
         # — the census is unconditional).
         (E.streamed_cms_topk_report, E.STREAMED_CMS_TOPK_ORACLE),
         (E.token_drift_psi_report, E.TOKEN_PSI_ORACLE),
+        # source-priority dedup: the hostile corpus's NULL lang/source
+        # rows and duplicate-heavy docs exercise the in-kernel NULL
+        # exclusion (struct MIN would diverge on NULL ordering) and the
+        # cross-source loss accounting. tiff_dims_probe synthesizes
+        # payloads from doc_id alone (hostile text cannot reach it);
+        # its hostile-input battery is byte-level in
+        # test_staged_r18_seeds.py.
+        (
+            E.source_priority_dedup_report,
+            E.SOURCE_PRIORITY_DEDUP_ORACLE,
+        ),
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)

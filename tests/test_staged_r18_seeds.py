@@ -1,10 +1,12 @@
 """Proof battery for the STAGED r18 seeds built at r15:
 streamed_cms_topk_report (the count-min twin of the streamed-HLL
-registry entry) and token_drift_psi_report (quantized-PSI drift
-monitor). Same discipline as every staged predecessor: DuckDB oracle
+registry entry), token_drift_psi_report (quantized-PSI drift monitor),
+tiff_dims_probe (the probe family's one dual-endian header walk), and
+source_priority_dedup_report (the keep-the-trusted-copy dedup policy
+census). Same discipline as every staged predecessor: DuckDB oracle
 compares at two gate scales, the stream==batch verbatim-twin pin,
-handcrafted drift semantics, a pure-Python mirror for the quantized
-PSI arithmetic, and plan gates."""
+handcrafted semantics, pure-Python mirrors, hostile-input batteries,
+and plan gates."""
 
 from __future__ import annotations
 
@@ -142,3 +144,129 @@ def test_psi_plan_single_scan_bounded_output(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan and "CartesianProduct" not in plan
     assert df.count() <= DSIR_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# tiff_dims_probe + source_priority_dedup_report (seeds #3/#4, built r15)
+# ---------------------------------------------------------------------------
+
+MORE_PAIRS = [
+    ("tiff_dims_probe", E.tiff_dims_probe, E.TIFF_DIMS_ORACLE),
+    (
+        "source_priority_dedup_report",
+        E.source_priority_dedup_report,
+        E.SOURCE_PRIORITY_DEDUP_ORACLE,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", MORE_PAIRS, ids=[p[0] for p in MORE_PAIRS])
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_more_seed_pairs_match_oracle(spark, name, fn, oracle, sf_dir):
+    r = compare(fn(spark, sf_dir), oracle, sf_dir)
+    assert r["ok"], (name, sf_dir, r)
+
+
+def test_tiff_four_corner_layouts_parse():
+    """All four layout corners (II/MM × SHORT/LONG) parse to the same
+    dims — and under 'MM' the SHORT value sits in the HIGH half of the
+    value slot, where an endian-naive low-half read would return the
+    zero padding instead (the trap the dual-endian walk exists for)."""
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _tiff_header_bytes,
+        probe_image_dims,
+    )
+
+    for endian in ("little", "big"):
+        for wide in (False, True):
+            buf = _tiff_header_bytes(640, 480, endian, wide)
+            assert probe_image_dims(buf) == ("tiff", 640, 480), (endian, wide)
+    # the misparse trap, demonstrated: naive low-half read of the MM
+    # SHORT slot yields 0 — the correct parser must NOT return that
+    mm_short = _tiff_header_bytes(640, 480, "big", False)
+    e = 8 + 2 + 12  # second entry = ImageWidth
+    naive = int.from_bytes(mm_short[e + 10 : e + 12], "big")  # low half
+    assert naive == 0  # padding — what a left-justification-blind reader sees
+
+
+def test_tiff_hostile_inputs_raise_or_unknown():
+    """Truncations inside a recognized TIFF must RAISE (never misreport);
+    an unrecognized byte-order marker is 'unknown'; an IFD whose entry
+    count points past EOF raises; an unsupported dims type raises."""
+    import pytest as _pytest
+
+    from retail_aws_etl_pipeline_spark.operators.multimodal import (
+        _tiff_header_bytes,
+        probe_image_dims,
+    )
+
+    good = _tiff_header_bytes(33, 44, "little", False)
+    assert probe_image_dims(good) == ("tiff", 33, 44)
+    assert probe_image_dims(b"IX*\x00" + good[4:])[0] == "unknown"
+    with _pytest.raises(ValueError):
+        probe_image_dims(good[:6])  # no IFD offset
+    with _pytest.raises(ValueError):
+        probe_image_dims(good[:12])  # IFD entries beyond EOF
+    # entry count lies: claims 200 entries in a 4-entry buffer
+    lying = bytearray(good)
+    lying[8:10] = (200).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        probe_image_dims(bytes(lying))
+    # unsupported dims type (RATIONAL=5) must raise, not misread
+    bad_type = bytearray(good)
+    e = 8 + 2 + 12  # ImageWidth entry
+    bad_type[e + 2 : e + 4] = (5).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        probe_image_dims(bytes(bad_type))
+
+
+def test_source_priority_census_handcrafted(spark, tmp_path):
+    """Handcrafted cross-source dup groups pin the policy: the
+    lexicographically-smallest source wins each md5 group (ties to the
+    smallest doc_id), losers count as dropped — cross-source losses
+    separately — and NULL source/text rows are excluded entirely."""
+    rows = [
+        # group X: copies in a (winner), b, c -> b and c each lose cross
+        (0, "same body one", "en", "a", 13),
+        (1, "same body one", "en", "b", 13),
+        (2, "same body one", "en", "c", 13),
+        # group Y: two copies BOTH in source b -> same-source drop
+        (3, "same body two", "en", "b", 13),
+        (4, "same body two", "en", "b", 13),
+        # singletons
+        (5, "unique alpha", "en", "a", 12),
+        (6, "unique beta", "en", "c", 11),
+        # excluded rows
+        (7, "same body one", "en", None, 13),
+        (8, None, "en", "a", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_in_dup_groups"], r["n_kept"],
+            r["n_dropped"], r["n_lost_cross_source"],
+        )
+        for r in E.source_priority_dedup_report(spark, out).collect()
+    }
+    assert got == {
+        "a": (2, 1, 2, 0, 0),
+        "b": (3, 3, 1, 2, 1),
+        "c": (2, 1, 1, 1, 1),
+    }
+
+
+def test_source_priority_conservation(spark):
+    """On the real corpus: kept + dropped == docs per source, one winner
+    per group corpus-wide, and cross-source losses never exceed drops."""
+    rows = E.source_priority_dedup_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert r["n_lost_cross_source"] <= r["n_dropped"]
+        assert r["n_in_dup_groups"] >= r["n_dropped"]

@@ -9870,12 +9870,35 @@ def hash_sample_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys still participate in the sample (the engines order NULL
     # hashes at opposite ends — the kernel refuses NULL keys outright).
     li = t["lineitem"].filter(F.col("l_extendedprice").isNotNull())
-    row_key = F.concat(
-        F.coalesce(F.col("l_orderkey").cast("string"), F.lit("~")),
-        F.lit(":"),
-        F.coalesce(F.col("l_linenumber").cast("string"), F.lit("~")),
+    sample = SK.bottomk_sample(
+        li, _hash_sample_row_key(), F.col("l_extendedprice")
     )
-    sample = SK.bottomk_sample(li, row_key, F.col("l_extendedprice"))
+    return _hash_sample_frame(li, sample)
+
+
+#: The total row key as a SQL string — shared by the batch kernel call
+#: and the streaming foreachBatch path (COALESCE sentinels so dirty rows
+#: with NULL join keys still participate — the engines order NULL hashes
+#: at opposite ends, so the kernel refuses NULL keys). A string, not a
+#: Column: Column construction needs an active SparkContext, which does
+#: not exist at module import.
+HASH_SAMPLE_ROW_KEY_SQL = (
+    "concat(coalesce(CAST(l_orderkey AS STRING), '~'), ':',"
+    " coalesce(CAST(l_linenumber AS STRING), '~'))"
+)
+
+
+def _hash_sample_row_key():
+    """The shared row key as a Column (built lazily)."""
+    return F.expr(HASH_SAMPLE_ROW_KEY_SQL)
+
+
+def _hash_sample_frame(li: DataFrame, sample: DataFrame) -> DataFrame:
+    """Assemble the one-row (n_rows, sample_k, q*_est, q*_exact) audit
+    frame from the filtered lineitem and a (h, v) bottom-k sample —
+    shared by the batch and streamed quantile-sketch entries (the
+    oracle string is shared verbatim, so the assembly must be too)."""
+    from pyspark.sql import Window as W
 
     def disc_quantiles(values: DataFrame, suffix: str) -> DataFrame:
         hist = values.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -10683,3 +10706,70 @@ def source_priority_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def streamed_bottomk_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 seed: incremental QUANTILE-sketch maintenance under
+    the hash gate — the third member of the streamed sketch triple
+    (HLL distincts by MAX fold, count-min frequencies by SUM fold, and
+    now bottom-k quantiles by RE-TAKE): lineitem arrives in two
+    disjoint waves (COALESCE'd orderkey parity so NULL-key rows still
+    route, maxFilesPerTrigger=1 → separate micro-batches); each batch
+    stores ITS OWN k smallest md5(row-key) rows as a __batch_id
+    partition (streaming/streams.py::bottomk_sample_stream — bottom-k
+    is mergeable but not idempotent under duplication, so exactly-once
+    storage is the batch-partitioned dynamic overwrite), and the
+    snapshot's re-take must equal the one-shot batch sample EXACTLY by
+    Cohen & Kaplan mergeability. The audit frame therefore hash-matches
+    the SAME oracle string as hash_sample_quantile_report — the third
+    verbatim twin. 100 TB shape: arrival-time scan per batch; any later
+    quantile read is a re-take over ≤(batches × k) stored rows."""
+    import shutil
+    import tempfile
+
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        bottomk_sample_stream,
+        read_bottomk_snapshot,
+    )
+
+    li_all = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    keyed = li_all.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    staging = tempfile.mkdtemp(prefix="streamed_bk_src_")
+    delta = tempfile.mkdtemp(prefix="streamed_bk_delta_")
+    ckpt = tempfile.mkdtemp(prefix="streamed_bk_ckpt_")
+    try:
+        for i in range(2):  # disjoint waves; NULL keys route to wave 0
+            (
+                keyed.filter(
+                    F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(2)) == i
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(staging)
+            )
+        stream = (
+            spark.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = bottomk_sample_stream(
+            stream,
+            HASH_SAMPLE_ROW_KEY_SQL,
+            "l_extendedprice",
+            delta_dir=delta,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+        sample = read_bottomk_snapshot(spark, delta).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(delta, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    li = li_all.filter(F.col("l_extendedprice").isNotNull())
+    return _hash_sample_frame(li, sample)
+
+
+#: The streamed bottom-k entry shares the batch oracle VERBATIM —
+#: stream == batch (mergeable re-take) is the registered claim.
+STREAMED_BOTTOMK_ORACLE = HASH_SAMPLE_ORACLE

@@ -734,3 +734,87 @@ def read_cms_snapshot(spark: SparkSession, delta_dir: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )
+
+
+def make_bottomk_batch_processor(
+    row_key_expr: str, value_col: str, delta_dir: str, k: int | None = None
+):
+    """The foreachBatch body of :func:`bottomk_sample_stream` (exposed
+    for verbatim-replay tests). Bottom-k is mergeable but NOT idempotent
+    under row duplication (a replayed batch's copies would occupy sample
+    slots and displace legitimate members), so — like the count-min
+    cells — exactly-once storage comes from the batch-partitioned
+    dynamic overwrite: a retried batch REPLACES its own partition."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import (
+        BOTTOMK_K,
+        bottomk_sample,
+    )
+
+    kk = BOTTOMK_K if k is None else k
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        samp = bottomk_sample(
+            batch_df.filter(F.col(value_col).isNotNull()),
+            F.expr(row_key_expr),
+            F.col(value_col),
+            kk,
+        )
+        (
+            samp.withColumn("__batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(delta_dir)
+        )
+
+    return process
+
+
+def bottomk_sample_stream(
+    rows: DataFrame,
+    row_key_expr: str,
+    value_col: str,
+    delta_dir: str,
+    checkpoint_dir: str,
+    k: int | None = None,
+):
+    """Incremental QUANTILE-sketch maintenance under streaming ingest —
+    the bottom-k twin of :func:`hll_register_stream` /
+    :func:`cms_cell_stream`, completing the streamed sketch triple
+    (distinct / frequency / quantile): each micro-batch takes ITS OWN
+    k smallest md5(row-key) rows and appends them as a ``__batch_id``
+    partition; the standing sample is :func:`read_bottomk_snapshot`'s
+    re-take over batches × k rows — never a rescan. Correctness rests
+    on bottom-k mergeability (Cohen & Kaplan 2007:
+    bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) under the
+    (h, v) total order), pinned by the stream==batch test."""
+    return (
+        rows.writeStream.foreachBatch(
+            make_bottomk_batch_processor(row_key_expr, value_col, delta_dir, k)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bottomk_snapshot(
+    spark: SparkSession, delta_dir: str, k: int | None = None
+) -> DataFrame:
+    """Current (h, v) sample from the delta partitions: re-take the
+    bottom k over the ≤ batches × k stored rows — exactly the
+    mergeability identity, so the snapshot IS bottomk(all rows so far)."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import BOTTOMK_K
+
+    kk = BOTTOMK_K if k is None else k
+    return (
+        spark.read.parquet(delta_dir)
+        .select("h", "v")
+        .orderBy(F.asc("h"), F.asc("v"))
+        .limit(kk)
+    )

@@ -103,6 +103,11 @@ def _staged_pairs():
             E.source_priority_dedup_report,
             E.SOURCE_PRIORITY_DEDUP_ORACLE,
         ),
+        (
+            "streamed_bottomk_quantile_report",
+            E.streamed_bottomk_quantile_report,
+            E.STREAMED_BOTTOMK_ORACLE,
+        ),
     ]
 
 

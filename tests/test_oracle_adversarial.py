@@ -238,6 +238,15 @@ def test_staged_hash_sample_survives_adversarial_retail(
         adversarial_retail_dir,
     )
     assert r["ok"], r
+    # the r18-seed streamed twin on the same hostile corpus: NULL
+    # orderkeys must still ROUTE to a wave (COALESCE'd parity split) so
+    # stream == batch holds with dirty keys in play
+    r = compare(
+        E.streamed_bottomk_quantile_report(spark, adversarial_retail_dir),
+        E.STREAMED_BOTTOMK_ORACLE,
+        adversarial_retail_dir,
+    )
+    assert r["ok"], r
 
 
 @pytest.fixture(scope="module")

@@ -1,12 +1,13 @@
 """Proof battery for the STAGED r18 seeds built at r15:
 streamed_cms_topk_report (the count-min twin of the streamed-HLL
 registry entry), token_drift_psi_report (quantized-PSI drift monitor),
-tiff_dims_probe (the probe family's one dual-endian header walk), and
+tiff_dims_probe (the probe family's one dual-endian header walk),
 source_priority_dedup_report (the keep-the-trusted-copy dedup policy
-census). Same discipline as every staged predecessor: DuckDB oracle
-compares at two gate scales, the stream==batch verbatim-twin pin,
-handcrafted semantics, pure-Python mirrors, hostile-input batteries,
-and plan gates."""
+census), and streamed_bottomk_quantile_report (the quantile member
+completing the streamed sketch triple). Same discipline as every staged
+predecessor: DuckDB oracle compares at two gate scales, stream==batch
+verbatim-twin pins, handcrafted semantics, pure-Python mirrors,
+hostile-input batteries, and plan gates."""
 
 from __future__ import annotations
 
@@ -270,3 +271,99 @@ def test_source_priority_conservation(spark):
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert r["n_lost_cross_source"] <= r["n_dropped"]
         assert r["n_in_dup_groups"] >= r["n_dropped"]
+
+
+# ---------------------------------------------------------------------------
+# streamed_bottomk_quantile_report (seed #5, built r15)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_streamed_bottomk_matches_the_shared_oracle(spark, sf_dir):
+    r = compare(
+        E.streamed_bottomk_quantile_report(spark, sf_dir),
+        E.STREAMED_BOTTOMK_ORACLE,
+        sf_dir,
+    )
+    assert r["ok"], (sf_dir, r)
+
+
+def test_streamed_bottomk_is_the_verbatim_batch_twin(spark):
+    """The streamed entry shares hash_sample_quantile_report's oracle
+    string VERBATIM (the third verbatim twin after the hourly rollup
+    and the streamed CMS), and the two frames are row-identical —
+    bottom-k mergeability (re-take over per-batch samples) IS the
+    one-shot sample."""
+    assert E.STREAMED_BOTTOMK_ORACLE is E.HASH_SAMPLE_ORACLE
+    a = [tuple(r) for r in E.hash_sample_quantile_report(spark, SF_SMOKE).collect()]
+    b = [
+        tuple(r)
+        for r in E.streamed_bottomk_quantile_report(spark, SF_SMOKE).collect()
+    ]
+    assert a == b and a
+
+
+def test_streamed_bottomk_snapshot_and_retry(spark, tmp_path):
+    """Kernel-level stream==batch: three arrival waves through
+    bottomk_sample_stream, snapshot == the one-shot bottom-k sample
+    bit-identically; then a VERBATIM retry of the last wave — bottom-k
+    is not idempotent under duplication (copies would displace
+    legitimate members), so the retry proves the batch-partitioned
+    dynamic overwrite keeps storage exactly-once."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.sketch import bottomk_sample
+    from retail_aws_etl_pipeline_spark.session import load_tables
+    from retail_aws_etl_pipeline_spark.streaming.streams import (
+        bottomk_sample_stream,
+        make_bottomk_batch_processor,
+        read_bottomk_snapshot,
+    )
+
+    li = load_tables(spark, SF_SMOKE, ["lineitem"])["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    src = str(tmp_path / "waves")
+    for i in range(3):
+        li.filter(
+            F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(3)) == i
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    delta = str(tmp_path / "bk_delta")
+    q = bottomk_sample_stream(
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        E.HASH_SAMPLE_ROW_KEY_SQL,
+        "l_extendedprice",
+        delta_dir=delta,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    batch = [
+        (r["h"], r["v"])
+        for r in bottomk_sample(
+            li.filter(F.col("l_extendedprice").isNotNull()),
+            F.expr(E.HASH_SAMPLE_ROW_KEY_SQL),
+            F.col("l_extendedprice"),
+        ).collect()
+    ]
+    snap = [
+        (r["h"], r["v"]) for r in read_bottomk_snapshot(spark, delta).collect()
+    ]
+    assert snap == batch and snap
+
+    # verbatim retry of the LAST wave: the partition replaces itself
+    make_bottomk_batch_processor(
+        E.HASH_SAMPLE_ROW_KEY_SQL, "l_extendedprice", delta
+    )(
+        li.filter(
+            F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(3)) == 2
+        ),
+        2,
+    )
+    again = [
+        (r["h"], r["v"]) for r in read_bottomk_snapshot(spark, delta).collect()
+    ]
+    assert again == batch

@@ -693,6 +693,8 @@ def probe_image_dims(buf: bytes) -> tuple[str, int | None, int | None]:
         if len(buf) < 8:
             raise ValueError("truncated TIFF: no IFD offset")
         ifd = int.from_bytes(buf[4:8], endian)
+        if ifd < 8:
+            raise ValueError("TIFF IFD offset inside header")
         if ifd + 2 > len(buf):
             raise ValueError("truncated TIFF: IFD offset beyond EOF")
         n_entries = int.from_bytes(buf[ifd : ifd + 2], endian)

@@ -10015,7 +10015,9 @@ def streamed_hll_snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for i in range(2):  # disjoint waves -> separate micro-batches
             (
-                keyed.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
+                keyed.filter(
+                    F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(2)) == i
+                )
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(staging)
@@ -10412,7 +10414,9 @@ def streamed_cms_topk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for i in range(2):  # disjoint waves -> separate micro-batches
             (
-                toks.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i)
+                toks.filter(
+                    F.pmod(F.coalesce(F.col("doc_id"), F.lit(0)), F.lit(2)) == i
+                )
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(staging)

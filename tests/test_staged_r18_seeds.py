@@ -219,6 +219,14 @@ def test_tiff_hostile_inputs_raise_or_unknown():
     bad_type[e + 2 : e + 4] = (5).to_bytes(2, "little")
     with _pytest.raises(ValueError):
         probe_image_dims(bytes(bad_type))
+    # IFD offset pointing INSIDE the 8-byte header (e.g. 0) is
+    # structurally invalid — must raise, never parse header bytes as
+    # IFD entries (ADVICE r15)
+    for bogus in (0, 4, 7):
+        inside = bytearray(good)
+        inside[4:8] = bogus.to_bytes(4, "little")
+        with _pytest.raises(ValueError):
+            probe_image_dims(bytes(inside))
 
 
 def test_source_priority_census_handcrafted(spark, tmp_path):

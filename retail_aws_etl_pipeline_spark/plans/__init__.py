@@ -338,6 +338,48 @@ _UNREGISTER = {
         "event_trigram_paths",
         "approx_sketch_stats",
     ),
+    # r16 (the ROADMAP r16 schedule, executed as drafted: 6 registrations
+    # = 6 1:1 swaps, every victim drawn from the 50-entry r13-cohort
+    # due-list — re-derived against the REAL r15 archive at round open,
+    # the standing r11→r12 lesson; twin equivalences pinned in
+    # tests/test_r16_twin_equivalence.py BEFORE the round opened):
+    #  - returned_order_priorities -> badwords_filter_report; the plain
+    #    left-semi shape retires with its strictly harder siblings
+    #    registered (priority_order_counts Q4 inequality-EXISTS,
+    #    sole_return_suppliers Q21 double-correlated; pinned: semi ==
+    #    inner-join-to-distinct).
+    #  - monthly_revenue_yoy -> ngram_diversity_report; the time-series
+    #    surface stays via daily_revenue_gapfill (pinned: the monthly
+    #    layer == the gapfill month rollup; the 12-month-shift join is
+    #    recomputable from it) plus forecast_revenue /
+    #    decayed_revenue_by_segment.
+    #  - customer_order_history -> template_affix_report; the lag/lead/
+    #    running-frame demo retires with the window surface registered
+    #    via dedup_keep_latest / customer_order_gap_stats /
+    #    user_rolling_hour / weekly_retention_cohorts (pinned: the whole
+    #    frame == the window-free self-join recompute).
+    #  - large_volume_orders -> corpus_snapshot_delta; Q18's
+    #    semi-on-aggregated-subquery retires with the correlated family
+    #    on small_quantity_revenue (Q17) / min_cost_supplier_parts (Q2)
+    #    / sole_return_suppliers (Q21) (pinned: semi-on-aggregate ==
+    #    inner-on-qualifying-keys).
+    #  - part_revenue_share -> langid_confusion_report; the keyed
+    #    revenue layer IS top_items' layer (pinned: top-10 of the
+    #    recomputed layer == top_items row for row); share arithmetic
+    #    stays via nation_market_share / promo_revenue_ratio.
+    #  - partkey_skew_report -> hll_overlap_report; the core
+    #    skew-planning signal (rows, distinct keys, hottest-key count)
+    #    is carried by the r15-registered join_key_skew_report's
+    #    l_partkey family row (pinned column for column); the Gini
+    #    tail-profile layer stays locally pinned in the twin file.
+    16: (
+        "returned_order_priorities",
+        "monthly_revenue_yoy",
+        "customer_order_history",
+        "large_volume_orders",
+        "part_revenue_share",
+        "partkey_skew_report",
+    ),
 }
 
 

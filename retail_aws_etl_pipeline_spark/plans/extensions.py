@@ -9189,8 +9189,17 @@ HLL_OVERLAP_ORACLE = " UNION ALL ".join(
 ) + " ORDER BY metric"
 
 
+@register_extra(
+    "hll_overlap_report",
+    HLL_OVERLAP_ORACLE,
+    description="Sketch-algebra overlap audit: per-bucket-MAX register "
+    "union + inclusion-exclusion estimates pairwise key overlap between "
+    "parity halves of three tables next to the exact intersection — "
+    "sketch once, answer overlap questions later with no corpus rescan.",
+    tags=("llm", "sketch", "dedup"),
+)
 def hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r16 queue seed): sketch-ALGEBRA overlap — register-table
+    """Registered r16 (staged r13): sketch-ALGEBRA overlap — register-table
     union (per-bucket MAX, exact by construction) + inclusion–exclusion
     estimates the key overlap between two deterministic parity halves
     of each audited table, next to the exact intersection. The 100 TB
@@ -9305,8 +9314,16 @@ BADWORDS_FILTER_ORACLE = f"""
 """
 
 
+@register_extra(
+    "badwords_filter_report",
+    BADWORDS_FILTER_ORACLE,
+    description="C4 bad-words document gate: per-language block census "
+    "(blocked docs/tokens, block rate ppm, deterministic top blocked "
+    "word) with the blocklist riding the plan as literals, never a join.",
+    tags=("llm", "quality", "curation"),
+)
 def badwords_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r16: the C4 bad-words document gate (Raffel et al. 2020
+    """Registered r16 (staged r14): the C4 bad-words document gate (Raffel et al. 2020
     §2.2 — the one rule battery the C4/Gopher trio was still missing) as
     a per-language block census: docs, blocked docs (any lowercase token
     on the blocklist), blocked-token occurrences, block rate ppm, and
@@ -9401,8 +9418,17 @@ def _ngram_diversity_oracle() -> str:
 NGRAM_DIVERSITY_ORACLE = _ngram_diversity_oracle()
 
 
+@register_extra(
+    "ngram_diversity_report",
+    NGRAM_DIVERSITY_ORACLE,
+    description="Corpus-level n-gram diversity census per source: "
+    "total/distinct/hapax n-grams and diversity/hapax ppm for n in "
+    "{1,2,3} — the self-BLEU-style mode-collapse audit, one explode + "
+    "one (source, n, gram) exchange.",
+    tags=("llm", "quality", "curation"),
+)
 def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r16: corpus-level n-gram diversity census per source — the
+    """Registered r16 (staged r14): corpus-level n-gram diversity census per source — the
     self-BLEU-style mode-collapse / boilerplate-saturation audit at
     CORPUS granularity (gopher_repetition_report is the per-DOC half):
     for n in {{1,2,3}}, total n-grams, distinct n-grams, singletons
@@ -9502,8 +9528,16 @@ TEMPLATE_AFFIX_ORACLE = f"""
 """
 
 
+@register_extra(
+    "template_affix_report",
+    TEMPLATE_AFFIX_ORACLE,
+    description="Head/tail template-family census: docs sharing their "
+    "exact first/last affix tokens form a family — the boilerplate "
+    "detector near-dup banding misses; one (kind, affix) exchange.",
+    tags=("llm", "dedup", "curation"),
+)
 def template_affix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r16: head/tail template-family census — the
+    """Registered r16 (staged r14): head/tail template-family census — the
     boilerplate-template detector near-dup banding misses when only the
     AFFIX repeats (mail headers, scraped navigation preambles, footer
     sign-offs): documents sharing their exact first / last {AFFIX_K}
@@ -9596,8 +9630,16 @@ CORPUS_DELTA_ORACLE = """
 """
 
 
+@register_extra(
+    "corpus_snapshot_delta",
+    CORPUS_DELTA_ORACLE,
+    description="Epoch-over-epoch corpus diff: FULL OUTER id join of two "
+    "snapshots with per-status doc + content-hash census — the audit an "
+    "incremental training-data refresh runs before re-sharding.",
+    tags=("llm", "curation"),
+)
 def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r16: epoch-over-epoch corpus diff — the audit an
+    """Registered r16 (staged r14): epoch-over-epoch corpus diff — the audit an
     incremental training-data refresh runs before re-sharding (how many
     docs arrived, left, changed in place?): FULL OUTER join of two
     snapshots on doc identity, per-status doc counts + distinct content
@@ -9664,8 +9706,16 @@ LANGID_CONFUSION_ORACLE = f"""
 """
 
 
+@register_extra(
+    "langid_confusion_report",
+    LANGID_CONFUSION_ORACLE,
+    description="Language-ID confusion census: (true, predicted) doc "
+    "counts with per-truth share ppm, sharing doc_lang_id's scored "
+    "CTE through one generator so predictor and QA view cannot drift.",
+    tags=("llm", "quality", "curation"),
+)
 def langid_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED r16: language-ID confusion census — the curation QA gate
+    """Registered r16 (staged r14): language-ID confusion census — the curation QA gate
     for the lang-ID heuristic the pipeline routes on (doc_lang_id):
     labeled docs grouped by (true lang, predicted lang) with per-truth
     share ppm, so a drifting predictor (or a mislabeled corpus slice)

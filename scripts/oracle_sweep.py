@@ -54,17 +54,18 @@ def _staged_pairs():
     # swept corpus in SQL; HLL_LC_TABLE is a function of m alone, not of
     # any corpus) — so none joins SF001_PINNED and none needs a refit
     # script.
+    #
+    # The r16 tranche (hll_overlap_report, badwords_filter_report,
+    # ngram_diversity_report, template_affix_report,
+    # corpus_snapshot_delta, langid_confusion_report) registered at r16
+    # and moved to the registry sweep. Classification: ALL SIX are
+    # corpus-generic — the badwords blocklist and AFFIX_K are fixed
+    # design constants riding both engines' plans as literals (not
+    # fitted from any corpus), the overlap/delta parity strata are
+    # deterministic id arithmetic, and the confusion oracle shares
+    # doc_lang_id's corpus-independent scored CTE generator — so none
+    # joins SF001_PINNED and none needs a refit script.
     return [
-        # staged r16 tranche (drafted r14)
-        ("badwords_filter_report", E.badwords_filter_report, E.BADWORDS_FILTER_ORACLE),
-        ("ngram_diversity_report", E.ngram_diversity_report, E.NGRAM_DIVERSITY_ORACLE),
-        ("template_affix_report", E.template_affix_report, E.TEMPLATE_AFFIX_ORACLE),
-        ("corpus_snapshot_delta", E.corpus_snapshot_delta, E.CORPUS_DELTA_ORACLE),
-        (
-            "langid_confusion_report",
-            E.langid_confusion_report,
-            E.LANGID_CONFUSION_ORACLE,
-        ),
         # staged r17 seeds (built r14): the frequency + quantile sketches
         ("countmin_topk_report", E.countmin_topk_report, E.COUNTMIN_TOPK_ORACLE),
         (

@@ -143,6 +143,24 @@ _REGISTERED = [
     "minhash_estimate_error",
     "temperature_mixture_report",
     "bloom_prefilter_stats",
+    # r16 documents-side registrations (corpus-generic oracles — the
+    # staged battery ran these same five pairs here since r14):
+    # quote/backslash docs exercise the affix and n-gram string keys
+    # through both engines' literal paths, empty/whitespace docs the
+    # short-doc guards, NULL lang/source the keyed-census exclusions,
+    # the 2,500-distinct-token doc the correlated-series n-gram
+    # oracles. returned_order_priorities / monthly_revenue_yoy /
+    # customer_order_history / large_volume_orders / part_revenue_share
+    # / partkey_skew_report left at the r16 rotation (retail-side; their
+    # adversarial coverage stays via the UNREGISTERED pins below and the
+    # twin file). hll_overlap_report is registered but reads three
+    # tables (documents+lineitem+events), so it joins
+    # hll_distinct_report's tri-table hostile battery below instead.
+    "badwords_filter_report",
+    "ngram_diversity_report",
+    "template_affix_report",
+    "corpus_snapshot_delta",
+    "langid_confusion_report",
 ]
 
 
@@ -155,20 +173,17 @@ def test_registered_pair_survives_adversarial_corpus(spark, adversarial_dir, nam
 
 
 def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
-    """The staged r16 + r17 documents-side pairs through the hostile
+    """The staged r17 + r18 documents-side pairs through the hostile
     corpus BEFORE registration (all corpus-generic): quote/backslash
-    docs exercise the affix and n-gram string keys through both engines'
-    literal paths, empty/whitespace docs the short-doc guards, NULL
-    lang/source the keyed-census exclusions, and the 2,500-distinct-token
-    doc the correlated-series n-gram oracles."""
+    docs exercise the n-gram string keys through both engines' literal
+    paths, empty/whitespace docs the short-doc guards, NULL lang/source
+    the keyed-census exclusions, and the 2,500-distinct-token doc the
+    correlated-series n-gram oracles."""
     from retail_aws_etl_pipeline_spark.plans import extensions as E
 
     for fn, oracle in [
-        (E.badwords_filter_report, E.BADWORDS_FILTER_ORACLE),
-        (E.ngram_diversity_report, E.NGRAM_DIVERSITY_ORACLE),
-        (E.template_affix_report, E.TEMPLATE_AFFIX_ORACLE),
-        (E.corpus_snapshot_delta, E.CORPUS_DELTA_ORACLE),
-        (E.langid_confusion_report, E.LANGID_CONFUSION_ORACLE),
+        # (the r16 tranche registered at r16 and moved to the
+        # _REGISTERED parametrization above)
         # r17 seed: the count-min audit reads the same hostile token
         # stream (quotes/backslashes/CJK through the seeded md5 legs)
         (E.countmin_topk_report, E.COUNTMIN_TOPK_ORACLE),
@@ -722,3 +737,76 @@ def test_hll_distinct_report_survives_hostile_tri_table(spark, tmp_path):
     assert got["events.user_id"]["exact_distinct"] == 1
     # single-key regime: linear counting must land exactly
     assert got["events.user_id"]["hll_estimate"] == 1
+
+
+def test_hll_overlap_report_survives_hostile_tri_table(spark, tmp_path):
+    """hll_overlap_report registered at r16 reads the same three tables
+    as hll_distinct_report, so it gets its own tri-table corpus packing
+    the overlap-specific hostile cases: NULL keys (excluded from rows
+    AND registers), NULL SPLIT keys (NULL % 2 lands in NEITHER parity
+    half on both engines — the silent-drop class the oracle must
+    mirror), a single-user events table where BOTH halves sit in the
+    one-register linear-counting regime and inclusion-exclusion must
+    land exactly, and unicode/quote keys through the md5 leg."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from retail_aws_etl_pipeline_spark.plans import extensions as E
+
+    out = str(tmp_path)
+    doc_ids = list(range(48)) + [None] * 3
+    texts = (
+        ["same doc body"] * 40
+        + [None] * 5
+        + ["naïve 日本語 'quoted' \\slash", "even only doc", "odd only doc"]
+        + ["null split doc"] * 3
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    orderkeys = [i for i in range(90)] + [None] * 4
+    partkeys = [None if i % 7 == 0 else i % 13 for i in range(90)] + [1, 2, 3, 4]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(orderkeys, pa.int64()),
+                "l_partkey": pa.array(partkeys, pa.int64()),
+            }
+        ),
+        os.path.join(out, "lineitem.parquet"),
+    )
+    event_ids = list(range(50)) + [None] * 2
+    users = [None if i % 11 == 0 else 42 for i in range(50)] + [99, 99]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(event_ids, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        ),
+        os.path.join(out, "events.parquet"),
+    )
+
+    r = compare(E.hll_overlap_report(spark, out), E.HLL_OVERLAP_ORACLE, out)
+    assert r["ok"], r
+    got = {x["metric"]: x for x in E.hll_overlap_report(spark, out).collect()}
+    ev = got["events.user_id|event_id"]
+    # the NULL-event_id user-99 rows land in NEITHER half: both halves
+    # hold exactly user 42, and every estimate sits in the one-register
+    # linear-counting regime, so inclusion-exclusion is exact
+    assert (ev["exact_a"], ev["exact_b"], ev["exact_overlap"]) == (1, 1, 1)
+    assert (ev["est_a"], ev["est_b"], ev["est_union"], ev["est_overlap"]) == (
+        1, 1, 1, 1,
+    )
+    assert ev["err_abs"] == 0
+    dc = got["documents.text|doc_id"]
+    # NULL-doc_id "null split doc" rows vanish from both halves; NULL
+    # texts are excluded: A (even ids) = {same, even only}, B (odd ids)
+    # = {same, naïve..., odd only}, overlap = {same doc body}
+    assert (dc["exact_a"], dc["exact_b"], dc["exact_overlap"]) == (2, 3, 1)

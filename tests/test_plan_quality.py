@@ -10,9 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from retail_aws_etl_pipeline_spark.plans import all_specs
+from retail_aws_etl_pipeline_spark.plans import UNREGISTERED, all_specs
 
-REGISTRY = all_specs()
+# Plan-shape gates keep pinning unregistered implementations too (the
+# UNREGISTERED-store policy: a rotation swap must not relax a plan gate);
+# all_specs() wins on any (impossible) name collision.
+REGISTRY = {**UNREGISTERED, **all_specs()}
 from retail_aws_etl_pipeline_spark.session import load_tables
 from tests.conftest import SF_SMOKE
 

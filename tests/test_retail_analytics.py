@@ -465,7 +465,7 @@ def test_monthly_yoy_correct_under_missing_months(spark, tmp_path_factory):
     silently compares against the wrong month."""
     import datetime as dt
 
-    from retail_aws_etl_pipeline_spark.plans import all_specs
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
 
     tmp = tmp_path_factory.mktemp("yoy")
     # Year 1: Jan..Dec except June missing. Year 2: Jan..Jul present.
@@ -486,7 +486,7 @@ def test_monthly_yoy_correct_under_missing_months(spark, tmp_path_factory):
     )
     out = {
         r["month"].strftime("%Y-%m"): (r["revenue_prev_year"], r["yoy_growth_ppm"])
-        for r in all_specs()["monthly_revenue_yoy"].spark_fn(spark, str(tmp)).collect()
+        for r in UNREGISTERED["monthly_revenue_yoy"].spark_fn(spark, str(tmp)).collect()
     }
     # 1996-06's year-ago month (1995-06) had no orders: prev must be NULL
     # — LAG(12) over the OBSERVED series would instead read 1995-05's
@@ -586,7 +586,7 @@ def test_part_revenue_share_threshold_exact(spark, tmp_path_factory, revs):
     (r == t * fraction must be EXCLUDED — strict >)."""
     from fractions import Fraction
 
-    from retail_aws_etl_pipeline_spark.plans import all_specs
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
     from retail_aws_etl_pipeline_spark.plans.analytics import PART_SHARE_FRACTION
 
     tmp = tmp_path_factory.mktemp("share")
@@ -610,7 +610,7 @@ def test_part_revenue_share_threshold_exact(spark, tmp_path_factory, revs):
 
     got = {
         r["p_partkey"]
-        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
+        for r in UNREGISTERED["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
     }
     assert got == want
 
@@ -646,7 +646,7 @@ def test_part_revenue_share_survives_second_decade_totals(spark, tmp_path_factor
     int64 through t ~ 9.2e18 and matches Python double arithmetic."""
     from math import floor
 
-    from retail_aws_etl_pipeline_spark.plans import all_specs
+    from retail_aws_etl_pipeline_spark.plans import UNREGISTERED
 
     tmp = tmp_path_factory.mktemp("share_scale")
     # three parts, revenues ~5e12 each => t ~ 1.5e13 > the 9.2e12 ceiling
@@ -661,7 +661,7 @@ def test_part_revenue_share_survives_second_decade_totals(spark, tmp_path_factor
     )
     got = {
         r["p_partkey"]: r["share_ppm"]
-        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
+        for r in UNREGISTERED["part_revenue_share"].spark_fn(spark, str(tmp)).collect()
     }
     t = floor(sum(revs))
     want = {k + 1: float(floor(r)) / float(t) * 1_000_000.0 for k, r in enumerate(revs)}
@@ -681,7 +681,7 @@ def test_part_revenue_share_survives_second_decade_totals(spark, tmp_path_factor
     )
     got2 = {
         r["p_partkey"]: r["share_ppm"]
-        for r in all_specs()["part_revenue_share"].spark_fn(spark, str(tmp2)).collect()
+        for r in UNREGISTERED["part_revenue_share"].spark_fn(spark, str(tmp2)).collect()
     }
     want2 = {
         k + 1: float(round(r * 1e6)) / 750_000.0 * 1_000_000.0

@@ -1,10 +1,11 @@
-"""Proof battery for the STAGED r16 tranche (ROADMAP "r16 schedule"):
+"""Proof battery for the r16 tranche (staged r14, REGISTERED r16):
 badwords_filter_report, ngram_diversity_report, template_affix_report,
 corpus_snapshot_delta, langid_confusion_report (hll_overlap_report, the
 sixth r16 swap, carries its battery in test_staged_r15.py). Same
 discipline as every staged predecessor: DuckDB oracle compares at two
-gate scales, handcrafted semantics tests per operator, and plan gates.
-"""
+gate scales, handcrafted semantics tests per operator, and plan gates —
+retained verbatim after registration (the staging-battery rule: direct
+function refs survive rotation)."""
 
 from __future__ import annotations
 
@@ -333,3 +334,100 @@ def test_langid_confusion_plan_gate(spark):
     )
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "Window" not in plan and "Python" not in plan, plan[:2000]
+
+
+# --- registration-time hostile batteries (r16, VERDICT r15 item #7) ---------
+
+
+def test_badwords_token_boundaries_and_case_folds(tmp_path, spark):
+    """The gate is exact lowercase TOKEN membership on the single-space
+    split — the boundary cases must NOT count: punctuation-attached
+    ("casino,"), plural/substring ("casinos", "xxxl"), hyphen-joined
+    ("casino-lottery"), and tab/newline-attached tokens (split(' ')
+    leaves "casino\\tpills" as ONE token). Mixed-case forms DO count
+    (lower() folds them); both engines must agree on every case."""
+    rows = [
+        (1, "casino, casinos casino-lottery xxxl", "en", "web"),  # 0 hits
+        (2, "casino\tpills porn\nxxx clean", "en", "web"),  # 0 hits (tab/nl glue)
+        (3, "CaSiNo PILLS ViAgRa", "de", "web"),  # 3 hits, all folded
+        (4, "casino", "fr", "web"),  # exact single token
+    ]
+    out = _write_docs(tmp_path, spark, rows)
+    got = {r["lang"]: r for r in E.badwords_filter_report(spark, out).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_blocked_docs"], en["n_blocked_tokens"]) == (2, 0, 0)
+    assert en["top_badword"] is None
+    de = got["de"]
+    assert (de["n_blocked_docs"], de["n_blocked_tokens"]) == (1, 3)
+    assert de["top_badword"] == "casino"  # 1-1-1 tie -> lex smallest
+    assert got["fr"]["n_blocked_docs"] == 1
+    r = compare(E.badwords_filter_report(spark, out), E.BADWORDS_FILTER_ORACLE, out)
+    assert r["ok"], r
+
+
+def test_langid_confusion_mixed_script_docs(tmp_path, spark):
+    """Mixed-script docs (CJK + latin markers, cyrillic, quotes and
+    backslashes inside the text) through BOTH engines' scored CTE: the
+    census never drops a labeled doc (per-truth n_true == planted
+    count), share_ppm floors sum to <= 1e6 per truth row, and the
+    all-script rows land somewhere deterministic on both engines."""
+    rows = [
+        (1, "the cat 日本語 テスト and the dog", "en", "web"),
+        (2, "日本語 テスト 中文 测试", "zh", "web"),
+        (3, "der hund 'quoted' \\slash und die", "de", "web"),
+        (4, "привет мир the and кот", "ru", "web"),
+        (5, "…—• ### 123", "en", "web"),  # no markers of any lang
+        (6, "le chat 中文 et la", "fr", "web"),
+    ]
+    out = _write_docs(tmp_path, spark, rows)
+    frame = E.langid_confusion_report(spark, out).collect()
+    by_truth: dict[str, int] = {}
+    for r in frame:
+        by_truth[r["lang"]] = by_truth.get(r["lang"], 0) + r["n_docs"]
+    assert by_truth == {"en": 2, "zh": 1, "de": 1, "ru": 1, "fr": 1}
+    for r in frame:
+        assert 0 < r["share_ppm"] <= 1_000_000
+    r = compare(E.langid_confusion_report(spark, out), E.LANGID_CONFUSION_ORACLE, out)
+    assert r["ok"], r
+
+
+def test_snapshot_delta_adversarial_collisions(tmp_path, spark):
+    """Add/remove/change collision corpus: the %8==2 edit makes one
+    doc's B-side text EQUAL another doc's unedited text (cross-id
+    content collision — the hash census must still count distinct
+    hashes, not ids), NULL texts ride the FULL OUTER join through both
+    engines' CASE ladder (a present-both NULL-text doc classifies
+    'added' by the shared text_a-IS-NULL-first order — engine
+    agreement, not semantics, is the pin), and quote/unicode texts
+    survive the ' v2' concat + md5 on both sides."""
+    rows = [
+        # doc 2 (%8==2): B-side becomes "shared body v2"
+        (2, "shared body", "en", "web"),
+        # doc 3: text IS already "shared body v2" -> collides with doc 2's B text
+        (3, "shared body v2", "en", "web"),
+        # doc 4 (%4==0): A drops it -> added; NULL text
+        (4, None, "en", "web"),
+        # doc 5 (%4==1): B drops it -> removed
+        (5, "it's \\escaped 日本語", "en", "web"),
+        # doc 6: present both, unchanged
+        (6, "plain stable doc", "en", "web"),
+        # doc 7: present both, NULL text -> text_a IS NULL fires first: 'added'
+        (7, None, "en", "web"),
+        # doc 10 (%8==2): edited, unicode + quotes through concat+md5
+        (10, "naïve 'quote' body", "en", "web"),
+    ]
+    out = _write_docs(tmp_path, spark, rows)
+    got = {r["status"]: r for r in E.corpus_snapshot_delta(spark, out).collect()}
+    # statuses: added = {4, 7}, removed = {5}, changed = {2, 10}, unchanged = {3, 6}
+    assert got["added"]["n_docs"] == 2
+    assert got["removed"]["n_docs"] == 1
+    assert got["changed"]["n_docs"] == 2
+    assert got["unchanged"]["n_docs"] == 2
+    # the cross-id collision: doc 2's B text == doc 3's text, but they sit
+    # in DIFFERENT status buckets, so each keeps its own distinct hash;
+    # added counts hashes over NULL-md5 rows -> 0 distinct
+    assert got["added"]["n_content_hashes"] == 0
+    assert got["changed"]["n_content_hashes"] == 2
+    assert got["unchanged"]["n_content_hashes"] == 2
+    r = compare(E.corpus_snapshot_delta(spark, out), E.CORPUS_DELTA_ORACLE, out)
+    assert r["ok"], r

@@ -206,6 +206,20 @@ _DRAFTED_SCHEDULES: dict[int, tuple[int, tuple[str, ...]]] = {
             "embedding_norm_stats",  # <- vocab_coverage_report
         ),
     ),
+    # ROADMAP r18 schedule (PROVISIONAL, drafted r16 — pairing decisions
+    # defer to ADVICE r16/r17): the full 50-entry r15 cohort comes due;
+    # the five r15-staged seeds swap against these. Twin pins:
+    # tests/test_r18_twin_equivalence.py.
+    18: (
+        50,
+        (
+            "corpus_snapshot_diff",  # <- streamed_cms_topk_report
+            "term_drift_report",  # <- token_drift_psi_report
+            "sketch_accuracy_stats",  # <- streamed_bottomk_quantile_report
+            "exif_orientation_probe",  # <- tiff_dims_probe
+            "normalized_dedup_gain",  # <- source_priority_dedup_report
+        ),
+    ),
 }
 
 

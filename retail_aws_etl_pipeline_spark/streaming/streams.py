@@ -818,3 +818,72 @@ def read_bottomk_snapshot(
         .orderBy(F.asc("h"), F.asc("v"))
         .limit(kk)
     )
+
+
+def make_bloom_batch_processor(text_col: str, delta_dir: str):
+    """The foreachBatch body of :func:`bloom_word_stream` (exposed for
+    verbatim-replay tests). Bloom words merge by bit_or — idempotent
+    like the HLL's MAX, so a replayed batch could not corrupt the fold
+    even without storage-level exactly-once; the batch-partitioned
+    dynamic overwrite is kept anyway for uniformity with the sketch
+    family (one recovery story across all four streams)."""
+    from pyspark.sql import functions as F
+
+    from retail_aws_etl_pipeline_spark.operators.dedup import bloom_build_words
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        words = bloom_build_words(
+            batch_df.filter(F.col(text_col).isNotNull()), text_col
+        )
+        (
+            words.withColumn("__batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(delta_dir)
+        )
+
+    return process
+
+
+def bloom_word_stream(
+    docs: DataFrame, text_col: str, delta_dir: str, checkpoint_dir: str
+):
+    """Incremental MEMBERSHIP-sketch maintenance under streaming ingest
+    — the Bloom twin of :func:`hll_register_stream` /
+    :func:`cms_cell_stream` / :func:`bottomk_sample_stream`, extending
+    the streamed sketch triple to the full quartet (distinct /
+    frequency / quantile / membership): each micro-batch bit_or-folds
+    ITS OWN rows into a <= BLOOM_WORDS-row word table appended as a
+    ``__batch_id`` partition; the standing filter is
+    :func:`read_bloom_snapshot`'s per-word bit_or fold, answerable at
+    any moment without a corpus rescan. OR-idempotence (set union)
+    makes any arrival interleaving and any retry converge to the
+    one-shot batch filter bit-identically — pinned by the
+    stream == batch test.
+
+    The 100 TB shape: the stream pays one scan per batch at arrival
+    time; every later "seen before?" gate reads 128 bytes."""
+    return (
+        docs.writeStream.foreachBatch(
+            make_bloom_batch_processor(text_col, delta_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_snapshot(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """Current (word_idx, word) filter from the delta partitions: one
+    per-word bit_or fold — exactly the merge the batch build's
+    associative aggregate defines, so the snapshot IS
+    bloom(all rows so far)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(delta_dir)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").cast("long").alias("word"))
+    )

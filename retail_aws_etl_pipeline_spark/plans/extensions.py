@@ -10949,39 +10949,29 @@ def _ngram_novelty_oracle() -> str:
         FROM documents WHERE text IS NOT NULL
     ),
     nv_grams AS ({body}),
-    nv_test AS (
-        SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS c
-        FROM nv_grams WHERE half = 1 GROUP BY n, gram
-    ),
-    nv_train AS (
-        SELECT DISTINCT n, gram FROM nv_grams WHERE half = 0
-    ),
-    nv_novel AS (
-        SELECT t.n, t.gram, t.c
-        FROM nv_test t ANTI JOIN nv_train r
-          ON r.n = t.n AND r.gram = t.gram
-    ),
-    nv_t AS (
-        SELECT n, CAST(SUM(c) AS BIGINT) AS n_test_total,
-               CAST(COUNT(*) AS BIGINT) AS n_test_distinct
-        FROM nv_test GROUP BY n
-    ),
-    nv_v AS (
-        SELECT n, CAST(SUM(c) AS BIGINT) AS n_novel_occurrences,
-               CAST(COUNT(*) AS BIGINT) AS n_novel_distinct
-        FROM nv_novel GROUP BY n
+    nv_cnt AS (
+        SELECT n, gram,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_test,
+               MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS seen_train
+        FROM nv_grams GROUP BY n, gram
     )
-    SELECT t.n, t.n_test_total, t.n_test_distinct,
-           CAST(COALESCE(v.n_novel_occurrences, 0) AS BIGINT)
-               AS n_novel_occurrences,
-           CAST(COALESCE(v.n_novel_distinct, 0) AS BIGINT) AS n_novel_distinct,
-           CAST(COALESCE(v.n_novel_occurrences, 0) * 1000000
-                // GREATEST(t.n_test_total, 1) AS BIGINT) AS novelty_occ_ppm,
-           CAST(COALESCE(v.n_novel_distinct, 0) * 1000000
-                // GREATEST(t.n_test_distinct, 1) AS BIGINT)
-               AS novelty_distinct_ppm
-    FROM nv_t t LEFT JOIN nv_v v ON v.n = t.n
-    ORDER BY t.n
+    SELECT n,
+           CAST(SUM(c_test) AS BIGINT) AS n_test_total,
+           CAST(SUM(CASE WHEN c_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_distinct,
+           CAST(SUM(CASE WHEN seen_train = 0 THEN c_test ELSE 0 END)
+                AS BIGINT) AS n_novel_occurrences,
+           CAST(SUM(CASE WHEN c_test > 0 AND seen_train = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_distinct,
+           CAST(SUM(CASE WHEN seen_train = 0 THEN c_test ELSE 0 END) * 1000000
+                // GREATEST(SUM(c_test), 1) AS BIGINT) AS novelty_occ_ppm,
+           CAST(SUM(CASE WHEN c_test > 0 AND seen_train = 0 THEN 1 ELSE 0 END)
+                * 1000000
+                // GREATEST(SUM(CASE WHEN c_test > 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS novelty_distinct_ppm
+    FROM nv_cnt
+    GROUP BY n ORDER BY n
     """
 
 
@@ -11001,9 +10991,11 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute identically.
 
     Scale shape: ONE explode over the three sizes carrying the half tag
-    (the diversity-census discipline) into one (n, gram) exchange; the
-    train side ships DISTINCT grams only; the novelty leg is a
-    gram-keyed anti join, never all-pairs. The rollup is 3 rows."""
+    (the diversity-census discipline) into one (n, gram) exchange whose
+    FUSED aggregate answers both questions at once — test occurrence
+    count AND train membership flag — so the novelty "anti join" is a
+    per-gram flag, not a join, and the corpus is scanned exactly once
+    (the shared-lineage re-explode trap never opens). Rollup: 3 rows."""
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].filter(F.col("text").isNotNull()).select(
         F.expr("abs(coalesce(doc_id, 0L)) % 2").alias("half"), "text"
@@ -11021,38 +11013,41 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("half", F.explode(F.expr(f"concat({arrays})")).alias("g"))
         .select("half", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )
-    test = grams.filter(F.col("half") == 1).groupBy("n", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    train = grams.filter(F.col("half") == 0).select("n", "gram").distinct()
-    novel = test.join(train, ["n", "gram"], "left_anti")
-    t_roll = test.groupBy("n").agg(
-        F.sum("c").cast("long").alias("n_test_total"),
-        F.count(F.lit(1)).cast("long").alias("n_test_distinct"),
-    )
-    v_roll = novel.groupBy("n").agg(
-        F.sum("c").cast("long").alias("n_novel_occurrences"),
-        F.count(F.lit(1)).cast("long").alias("n_novel_distinct"),
+    # ONE fused pass decides both questions per (n, gram) — test count
+    # and train membership — so the corpus is exploded exactly once and
+    # the novelty "anti join" degenerates into a flag (no second scan,
+    # no join at all; the shared-lineage re-explode trap never opens).
+    cnt = grams.groupBy("n", "gram").agg(
+        F.sum((F.col("half") == 1).cast("long")).cast("long").alias("c_test"),
+        F.max((F.col("half") == 0).cast("int")).alias("seen_train"),
     )
     return (
-        t_roll.join(v_roll, "n", "left")
+        cnt.groupBy("n")
+        .agg(
+            F.sum("c_test").cast("long").alias("n_test_total"),
+            F.sum((F.col("c_test") > 0).cast("long"))
+            .cast("long")
+            .alias("n_test_distinct"),
+            F.sum(F.when(F.col("seen_train") == 0, F.col("c_test")).otherwise(0))
+            .cast("long")
+            .alias("n_novel_occurrences"),
+            F.sum(
+                ((F.col("c_test") > 0) & (F.col("seen_train") == 0)).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel_distinct"),
+        )
         .select(
             "n",
             "n_test_total",
             "n_test_distinct",
-            F.coalesce("n_novel_occurrences", F.lit(0)).cast("long").alias(
-                "n_novel_occurrences"
-            ),
-            F.coalesce("n_novel_distinct", F.lit(0)).cast("long").alias(
-                "n_novel_distinct"
-            ),
+            "n_novel_occurrences",
+            "n_novel_distinct",
             F.expr(
-                "coalesce(n_novel_occurrences, 0L) * 1000000L"
-                " div greatest(n_test_total, 1L)"
+                "n_novel_occurrences * 1000000L div greatest(n_test_total, 1L)"
             ).cast("long").alias("novelty_occ_ppm"),
             F.expr(
-                "coalesce(n_novel_distinct, 0L) * 1000000L"
-                " div greatest(n_test_distinct, 1L)"
+                "n_novel_distinct * 1000000L div greatest(n_test_distinct, 1L)"
             ).cast("long").alias("novelty_distinct_ppm"),
         )
         .orderBy("n")
@@ -11144,8 +11139,14 @@ def topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = top(0), top(1)
-    joined = a.select(F.col("tok").alias("tok_a")).join(
-        b.select(F.col("tok").alias("tok_b")),
+    # counts ride THROUGH the full-outer join so the #1-token argmax
+    # folds into the same single aggregate as the churn census — the
+    # top lists are computed exactly once (two TakeOrderedAndProject
+    # branches, nothing else re-derives them)
+    joined = a.select(
+        F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+    ).join(
+        b.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b")),
         F.col("tok_a") == F.col("tok_b"),
         "full_outer",
     )
@@ -11156,21 +11157,25 @@ def topk_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tok_a").isNull().cast("long")).alias("n_entered"),
         F.sum(F.col("tok_b").isNull().cast("long")).alias("n_exited"),
         F.count(F.lit(1)).cast("long").alias("n_union"),
-    )
-    top_a = a.agg(
-        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("t")))
+        F.min(
+            F.when(
+                F.col("tok_a").isNotNull(),
+                F.struct((-F.col("c_a")).alias("nc"), F.col("tok_a").alias("t")),
+            )
+        )
         .getField("t")
-        .alias("top_token_a")
-    )
-    top_b = b.agg(
-        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("t")))
+        .alias("top_token_a"),
+        F.min(
+            F.when(
+                F.col("tok_b").isNotNull(),
+                F.struct((-F.col("c_b")).alias("nc"), F.col("tok_b").alias("t")),
+            )
+        )
         .getField("t")
-        .alias("top_token_b")
+        .alias("top_token_b"),
     )
     return (
-        churn.crossJoin(F.broadcast(top_a))
-        .crossJoin(F.broadcast(top_b))
-        .select(
+        churn.select(
             F.lit(TOPK_CHURN_K).cast("long").alias("k"),
             "n_common",
             "n_entered",

@@ -109,6 +109,27 @@ def _staged_pairs():
             E.streamed_bottomk_quantile_report,
             E.STREAMED_BOTTOMK_ORACLE,
         ),
+        # staged r19-queue tranche (built r16): all corpus-generic —
+        # the entropy ladder is generated from pure integer arithmetic
+        # (a function of the ppm scale alone), the novelty/churn/
+        # k-anonymity/UniMax oracles re-derive every count from the
+        # swept corpus in SQL, and the streamed Bloom twin shares the
+        # registered batch oracle verbatim — so none joins SF001_PINNED
+        # and none needs a refit script.
+        ("char_entropy_report", E.char_entropy_report, E.CHAR_ENTROPY_ORACLE),
+        ("ngram_novelty_report", E.ngram_novelty_report, E.NGRAM_NOVELTY_ORACLE),
+        ("topk_churn_report", E.topk_churn_report, E.TOPK_CHURN_ORACLE),
+        ("k_anonymity_report", E.k_anonymity_report, E.K_ANONYMITY_ORACLE),
+        (
+            "unimax_allocation_report",
+            E.unimax_allocation_report,
+            E.UNIMAX_ORACLE,
+        ),
+        (
+            "streamed_bloom_filter_report",
+            E.streamed_bloom_filter_report,
+            E.STREAMED_BLOOM_ORACLE,
+        ),
     ]
 
 

@@ -217,6 +217,22 @@ def test_staged_pairs_survive_adversarial_corpus(spark, adversarial_dir):
             E.source_priority_dedup_report,
             E.SOURCE_PRIORITY_DEDUP_ORACLE,
         ),
+        # r19-queue tranche (built r16), documents-side: the entropy
+        # ladder eats the empty/whitespace/CJK/300-char-token docs (the
+        # char histogram is where those bite), the novelty + churn
+        # censuses push the hostile token stream through both engines'
+        # gram literals and the sign-safe parity, the k-anonymity
+        # census groups the NULL lang/source rows as classes (the one
+        # census that KEEPS NULL QI values by design), UniMax
+        # water-fills the skewed hostile language histogram, and the
+        # streamed Bloom twin drains the hostile texts through
+        # per-batch word folds.
+        (E.char_entropy_report, E.CHAR_ENTROPY_ORACLE),
+        (E.ngram_novelty_report, E.NGRAM_NOVELTY_ORACLE),
+        (E.topk_churn_report, E.TOPK_CHURN_ORACLE),
+        (E.k_anonymity_report, E.K_ANONYMITY_ORACLE),
+        (E.unimax_allocation_report, E.UNIMAX_ORACLE),
+        (E.streamed_bloom_filter_report, E.STREAMED_BLOOM_ORACLE),
     ]:
         r = compare(fn(spark, adversarial_dir), oracle, adversarial_dir)
         assert r["ok"], (fn.__name__, r)

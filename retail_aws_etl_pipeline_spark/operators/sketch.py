@@ -103,20 +103,33 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
     """One-row (hll_estimate, v_zero_registers, rc_max_register) from the
     register table — pure Column algebra, nothing collected. Empty
     buckets (absent rows) count toward the zero-register tally V and
-    contribute 2^rc to the harmonic denominator."""
+    contribute 2^rc to the harmonic denominator.
+
+    Single-pass (r16 optimization): dp = sum_j 2^(rc - M_j) needs the max
+    register rc, which used to force a two-pass head → crossJoin →
+    d_present chain (3 tiny jobs + 2 broadcasts per estimate). Instead
+    aggregate the rc-independent dpc = sum_j 2^(CAP - M_j) alongside rc
+    in ONE agg, then shift: every term has M_j <= rc <= CAP, so
+    dpc = 2^(CAP - rc) * dp exactly and dp = dpc >> (CAP - rc) is an
+    exact integer — bit-identical dp, one aggregate instead of three.
+    Bounds: terms <= 2^(CAP-1) = 2^27, <= m = 256 rows, so
+    dpc <= 2^35 — no overflow."""
     m = HLL_BUCKETS
-    head = regs.agg(
+    agg = regs.agg(
         F.coalesce(F.max("register"), F.lit(0)).cast("long").alias("rc"),
         F.count(F.lit(1)).cast("long").alias("n_present"),
-    )
-    d_present = (
-        regs.crossJoin(F.broadcast(head))
-        .select(F.expr("shiftleft(1L, CAST(rc - register AS INT))").alias("t"))
-        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("dp"))
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, CAST({HLL_RHO_CAP} - register AS INT))")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__dpc"),
     )
     lc = ",".join(str(x) for x in HLL_LC_TABLE)
     return (
-        head.crossJoin(F.broadcast(d_present))
+        agg.withColumn(
+            "dp", F.expr(f"shiftright(__dpc, CAST({HLL_RHO_CAP} - rc AS INT))")
+        )
         .withColumn("v", F.expr(f"{m}L - n_present"))
         .withColumn(
             "d", F.expr(f"dp + ({m}L - n_present) * shiftleft(1L, CAST(rc AS INT))")
@@ -199,6 +212,114 @@ def hll_overlap(
         ea.crossJoin(F.broadcast(eb))
         .crossJoin(F.broadcast(eu))
         .withColumn("est_overlap", F.expr("est_a + est_b - est_union"))
+    )
+
+
+def hll_overlap_split(df: DataFrame, key: Column, is_a: Column) -> DataFrame:
+    """Fused :func:`hll_overlap` for the common case where A and B are two
+    disjoint predicate halves of ONE frame (r16 optimization): the same
+    one-row (est_a, est_b, est_union, est_overlap), bit-identical to
+
+        hll_overlap(df.filter(is_a), df.filter(~is_a), key, key)
+
+    for any boolean ``is_a`` (rows where it is NULL belong to neither
+    half — exactly what the two filters do), but from a SINGLE scan and
+    a SINGLE <= m-row exchange instead of two scans + two register
+    exchanges + three separate estimate chains: one groupBy(bucket)
+    computes both halves' registers side by side (per-bucket conditional
+    MAX), the union register is their per-bucket GREATEST (the
+    :func:`hll_merge` MAX, registers are >= 1 so COALESCE 0 is neutral),
+    and all three estimates are the single-pass :func:`hll_estimate`
+    algebra as column expressions over one 1-row aggregate — no joins.
+    """
+    m = HLL_BUCKETS
+    # is_a IS NULL rows belong to neither half (both filters drop them);
+    # keeping them would mint a (reg_a NULL, reg_b NULL) bucket row that
+    # inflates the union's n_present and poisons dpc_u with a register-0
+    # term — caught by the hostile tri-table battery.
+    hashed = df.filter(key.isNotNull() & is_a.isNotNull()).select(
+        F.md5(key.cast("string")).alias("__h"), is_a.alias("__a")
+    )
+    parts = hashed.select(
+        F.conv(F.substring("__h", 1, 2), 16, 10).cast("long").alias("bucket"),
+        F.conv(F.substring("__h", 3, 13), 16, 10).cast("long").alias("__w"),
+        "__a",
+    )
+    rho = hll_rho_sql("__w")
+    regs = parts.groupBy("bucket").agg(
+        F.expr(f"CAST(MAX(CASE WHEN __a THEN {rho} END) AS BIGINT)").alias("reg_a"),
+        F.expr(f"CAST(MAX(CASE WHEN NOT __a THEN {rho} END) AS BIGINT)").alias(
+            "reg_b"
+        ),
+    ).withColumn(
+        "reg_u",
+        F.greatest(
+            F.coalesce(F.col("reg_a"), F.lit(0)), F.coalesce(F.col("reg_b"), F.lit(0))
+        ).cast("long"),
+    )
+    agg = regs.agg(
+        *[
+            e
+            for tag in ("a", "b", "u")
+            for e in (
+                F.expr(f"CAST(COALESCE(MAX(reg_{tag}), 0) AS BIGINT)").alias(
+                    f"rc_{tag}"
+                ),
+                # count(col) skips NULLs: buckets this half actually hit
+                F.expr(f"CAST(COUNT(reg_{tag}) AS BIGINT)").alias(f"np_{tag}"),
+                F.expr(
+                    f"CAST(COALESCE(SUM(CASE WHEN reg_{tag} IS NOT NULL THEN"
+                    f" shiftleft(1L, CAST({HLL_RHO_CAP} - reg_{tag} AS INT))"
+                    " END), 0) AS BIGINT)"
+                ).alias(f"dpc_{tag}"),
+            )
+        ]
+    )
+    lc = ",".join(str(x) for x in HLL_LC_TABLE)
+    out = agg
+    for tag in ("a", "b", "u"):
+        out = (
+            out.withColumn(
+                f"__dp_{tag}",
+                F.expr(
+                    f"shiftright(dpc_{tag}, CAST({HLL_RHO_CAP} - rc_{tag} AS INT))"
+                ),
+            )
+            .withColumn(f"__v_{tag}", F.expr(f"{m}L - np_{tag}"))
+            .withColumn(
+                f"__d_{tag}",
+                F.expr(
+                    f"__dp_{tag} + ({m}L - np_{tag})"
+                    f" * shiftleft(1L, CAST(rc_{tag} AS INT))"
+                ),
+            )
+            .withColumn(
+                f"__nbig_{tag}",
+                F.expr(f"{m}L * {m} * shiftleft(1L, CAST(rc_{tag} AS INT))"),
+            )
+            .withColumn(
+                f"__eraw_{tag}",
+                F.expr(
+                    f"((__nbig_{tag} div __d_{tag}) * {HLL_ALPHA_PPM}"
+                    f" + ((__nbig_{tag} % __d_{tag}) * {HLL_ALPHA_PPM})"
+                    f" div __d_{tag}) div 1000000"
+                ),
+            )
+            .withColumn(
+                f"__e_{tag}",
+                F.expr(
+                    f"CAST(CASE WHEN __v_{tag} = {m} THEN 0L"
+                    f" WHEN __v_{tag} > 0 AND 2 * __eraw_{tag} <= 5 * {m}"
+                    f" THEN element_at(array({lc}), CAST(__v_{tag} AS INT))"
+                    f" ELSE __eraw_{tag} END AS BIGINT)"
+                ),
+            )
+        )
+    return out.select(
+        F.col("__e_a").alias("est_a"),
+        F.col("__e_b").alias("est_b"),
+        F.col("__e_u").alias("est_union"),
+        F.expr("__e_a + __e_b - __e_u").alias("est_overlap"),
     )
 
 

@@ -782,96 +782,97 @@ def gopher_repetition_flags(
         ).alias("positions"),
     )
 
-    # Lines + paragraphs: extra occurrences and their characters.
-    lp = (
-        grp.filter(F.col("kind").isin(_REP_KIND_LINE, _REP_KIND_PARA))
-        .filter(F.col("cnt") >= 2)
-        .groupBy(id_col)
-        .agg(
-            *[
-                agg.alias(name)
-                for kind, tag in ((_REP_KIND_LINE, "line"), (_REP_KIND_PARA, "para"))
-                for name, agg in (
-                    (
-                        f"dup_{tag}_extra",
-                        F.sum(F.when(F.col("kind") == kind, F.col("cnt") - 1)),
-                    ),
-                    (
-                        f"dup_{tag}_chars",
-                        F.sum(
-                            F.when(
-                                F.col("kind") == kind,
-                                (F.col("cnt") - 1) * F.length("item"),
-                            )
-                        ),
-                    ),
-                )
-            ]
-        )
-    )
-
-    # Top n-grams (n in 2..4): count-desc, lexicographically-smallest
-    # tiebreak via min(struct(-cnt, item)); repeats only.
-    tops = (
-        grp.filter(
-            F.col("kind").isin(*[_REP_KIND_NGRAM_BASE + n for n in GOPHER_REP_TOP_NGRAM])
-            & (F.col("cnt") >= 2)
-        )
-        .groupBy(id_col, "kind")
-        .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("item"))).alias("m"))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(
+    # ALL evidence in ONE groupBy(id) over grp (r16 optimization — guide
+    # §2.4: the lines/paras sums, the top-n-gram argmin and the dup-n
+    # interval collection were three separate grp consumers, each with
+    # its own downstream exchanges, re-joined per doc at the end: ~10
+    # exchanges + 3 sort-merge joins. Every branch's FIRST reduce is
+    # per-doc expressible as a conditional aggregate, so one exchange
+    # keyed on id replaces all of it; values are identical:
+    # - lines/paras: the same SUM(when(kind, ...)) terms, cnt >= 2 moved
+    #   into the when-condition instead of a pre-filter;
+    # - top-n: min(struct(-cnt, item)) over a SINGLE kind equals the old
+    #   per-(id, kind) min then max-over-kinds pick;
+    # - dup-n: sort_array(flatten(collect_list(transform(positions)))) is
+    #   the same interval multiset the old explode + collect_list built,
+    #   sorted by the same (a, b) struct order.
+    # The per-kind interval merge + covered-chars fold then run as
+    # projections AFTER the single join back to the doc scan (one join
+    # instead of three, and positions cross the wire once as arrays
+    # instead of re-exploded rows).
+    agg_cols = [
+        agg.alias(name)
+        for kind, tag in ((_REP_KIND_LINE, "line"), (_REP_KIND_PARA, "para"))
+        for name, agg in (
+            (
+                f"dup_{tag}_extra",
+                F.sum(
                     F.when(
-                        F.col("kind") == _REP_KIND_NGRAM_BASE + n,
-                        (-F.col("m.nc")) * F.length("m.item"),
+                        (F.col("kind") == kind) & (F.col("cnt") >= 2),
+                        F.col("cnt") - 1,
                     )
-                ).alias(f"top{n}_chars")
-                for n in GOPHER_REP_TOP_NGRAM
-            ]
+                ),
+            ),
+            (
+                f"dup_{tag}_chars",
+                F.sum(
+                    F.when(
+                        (F.col("kind") == kind) & (F.col("cnt") >= 2),
+                        (F.col("cnt") - 1) * F.length("item"),
+                    )
+                ),
+            ),
         )
-    )
-
-    # Duplicate n-grams (n in 5..10): per (doc, n) interval union of every
-    # occurrence of every repeated n-gram, chars counted once.
-    dup_pos = (
-        grp.filter(
-            F.col("kind").isin(*[_REP_KIND_NGRAM_BASE + n for n in GOPHER_REP_DUP_NGRAM])
-            & (F.col("cnt") >= 2)
-        )
-        .select(id_col, "kind", F.explode("positions").alias("pos"))
-        .groupBy(id_col, "kind")
-        .agg(
-            F.sort_array(
+    ]
+    agg_cols += [
+        F.min(
+            F.when(
+                (F.col("kind") == _REP_KIND_NGRAM_BASE + n) & (F.col("cnt") >= 2),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("item")),
+            )
+        ).alias(f"__top{n}")
+        for n in GOPHER_REP_TOP_NGRAM
+    ]
+    agg_cols += [
+        F.sort_array(
+            F.flatten(
                 F.collect_list(
-                    F.expr(f"struct(pos AS a, pos + (kind - {_REP_KIND_NGRAM_BASE}) - 1 AS b)")
+                    F.when(
+                        (F.col("kind") == _REP_KIND_NGRAM_BASE + n)
+                        & (F.col("cnt") >= 2),
+                        F.expr(
+                            f"transform(positions, p -> struct(p AS a, p + {n} - 1 AS b))"
+                        ),
+                    )
                 )
-            ).alias("__ivs")
-        )
-        .withColumn("__merged", F.expr(merge_token_intervals("__ivs")))
-        .join(base.select(id_col, "__toks"), id_col)
-        .select(
-            id_col,
-            "kind",
-            F.expr(_covered_chars("__toks", "__merged")).alias("chars"),
-        )
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("kind") == _REP_KIND_NGRAM_BASE + n, F.col("chars"))
-                ).alias(f"dup{n}_chars")
-                for n in GOPHER_REP_DUP_NGRAM
-            ]
-        )
-    )
+            )
+        ).alias(f"__ivs{n}")
+        for n in GOPHER_REP_DUP_NGRAM
+    ]
+    per_doc = grp.groupBy(id_col).agg(*agg_cols)
 
-    out = (
-        base.select(id_col, "n_chars", "n_lines", "n_paras")
-        .join(lp, id_col, "left")
-        .join(tops, id_col, "left")
-        .join(dup_pos, id_col, "left")
+    out = base.select(id_col, "n_chars", "n_lines", "n_paras", "__toks").join(
+        per_doc, id_col, "left"
+    )
+    for n in GOPHER_REP_TOP_NGRAM:
+        out = out.withColumn(
+            f"top{n}_chars",
+            (-F.col(f"__top{n}.nc")) * F.length(f"__top{n}.item"),
+        )
+    for n in GOPHER_REP_DUP_NGRAM:
+        out = out.withColumn(
+            f"__merged{n}", F.expr(merge_token_intervals(f"__ivs{n}"))
+        ).withColumn(
+            f"dup{n}_chars",
+            # empty interval array (no repeats) folds to 0; NULL (doc had
+            # no items at all) is coalesced with the rest below
+            F.expr(_covered_chars("__toks", f"__merged{n}")),
+        )
+    out = out.drop(
+        "__toks",
+        *[f"__top{n}" for n in GOPHER_REP_TOP_NGRAM],
+        *[f"__ivs{n}" for n in GOPHER_REP_DUP_NGRAM],
+        *[f"__merged{n}" for n in GOPHER_REP_DUP_NGRAM],
     )
     ev_cols = (
         ["dup_line_extra", "dup_line_chars", "dup_para_extra", "dup_para_chars"]

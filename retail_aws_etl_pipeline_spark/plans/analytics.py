@@ -2135,8 +2135,9 @@ def _distributed_rank(
     """Exact global ROW_NUMBER without a global window — the rank core of
     :func:`_distributed_ntile`, factored (r15) so rank-consuming queries
     (the Zipf census, vocab coverage) share the same audited plan shape:
-    range repartition on the sort key, per-partition row_number windowed
-    by spark_partition_id, broadcast triangular prefix-sum offsets. With
+    range repartition on the sort key, local sort + per-partition record
+    number (monotonically_increasing_id low bits — no window, no second
+    exchange; r16), broadcast triangular prefix-sum offsets. With
     ``out_col=None`` (the ntile-internal form) the working columns
     ``__pid __lrn __offset __rn __n`` are kept for the bucket formula;
     with a name, the rank lands in ``out_col`` (1-based, long) and the
@@ -2148,14 +2149,29 @@ def _distributed_rank(
         partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+    # Local row number WITHOUT a window (r16 optimization): row_number()
+    # OVER (PARTITION BY __pid ...) required ClusteredDistribution(__pid),
+    # and the planner cannot know the range exchange already satisfies it
+    # (one __pid value per physical partition by construction), so every
+    # rank pass paid a SECOND full exchange — hashpartitioning(__pid) —
+    # plus its sort, re-shuffling the whole frame it had just range-
+    # partitioned. Instead: sort locally within the range partitions and
+    # read the per-partition record number out of
+    # monotonically_increasing_id()'s low 33 bits (its documented layout:
+    # partition id << 33 | record number, assigned in physical row order,
+    # which the local sort has just fixed — sort_cols end in a unique
+    # tiebreaker, so the order and therefore __lrn are deterministic).
+    # Same __lrn values, one exchange instead of two.
     ranged = (
         df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .persist()
     )
     local = ranged.withColumn(
-        "__lrn", F.row_number().over(W.partitionBy("__pid").orderBy(*sort_cols))
-    )
+        "__lrn", F.expr(f"(__mid & {(1 << 33) - 1}) + 1L")
+    ).drop("__mid")
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     offsets = (
         counts.alias("a")

@@ -9218,29 +9218,35 @@ def hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for metric, table, key, split in HLL_OVERLAP_TARGETS:
         t = load_tables(spark, sf_dir, [table])[table]
         base = t.filter(F.col(key).isNotNull())
-        a = base.filter(F.col(split) % 2 == 0)
-        b = base.filter(F.col(split) % 2 == 1)
-        exact = (
-            a.select(F.col(key).alias("__k"))
-            .distinct()
-            .join(b.select(F.col(key).alias("__k")).distinct(), "__k", "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
-            .crossJoin(
-                F.broadcast(
-                    a.agg(
-                        F.count_distinct(F.col(key)).cast("long").alias("exact_a")
-                    )
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    b.agg(
-                        F.count_distinct(F.col(key)).cast("long").alias("exact_b")
-                    )
-                )
-            )
+        # Exact leg, fused (r16 optimization — guide §2.3/§2.4): exact_a,
+        # exact_b and the intersection all derive from ONE groupBy(key)
+        # pass marking which parity halves each distinct key appears in —
+        # replacing two DISTINCT exchanges + a semi-join + two separate
+        # count_distinct aggregations (≈5 corpus-scale exchanges and a
+        # join) with one key-wide exchange and a 1-row reduce. Values are
+        # identical by construction: sum(in_a) == COUNT(DISTINCT key
+        # WHERE split%2=0), and sum(in_a AND in_b) == |A ∩ B|. NULL-split
+        # rows land in neither half on both paths (split % 2 == k is NULL).
+        per_key = base.groupBy(F.col(key).alias("__k")).agg(
+            F.max(F.coalesce(F.col(split) % 2 == 0, F.lit(False)))
+            .cast("int")
+            .alias("__in_a"),
+            F.max(F.coalesce(F.col(split) % 2 == 1, F.lit(False)))
+            .cast("int")
+            .alias("__in_b"),
         )
-        est = SK.hll_overlap(a, b, F.col(key), F.col(key))
+        exact = per_key.agg(
+            # COALESCE 0: SUM over an all-NULL-key table's empty per_key
+            # frame is NULL where the old COUNT path returned 0
+            F.coalesce(F.sum(F.col("__in_a") * F.col("__in_b")), F.lit(0))
+            .cast("long")
+            .alias("exact_overlap"),
+            F.coalesce(F.sum("__in_a"), F.lit(0)).cast("long").alias("exact_a"),
+            F.coalesce(F.sum("__in_b"), F.lit(0)).cast("long").alias("exact_b"),
+        ).select("exact_overlap", "exact_a", "exact_b")
+        # Sketch leg, fused (same rewrite): both halves' register tables
+        # and the MAX-merged union from ONE scan + ONE <= m-row exchange.
+        est = SK.hll_overlap_split(base, F.col(key), F.col(split) % 2 == 0)
         frames.append(
             exact.crossJoin(F.broadcast(est)).select(
                 F.lit(metric).alias("metric"),

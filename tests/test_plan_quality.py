@@ -257,12 +257,20 @@ def test_customer_spend_deciles_no_global_window(spark):
 
     df = REGISTRY["customer_spend_deciles"].spark_fn(spark, SF_SMOKE)
     plan = _plan(df)
-    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
-    assert windows, "expected the per-partition row_number Window"
-    for ln in windows:
-        bracket_groups = re.findall(r"\], \[", ln)
-        assert len(bracket_groups) >= 2, f"unpartitioned Window: {ln.strip()[:200]}"
-        assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
+    # r16: the rank core dropped its Window entirely — the local record
+    # number comes from monotonically_increasing_id over the locally
+    # sorted range partitions, so the plan must show NO Window at all
+    # (a fortiori no single-task global window) and, critically, no
+    # second exchange re-hashing the ranged frame by __pid.
+    assert not re.search(r"\bWindow \[", plan), "rank path regrew a Window"
+    assert "monotonically_increasing_id" in plan
+    # the only surviving hashpartitioning(__pid) exchange is the tiny
+    # per-partition counts groupBy (<= `partitions` pre-aggregated rows);
+    # the full-frame re-shuffle fed a Window that no longer exists, so a
+    # Sort keyed by __pid (the Window's required ordering) must be gone
+    assert not re.search(r"Sort \[__pid", plan), (
+        "full-frame __pid sort regrew — the Window-feeding exchange is back"
+    )
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
 
@@ -482,19 +490,24 @@ def test_maxsim_token_vectors_match_python(spark):
 
 
 def test_customer_rfm_segments_no_global_window(spark):
-    """All three quartile assignments go through _distributed_ntile: every
-    Window in the executed plan is partitioned by spark_partition_id
-    (never a single-task global window), and the rank-offset joins stay
-    broadcast."""
+    """All three quartile assignments go through _distributed_ntile. r16:
+    the rank core is window-free (local sort + monotonically_increasing_id
+    record numbers over the range partitions), so the plan must show no
+    Window at all — a fortiori no single-task global window — and no
+    hashpartitioning(__pid) re-exchange of the ranged frames."""
     import re
 
     df = REGISTRY["customer_rfm_segments"].spark_fn(spark, SF_SMOKE)
     plan = _plan(df)
-    windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
-    assert len(windows) >= 3, "expected three per-partition rank Windows"
-    for ln in windows:
-        assert len(re.findall(r"\], \[", ln)) >= 2, f"unpartitioned Window: {ln.strip()[:200]}"
-        assert "__pid" in ln, f"Window not keyed by partition id: {ln.strip()[:200]}"
+    assert not re.search(r"\bWindow \[", plan), "rank path regrew a Window"
+    assert "monotonically_increasing_id" in plan
+    # the only surviving hashpartitioning(__pid) exchange is the tiny
+    # per-partition counts groupBy (<= `partitions` pre-aggregated rows);
+    # the full-frame re-shuffle fed a Window that no longer exists, so a
+    # Sort keyed by __pid (the Window's required ordering) must be gone
+    assert not re.search(r"Sort \[__pid", plan), (
+        "full-frame __pid sort regrew — the Window-feeding exchange is back"
+    )
     # The rank-offset/total joins inside each ntile pass stay broadcast;
     # the three score columns rejoin the customer base on c_custkey —
     # keyed equi-joins (sort-merge is the correct scale plan there), and

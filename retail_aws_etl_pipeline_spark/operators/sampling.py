@@ -490,7 +490,15 @@ def perceptron_features(
         id_col, "y", F.lit(PCTRON_BIAS).cast("long").alias("b"),
         F.lit(1).cast("long").alias("cnt"),
     )
-    return feats.unionByName(bias)
+    # Hash-partition the training frame by doc id BEFORE the caller
+    # persists it (r16 optimization): every fit round needs a
+    # groupBy(id, y) margins pass AND an (id)-keyed misclassified-docs
+    # join back onto this frame — HashPartitioning(id) satisfies both
+    # required distributions (id ⊆ {id, y}), and the cached plan's
+    # partitioning survives InMemoryTableScan, so all PCTRON_ROUNDS
+    # rounds run with ZERO corpus-scale exchanges instead of two each.
+    # One exchange here replaces 2 x rounds downstream.
+    return feats.unionByName(bias).repartition(F.col(id_col))
 
 
 def _perceptron_margins(feats: DataFrame, w: list[int], id_col: str) -> DataFrame:

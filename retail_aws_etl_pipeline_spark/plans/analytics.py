@@ -1827,7 +1827,17 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t["events"].filter(F.col("value").isNotNull()).select(
         "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("qv")
     )
-    hist = q.groupBy("event_type", "qv").agg(F.count(F.lit(1)).alias("cnt"))
+    # Both histogram frames are re-consumed (hist: the median pass reads
+    # it twice, the deviation pass once, the final outlier pass once —
+    # unpersisted, each re-ran the corpus scan + groupBy; dev: twice
+    # inside the MAD median). Persist the already-reduced histograms —
+    # min(rows, distinct quantized values) per type, the same bounded
+    # frame the windows rely on (r16; 28 → 12 static exchanges).
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    hist = (
+        q.groupBy("event_type", "qv").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     med = _grouped_lower_median(hist, "qv").select(
         "event_type", F.col("med").alias("med_q"), "n"
     )
@@ -1836,11 +1846,12 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ad", F.abs(F.col("qv") - F.col("med_q")))
         .groupBy("event_type", "ad")
         .agg(F.sum("cnt").alias("cnt"))
+        .persist()
     )
     mad = _grouped_lower_median(dev, "ad").select(
         "event_type", F.col("med").alias("mad_q")
     )
-    return (
+    return retaining(
         hist.join(med, "event_type")
         .join(mad, "event_type")
         .groupBy("event_type", "n", "med_q", "mad_q")
@@ -1867,7 +1878,9 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad_q") / 1000000.0).alias("mad_value"),
             "n_outliers",
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        hist,
+        dev,
     )
 
 

@@ -2260,36 +2260,53 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_pairs = _truncate_lineage(ivf_pairs, "auto")
 
-    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # --- Param-fused leg evaluation (r16 optimization — guide §2.4): the
+    # old per-leg helper built an independent window + counts groupBy +
+    # counts join + exact left-join pipeline for EVERY (method, param)
+    # leg — 10 small sort-merge-join chains (52 exchanges, 20 SMJ in the
+    # static plan) over candidate frames that nest by construction.
+    # Instead each candidate row explodes into the (small, fixed) list of
+    # params whose predicate it passes, and ONE window / ONE counts pass /
+    # ONE exact join — all keyed by (param, probe_id) — scores every leg
+    # of a method together. Per (param, probe) the candidate rows, the
+    # row_number order, the top-k, and the MAX(n_cand)-over-matched-rows
+    # aggregate are identical to the per-leg form, so the emitted rows are
+    # unchanged. The tiny counts / top-k sides broadcast instead of SMJ.
+    w = W.partitionBy("param", "probe_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
 
-    def leg(method: str, param: int, cand: DataFrame) -> DataFrame:
-        # cand: this leg's (probe_id, vec_id, cosine) candidate rows.
-        # n_cand = candidate-set size per probe; topk = leg's answer; the
-        # left join against the exact top-k yields recall — identical
-        # aggregate shape (incl. MAX(n_cand) over MATCHED rows only) to the
-        # oracle SQL.
-        counts = cand.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    def legs_fused(method: str, cand: DataFrame, params: list[int]) -> DataFrame:
+        counts = cand.groupBy("param", "probe_id").agg(
+            F.count(F.lit(1)).alias("n_cand")
+        )
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= ANN_K)
-            .join(counts, "probe_id")
+            .join(F.broadcast(counts), ["param", "probe_id"])
             .select(
+                F.col("param").alias("l_param"),
                 F.col("probe_id").alias("l_probe"),
                 F.col("vec_id").alias("l_vec"),
                 F.col("n_cand").alias("l_cand"),
             )
         )
-        joined = exact.join(
-            topk,
-            (F.col("probe_id") == F.col("l_probe")) & (F.col("vec_id") == F.col("l_vec")),
+        exact_params = exact.withColumn(
+            "param", F.explode(F.array(*[F.lit(p) for p in params]))
+        )
+        joined = exact_params.join(
+            F.broadcast(topk),
+            (F.col("param") == F.col("l_param"))
+            & (F.col("probe_id") == F.col("l_probe"))
+            & (F.col("vec_id") == F.col("l_vec")),
             "left",
         )
         return (
-            joined.groupBy("probe_id")
+            joined.groupBy("param", "probe_id")
             .agg(F.count("l_vec").alias("n_common"), F.max("l_cand").alias("n_cand"))
             .select(
                 F.lit(method).alias("method"),
-                F.lit(param).cast("long").alias("param"),
+                F.col("param").cast("long").alias("param"),
                 "probe_id",
                 "n_cand",
                 "n_common",
@@ -2297,23 +2314,45 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    legs = []
-    for n in SWEEP_PLANE_COUNTS:
-        mask_n = (1 << n) - 1
-        legs.append(
-            leg(
-                "lsh",
-                n,
-                lsh_pairs.filter(
-                    F.bit_count(F.col("xb").bitwiseAND(F.lit(mask_n))) <= F.lit(1)
-                ),
+    lsh_cand = lsh_pairs.select(
+        "probe_id",
+        "vec_id",
+        "cosine",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            F.bit_count(
+                                F.col("xb").bitwiseAND(F.lit((1 << n) - 1))
+                            )
+                            <= F.lit(1),
+                            F.lit(n),
+                        )
+                        for n in SWEEP_PLANE_COUNTS
+                    ]
+                )
             )
-        )
-    for np_ in SWEEP_NPROBES:
-        legs.append(leg("ivf", np_, ivf_pairs.filter(F.col("cell_rank") < F.lit(np_))))
-    out = legs[0]
-    for leg_df in legs[1:]:
-        out = out.unionByName(leg_df)
+        ).alias("param"),
+    )
+    ivf_cand = ivf_pairs.select(
+        "probe_id",
+        "vec_id",
+        "cosine",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(F.col("cell_rank") < F.lit(np_), F.lit(np_))
+                        for np_ in SWEEP_NPROBES
+                    ]
+                )
+            )
+        ).alias("param"),
+    )
+    out = legs_fused("lsh", lsh_cand, list(SWEEP_PLANE_COUNTS)).unionByName(
+        legs_fused("ivf", ivf_cand, list(SWEEP_NPROBES))
+    )
     return out.orderBy("method", "param", "probe_id")
 
 
@@ -8677,12 +8716,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both legs via the fused per_doc_signatures pass; the exact
     leg is the posting-list join restricted to candidate docs (never
     all-pairs)."""
-    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+    from retail_aws_etl_pipeline_spark.operators.caching import (
+        retained_caches,
+        retaining,
+    )
 
     t = load_tables(spark, sf_dir, ["documents"])
     grams = D.shingles(t["documents"]).persist()
-    out = D.minhash_estimate_pairs(grams).orderBy("id_a", "id_b")
-    return retaining(out, grams)
+    pairs = D.minhash_estimate_pairs(grams)
+    out = pairs.orderBy("id_a", "id_b")
+    # carry the kernel's candidate-frame tag across the orderBy (derived
+    # frames don't inherit tags — the caching-module contract)
+    return retaining(out, grams, *retained_caches(pairs))
 
 
 def _temperature_oracle() -> str:

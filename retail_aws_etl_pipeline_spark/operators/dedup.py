@@ -50,6 +50,8 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     # whole query CRASHES (INVALID_PARAMETER_VALUE.START) — latent on
     # curated corpora where every doc has >= n tokens, fatal on real web
     # data (caught by tests/test_oracle_adversarial.py at r12).
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     grams = F.array_distinct(
         F.expr(
             f"CASE WHEN size(__toks) >= {SHINGLE_N} THEN"
@@ -58,8 +60,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
             " ELSE array() END"
         )
     )
-    return df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
-        F.col(id_col), F.explode(grams).alias("gram")
+    # spread_for_compute: the tokenize + n-gram construction below is the
+    # heaviest per-row work in the dedup family and would otherwise run
+    # fused into the scan stage — near-single-task on single-row-group
+    # inputs (guide §2.5); no-op on production layouts.
+    return (
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
     )
 
 
@@ -735,8 +743,11 @@ def token_chunks(
         f" CAST(size(slice(__toks, j * {w} + 1, {w})) AS BIGINT) AS n_toks)),"
         " s -> s.n_toks > 0)"
     )
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     return (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(spans).alias("s"))
         .select(id_col, "s.chunk_idx", "s.chunk", "s.n_toks")
     )
@@ -1587,9 +1598,15 @@ def content_defined_chunks(
         acc -> CASE WHEN acc.n = 0L THEN acc.chunks
                     ELSE array_append(acc.chunks, acc.cur) END
     )"""
-    return df.withColumn("__chunks", F.expr(fold)).select(
-        F.col(id_col),
-        F.posexplode(F.col("__chunks")).alias("chunk_idx", "chunk_text"),
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
+    return (
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__chunks", F.expr(fold))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col("__chunks")).alias("chunk_idx", "chunk_text"),
+        )
     )
 
 
@@ -1669,9 +1686,13 @@ def duplicated_span_stats(
     plus a bounded per-doc reduce. ``max_gram_freq``-style hot caps are
     unnecessary: the join returns to the OWNING doc only.
     """
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     w = window_tokens
-    base = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
-        F.col(id_col), F.col("__toks")
+    base = (
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.col("__toks"))
     )
     wins = base.select(
         F.col(id_col),

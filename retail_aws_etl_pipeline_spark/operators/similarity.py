@@ -95,12 +95,18 @@ def with_quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
     reuses it instead of re-deriving the quantization lineage per call.
     The source column is recorded in qvec's field metadata; asking to
     quantize a different column re-derives (stale-quantization guard)."""
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     if "qvec" in df.columns and "qnorm" in df.columns:
         src = dict(df.schema["qvec"].metadata or {}).get("quantized_from")
         if src == col or src is None and col == "embedding":
             return df
         df = df.drop("qvec", "qnorm")
-    out = df.withColumn("qvec", quantized(col).alias("qvec", metadata={"quantized_from": col}))
+    # quantization + the downstream GEMM/dot kernels are array-heavy
+    # per-row compute — spread off a single-task scan (no-op at scale)
+    out = spread_for_compute(df).withColumn(
+        "qvec", quantized(col).alias("qvec", metadata={"quantized_from": col})
+    )
     return out.withColumn("qnorm", _dot("qvec", "qvec"))
 
 

@@ -619,6 +619,8 @@ def bpe_encode_stats(
     pure scan-side projection: no join, no UDF, no shuffle. At 100 TB
     this is the per-document tokenize pass of a training-data pipeline.
     """
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     t = F.col(text_col)
     sym = F.concat(
         F.lit(" "),
@@ -628,7 +630,9 @@ def bpe_encode_stats(
         ),
         F.lit(" "),
     )
-    out = docs.withColumn("__sym", sym)
+    # the per-document symbol string + R merge replaces are heavy per-row
+    # string work — spread off a single-task scan (no-op at scale)
+    out = spread_for_compute(docs).withColumn("__sym", sym)
     enc = F.col("__sym")
     for a, b in merges:
         enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
@@ -727,7 +731,12 @@ def gopher_repetition_flags(
         _covered_chars,
         merge_token_intervals,
     )
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
+    # the 9-size n-gram explode below is the package's single heaviest
+    # per-row computation — spread it off a single-task scan (guide §2.5;
+    # no-op on production layouts)
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),

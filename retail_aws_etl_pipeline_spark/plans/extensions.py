@@ -630,8 +630,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
-    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    # full-decode kernels (see png_decode_stats) — spread; probes stay 1-task
+    ids = spread_for_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    )
     bmp = MM.decode_bmp_stats(MM.synth_media(ids, "doc_id", "image")).select(
         "media_id",
         F.lit("image").alias("kind"),
@@ -676,8 +680,16 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_aws_etl_pipeline_spark.operators import multimodal as MM
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
-    ids = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    # zlib deflate (synth) + inflate/unfilter (decode) are the two
+    # heaviest Python kernels in the suite — spread the id frame so both
+    # mapInPandas stages use the machine (no-op at scale); the header
+    # PROBE queries deliberately stay unspread: their kernels are
+    # O(header bytes) and don't amortize an exchange.
+    ids = spread_for_compute(
+        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+    )
     return MM.decode_png_stats(MM.synth_media(ids, "doc_id", "png")).orderBy("media_id")
 
 
@@ -9502,8 +9514,11 @@ def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array() END"
         for n in NGRAM_DIVERSITY_SIZES
     )
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     grams = (
-        docs.withColumn("__toks", F.split("text", " "))
+        spread_for_compute(docs.select("source", "text"))
+        .withColumn("__toks", F.split("text", " "))
         .select("source", F.explode(F.expr(f"concat({arrays})")).alias("g"))
         .select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )

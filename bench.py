@@ -98,6 +98,19 @@ def main() -> None:
     warm.groupBy().applyInPandas(lambda p: p.head(1), schema=warm.schema).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Python WORKER POOL at the width the kernels actually use:
+    # the one-task applyInPandas above spins exactly one worker, so the
+    # first multi-partition mapInPandas query in the suite paid a ~5 s
+    # pool spin-up (16-32 processes x pandas import) inside ITS timing —
+    # a session-lifetime framework cost, not that query's cost (r16; same
+    # rationale as the existing JVM/codegen warmup, measurement unchanged
+    # otherwise).
+    from retail_aws_etl_pipeline_spark.session import PY_KERNEL_MAX_PARTS as _PYW
+
+    n_pool = max(int(spark.conf.get("spark.sql.shuffle.partitions")), _PYW)
+    spark.range(n_pool, numPartitions=n_pool).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -104,7 +104,9 @@ def with_quantized(df: DataFrame, col: str = "embedding") -> DataFrame:
         df = df.drop("qvec", "qnorm")
     # quantization + the downstream GEMM/dot kernels are array-heavy
     # per-row compute — spread off a single-task scan (no-op at scale)
-    out = spread_for_compute(df).withColumn(
+    from retail_aws_etl_pipeline_spark.session import PY_KERNEL_MAX_PARTS
+
+    out = spread_for_compute(df, max_parts=PY_KERNEL_MAX_PARTS).withColumn(
         "qvec", quantized(col).alias("qvec", metadata={"quantized_from": col})
     )
     return out.withColumn("qnorm", _dot("qvec", "qvec"))

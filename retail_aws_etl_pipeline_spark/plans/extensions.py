@@ -632,9 +632,12 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_aws_etl_pipeline_spark.operators import multimodal as MM
     from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
+    from retail_aws_etl_pipeline_spark.session import PY_KERNEL_MAX_PARTS
+
     # full-decode kernels (see png_decode_stats) — spread; probes stay 1-task
     ids = spread_for_compute(
-        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id"),
+        max_parts=PY_KERNEL_MAX_PARTS,
     )
     bmp = MM.decode_bmp_stats(MM.synth_media(ids, "doc_id", "image")).select(
         "media_id",
@@ -687,8 +690,11 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas stages use the machine (no-op at scale); the header
     # PROBE queries deliberately stay unspread: their kernels are
     # O(header bytes) and don't amortize an exchange.
+    from retail_aws_etl_pipeline_spark.session import PY_KERNEL_MAX_PARTS
+
     ids = spread_for_compute(
-        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id")
+        load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id"),
+        max_parts=PY_KERNEL_MAX_PARTS,
     )
     return MM.decode_png_stats(MM.synth_media(ids, "doc_id", "png")).orderBy("media_id")
 

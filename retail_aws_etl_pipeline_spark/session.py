@@ -69,10 +69,14 @@ _SCAN_GUARD_MIN_ROWS = 1_000
 #: :func:`spread_for_compute`.
 _SCAN_DEFICIT: dict[int, bool] = {}
 
+#: Python-kernel fan-out cap for deficit-mode spreads (see
+#: spread_for_compute); 16 measured best on the decode kernels.
+PY_KERNEL_MAX_PARTS = 16
+
 _ROW_GROUP_CACHE: dict[str, tuple[int, int]] = {}
 
 
-def spread_for_compute(df):
+def spread_for_compute(df, max_parts: int | None = None):
     """Round-robin repartition of an operator's (already column-pruned)
     input iff this session's scan layout is under-parallelized — the
     guide-§2.5 mitigation for unsplittable inputs, applied at the point
@@ -80,12 +84,21 @@ def spread_for_compute(df):
     chunking folds, decode kernels) would otherwise run fused into a
     near-single-task scan stage. On production layouts (row groups >=
     cores) this is a no-op, so the exchange only ever exists where the
-    scan itself cannot feed the machine."""
+    scan itself cannot feed the machine.
+
+    ``max_parts`` caps the fan-out for PYTHON-kernel consumers
+    (mapInPandas/mapInArrow): each partition is a Python worker, and a
+    worker costs a process + pandas/numpy import on first use, so full
+    core-count fan-out of a Python stage front-loads a pool spin-up the
+    kernel never amortizes on deficit-sized inputs (A/B at sf0.1: 16
+    workers beat both 8 and 32 on the PNG decode). JVM-side consumers
+    leave it None and use the session's shuffle parallelism."""
     if not _SCAN_DEFICIT.get(id(df.sparkSession), False):
         return df
-    return df.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if max_parts is not None:
+        n = max(2, min(n, max_parts))
+    return df.repartition(n)
 
 
 def _parquet_layout(path: str) -> tuple[int, int]:

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join where its size conditions
+        # hold (guide §3.1/§9): same shuffle, no sort on either side; SMJ
+        # remains the fallback when neither side's per-partition build fits.
+        # Measured -0.2..-0.8 s on every SMJ-carrying registry query at
+        # sf0.1 with identical results; at scale AQE's runtime sizes +
+        # skew-join splitting keep the build side bounded.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

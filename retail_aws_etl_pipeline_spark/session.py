@@ -109,15 +109,31 @@ def spread_for_compute(df, max_parts: int | None = None):
 
 
 def _parquet_layout(path: str) -> tuple[int, int]:
-    """(num_row_groups, num_rows) from the parquet footer, memoized per
-    path (the footer read is microseconds; memoization keeps repeated
-    load_tables calls metadata-free)."""
+    """(num_row_groups, num_rows) summed over the table's part files,
+    memoized per path (footer reads are microseconds; memoization keeps
+    repeated load_tables calls metadata-free). A Spark-written table is a
+    DIRECTORY of part files (test fixtures build these); the shipped
+    testdata is a single file — handle both, and fail OPEN (treat the
+    layout as fully parallel, i.e. no deficit) on any metadata surprise
+    so the guard can never break a read it was meant to speed up."""
     got = _ROW_GROUP_CACHE.get(path)
     if got is None:
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
-        got = (md.num_row_groups, md.num_rows)
+        try:
+            if os.path.isdir(path):
+                rg = rows = 0
+                for entry in sorted(os.listdir(path)):
+                    if entry.endswith(".parquet"):
+                        md = pq.ParquetFile(os.path.join(path, entry)).metadata
+                        rg += md.num_row_groups
+                        rows += md.num_rows
+                got = (rg, rows)
+            else:
+                md = pq.ParquetFile(path).metadata
+                got = (md.num_row_groups, md.num_rows)
+        except Exception:  # noqa: BLE001 — guard must never break a read
+            got = (1 << 30, 0)
         _ROW_GROUP_CACHE[path] = got
     return got
 

@@ -315,18 +315,21 @@ def test_agreement_report_single_scan_no_join(spark):
 
 
 def test_rank_spectrum_plans_no_global_window(spark):
-    """The Zipf/coverage rank comes from the factored _distributed_rank:
-    every executed Window must be partitioned by the range-partition id
-    (the token_budget_selection gate), never a global window; scans
+    """The Zipf/coverage rank comes from the factored _distributed_rank,
+    which is window-free since r16 (local sort + monotonically_increasing_id
+    record numbers over the range partitions): the plan must show NO
+    Window at all — a fortiori no global window — and no full-frame
+    __pid-keyed sort (the shape the removed re-exchange fed); scans
     prune to the text column."""
     import re
 
     for fn in (E.zipf_fit_report, E.vocab_coverage_report):
         plan = _plan(fn(spark, SF_SMOKE))
-        windows = [ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)]
-        assert windows, f"{fn.__name__}: expected the per-partition rank Window"
-        for ln in windows:
-            assert "__pid" in ln, f"{fn.__name__} global window: {ln.strip()[:200]}"
+        assert not re.search(r"\bWindow \[", plan), (
+            f"{fn.__name__}: rank path regrew a Window"
+        )
+        assert "monotonically_increasing_id" in plan, fn.__name__
+        assert not re.search(r"Sort \[__pid", plan), fn.__name__
         assert "CartesianProduct" not in plan
         read_schema = next(
             ln for ln in plan.splitlines() if "ReadSchema" in ln

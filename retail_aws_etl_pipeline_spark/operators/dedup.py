@@ -36,13 +36,22 @@ NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
 SHINGLE_N = 3
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread: bool = True,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, gram).
 
     The token array is projected as its own column FIRST: referencing
     ``split(text)`` inside the transform lambda re-tokenizes the document
     for every shingle (no CSE across the lambda boundary) — measured 4x
     slower than splitting once per row.
+
+    ``spread=False`` for callers that already spread (and usually persist)
+    their input — the deficit-mode repartition would otherwise re-exchange
+    an already-wide cached frame on every materialization.
     """
     # size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (DuckDB's
     # generate_series(1, 0) is empty), so the greatest() idiom alone
@@ -64,10 +73,11 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     # heaviest per-row work in the dedup family and would otherwise run
     # fused into the scan stage — near-single-task on single-row-group
     # inputs (guide §2.5); no-op on production layouts.
-    return (
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    base = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        base = spread_for_compute(base)
+    return base.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+        F.col(id_col), F.explode(grams).alias("gram")
     )
 
 

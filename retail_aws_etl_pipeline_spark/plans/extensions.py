@@ -4025,12 +4025,18 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_aws_etl_pipeline_spark.operators.sampling import token_budget_select
     from retail_aws_etl_pipeline_spark.operators.textops import normalize_text
 
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     norm = docs.select("doc_id", normalize_text("text").alias("ntext"))
     kept1_ids = norm.groupBy(F.md5("ntext")).agg(F.min("doc_id").alias("doc_id"))
-    k1 = norm.join(kept1_ids.select("doc_id"), "doc_id").persist()
-    grams = D.shingles(k1, text_col="ntext").persist()
+    # spread BEFORE the persist so the cached survivor frame is already
+    # wide for every consumer (shingles, the CC node list, the budget
+    # pass and the counts) — shingles' own deficit spread would otherwise
+    # re-exchange the cache on each materialization (r16)
+    k1 = spread_for_compute(norm.join(kept1_ids.select("doc_id"), "doc_id")).persist()
+    grams = D.shingles(k1, text_col="ntext", spread=False).persist()
     pairs = D.jaccard_counts(grams).filter(
         F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))
     ).select("id_a", "id_b")

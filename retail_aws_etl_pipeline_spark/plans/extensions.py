@@ -8746,7 +8746,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
-    grams = D.shingles(t["documents"]).persist()
+    grams = D.shingles(t["documents"].repartition("doc_id"), spread=False).persist()
     pairs = D.minhash_estimate_pairs(grams)
     out = pairs.orderBy("id_a", "id_b")
     # carry the kernel's candidate-frame tag across the orderBy (derived

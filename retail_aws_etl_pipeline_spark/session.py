@@ -65,22 +65,40 @@ def get_spark(
     return spark
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], "object"] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], "object"] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-application cache key. ``id(spark)`` can be REUSED after
+    a session is garbage-collected, handing a new session a stale entry —
+    harmless for memoized lazy plans, plan-changing for the scan-deficit
+    flag (ADVICE r16). The applicationId is unique per SparkContext and
+    never recycled within a process."""
+    return spark.sparkContext.applicationId
 
 #: Tables too small for the scan-parallelism guard to bother with — the
 #: broadcast dimension tables stay exchange-free.
 _SCAN_GUARD_MIN_ROWS = 1_000
 
 #: Sessions whose input layout under-parallelizes scans (fewer parquet
-#: row groups than cores — see load_tables). Consulted by
-#: :func:`spread_for_compute`.
-_SCAN_DEFICIT: dict[int, bool] = {}
+#: row groups than cores — see load_tables). Keyed by applicationId via
+#: :func:`_session_key`. Consulted by :func:`spread_for_compute`.
+_SCAN_DEFICIT: dict[str, bool] = {}
 
-#: Python-kernel fan-out cap for deficit-mode spreads (see
-#: spread_for_compute); 16 measured best on the decode kernels.
+#: Python-kernel fan-out FLOOR for deficit-mode spreads (see
+#: spread_for_compute): each partition costs a Python worker process +
+#: pandas/numpy import before the first batch, so deficit-sized inputs
+#: never amortize full-width fan-out (A/B at sf0.1: 16 workers beat both
+#: 8 and 32 on the PNG decode). The effective cap is derived from the
+#: session — max(this floor, defaultParallelism div 2) — so on a big
+#: cluster fed one unsplittable file the kernels still scale with the
+#: machine instead of pinning at a host-tuned constant (r16 VERDICT #3).
 PY_KERNEL_MAX_PARTS = 16
 
-_ROW_GROUP_CACHE: dict[str, tuple[int, int]] = {}
+#: parquet layout memo keyed by (path, mtime, size): rewriting a fixture
+#: table in place invalidates the entry instead of serving a stale layout
+#: (ADVICE r16).
+_ROW_GROUP_CACHE: dict[tuple[str, float, int], tuple[int, int]] = {}
 
 
 def spread_for_compute(df, max_parts: int | None = None):
@@ -100,11 +118,17 @@ def spread_for_compute(df, max_parts: int | None = None):
     kernel never amortizes on deficit-sized inputs (A/B at sf0.1: 16
     workers beat both 8 and 32 on the PNG decode). JVM-side consumers
     leave it None and use the session's shuffle parallelism."""
-    if not _SCAN_DEFICIT.get(id(df.sparkSession), False):
+    spark = df.sparkSession
+    if not _SCAN_DEFICIT.get(_session_key(spark), False):
         return df
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if max_parts is not None:
-        n = max(2, min(n, max_parts))
+        # session-derived cap: the passed floor (the measured local
+        # amortization bound) grows with the cluster — half the default
+        # parallelism keeps per-worker batches large enough to amortize
+        # the worker spin-up while still scaling past any constant
+        cap = max(max_parts, spark.sparkContext.defaultParallelism // 2)
+        n = max(2, min(n, cap))
     return df.repartition(n)
 
 
@@ -116,7 +140,12 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     testdata is a single file — handle both, and fail OPEN (treat the
     layout as fully parallel, i.e. no deficit) on any metadata surprise
     so the guard can never break a read it was meant to speed up."""
-    got = _ROW_GROUP_CACHE.get(path)
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        key = (path, 0.0, -1)
+    got = _ROW_GROUP_CACHE.get(key)
     if got is None:
         import pyarrow.parquet as pq
 
@@ -134,7 +163,7 @@ def _parquet_layout(path: str) -> tuple[int, int]:
                 got = (md.num_row_groups, md.num_rows)
         except Exception:  # noqa: BLE001 — guard must never break a read
             got = (1 << 30, 0)
-        _ROW_GROUP_CACHE[path] = got
+        _ROW_GROUP_CACHE[key] = got
     return got
 
 
@@ -168,7 +197,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for n in names:
-        key = (id(spark), sf_dir, n)
+        key = (_session_key(spark), sf_dir, n)
         df = _TABLE_CACHE.get(key)
         if df is None:
             path = os.path.join(sf_dir, f"{n}.parquet")
@@ -193,7 +222,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
             n_rg, n_rows = _parquet_layout(path)
             cores = spark.sparkContext.defaultParallelism
             if n_rg < cores and n_rows >= _SCAN_GUARD_MIN_ROWS:
-                _SCAN_DEFICIT[id(spark)] = True
+                _SCAN_DEFICIT[_session_key(spark)] = True
             for f in df.schema.fields:
                 if n == "events" and f.name == "ts" and f.dataType.typeName() == "long":
                     df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

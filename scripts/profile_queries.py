@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--plans-dir", default=None)
+    # default sidecar is PROFILE_<tag>.json in the repo root; a subset
+    # profile run must not clobber a committed full-registry profile, so
+    # targeted runs pass an explicit path
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,7 +144,7 @@ def main() -> None:
                           **{k: rec.get(k) for k in ("wall_min", "jobs", "stages", "tasks", "error")}}),
               flush=True)
 
-    out_path = os.path.join(repo, f"PROFILE_{args.tag}.json")
+    out_path = args.out or os.path.join(repo, f"PROFILE_{args.tag}.json")
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -546,36 +546,71 @@ def perceptron_fit_trace(
     """:func:`perceptron_fit` plus the per-round error census
     (n_mis, n_mis_pos, n_mis_neg) under each round's INCOMING weights.
 
-    The census rides the SAME margins pass the update aggregate consumes
-    (the per-round margins frame is persisted for its two consumers and
-    released immediately) — the r13 plan recomputed every round's
-    margins a second time on the trace side, doubling the corpus passes
-    the report executes."""
+    The census rides the SAME job as the update aggregate: an
+    ``Observation`` on the margins frame fires during the delta collect
+    (the graph operators' _truncate_lineage_observed discipline), so each
+    round is ONE corpus pass instead of two — the r16 plan paid a census
+    collect (which also materialized a persisted margins frame) plus the
+    delta collect per round. Round 1 is further shortcut: w = 0 puts
+    every margin at 0, so every document is misclassified by
+    construction — the update is the FULL feature aggregate and the
+    census reads off the per-doc bias rows (perceptron_features emits
+    exactly one b = PCTRON_BIAS row per document), no margins pass at
+    all. Both forms are value-identical to the generic round."""
+    from pyspark.sql import Observation
+
     n_w = DSIR_BUCKETS + 1
     w = [0] * n_w
     out: list[list[int]] = []
     trace: list[tuple[int, int, int]] = []
     mis = F.col("margin") <= 0
-    for _ in range(rounds):
-        m = _perceptron_margins(feats, w, id_col).persist()
-        cen = m.agg(
-            F.coalesce(F.sum(mis.cast("long")), F.lit(0)).alias("n_mis"),
+
+    def _census_aggs(mis_col):
+        return [
+            F.coalesce(F.sum(mis_col.cast("long")), F.lit(0)).alias("n_mis"),
             F.coalesce(
-                F.sum((mis & (F.col("y") == 1)).cast("long")), F.lit(0)
+                F.sum((mis_col & (F.col("y") == 1)).cast("long")), F.lit(0)
             ).alias("n_mis_pos"),
             F.coalesce(
-                F.sum((mis & (F.col("y") == -1)).cast("long")), F.lit(0)
+                F.sum((mis_col & (F.col("y") == -1)).cast("long")), F.lit(0)
             ).alias("n_mis_neg"),
-        ).collect()[0]
-        delta = (
-            m.filter(mis)
-            .select(id_col)
-            .join(feats, id_col)
-            .groupBy("b")
-            .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
-            .collect()
-        )
-        m.unpersist()
+        ]
+
+    for _ in range(rounds):
+        obs = Observation()
+        if not any(w):
+            # zero weights: margin = y·(0·x) = 0 <= 0 for every doc
+            bias_row = F.col("b") == PCTRON_BIAS
+            src = feats.observe(obs, *_census_aggs(bias_row))
+            cen_frame, cen_aggs = feats, _census_aggs(bias_row)
+            delta = (
+                src.groupBy("b")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+                .collect()
+            )
+        else:
+            m = _perceptron_margins(feats, w, id_col).observe(
+                obs, *_census_aggs(mis)
+            )
+            cen_frame, cen_aggs = (
+                _perceptron_margins(feats, w, id_col),
+                _census_aggs(mis),
+            )
+            delta = (
+                m.filter(mis)
+                .select(id_col)
+                .join(feats, id_col)
+                .groupBy("b")
+                .agg(F.sum(F.col("y") * F.col("cnt")).alias("dw"))
+                .collect()
+            )
+        try:
+            cen = obs.get
+        except Exception:
+            # empty-at-runtime frame: AQE's empty-relation propagation can
+            # prune the Observation node (the validate-module fallback) —
+            # re-aggregate the (empty) lineage explicitly
+            cen = cen_frame.agg(*cen_aggs).first().asDict()
         w = list(w)
         for r in delta:
             w[int(r.b)] += int(r.dw)

@@ -429,13 +429,30 @@ def connected_components(
     # selects over `pairs` executes the upstream pair-generation lineage
     # (often an expensive gram self-join) twice in the first
     # materialization; the explode scans it once.
+    #
+    # The edge list is persisted HASH-PARTITIONED ON src (r17): the
+    # repartition lands BEFORE the dedup aggregate — HashPartitioning(src)
+    # satisfies ClusteredDistribution(src, dst), so the dedup costs the
+    # same single exchange the old distinct() paid while the cached frame
+    # keeps a join-reusable layout — and every fixpoint round's
+    # neighbor join then reads the edges co-partitioned with the
+    # (node)-partitioned label frame instead of re-exchanging the edge
+    # set per round (guide §2.4: two operations keyed the same way share
+    # one exchange; the label frame's checkpoint preserves the join's
+    # hash(node) output partitioning).
     both = F.explode(
         F.array(
             F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
             F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
         )
     ).alias("e")
-    edges = pairs.select(both).select("e.src", "e.dst").distinct().persist()
+    edges = (
+        pairs.select(both)
+        .select("e.src", "e.dst")
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     labels = _truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -445,15 +462,29 @@ def connected_components(
     try:
         converged = False
         for _ in range(max_iter):
-            # Fold the pointer jump into the neighbor pass: (v, label(v))
-            # acts as one more edge, so a single join+agg yields
-            # min(neighbor labels ∪ {label(label(v))}).
-            dyn_edges = edges.unionByName(
-                labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+            # Neighbor pass: each edge (src, dst) delivers label(src) to
+            # dst — the same candidate multiset as the old dst-keyed join
+            # (both directions are present), but keyed on the edge
+            # cache's src layout so the join is exchange-free. The
+            # pointer jump runs as its own small join (labels ⋈ labels on
+            # label == node) instead of riding a union that destroyed the
+            # edge partitioning: the union forced a full (edges+labels)
+            # re-exchange every round.
+            nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+                edges["dst"].alias("node"), F.col("label").alias("cand")
+            )
+            # node == label rows are no-ops in the jump (label(label(v)) =
+            # label(v), and least() leaves the label unchanged) — filter
+            # them so the self-join carries only non-root nodes (empty on
+            # round 1, shrinking as roots win)
+            jump = (
+                labels.filter(F.col("node") != F.col("label"))
+                .select(F.col("node").alias("__n"), F.col("label").alias("__l"))
+                .join(labels.alias("__jy"), F.col("__l") == F.col("__jy.node"))
+                .select(F.col("__n").alias("node"), F.col("__jy.label").alias("cand"))
             )
             nbr_min = (
-                dyn_edges.join(labels, dyn_edges["dst"] == labels["node"])
-                .select(dyn_edges["src"].alias("node"), F.col("label").alias("cand"))
+                nbr.unionByName(jump)
                 .groupBy("node")
                 .agg(F.min("cand").alias("cand"))
             )
@@ -941,11 +972,24 @@ def pagerank_scaled(
     fixed iteration counts (checkpoint discipline from
     connected_components applies beyond that).
     """
+    # Both directions via one explode, NOT a self-union (the
+    # connected_components lesson, applied here at r17): a union of two
+    # selects over `edges` executes the upstream pair lineage — for
+    # doc_pagerank the full gram self-join — TWICE in the first
+    # materialization; the explode scans it once. The persisted frame is
+    # hash-partitioned on src so the degree groupBy AND the per-round
+    # message join both reuse one exchange (guide §2.4).
     sym = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
+        .repartition("src")
         # the edge list re-enters the plan twice below (degree groupBy +
         # message build) — without materialization its upstream (often a
         # full gram self-join) recomputes for each
@@ -964,7 +1008,9 @@ def pagerank_scaled(
     msg = sym.join(deg, "src")
     extra_caches = ()
     if iterations > 2:
-        msg = msg.repartition("src").persist()
+        # already hash(src)-partitioned: sym's cached layout flows through
+        # the deg join, so the deep-run cache needs no re-exchange
+        msg = msg.persist()
         extra_caches = (msg,)
     ranks = nodes.select(F.col(id_col).alias("node")).withColumn(
         "rank", F.lit(PR_SCALE).cast("long")

@@ -830,7 +830,10 @@ def chunk_dedup_stats(
 
 
 def containment_prefix_candidates(
-    gram_df: DataFrame, threshold_pct: int = 90, id_col: str = "doc_id"
+    gram_df: DataFrame,
+    threshold_pct: int = 90,
+    id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """PPJoin-style prefix-filter candidates for containment ≥ pct%.
 
@@ -847,11 +850,15 @@ def containment_prefix_candidates(
     SHORTEST postings — this is what kills the boilerplate blowup, since
     hot grams almost never make a prefix. The ranking window partitions
     by doc (bounded partitions — a doc's own grams), never globally.
+
+    ``sizes`` lets the verify stage share its (id, __n) frame instead of
+    re-deriving the same groupBy (r17).
     """
     from pyspark.sql import Window
 
     df_counts = gram_df.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    if sizes is None:
+        sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     m = F.col("__n") - F.expr(f"(__n * {threshold_pct} + 99) DIV 100") + 1
     w = Window.partitionBy(id_col).orderBy("__df", "gram")
     prefix = (
@@ -884,7 +891,12 @@ def containment_pairs_prefix(
     containment candidates touching most docs it degenerates back to the
     full self-join.) Identical results to the exact form by the prefix
     lemma — same oracle applies."""
-    cand = containment_prefix_candidates(gram_df, threshold_pct, id_col)
+    # one (id, n) frame serves both the prefix-length computation and the
+    # verify stage's two size attaches (r17; it re-derived per consumer)
+    sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    cand = containment_prefix_candidates(
+        gram_df, threshold_pct, id_col, sizes=sizes.withColumnRenamed("n", "__n")
+    )
     ga = gram_df.select(F.col(id_col).alias("id_a"), "gram")
     gb = gram_df.select(F.col(id_col).alias("id_b"), "gram")
     common = (
@@ -893,7 +905,6 @@ def containment_pairs_prefix(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sizes = gram_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     counts = common.join(
         sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a"
     ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")

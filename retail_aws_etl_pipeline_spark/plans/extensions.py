@@ -3045,7 +3045,10 @@ def char_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_containment_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    grams = D.shingles(t["documents"]).persist()
+    # hash(doc_id) persist (the minhash r17 discipline): the per-doc size
+    # groupBy and the prefix-ranking window both consume the cache's
+    # partitioning instead of re-exchanging the gram stream
+    grams = D.shingles(t["documents"].repartition("doc_id"), spread=False).persist()
     return D.containment_pairs_prefix(grams, threshold_pct=CONTAINMENT_PCT).orderBy(
         "id_a", "id_b"
     )

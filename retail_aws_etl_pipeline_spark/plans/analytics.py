@@ -2812,8 +2812,26 @@ def streamed_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(staging)
         )
-        q = feature_delta_stream(stream, delta_dir=delta, checkpoint_dir=ckpt)
-        q.awaitTermination()
+        # narrow the per-batch partial-aggregate width to the stream
+        # state sizing (streams.STREAM_STATE_PARTITIONS rationale): the
+        # foreachBatch groupBy otherwise inherits the batch session's
+        # width and writes that many near-empty delta files per batch
+        # (AQE's coalescing is parallelismFirst and won't shrink below
+        # defaultParallelism). Restored after the drain.
+        from retail_aws_etl_pipeline_spark.streaming.streams import (
+            STREAM_STATE_PARTITIONS,
+        )
+
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(min(int(old_parts), STREAM_STATE_PARTITIONS)),
+        )
+        try:
+            q = feature_delta_stream(stream, delta_dir=delta, checkpoint_dir=ckpt)
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         snap = read_feature_snapshot(spark, delta).localCheckpoint(eager=True)
         return snap.orderBy("o_custkey")
     finally:

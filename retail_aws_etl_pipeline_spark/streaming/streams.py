@@ -21,9 +21,28 @@ correctness statement available for non-SQL-expressible stateful ops.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Stateful-stream shuffle/state-store partition count (overridable via
+#: SPARK_GRAFT_STREAM_STATE_PARTITIONS). A stateful micro-batch pays a
+#: per-STATE-PARTITION open/commit/snapshot cost on EVERY trigger, so the
+#: partition count should track the keyed STATE's cardinality, not the
+#: session's batch compute width: these streams keep small keyed state
+#: (event types, hourly windows, per-user rows), where 32 state stores
+#: are ~4x pure overhead per batch (A/B at sf0.1, min-of-3:
+#: streamed_hourly_rollup 1.79 -> 0.91 s, streamed_dedup_counts
+#: 2.26 -> 1.47 s at 8 partitions). A deployment with large keyed state
+#: raises the env override; the batch session width is untouched (the
+#: conf is set around stream start only — Structured Streaming pins the
+#: value into the checkpoint at first run regardless, so per-query is
+#: the only granularity that exists).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
 
 #: Canonical events schema — the start-stream-before-data-arrives fallback
 #: when the directory is empty/absent at stream start (the standard
@@ -199,15 +218,30 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append") 
     8 GiB driver through this helper. Large drains should measure/land
     through ``foreachBatch`` (count or parquet sink), which keeps the
     output distributed; this helper exists for test-sized results where
-    collecting is the point."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    collecting is the point.
+
+    The session's shuffle-partition conf is narrowed to
+    :data:`STREAM_STATE_PARTITIONS` for the drain and restored after —
+    the stateful operators' state-store count is sized by state
+    cardinality instead of inheriting the batch compute width (see the
+    constant's rationale). Results are partitioning-independent."""
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(old), STREAM_STATE_PARTITIONS)),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old)
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 

@@ -2031,6 +2031,13 @@ def minhash_estimate_pairs(gram_df: DataFrame, id_col: str = "doc_id") -> DataFr
     the standard posting-list join restricted to candidate docs). The
     signature frame is vocab... doc-scale (k+2 columns per doc); the
     estimate itself adds no exchange beyond the candidate join.
+
+    PERSIST CONTRACT (ADVICE r16): the candidate-pair frame is persisted
+    unconditionally (it feeds four consumers) and tagged on the RETURNED
+    frame via ``caching.retaining`` — callers must release it with
+    ``caching.release_caches(result)`` after their terminal action. A
+    caller that drops the tag (derived frames don't inherit it) leaks
+    the executor storage blocks until ``spark.catalog.clearCache()``.
     """
     sig = per_doc_signatures(gram_df, id_col=id_col)
     bands = F.explode(

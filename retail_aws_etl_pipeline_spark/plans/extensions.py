@@ -9318,7 +9318,19 @@ def hll_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("exact_overlap", "exact_a", "exact_b")
         # Sketch leg, fused (same rewrite): both halves' register tables
         # and the MAX-merged union from ONE scan + ONE <= m-row exchange.
-        est = SK.hll_overlap_split(base, F.col(key), F.col(split) % 2 == 0)
+        # Parity guard (ADVICE r16): the kernel routes every non-TRUE
+        # is_a into half B, but the exact leg and the oracle define B as
+        # split % 2 == 1 — a NEGATIVE split value (Spark's % keeps the
+        # dividend's sign, so it yields -1) belongs to NEITHER half.
+        # Restrict the sketch's input to the two oracle parities so both
+        # legs share the same membership semantics; latent-only today
+        # (all current split columns are non-negative), zero plan cost
+        # (the filter rides the scan).
+        est = SK.hll_overlap_split(
+            base.filter((F.col(split) % 2).isin(0, 1)),
+            F.col(key),
+            F.col(split) % 2 == 0,
+        )
         frames.append(
             exact.crossJoin(F.broadcast(est)).select(
                 F.lit(metric).alias("metric"),

@@ -45,6 +45,14 @@ def get_spark(
         # Measured -0.2..-0.8 s on every SMJ-carrying registry query at
         # sf0.1 with identical results; at scale AQE's runtime sizes +
         # skew-join splitting keep the build side bounded.
+        #
+        # FAILURE MODE + REVERT KNOB (ADVICE r16): SHJ's build-side hash
+        # map cannot spill — a badly MIS-ESTIMATED or skewed build side at
+        # production scale can OOM an executor where sort-merge would have
+        # spilled gracefully (AQE skew splitting mitigates detected skew
+        # only). If a deployment hits that, revert per-session via
+        # extra_conf={"spark.sql.join.preferSortMergeJoin": "true"} (or
+        # --conf); no code depends on the join strategy.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

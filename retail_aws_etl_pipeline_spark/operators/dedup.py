@@ -75,7 +75,7 @@ def shingles(
     # inputs (guide §2.5); no-op on production layouts.
     base = df.select(F.col(id_col), F.col(text_col))
     if spread:
-        base = spread_for_compute(base)
+        base = spread_for_compute(base, keys=[id_col])
     return base.withColumn("__toks", F.split(F.col(text_col), " ")).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
@@ -787,7 +787,7 @@ def token_chunks(
     from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
     return (
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
         .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(spans).alias("s"))
         .select(id_col, "s.chunk_idx", "s.chunk", "s.n_toks")
@@ -1668,7 +1668,7 @@ def content_defined_chunks(
     from retail_aws_etl_pipeline_spark.session import spread_for_compute
 
     return (
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
         .withColumn("__chunks", F.expr(fold))
         .select(
             F.col(id_col),
@@ -1757,7 +1757,7 @@ def duplicated_span_stats(
 
     w = window_tokens
     base = (
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
         .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.col("__toks"))
     )

@@ -736,7 +736,7 @@ def gopher_repetition_flags(
     # the 9-size n-gram explode below is the package's single heaviest
     # per-row computation — spread it off a single-task scan (guide §2.5;
     # no-op on production layouts)
-    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),

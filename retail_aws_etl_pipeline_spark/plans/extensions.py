@@ -638,6 +638,7 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = spread_for_compute(
         load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id"),
         max_parts=PY_KERNEL_MAX_PARTS,
+        keys=["doc_id"],
     )
     bmp = MM.decode_bmp_stats(MM.synth_media(ids, "doc_id", "image")).select(
         "media_id",
@@ -695,6 +696,7 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = spread_for_compute(
         load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id"),
         max_parts=PY_KERNEL_MAX_PARTS,
+        keys=["doc_id"],
     )
     return MM.decode_png_stats(MM.synth_media(ids, "doc_id", "png")).orderBy("media_id")
 
@@ -4038,7 +4040,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide for every consumer (shingles, the CC node list, the budget
     # pass and the counts) — shingles' own deficit spread would otherwise
     # re-exchange the cache on each materialization (r16)
-    k1 = spread_for_compute(norm.join(kept1_ids.select("doc_id"), "doc_id")).persist()
+    k1 = spread_for_compute(
+        norm.join(kept1_ids.select("doc_id"), "doc_id"), keys=["doc_id"]
+    ).persist()
     grams = D.shingles(k1, text_col="ntext", spread=False).persist()
     pairs = D.jaccard_counts(grams).filter(
         F.col("common") * 5 >= (F.col("n_a") + F.col("n_b") - F.col("common"))

@@ -109,7 +109,7 @@ PY_KERNEL_MAX_PARTS = 16
 _ROW_GROUP_CACHE: dict[tuple[str, float, int], tuple[int, int]] = {}
 
 
-def spread_for_compute(df, max_parts: int | None = None):
+def spread_for_compute(df, max_parts: int | None = None, keys: list | None = None):
     """Round-robin repartition of an operator's (already column-pruned)
     input iff this session's scan layout is under-parallelized — the
     guide-§2.5 mitigation for unsplittable inputs, applied at the point
@@ -125,7 +125,17 @@ def spread_for_compute(df, max_parts: int | None = None):
     core-count fan-out of a Python stage front-loads a pool spin-up the
     kernel never amortizes on deficit-sized inputs (A/B at sf0.1: 16
     workers beat both 8 and 32 on the PNG decode). JVM-side consumers
-    leave it None and use the session's shuffle parallelism."""
+    leave it None and use the session's shuffle parallelism.
+
+    ``keys`` (r17): spread by HASH of the given high-cardinality columns
+    instead of round-robin. Two wins at identical fan-out: a keyless
+    repartition first pays a local sort of its input (SPARK-23207's
+    retry-determinism sort, on by default) that a deterministic hash
+    partitioning skips, and downstream per-key aggregations (the per-doc
+    size/signature groupBys every gram consumer runs) reuse the layout
+    instead of re-exchanging (guide §2.4). Callers pass the column(s)
+    the downstream groupBys key on — unique per row group (doc id) so
+    the hash spreads as evenly as round-robin."""
     spark = df.sparkSession
     if not _SCAN_DEFICIT.get(_session_key(spark), False):
         return df
@@ -137,6 +147,8 @@ def spread_for_compute(df, max_parts: int | None = None):
         # the worker spin-up while still scaling past any constant
         cap = max(max_parts, spark.sparkContext.defaultParallelism // 2)
         n = max(2, min(n, cap))
+    if keys:
+        return df.repartition(n, *keys)
     return df.repartition(n)
 
 

@@ -2273,20 +2273,107 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    r_s = _distributed_ntile(
-        rfm.select("c_custkey", "recency_days"),
-        [F.asc("recency_days"), F.asc("c_custkey")], 4, "r_q",
-    ).select("c_custkey", "r_q")
-    f_s = _distributed_ntile(
-        rfm.select("c_custkey", "n_orders"),
-        [F.desc("n_orders"), F.asc("c_custkey")], 4, "f_q",
-    ).select("c_custkey", "f_q")
-    m_s = _distributed_ntile(
-        rfm.select("c_custkey", "monetary"),
-        [F.desc("monetary"), F.asc("c_custkey")], 4, "m_q",
-    ).select("c_custkey", "m_q")
-    scored = rfm.join(r_s, "c_custkey").join(f_s, "c_custkey").join(m_s, "c_custkey")
-    return (
+    # ONE fused rank pass for all three quartiles (r17): the three
+    # independent _distributed_ntile passes each paid their own range
+    # sampling, persist and offset broadcast (3 sampling jobs + 3 caches).
+    # Unpivot to (customer, metric, key) with an ORDER-ISOMORPHIC numeric
+    # key — decimal(38,6) holds the long metrics and the exact-decimal
+    # spend; negation flips the two DESC orders into one ASC sort — and
+    # range-partition ONCE on (metric, key, custkey). Per-metric global
+    # rank is reconstructed from the per-(partition, metric) cell counts:
+    # __rn = __lrn − rows-of-earlier-metrics-in-this-partition
+    #        + this-metric's-rows-in-earlier-partitions,
+    # exact because range order sorts metric first (cells are contiguous).
+    # Same NTILE bucket formula, same tie-breaks; A/B'd bit-identical to
+    # the 3-pass form on the full sf0.1 frame.
+    unpiv = rfm.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    F.col("recency_days").cast("decimal(38,6)").alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"),
+                    (-F.col("n_orders")).cast("decimal(38,6)").alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("metric"),
+                    (-F.col("monetary")).cast("decimal(38,6)").alias("key"),
+                ),
+            )
+        ).alias("mk"),
+    ).select("c_custkey", "mk.metric", "mk.key")
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        unpiv.repartitionByRange(parts, "metric", "key", "c_custkey")
+        .sortWithinPartitions("metric", "key", "c_custkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    local = ranged.withColumn(
+        "__lrn", F.expr(f"(__mid & {(1 << 33) - 1}) + 1L")
+    ).drop("__mid")
+    cells = ranged.groupBy("__pid", "metric").agg(F.count(F.lit(1)).alias("__c"))
+    before_in_pid = (
+        cells.alias("a")
+        .join(
+            F.broadcast(cells.alias("b")),
+            (F.col("b.__pid") == F.col("a.__pid"))
+            & (F.col("b.metric") < F.col("a.metric")),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"), F.col("a.metric").alias("metric"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__before_in_pid"))
+    )
+    metric_offset = (
+        cells.alias("a")
+        .join(
+            F.broadcast(cells.alias("b")),
+            (F.col("b.metric") == F.col("a.metric"))
+            & (F.col("b.__pid") < F.col("a.__pid")),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"), F.col("a.metric").alias("metric"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__metric_offset"))
+    )
+    totals = cells.groupBy("metric").agg(F.sum("__c").alias("__n"))
+    # cell frames are <= partitions x 3 rows — keep their assembly
+    # broadcast so no __pid-keyed sort/exchange ever touches them
+    info = before_in_pid.join(F.broadcast(metric_offset), ["__pid", "metric"]).join(
+        F.broadcast(totals), "metric"
+    )
+    ranked = local.join(F.broadcast(info), ["__pid", "metric"]).withColumn(
+        "__rn",
+        (F.col("__lrn") - F.col("__before_in_pid") + F.col("__metric_offset")).cast(
+            "long"
+        ),
+    )
+    bucket = F.expr(
+        """
+        CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+             THEN (__rn + (__n div 4)) div (__n div 4 + 1)
+             ELSE (__n % 4)
+                  + (__rn - (__n % 4) * (__n div 4 + 1) + (__n div 4) - 1)
+                    div (__n div 4)
+        END
+        """
+    ).cast("long")
+    scores = (
+        ranked.withColumn("q", bucket)
+        .groupBy("c_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == 1, F.col("q"))).alias("r_q"),
+            F.max(F.when(F.col("metric") == 2, F.col("q"))).alias("f_q"),
+            F.max(F.when(F.col("metric") == 3, F.col("q"))).alias("m_q"),
+        )
+    )
+    from retail_aws_etl_pipeline_spark.operators.caching import retaining
+
+    scored = rfm.join(scores, "c_custkey")
+    out = (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -2294,6 +2381,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+    # tag the RETURNED frame (derived frames don't inherit tags — the
+    # caching-module contract) so callers can release both caches
+    return retaining(out, rfm, ranged)
 
 
 #: Benford expected first-digit frequencies, ppm: round(log10(1+1/d)*1e6).

@@ -349,8 +349,13 @@ def dsir_scores(
     """
     lut = F.array(*[F.lit(int(v)).cast("long") for v in logratio])
     score = F.element_at(lut, (dsir_bucket(F.col("w")) + 1).cast("int"))
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
+    # doc-keyed spread (r17): the explode otherwise fuses into a near-
+    # single-task scan, and hash(id) makes the per-doc sum exchange-free
     return (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        spread_for_compute(docs.select(F.col(id_col), F.col(text_col)), keys=[id_col])
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy(id_col)
         .agg(F.sum(score).alias("dsir_score"))
     )
@@ -479,8 +484,13 @@ def perceptron_features(
     every training round then works on this (persisted) frame.
     """
     y = F.when(F.coalesce(target, F.lit(False)), F.lit(1)).otherwise(F.lit(-1))
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     base = docs.select(F.col(id_col), y.cast("long").alias("y"), F.col(text_col))
-    words = base.select(
+    # doc-keyed spread (r17): parallelizes the explode off a single-task
+    # scan AND makes the (id, y, bucket) groupBy exchange-free — only the
+    # post-aggregate rows reach the final hash(id) repartition
+    words = spread_for_compute(base, keys=[id_col]).select(
         id_col, "y", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     feats = words.groupBy(

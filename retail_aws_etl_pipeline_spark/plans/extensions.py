@@ -3693,8 +3693,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
+    # doc-keyed spread (r17): parallel explode + exchange-free (doc, term)
+    # aggregate (hash(doc_id) satisfies the clustered distribution)
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        spread_for_compute(docs.select("doc_id", "text"), keys=["doc_id"])
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -5037,9 +5042,15 @@ def late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
     t = load_tables(spark, sf_dir, ["documents"])
+    # doc-keyed spread (r17): the word explode + distinct otherwise run
+    # fused into a near-single-task scan, and hash(doc_id) satisfies the
+    # (doc_id, word) distinct AND the per-doc max aggregate downstream —
+    # both become exchange-free single-phase aggregates
     words = (
-        t["documents"]
+        spread_for_compute(t["documents"].select("doc_id", "text"), keys=["doc_id"])
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .distinct()
@@ -11000,8 +11011,14 @@ def char_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].filter(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
+    from retail_aws_etl_pipeline_spark.session import spread_for_compute
+
+    # doc-keyed spread (r17): the per-CHARACTER explode is the heaviest
+    # fan-out in the text family — parallelize it and keep the (doc, ch)
+    # aggregate exchange-free
     cnt = (
-        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        spread_for_compute(docs.select("doc_id", "text"), keys=["doc_id"])
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

@@ -1757,7 +1757,7 @@ def duplicated_span_stats(
 
     w = window_tokens
     base = (
-        spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))  # round-robin: keyed A/B'd worse here (r17)
         .withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.col("__toks"))
     )

@@ -735,8 +735,13 @@ def gopher_repetition_flags(
 
     # the 9-size n-gram explode below is the package's single heaviest
     # per-row computation — spread it off a single-task scan (guide §2.5;
-    # no-op on production layouts)
-    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)), keys=[id_col])
+    # no-op on production layouts). ROUND-ROBIN deliberately: the r17
+    # keyed-spread A/B measured hash(doc) 4.7 s vs round-robin 3.1 s here
+    # — doc-length skew concentrates the 9-size explode of the heaviest
+    # docs, and the (id, kind, item) aggregate's map-side partial combine
+    # already collapses the within-doc duplicates the keyed layout would
+    # have saved an exchange on.
+    df = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     base = df.select(
         F.col(id_col),
